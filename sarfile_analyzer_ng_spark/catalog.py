@@ -1,0 +1,82 @@
+"""Table catalog: load the driver-generated parquet tables and register
+them as temp views so operators can be used from both the DataFrame API
+and ``spark.sql``.
+
+At 100 TB these would be external partitioned tables; nothing below
+assumes single-file inputs — ``spark.read.parquet`` takes directories,
+globs, or single files interchangeably.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — Spark rejects those by
+    default, so they need the legacy long read + an explicit convert."""
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as ds
+
+            schema = ds.dataset(path, format="parquet").schema
+        else:
+            schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; normalizes TIMESTAMP(NANOS) parquet columns to
+    Spark timestamps (integer ``div`` keeps full precision — a double
+    division would corrupt epoch-nanos > 2^53) and pins the session to
+    UTC so wall-clock values are engine-independent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, name)
+    nanos = _nanos_ts_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view named after it."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,247 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. These are the scale-critical pieces of a training-data
+pipeline: every one is built so the expensive comparison only happens
+inside small candidate buckets, never across the full corpus.
+
+All of exact/minhash/jaccard stay JVM-side (xxhash64 / md5 /
+higher-order array functions). SimHash needs per-bit accumulation and
+uses a vectorized Arrow pandas UDF — the documented slow-but-batched
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate removal via content-hash groupBy: keep the row
+    with the smallest id per md5(text). One shuffle on the 128-bit
+    hash — uniformly distributed, no skew at any corpus size."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — built with
+    higher-order functions (split/transform/sequence), no UDF."""
+    words = F.split(F.lower(text), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       shingle_n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures as (doc, sig array<bigint>).
+
+    Shape matters for scale: shingles are EXPLODED first, then each of
+    the ``num_hashes`` seeds becomes one ``min(xxhash64(shingle, i))``
+    aggregate. The explode materializes the shingle once (computing the
+    64 mins over an array column instead would re-inline — and
+    re-evaluate — the whole shingle expression per hash), and the
+    groupBy gets map-side partial mins, so the shuffle carries only
+    64 longs per document regardless of document size.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash each contiguous signature slice. Documents
+    sharing any band key become candidate pairs."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    "_", *[F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                           for r in range(rows_per_band)]
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3, num_hashes: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding with the
+    estimated Jaccard from signature agreement.
+
+    Plan shape: signature scan (narrow) → explode band keys → shuffle
+    on band key (uniform hash) → per-bucket self-join. The quadratic
+    blow-up is confined to same-band buckets, which is what makes this
+    the 100 TB path; the exact-Jaccard verifier (ngram_jaccard_pairs)
+    is for re-ranking candidates only.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    banded = sig.select(
+        "doc", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on="band")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                               lambda x, y: F.when(x == y, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double") / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-join on shingle → |∩| per pair, then
+    |A∪B| = |A|+|B|−|∩|. The shingle join is the candidate generator;
+    at 100 TB this runs *after* an LSH/banding prefilter (see
+    minhash_lsh_pairs) — kept exact here as the verification pass.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    return jac
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF
+    (per-bit sign accumulation is awkward as 64 JVM aggregates; the
+    UDF is vectorized with numpy over whole Arrow batches).
+
+    Deterministic: token hash is a fixed 64-bit FNV-1a, so results are
+    reproducible across runs/partitions.
+    """
+    def batch(iterator):
+        for pdf in iterator:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                tokens = str(text).lower().split()
+                if not tokens:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                hs = np.array([_fnv1a64(t) for t in tokens], dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for bit_idx in np.nonzero(votes > 0)[0]:
+                    sh |= np.uint64(1) << np.uint64(bit_idx)
+                out_ids.append(doc_id)
+                out_hashes.append(int(np.int64(sh)))
+            yield pd.DataFrame({"doc": out_ids, "simhash": out_hashes})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, _SIMHASH_SCHEMA)
+
+
+def _fnv1a64(token: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in token.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: band the 64-bit simhash into 4×16-bit
+    chunks (pigeonhole: ≤3 differing bits guarantees a shared chunk),
+    join on chunk, verify with exact Hamming distance."""
+    sigs = simhash(df, text_col, id_col)
+    chunks = sigs.select(
+        "doc", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
+                )
+                for i in range(64 // band_bits)
+            ])
+        ).alias("chunk"),
+    ).select("doc", "simhash", "chunk.band", "chunk.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+Everything is JVM-side (`regexp_count`, `md5`, `length`, …) — no
+Python in the row path, so these run inside whole-stage codegen and
+survive a 100 TB corpus. Regexes are kept to constructs with identical
+semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+classes, alternation, ``\\b`` word boundaries — no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword alternations per language; the heuristic scores a document
+# by word-boundary stopword hits and takes the argmax with a fixed
+# deterministic tie order (en > de > es > fr > zh).
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|eine|mit|von)\b",
+    "es": r"\b(el|la|de|que|y|los|una|por|con|para)\b",
+    "fr": r"\b(le|la|les|et|des|une|est|dans|pour|qui)\b",
+    "zh": r"[一-鿿]",
+}
+
+# "BPE-ish" pre-tokenizer: letter runs, single digits, or single
+# non-alphanumeric marks — a coarse stand-in for byte-pair merge input.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+WS_TOKEN_PATTERN = r"\S+"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {lang: F.regexp_count(low, F.lit(pat)) for lang, pat in LANG_PATTERNS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    """Predict language by stopword-hit argmax, deterministic tie order."""
+    s = lang_scores(F.col(text_col))
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return df.withColumn(out_col, pred)
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count per document."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "n_ws_tokens", F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("long")
+    ).withColumn(
+        "n_bpe_tokens", F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, round_to: int = 4) -> DataFrame:
+    """Deterministic quality features + a composite score.
+
+    Features: length, word count, mean word length, punctuation ratio,
+    stopword ratio (a fluency proxy). Score formula is arbitrary but
+    fixed; the operator's value is the feature plumbing at scale.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_words = F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("double")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double")
+    n_stop = F.regexp_count(F.lower(t), F.lit(LANG_PATTERNS["en"])).cast("double")
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_word_len, round_to))
+        .withColumn("punct_ratio", F.round(punct_ratio, round_to))
+        .withColumn("stopword_ratio", F.round(stop_ratio, round_to))
+        .withColumn("quality", F.round(score, round_to))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 of the exact text plus cheap structural
+    attributes — the key for exact dedup and change detection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("md5"),
+        F.length(t).cast("long").alias("n_chars_fp"),
+        F.substring(t, 1, 16).alias("prefix16"),
+    )

@@ -1,0 +1,105 @@
+"""Statistics operators — the Spark-first re-expression of the
+reference's ``describe()`` pattern (sarfile_analyzer_ng
+code/dia_compute_pl.py:73, code/layout_helper_pl.py:236 compute polars/
+pandas ``describe`` per metric table and per device).
+
+Design: one ``stack`` (unpivot) + one grouped aggregation = a single
+shuffle over the long form, instead of N per-column passes. All
+expressions are JVM built-ins → whole-stage codegen, no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import rnd
+
+
+def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", value_name: str = "value") -> DataFrame:
+    """Wide→long with a single ``stack`` expression (no shuffle)."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stack = F.expr(f"stack({len(value_cols)}, {pairs}) as ({var_name}, {value_name})")
+    return df.select(*[F.col(c) for c in id_cols], stack)
+
+
+def describe(df: DataFrame, value_cols: list[str], round_to: int = 4) -> DataFrame:
+    """count/mean/std/min/max per metric column, one row per metric.
+
+    Mirrors polars ``DataFrame.describe`` as used in
+    dia_compute_pl.py:73 but distributed: long-form + groupBy →
+    map-side partial aggregation, single shuffle keyed on the (tiny)
+    metric name.
+    """
+    long = unpivot(df, [], value_cols)
+    return long.groupBy("metric").agg(
+        F.count("value").alias("cnt"),
+        rnd(F.avg("value"), round_to).alias("mean"),
+        rnd(F.stddev_samp("value"), round_to).alias("stddev"),
+        F.round(F.min("value"), round_to).alias("min"),
+        F.round(F.max("value"), round_to).alias("max"),
+    )
+
+
+def percentiles(df: DataFrame, value_col: str, by: list[str],
+                probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                round_to: int = 4) -> DataFrame:
+    """Exact interpolated percentiles per group (polars describe shows
+    25/50/75%). Uses the exact ``percentile`` aggregate — at 100 TB
+    swap for ``percentile_approx`` by passing ``approx=True`` wrappers
+    upstream; exact is kept here for oracle parity.
+    """
+    aggs = [
+        rnd(F.expr(f"percentile(`{value_col}`, {p})"), round_to)
+        .alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*by).agg(*aggs)
+
+
+def minmax_argmax(df: DataFrame, key_cols: list[str], value_col: str,
+                  ts_col: str, round_to: int = 4) -> DataFrame:
+    """Min/max per group plus the timestamp where the max occurred —
+    the distributed form of the reference's min/max cell highlighting
+    (helpers_pl.py:320 ``highlight_max_ind``/``highlight_min_ind``).
+
+    Deterministic under ties: the struct max orders by (value, ts), so
+    the *latest* timestamp among tied maxima wins on both engines.
+    """
+    vc, tc = F.col(value_col), F.col(ts_col)
+    return df.groupBy(*key_cols).agg(
+        F.round(F.min(vc), round_to).alias("min_value"),
+        F.round(F.max(vc), round_to).alias("max_value"),
+        F.max(F.struct(vc.alias("v"), tc.alias("t")))["t"].alias("max_at"),
+    )
+
+
+def correlation(df: DataFrame, col_x: str, col_y: str, by: list[str],
+                round_to: int = 4) -> DataFrame:
+    """Pearson correlation between two metrics per group — the compare-
+    different-metrics page (code/handle_metrics_pl.py) reduced to its
+    analytical core."""
+    return df.groupBy(*by).agg(
+        rnd(F.corr(col_x, col_y), round_to).alias("corr_xy"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def zscore_outliers(df: DataFrame, value_col: str, by: list[str],
+                    threshold: float = 3.0) -> DataFrame:
+    """Rows whose |value - mean| > threshold * stddev within their
+    group. Two-pass as a self-broadcast join: the per-group stats frame
+    is tiny (one row per group) and broadcast, so the fact table is
+    scanned once with no wide shuffle."""
+    stats = df.groupBy(*by).agg(
+        F.avg(value_col).alias("_mean"), F.stddev_samp(value_col).alias("_std")
+    )
+    joined = df.join(F.broadcast(stats), on=by, how="inner")
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        joined.where(F.abs(z) > threshold)
+        .withColumn("zscore", rnd(z, 4))
+        .drop("_mean", "_std")
+    )

@@ -1,0 +1,172 @@
+"""Time-series operators.
+
+The reference treats every sar section as a timestamp-indexed frame and
+offers: time-range slicing (pl_helpers2.py:206 ``get_date_df``,
+helpers_pl.py:410 ``get_df_from_start_end``), duplicate-timestamp
+removal keep-first (dia_compute_pl.py:148), restart-row insertion
+(dataframe_funcs_pl.py:50 ``insert_restarts_into_df``), and hourly
+bucketing for the UI time pickers (dataframe_funcs_pl.py:39).
+
+Here each becomes a declarative plan: filters push down to the parquet
+scan, windows partition by the series key so state never concentrates
+on one executor, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..util import rnd
+
+
+def time_filter(df: DataFrame, ts_col: str, start, end) -> DataFrame:
+    """Inclusive [start, end] slice; the predicate reaches the parquet
+    scan (PushedFilters) so untouched row groups are skipped."""
+    return df.where((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) <= F.lit(end)))
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str],
+                     order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key, ordered by ``order_cols`` — the
+    distributed, deterministic form of pandas
+    ``df[~df.index.duplicated(keep='first')]`` (dia_compute_pl.py:149).
+    Single shuffle on the key; no global sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def resample(df: DataFrame, ts_col: str, every: str, by: list[str],
+             aggs: list[Column]) -> DataFrame:
+    """Bucket timestamps to ``every`` ('hour', 'day', ...) and
+    aggregate — the engine form of the UI's hourly pickers and chart
+    downsampling. ``date_trunc`` keeps bucketing JVM-side."""
+    bucket = F.date_trunc(every, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket, *by).agg(*aggs)
+
+
+def rolling_mean(df: DataFrame, ts_col: str, value_col: str, by: list[str],
+                 preceding: int, round_to: int = 4) -> DataFrame:
+    """Moving average over the last ``preceding``+1 rows per series —
+    chart smoothing as a window aggregate (state stays partitioned by
+    series key)."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn("rolling_mean", rnd(F.avg(value_col).over(w), round_to))
+
+
+def running_sum(df: DataFrame, ts_col: str, value_col: str, by: list[str],
+                round_to: int = 4) -> DataFrame:
+    """Cumulative total per series (sar counters are cumulative by
+    nature; the reference renders their deltas/averages)."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("running_sum", rnd(F.sum(value_col).over(w), round_to))
+
+
+def insert_restarts(df: DataFrame, restarts: DataFrame, ts_col: str,
+                    zero_cols: list[str]) -> DataFrame:
+    """Union zero-valued marker rows at each restart timestamp so a
+    chart line drops to 0 — dataframe_funcs_pl.py:50 re-expressed as a
+    UNION ALL (no driver-side row building, restart side stays lazy).
+
+    ``restarts`` needs only ``ts_col``; all ``zero_cols`` become 0.0 and
+    ``is_restart`` flags the synthetic rows.
+    """
+    base = df.select(
+        F.col(ts_col), *[F.col(c) for c in zero_cols], F.lit(False).alias("is_restart")
+    )
+    zeros = restarts.select(
+        F.col(ts_col),
+        *[F.lit(0.0).alias(c) for c in zero_cols],
+        F.lit(True).alias("is_restart"),
+    )
+    return base.unionByName(zeros)
+
+
+def detect_gaps(df: DataFrame, ts_col: str, by: list[str],
+                min_gap_seconds: int) -> DataFrame:
+    """Find sampling gaps larger than ``min_gap_seconds`` per series —
+    the analytical core of LINUX RESTART detection (a reboot shows up
+    as a hole in the sampling grid)."""
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("long") - prev.cast("long")
+    return (
+        df.withColumn("prev_ts", prev)
+        .withColumn("gap_seconds", gap)
+        .where(F.col("gap_seconds") > min_gap_seconds)
+        .select(*by, "prev_ts", F.col(ts_col).alias("ts"), "gap_seconds")
+    )
+
+
+def sessionize(df: DataFrame, ts_col: str, by: list[str],
+               gap_seconds: int) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the previous event is more than ``gap_seconds`` older. Classic
+    lag + cumulative-sum-of-boundaries; one shuffle on the key."""
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy(*by).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(cum))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str], ts_col: str,
+              right_value_cols: list[str],
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same key — aligning samples of
+    one sar section to another without a grid.
+
+    Implementation: union both sides with a side marker, then a single
+    window pass per key ordered by (ts, side) takes the last non-null
+    right value. One shuffle, no range explosion, scales with the
+    number of rows per key rather than pairs. The right side must be
+    unique per (key, ts); pre-aggregate it if not.
+    """
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("_side"),
+                    *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+                      for c in right_value_cols])
+    r = right.select(
+        *[F.col(c) for c in on], F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on and c != ts_col],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    ).select(*lcols, "_side", *[f"{c}{suffix}" for c in right_value_cols])
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols, "_side",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+        F.last(
+            F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")

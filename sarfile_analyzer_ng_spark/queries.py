@@ -1,0 +1,812 @@
+"""Correctness-gate registry: every operator from SURVEY.md §2 bound to
+the driver testdata, each with a DuckDB-runnable ANSI-SQL oracle.
+
+Contract (see __spark_entry__.py): each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame whose column NAMES and
+(rounded) VALUES match the oracle SQL run by DuckDB on the same parquet
+files. Floating-point aggregates are rounded on BOTH sides (round 4, or
+2 for money sums) so IEEE summation-order differences can't flip the
+value hash; integers are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .util import rnd
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as TX
+from .operators import relational as R
+from .operators import reshape as RS
+from .operators import stats as ST
+from .operators import timeseries as TS
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# Tuned on sf0.01: no observed value sits within 1e-3 of a threshold,
+# so rounded-value comparisons cannot flip membership across engines.
+COSINE_DUP_TAU = 0.4
+ZSCORE_TAU = 3.0
+GAP_SECONDS = 14400
+JACCARD_TAU = 0.5
+ANN_K = 5
+ANN_NUM_QUERIES = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# §2.2 core operators
+# --------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship grouped aggregation (O1): the reference's per-section
+    statistics pattern as a TPC-H-Q1-style rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(CAST((sum(l_quantity)) AS VARCHAR) AS DECIMAL(38,8)), 2)::DOUBLE                          AS sum_qty,
+       round(CAST(CAST((sum(l_extendedprice)) AS VARCHAR) AS DECIMAL(38,8)), 2)::DOUBLE                     AS sum_base_price,
+       round(CAST(CAST((sum(l_extendedprice * (1 - l_discount))) AS VARCHAR) AS DECIMAL(38,8)), 2)::DOUBLE  AS sum_disc_price,
+       round(CAST(CAST((avg(l_quantity)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE                          AS avg_qty,
+       round(CAST(CAST((avg(l_extendedprice)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE                     AS avg_price,
+       round(CAST(CAST((avg(l_discount)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE                          AS avg_disc,
+       count(*)::BIGINT                                   AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q02_describe_stats(spark, sf_dir):
+    """describe() (O2) over lineitem numeric metrics."""
+    return ST.describe(_t(spark, sf_dir, "lineitem"), DESCRIBE_COLS)
+
+
+SQL_Q02 = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS metric, count({c})::BIGINT AS cnt,
+           round(CAST(CAST((avg({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS mean, round(CAST(CAST((stddev_samp({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS stddev,
+           round(CAST(CAST((min({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS min, round(CAST(CAST((max({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS max
+    FROM lineitem"""
+    for c in DESCRIBE_COLS
+)
+
+
+def q03_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (O3)."""
+    return ST.percentiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+SQL_Q03 = """
+SELECT l_returnflag,
+       round(CAST(CAST((quantile_cont(l_extendedprice, 0.25)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS p25,
+       round(CAST(CAST((quantile_cont(l_extendedprice, 0.50)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS p50,
+       round(CAST(CAST((quantile_cont(l_extendedprice, 0.75)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+T_START = "2024-01-10 00:00:00"
+T_END = "2024-01-20 00:00:00"
+
+
+def q04_time_filter(spark, sf_dir):
+    """Time-range slice (O4) + per-type rollup; predicate pushed to scan."""
+    ev = TS.time_filter(_t(spark, sf_dir, "events"), "ts", T_START, T_END)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.sum("value"), 4).alias("sum_value"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_Q04 = f"""
+SELECT event_type, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS sum_value, round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_END}'
+GROUP BY event_type
+"""
+
+
+def q05_dedup_first(spark, sf_dir):
+    """Keep-first dedup (O5): first event per (user, type)."""
+    return TS.dedup_keep_first(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], ["ts", "event_id"]
+    )
+
+
+SQL_Q05 = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q06_pivot_wide(spark, sf_dir):
+    """Pivot long→wide (O6): daily avg value per event type as columns."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", F.col("ts")))
+    return RS.pivot_wide(ev, ["day"], "event_type", "value", EVENT_TYPES)
+
+
+SQL_Q06 = "SELECT date_trunc('day', ts) AS day, " + ", ".join(
+    f"round(CAST(CAST((avg(CASE WHEN event_type = '{t}' THEN value END)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS {t}"
+    for t in EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+MELT_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def q07_melt_long(spark, sf_dir):
+    """Melt wide→long (O7) — multi_files_pl.py:173 ``.melt``."""
+    return RS.melt(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"], MELT_COLS
+    )
+
+
+SQL_Q07 = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{c}' AS metric, {c} AS value FROM lineitem"
+    for c in MELT_COLS
+)
+
+
+def q08_header_inventory(spark, sf_dir):
+    """Section inventory (O8) — ``get_headers`` with counts."""
+    return RS.inventory(_t(spark, sf_dir, "events"), "event_type")
+
+
+SQL_Q08 = "SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type"
+
+
+def q09_device_filter(spark, sf_dir):
+    """Per-device filter + rollup (O9): user_id plays the device role."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"), rnd(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+SQL_Q09 = """
+SELECT user_id, count(*)::BIGINT AS cnt, round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_value
+FROM events WHERE event_type = 'click' GROUP BY user_id
+"""
+
+
+def q10_resample(spark, sf_dir):
+    """Hourly resample (O10)."""
+    return TS.resample(
+        _t(spark, sf_dir, "events"), "ts", "hour", [],
+        [F.count(F.lit(1)).alias("cnt"), rnd(F.avg("value"), 4).alias("avg_value")],
+    )
+
+
+SQL_Q10 = """
+SELECT date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q11_minmax_argmax(spark, sf_dir):
+    """Min/max + argmax timestamp per series (O11)."""
+    return ST.minmax_argmax(_t(spark, sf_dir, "events"), ["event_type"], "value", "ts")
+
+
+SQL_Q11 = """
+WITH mm AS (
+  SELECT event_type, round(CAST(CAST((min(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS min_value,
+         round(CAST(CAST((max(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS max_value
+  FROM events GROUP BY event_type),
+top AS (
+  SELECT event_type, ts AS max_at FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, ts DESC) = 1)
+SELECT mm.event_type, min_value, max_value, max_at
+FROM mm JOIN top USING (event_type)
+"""
+
+
+def q12_restart_insert(spark, sf_dir):
+    """Restart-row insertion (O12): zero rows at high-severity errors."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") == "click")
+    restarts = ev.where((F.col("event_type") == "error") & (F.col("value") > 9.5))
+    return TS.insert_restarts(base, restarts, "ts", ["value"])
+
+
+SQL_Q12 = """
+SELECT ts, value, FALSE AS is_restart FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT ts, 0.0 AS value, TRUE AS is_restart FROM events
+WHERE event_type = 'error' AND value > 9.5
+"""
+
+MID = "2024-01-16 00:00:00"
+
+
+def q13_intersect_headers(spark, sf_dir):
+    """Key intersection across sources (O13) — ``merge_headers``."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.where(F.col("ts") < F.lit(MID))
+    second = ev.where(F.col("ts") >= F.lit(MID))
+    return R.intersect_keys([first, second], "user_id")
+
+
+SQL_Q13 = f"""
+SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{MID}'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{MID}'
+"""
+
+
+def q14_multifile_describe(spark, sf_dir):
+    """Multi-source union + combined stats (O14) — display_averages."""
+    ev = _t(spark, sf_dir, "events")
+    named = [
+        ("file_a", ev.where(F.col("ts") < F.lit(MID))),
+        ("file_b", ev.where(F.col("ts") >= F.lit(MID))),
+    ]
+    merged = R.union_with_source(named)
+    return merged.groupBy("source_file", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.avg("value"), 4).alias("mean"),
+        rnd(F.stddev_samp("value"), 4).alias("stddev"),
+        F.round(F.min("value"), 4).alias("min"),
+        F.round(F.max("value"), 4).alias("max"),
+    )
+
+
+SQL_Q14 = f"""
+WITH merged AS (
+  SELECT *, CASE WHEN ts < TIMESTAMP '{MID}' THEN 'file_a' ELSE 'file_b' END
+         AS source_file
+  FROM events)
+SELECT source_file, event_type, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS mean, round(CAST(CAST((stddev_samp(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS stddev,
+       round(CAST(CAST((min(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS min, round(CAST(CAST((max(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS max
+FROM merged GROUP BY source_file, event_type
+"""
+
+
+def q15_global_range(spark, sf_dir):
+    """Global start/end per series (O15)."""
+    return R.global_range(_t(spark, sf_dir, "events"), "ts", ["event_type"])
+
+
+SQL_Q15 = """
+SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*)::BIGINT AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+def q16_alias_join(spark, sf_dir):
+    """Broadcast dimension join (O16) — header→alias lookup analog."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return R.dim_join(
+        nation, region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+SQL_Q16 = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q17_join_rollup(spark, sf_dir):
+    """Fact-fact-dim join chain + rollup (O17)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.sum(revenue), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT c_mktsegment,
+       round(CAST(CAST((sum(l_extendedprice * (1 - l_discount))) AS VARCHAR) AS DECIMAL(38,8)), 2)::DOUBLE AS revenue,
+       count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q18_topk(spark, sf_dir):
+    """Top-k without global sort (O18)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+SQL_Q18 = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q19_correlation(spark, sf_dir):
+    """Metric correlation per group (O19) — compare-metrics page."""
+    return ST.correlation(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+SQL_Q19 = """
+SELECT l_returnflag, round(CAST(CAST((corr(l_quantity, l_extendedprice)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS corr_xy,
+       count(*)::BIGINT AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q20_outliers(spark, sf_dir):
+    """Z-score outliers per series (O20)."""
+    out = ST.zscore_outliers(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], ZSCORE_TAU
+    )
+    return out.select("event_id", "event_type", "value", "zscore")
+
+
+SQL_Q20 = f"""
+WITH s AS (SELECT event_type AS et, avg(value) AS m, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT event_id, event_type, value, round(CAST(CAST(((value - m) / sd) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS zscore
+FROM events JOIN s ON event_type = et
+WHERE abs((value - m) / sd) > {ZSCORE_TAU}
+"""
+
+
+def q21_gap_detect(spark, sf_dir):
+    """Sampling-gap detection per series (O21) — restart analog."""
+    return TS.detect_gaps(_t(spark, sf_dir, "events"), "ts", ["user_id"], GAP_SECONDS)
+
+
+SQL_Q21 = f"""
+SELECT user_id, prev_ts, ts, gap_seconds FROM (
+  SELECT user_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts, ts,
+         floor(epoch(ts))::BIGINT
+           - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT
+           AS gap_seconds
+  FROM events)
+WHERE gap_seconds > {GAP_SECONDS}
+"""
+
+
+def q22_hourly_profile(spark, sf_dir):
+    """Hour-of-day profile (O22)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("cnt"), rnd(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+SQL_Q22 = """
+SELECT hour(ts)::BIGINT AS hour_of_day, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q23_rolling_avg(spark, sf_dir):
+    """Rolling mean per series (O23)."""
+    out = TS.rolling_mean(_t(spark, sf_dir, "events"), "ts", "value",
+                          ["event_type"], preceding=5)
+    return out.select("event_id", "event_type", "ts", "value", "rolling_mean")
+
+
+SQL_Q23 = """
+SELECT event_id, event_type, ts, value,
+       round(CAST(CAST((avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS rolling_mean
+FROM events
+"""
+
+
+def q24_running_sum(spark, sf_dir):
+    """Cumulative running total per series (O24)."""
+    out = TS.running_sum(_t(spark, sf_dir, "events"), "ts", "value", ["user_id"])
+    return out.select("event_id", "user_id", "ts", "value", "running_sum")
+
+
+SQL_Q24 = """
+SELECT event_id, user_id, ts, value,
+       round(CAST(CAST((sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS running_sum
+FROM events
+"""
+
+
+def q25_asof_join(spark, sf_dir):
+    """As-of join (O25): latest purchase at-or-before each click."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = TS.asof_join(clicks, purchases, ["user_id"], "ts", ["value"],
+                       suffix="_purchase")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_purchase").alias("purchase_ts"),
+        F.col("value_purchase").alias("purchase_value"),
+    )
+
+
+SQL_Q25 = """
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+SESSION_GAP = 3600
+
+
+def q26_sessionize(spark, sf_dir):
+    """Gap-based sessionization (O26) + per-session rollup."""
+    sess = TS.sessionize(_t(spark, sf_dir, "events"), "ts", ["user_id"], SESSION_GAP)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        rnd(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_Q26 = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {SESSION_GAP}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------
+# §2.3 LLM-pipeline operators
+# --------------------------------------------------------------------
+
+PLANT_OFFSET = 1_000_000
+PLANT_SUFFIX = " qq ww ee rr tt"
+
+
+def _planted_corpus(spark, sf_dir):
+    """documents ∪ shifted near-duplicates — gives dedup operators real
+    duplicates to find while staying fully SQL-reproducible."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+SQL_PLANTED = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || '{PLANT_SUFFIX}' AS text
+  FROM documents
+"""
+
+
+def q30_dedup_exact(spark, sf_dir):
+    """Exact dedup (L1) on a corpus with planted exact duplicates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
+    corpus = docs.unionByName(dups)
+    kept = D.exact_dedup(corpus, "text", "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("md5"))
+
+
+SQL_Q30 = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, text FROM documents)
+SELECT doc_id, md5(text) AS md5 FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus) WHERE rn = 1
+"""
+
+
+def q31_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup (L2) — rows-only check (xxhash64 signatures
+    are not reproducible in DuckDB SQL). Planted near-dups must pair up
+    each doc with its +OFFSET twin."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id")
+    return pairs.where(F.col("est_jaccard") >= 0.5)
+
+
+def q32_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (L3) — rows-only check (vectorized pandas-UDF
+    bit accumulation; no SQL twin)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return D.simhash_near_pairs(corpus, "text", "doc_id", max_hamming=8)
+
+
+def q33_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (L4) on the planted corpus."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
+                                 threshold=JACCARD_TAU)
+
+
+SQL_Q33 = f"""
+WITH corpus AS ({SQL_PLANTED}),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS jaccard
+FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {JACCARD_TAU}
+"""
+
+
+def q34_cosine_dup(spark, sf_dir):
+    """Embedding cosine near-dup pairs (L5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(emb, "vec_id", "embedding", COSINE_DUP_TAU)
+
+
+SQL_Q34 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(CAST((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(CAST(CAST((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {COSINE_DUP_TAU}
+"""
+
+
+def q35_ann_topk(spark, sf_dir):
+    """Brute-force ANN top-k (L6): first N vec_ids are the query set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", ANN_K)
+
+
+SQL_Q35 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(CAST((list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+  FROM n q JOIN n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id <= {ANN_NUM_QUERIES})
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+def q36_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (L7) — rows-only (xxhash64-derived planes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.ann_topk_lsh(emb, queries, "vec_id", "embedding", dim=64,
+                          k=ANN_K, num_planes=8)
+
+
+def q37_lang_id(spark, sf_dir):
+    """Language ID heuristic (L8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
+
+
+def _sql_lang_score(lang: str) -> str:
+    pat = TX.LANG_PATTERNS[lang].replace("'", "''")
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+SQL_Q37 = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_sql_lang_score('en')} AS s_en, {_sql_lang_score('de')} AS s_de,
+         {_sql_lang_score('es')} AS s_es, {_sql_lang_score('fr')} AS s_fr,
+         {_sql_lang_score('zh')} AS s_zh
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+              THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scores
+"""
+
+
+def q38_quality_score(spark, sf_dir):
+    """Quality scoring (L9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_score(docs, "text").select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio",
+        "stopword_ratio", "quality",
+    )
+
+
+_EN = TX.LANG_PATTERNS["en"]
+
+SQL_Q38 = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
+  FROM documents)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       round(CAST(CAST((CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words
+                  ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS mean_word_len,
+       round(CAST(CAST((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS punct_ratio,
+       round(CAST(CAST((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS stopword_ratio,
+       round(CAST(CAST((least(n_words / 50.0, 1.0) * 0.4
+             + least(CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END
+                     * 5.0, 1.0) * 0.4
+             + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0.0 END * 10.0, 1.0)) * 0.2) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS quality
+FROM f
+"""
+
+
+def q39_token_count(spark, sf_dir):
+    """Token counting (L10)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_counts(docs, "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+SQL_Q39 = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q40_fingerprint(spark, sf_dir):
+    """Document fingerprinting (L11)."""
+    return TX.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_Q40 = """
+SELECT doc_id, md5(text) AS md5, length(text)::BIGINT AS n_chars_fp,
+       substring(text, 1, 16) AS prefix16
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+# key -> (spark callable, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    "q03_percentiles": (q03_percentiles, SQL_Q03),
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    "q09_device_filter": (q09_device_filter, SQL_Q09),
+    "q10_resample": (q10_resample, SQL_Q10),
+    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
+    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
+    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
+    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
+    "q15_global_range": (q15_global_range, SQL_Q15),
+    "q16_alias_join": (q16_alias_join, SQL_Q16),
+    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
+    "q18_topk": (q18_topk, SQL_Q18),
+    "q19_correlation": (q19_correlation, SQL_Q19),
+    "q20_outliers": (q20_outliers, SQL_Q20),
+    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
+    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
+    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
+    "q24_running_sum": (q24_running_sum, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
+    "q31_dedup_minhash": (q31_dedup_minhash, None),
+    "q32_dedup_simhash": (q32_dedup_simhash, None),
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q36_ann_lsh": (q36_ann_lsh, None),
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: fn for k, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: sql for k, (_, sql) in REGISTRY.items() if sql is not None}

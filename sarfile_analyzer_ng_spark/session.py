@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-portability (UTC session timezone,
+ANSI off to match reference permissiveness) and scale (AQE on, skew
+join handling, parquet pushdown). On a real cluster only
+``master``/partition counts change; the logical plans stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "sarfile_analyzer_ng_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic wall-clock timestamps regardless of host tz —
+        # required for hash-parity with the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas-UDF path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep scans lean: pushdown + pruning are on by default, pin
+        # them explicitly so a config drift can't silently regress.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

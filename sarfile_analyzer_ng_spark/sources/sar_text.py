@@ -1,0 +1,282 @@
+"""Distributed SAR ASCII ingest.
+
+Reference behavior (re-expressed, not ported): sarfile_analyzer_ng
+code/parse_into_polars.py:80 ``parse_sar_file`` reads one sar report
+sequentially on one core and builds a long (header, data, date) frame;
+code/pl_helpers2.py then splits the value strings into typed metric
+columns. Here one *file* is the unit of parallelism: 100k sar files fan
+out across executors (`wholetext` read → `mapInPandas`), each parsed in
+one pass, and the output is immediately the fully-typed long frame:
+
+    (file, host, os_details, section, ts, device, metric, value, restart)
+
+Per-file Python is fine at scale because sar reports are bounded (a day
+of samples, ≤ tens of MB); the cross-file fan-out is where the
+parallelism lives, and everything downstream is JVM-side DataFrame ops.
+
+Semantics preserved from the reference parser:
+- header detection after blank lines; sections keyed by the header's
+  metric-column string (parse_into_polars.py:105-141)
+- AM/PM and 24h time formats; date taken from the "Linux ..." OS line
+  (pl_helpers2.py:18 ``format_date``)
+- decimal commas → points (pl_helpers2.py:95)
+- FCHOST / FILESYSTEM sections print the device column LAST → rotated
+  to the front (parse_into_polars.py:66 ``handle_fibre_and_fs``)
+- ignored sections: CPU MHz, INTR intr/s, bus/idvendor, temp/device
+  (parse_into_polars.py:88 ``reg_ignore``)
+- "LINUX RESTART" markers become restart=True rows
+  (parse_into_polars.py:114)
+- rows past midnight (time going backwards) roll over to the next day
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SAR_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("os_details", T.StringType()),
+        T.StructField("section", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("device", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("restart", T.BooleanType()),
+    ]
+)
+
+DEVICE_COLUMNS = {"CPU", "DEV", "IFACE", "TTY", "FCHOST", "FILESYSTEM"}
+DEVICE_LAST_COLUMNS = {"FCHOST", "FILESYSTEM"}
+
+_RE_TIME = re.compile(r"^(\d{2}:\d{2}:\d{2})(\s+(AM|PM))?\s+", re.IGNORECASE)
+_RE_RESTART = re.compile(r"LINUX RESTART", re.IGNORECASE)
+_RE_IGNORE = re.compile(
+    r"(bus.*idvendor|intr/s|temp.*device|mhz)", re.IGNORECASE
+)
+_RE_COMMA_NUM = re.compile(r"(\d+),(\d+)")
+_RE_DATE_CANDIDATES = (
+    (re.compile(r"\b(\d{4})-(\d{2})-(\d{2})\b"), "ymd"),
+    (re.compile(r"\b(\d{2})/(\d{2})/(\d{4})\b"), "mdy4"),
+    (re.compile(r"\b(\d{2})-(\d{2})-(\d{4})\b"), "mdy4"),
+    (re.compile(r"\b(\d{2})/(\d{2})/(\d{2})\b"), "mdy2"),
+    (re.compile(r"\b(\d{2})-(\d{2})-(\d{2})\b"), "mdy2"),
+)
+
+
+def _extract_os_line(lines: list[str]) -> str | None:
+    for line in lines:
+        if "Linux" in line:
+            return line.replace("[", "").replace("]", "").strip()
+    return None
+
+
+def _parse_report_date(os_details: str | None):
+    if not os_details:
+        return datetime(2000, 1, 1).date()
+    for token in os_details.split():
+        for rx, kind in _RE_DATE_CANDIDATES:
+            m = rx.search(token)
+            if not m:
+                continue
+            a, b, c = (int(g) for g in m.groups())
+            try:
+                if kind == "ymd":
+                    return datetime(a, b, c).date()
+                if kind == "mdy4":
+                    return datetime(c, a, b).date()
+                return datetime(2000 + c, a, b).date()
+            except ValueError:
+                continue
+    return datetime(2000, 1, 1).date()
+
+
+def _parse_clock(token: str, ampm: str | None) -> timedelta:
+    h, m, s = (int(x) for x in token.split(":"))
+    if ampm:
+        ampm = ampm.upper()
+        if ampm == "AM" and h == 12:
+            h = 0
+        elif ampm == "PM" and h != 12:
+            h += 12
+    return timedelta(hours=h, minutes=m, seconds=s)
+
+
+def parse_sar_text(file_name: str, content: str) -> list[dict]:
+    """Parse one sar ASCII report into long rows (pure function — the
+    executor-side body of the distributed read)."""
+    lines = content.splitlines()
+    os_details = _extract_os_line(lines)
+    host = None
+    if os_details:
+        for token in os_details.split():
+            if token.startswith("(") and token.endswith(")"):
+                host = token.strip("()")
+                break
+    base_date = _parse_report_date(os_details)
+
+    rows: list[dict] = []
+    header_cols: list[str] | None = None
+    section_key: str | None = None
+    device_section = False
+    device_last = False
+    expect_header = True
+    ignore_section = False
+    # Past-midnight rollover is tracked PER SECTION: every section
+    # repeats the same clock sequence, so a global tracker would count
+    # one extra day per section block.
+    day_offset: dict[str, int] = {}
+    prev_clock: dict[str, timedelta] = {}
+
+    def section_ts(key: str, clock: timedelta) -> datetime:
+        prev = prev_clock.get(key)
+        if prev is not None and clock < prev:
+            day_offset[key] = day_offset.get(key, 0) + 1
+        prev_clock[key] = clock
+        return (
+            datetime.combine(base_date, datetime.min.time())
+            + clock
+            + timedelta(days=day_offset.get(key, 0))
+        )
+
+    def emit(clock: timedelta, tokens: list[str]) -> None:
+        ts = section_ts(section_key or "", clock)
+        device = None
+        values = tokens
+        cols = header_cols or []
+        if device_section:
+            if device_last:
+                device, values = tokens[-1], tokens[:-1]
+            else:
+                device, values = tokens[0], tokens[1:]
+        for metric, raw in zip(cols, values):
+            raw = _RE_COMMA_NUM.sub(r"\1.\2", raw)
+            try:
+                value = float(raw)
+            except ValueError:
+                continue
+            rows.append(
+                {
+                    "file": file_name,
+                    "host": host,
+                    "os_details": os_details,
+                    "section": section_key,
+                    "ts": ts,
+                    "device": device,
+                    "metric": metric,
+                    "value": value,
+                    "restart": False,
+                }
+            )
+
+    for line in lines:
+        if not line.strip():
+            expect_header = True
+            ignore_section = False
+            continue
+        m = _RE_TIME.match(line)
+        if not m:
+            continue
+        clock = _parse_clock(m.group(1), m.group(3))
+        rest = line[m.end():].split()
+        if not rest:
+            continue
+        if _RE_RESTART.search(line):
+            ts = section_ts("LINUX RESTART", clock)
+            rows.append(
+                {
+                    "file": file_name,
+                    "host": host,
+                    "os_details": os_details,
+                    "section": "LINUX RESTART",
+                    "ts": ts,
+                    "device": None,
+                    "metric": "restart",
+                    "value": 1.0,
+                    "restart": True,
+                }
+            )
+            continue
+        if ignore_section:
+            continue
+        if expect_header:
+            if _RE_IGNORE.search(line):
+                ignore_section = True
+                expect_header = False
+                continue
+            first = rest[0]
+            device_section = first in DEVICE_COLUMNS or rest[-1] in DEVICE_LAST_COLUMNS
+            device_last = rest[-1] in DEVICE_LAST_COLUMNS
+            if device_last:
+                header_cols = rest[:-1]
+                section_key = " ".join(rest[:-1])
+            elif device_section:
+                header_cols = rest[1:]
+                section_key = " ".join(rest[1:])
+            else:
+                header_cols = rest
+                section_key = " ".join(rest)
+            expect_header = False
+        else:
+            emit(clock, rest)
+    return rows
+
+
+def read_sar(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed sar read: one input file per task via ``wholetext``;
+    Arrow-batched Python parse; long typed output (SAR_SCHEMA)."""
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file", F.input_file_name())
+        .select("file", "value")
+    )
+
+    def parse_batches(iterator):
+        for pdf in iterator:
+            out: list[dict] = []
+            for file_name, content in zip(pdf["file"], pdf["value"]):
+                out.extend(parse_sar_text(file_name, content))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SAR_SCHEMA.fields]
+            )
+
+    # One file per partition: a 4 GB executor shouldn't hold many whole
+    # sar reports at once, and per-file tasks give linear fan-out.
+    raw = raw.repartition("file")
+    return raw.mapInPandas(parse_batches, SAR_SCHEMA)
+
+
+def sections(df: DataFrame) -> DataFrame:
+    """Section inventory — pl_helpers2.py:212 ``get_headers``."""
+    return df.groupBy("section").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("metric").alias("n_metrics"),
+        F.countDistinct("device").alias("n_devices"),
+    )
+
+
+def section_wide(df: DataFrame, section: str) -> DataFrame:
+    """One sar section pivoted to one column per metric — the engine
+    form of pl_helpers2.py:178 ``create_metrics_df``. The pivot value
+    list comes from a tiny distinct over the (filtered, pruned) long
+    frame, so no full-corpus job is triggered."""
+    sect = df.where(F.col("section") == section)
+    metrics = [r["metric"] for r in sect.select("metric").distinct().collect()]
+    metrics.sort()
+    return (
+        sect.groupBy("file", "host", "ts", "device")
+        .pivot("metric", metrics)
+        .agg(F.first("value"))
+    )
+
+
+def restarts(df: DataFrame) -> DataFrame:
+    """Restart markers — pl_helpers2.py:227 ``get_restart_headers``."""
+    return df.where(F.col("restart")).select("file", "host", "ts")
