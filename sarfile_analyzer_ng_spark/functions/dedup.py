@@ -217,9 +217,15 @@ def _fnv1a64(token: str) -> int:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: band the 64-bit simhash into 4×16-bit
-    chunks (pigeonhole: ≤3 differing bits guarantees a shared chunk),
-    join on chunk, verify with exact Hamming distance."""
+    """Near-dup candidates: band the 64-bit simhash into 64/band_bits
+    chunks, join on chunk, verify with exact Hamming distance.
+
+    Pigeonhole guarantee: pairs with hamming < 64/band_bits always
+    share a chunk. band_bits trades recall for bucket size — 8-bit
+    bands guarantee hamming ≤7 but give only 256 distinct keys per
+    band (big buckets at corpus scale); the 16-bit default keeps
+    buckets small and finds ≤3-flip pairs deterministically, farther
+    pairs probabilistically."""
     sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
         "doc", "simhash",

@@ -1,0 +1,22 @@
+"""The driver contract: entry() returns rows, every queries() key has a
+callable, oracle keys are a subset, and results carry stable schemas."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sum_qty" in df.columns
+
+
+def test_registry_shape(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # rows-only ops are the documented exceptions
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash", "q36_ann_lsh"}

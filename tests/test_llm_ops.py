@@ -1,0 +1,98 @@
+"""LLM-pipeline operators: planted duplicates must be found, LSH must
+agree with brute force on easy neighbors, text features must match
+hand-computed values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.functions import dedup as D
+from sarfile_analyzer_ng_spark.functions import similarity as S
+from sarfile_analyzer_ng_spark.functions import text as TX
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = D.exact_dedup(docs_df(spark), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_minhash_finds_planted_neighbors(spark):
+    pairs = D.minhash_lsh_pairs(docs_df(spark), "text", "doc_id", shingle_n=3)
+    found = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert found[(1, 4)] == 1.0           # exact dup → identical signatures
+    assert found.get((1, 2), 0.0) > 0.5   # near dup shares most shingles
+    assert (1, 3) not in found or found[(1, 3)] < 0.2
+
+
+def test_simhash_near_pairs(spark):
+    # 8-bit bands: pigeonhole guarantees recall for hamming ≤ 7
+    pairs = D.simhash_near_pairs(docs_df(spark), "text", "doc_id",
+                                 max_hamming=7, band_bits=8)
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(1, 4)] == 0
+    assert found[(1, 2)] <= 7  # measured hamming(1,2) == 6
+    assert (1, 3) not in found  # hamming(1,3) == 28
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = D.ngram_jaccard_pairs(docs_df(spark), "text", "doc_id", threshold=0.3)
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert found[(1, 4)] == 1.0
+    # 13 words → 11 shingles; docs 1/2 differ in the last word → one
+    # shingle differs: inter=10, union=12
+    assert found[(1, 2)] == round(10 / 12, 4)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 5)
+    brute = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+    lsh = S.ann_topk_lsh(emb, queries, "vec_id", "embedding", dim=64, k=3,
+                         num_planes=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    # These embeddings are weakly clustered (max cosine ~0.5), a hard
+    # case for hyperplane LSH: 2 planes / ~1/4 corpus per bucket; demand
+    # non-trivial overlap with exact top-3, not perfection.
+    assert len(b & l) >= len(b) // 3
+
+
+def test_lang_id_on_real_language_samples(spark):
+    samples = [
+        (1, "the cat and the dog sat in the house for the winter", "en"),
+        (2, "der hund und die katze sind nicht in das haus gegangen", "de"),
+        (3, "el perro y la gata de la casa que es grande", "es"),
+        (4, "le chien et la chatte dans les maisons pour qui est", "fr"),
+        (5, "这是一个中文句子没有空格", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, lang string")
+    out = TX.lang_id(df, "text")
+    assert all(r["pred_lang"] == r["lang"] for r in out.collect())
+
+
+def test_token_counts_hand_checked(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "id long, text string")
+    row = TX.token_counts(df, "text").collect()[0]
+    assert row["n_ws_tokens"] == 4
+    # Hello , world ! 4 2 times → letters runs:3, digits:2, punct:2
+    assert row["n_bpe_tokens"] == 7
+
+
+def test_fingerprint_md5(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    row = TX.fingerprint(df, "text", "id").collect()[0]
+    assert row["md5"] == hashlib.md5(b"abc").hexdigest()
+    assert row["n_chars_fp"] == 3 and row["prefix16"] == "abc"

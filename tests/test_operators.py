@@ -1,0 +1,126 @@
+"""Unit semantics of the core operators on tiny hand-checked frames —
+mirrors the reference's behavior checks (keep-first dedup, restart
+insertion, as-of alignment, sessionization, gap detection)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.operators import relational as R
+from sarfile_analyzer_ng_spark.operators import reshape as RS
+from sarfile_analyzer_ng_spark.operators import stats as ST
+from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:00"), 10.0),
+         (2, ts("2024-01-01T00:00:00"), 20.0),
+         (3, ts("2024-01-01T00:01:00"), 30.0)],
+        "id long, t timestamp, v double",
+    )
+    out = TS.dedup_keep_first(df, ["t"], ["id"]).collect()
+    assert {(r["id"], r["v"]) for r in out} == {(1, 10.0), (3, 30.0)}
+
+
+def test_insert_restarts_zeroes(spark):
+    base = spark.createDataFrame(
+        [(ts("2024-01-01T00:00:00"), 5.0)], "t timestamp, v double"
+    )
+    restarts = spark.createDataFrame([(ts("2024-01-01T00:30:00"),)], "t timestamp")
+    out = TS.insert_restarts(base, restarts, "t", ["v"])
+    rows = {(str(r["t"]), r["v"], r["is_restart"]) for r in out.collect()}
+    assert rows == {
+        ("2024-01-01 00:00:00", 5.0, False),
+        ("2024-01-01 00:30:00", 0.0, True),
+    }
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 7, ts("2024-01-01T10:00:00"), 1.0),
+         (2, 7, ts("2024-01-01T12:00:00"), 2.0),
+         (3, 8, ts("2024-01-01T12:00:00"), 3.0)],
+        "event_id long, user long, t timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [(7, ts("2024-01-01T09:00:00"), 100.0),
+         (7, ts("2024-01-01T11:00:00"), 200.0),
+         (7, ts("2024-01-01T13:00:00"), 300.0)],
+        "user long, t timestamp, v double",
+    )
+    out = {r["event_id"]: (r["v_r"], r["t_r"] and str(r["t_r"]))
+           for r in TS.asof_join(left, right, ["user"], "t", ["v"], "_r")
+           .select("event_id", "v_r", F.col("t_r")).collect()}
+    assert out[1] == (100.0, "2024-01-01 09:00:00")
+    assert out[2] == (200.0, "2024-01-01 11:00:00")
+    assert out[3] == (None, None)  # user 8 has no purchases
+
+
+def test_asof_join_same_timestamp_counts(spark):
+    left = spark.createDataFrame(
+        [(1, 7, ts("2024-01-01T10:00:00"), 1.0)],
+        "event_id long, user long, t timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [(7, ts("2024-01-01T10:00:00"), 42.0)], "user long, t timestamp, v double"
+    )
+    out = TS.asof_join(left, right, ["user"], "t", ["v"], "_r").collect()[0]
+    assert out["v_r"] == 42.0  # <= semantics: same-instant right row wins
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [(7, ts("2024-01-01T00:00:00")),
+         (7, ts("2024-01-01T00:30:00")),
+         (7, ts("2024-01-01T02:00:00")),   # > 1h gap → new session
+         (8, ts("2024-01-01T00:00:00"))],
+        "user long, t timestamp",
+    )
+    out = TS.sessionize(df, "t", ["user"], 3600).collect()
+    sess = {(r["user"], str(r["t"])): r["session_id"] for r in out}
+    assert sess[(7, "2024-01-01 00:00:00")] == 1
+    assert sess[(7, "2024-01-01 00:30:00")] == 1
+    assert sess[(7, "2024-01-01 02:00:00")] == 2
+    assert sess[(8, "2024-01-01 00:00:00")] == 1
+
+
+def test_detect_gaps(spark):
+    df = spark.createDataFrame(
+        [(7, ts("2024-01-01T00:00:00")),
+         (7, ts("2024-01-01T00:01:00")),
+         (7, ts("2024-01-01T05:00:00"))],
+        "user long, t timestamp",
+    )
+    out = TS.detect_gaps(df, "t", ["user"], 3600).collect()
+    assert len(out) == 1
+    assert out[0]["gap_seconds"] == (5 * 3600 - 60)
+
+
+def test_unpivot_roundtrip(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, a double, b double")
+    long = ST.unpivot(df, ["id"], ["a", "b"])
+    assert {(r["metric"], r["value"]) for r in long.collect()} == {("a", 2.0), ("b", 3.0)}
+    wide = RS.pivot_wide(long, ["id"], "metric", "value", ["a", "b"], agg="avg")
+    row = wide.collect()[0]
+    assert (row["a"], row["b"]) == (2.0, 3.0)
+
+
+def test_intersect_keys(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    out = R.intersect_keys([a, b], "k").collect()
+    assert [r["k"] for r in out] == [2]
+
+
+def test_describe_matches_known_values(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    row = ST.describe(df, ["x"]).collect()[0]
+    assert row["cnt"] == 3 and row["mean"] == 2.0 and row["stddev"] == 1.0
+    assert row["min"] == 1.0 and row["max"] == 3.0

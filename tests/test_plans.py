@@ -1,0 +1,65 @@
+"""Plan assertions: the scale properties SURVEY.md §4 promises must be
+visible in the physical plan — pushdown reaching the scan, broadcast
+for dimensions, no Python UDF in JVM-only paths, no global sort for
+top-k."""
+
+from __future__ import annotations
+
+from sarfile_analyzer_ng_spark.queries import (
+    q01_pricing_summary,
+    q04_time_filter,
+    q16_alias_join,
+    q18_topk,
+    q37_lang_id,
+)
+
+from .conftest import SF_DIR
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_time_filter_pushdown(spark):
+    df = q04_time_filter(spark, SF_DIR)
+    text = formatted(df)
+    assert "PushedFilters" in text
+    # the ts predicate must reach the scan, not sit in a post-filter only
+    assert "IsNotNull(ts)" in text or "GreaterThanOrEqual(ts" in text
+
+
+def test_projection_pruned_to_used_columns(spark):
+    df = q01_pricing_summary(spark, SF_DIR)
+    text = formatted(df)
+    schema_line = [l for l in text.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in schema_line  # unused column pruned
+    assert "l_quantity" in schema_line
+
+
+def test_dim_join_broadcasts(spark):
+    df = q16_alias_join(spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan(df)
+
+
+def test_topk_no_global_sort(spark):
+    df = q18_topk(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan(df)
+
+
+def test_no_python_udf_in_jvm_paths(spark):
+    for fn in (q01_pricing_summary, q04_time_filter, q37_lang_id):
+        assert "BatchEvalPython" not in plan(fn(spark, SF_DIR))
+        assert "ArrowEvalPython" not in plan(fn(spark, SF_DIR))
+
+
+def test_whole_stage_codegen_active(spark):
+    df = q01_pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    text = plan(df)
+    assert "WholeStageCodegen" in text or "*(" in text  # *(n) = codegen stage marker

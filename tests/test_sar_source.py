@@ -1,0 +1,106 @@
+"""Golden tests for the distributed SAR ASCII parser — fixtures cover
+the formats the reference handles (parse_into_polars.py): 24h and
+AM/PM clocks, comma decimals, device sections, device-LAST sections
+(FILESYSTEM), ignored sections, LINUX RESTART, midnight rollover."""
+
+from __future__ import annotations
+
+from sarfile_analyzer_ng_spark.sources.sar_text import parse_sar_text
+
+SAR_24H = """\
+Linux 5.14.21-default (host1) \t2024-01-15 \t_x86_64_\t(4 CPU)
+
+00:00:01        CPU     %user     %system     %idle
+00:10:01        all      1,25        0.50     98.25
+00:10:01          0      2.50        1.00     96.50
+
+00:00:01    proc/s   cswch/s
+00:10:01      1.20    250.00
+23:50:01      1.40    260.00
+00:05:01      1.60    270.00
+
+05:30:01 LINUX RESTART\t(4 CPU)
+
+06:00:01  MBfsfree  %fsused FILESYSTEM
+06:10:01     50000    16.67 /dev/sda1
+
+00:00:01  CPU MHz
+00:10:01  all 2400.00
+"""
+
+SAR_AMPM = """\
+Linux 5.14.21-default (host2) \t01/15/2024 \t_x86_64_\t(2 CPU)
+
+12:00:01 AM     CPU     %user     %idle
+12:10:01 AM     all      1.00     99.00
+01:10:01 PM     all      2.00     98.00
+"""
+
+
+def rows_for(content, **kv):
+    rows = parse_sar_text("f", content)
+    for k, v in kv.items():
+        rows = [r for r in rows if r[k] == v]
+    return rows
+
+
+def test_comma_decimal_and_devices():
+    rows = rows_for(SAR_24H, metric="%user")
+    by_dev = {r["device"]: r["value"] for r in rows}
+    assert by_dev == {"all": 1.25, "0": 2.5}
+
+
+def test_midnight_rollover_is_per_section():
+    rows = rows_for(SAR_24H, metric="cswch/s")
+    stamps = sorted(str(r["ts"]) for r in rows)
+    assert stamps == [
+        "2024-01-15 00:10:01",
+        "2024-01-15 23:50:01",
+        "2024-01-16 00:05:01",
+    ]
+    # the CPU section (earlier clock) must NOT have been shifted a day
+    cpu = rows_for(SAR_24H, metric="%idle", device="all")
+    assert str(cpu[0]["ts"]).startswith("2024-01-15")
+
+
+def test_restart_marker():
+    rows = rows_for(SAR_24H, restart=True)
+    assert len(rows) == 1
+    assert str(rows[0]["ts"]) == "2024-01-15 05:30:01"
+    assert rows[0]["section"] == "LINUX RESTART"
+
+
+def test_device_last_filesystem():
+    rows = rows_for(SAR_24H, metric="MBfsfree")
+    assert rows[0]["device"] == "/dev/sda1"
+    assert rows[0]["value"] == 50000.0
+
+
+def test_ignored_sections_dropped():
+    assert not any("MHz" in (r["section"] or "") for r in parse_sar_text("f", SAR_24H))
+
+
+def test_ampm_clock_and_us_date():
+    rows = rows_for(SAR_AMPM, metric="%user")
+    stamps = {str(r["ts"]): r["value"] for r in rows}
+    assert stamps == {
+        "2024-01-15 00:10:01": 1.0,   # 12:10 AM → 00:10
+        "2024-01-15 13:10:01": 2.0,   # 01:10 PM → 13:10
+    }
+
+
+def test_host_and_os_details():
+    rows = parse_sar_text("f", SAR_24H)
+    assert rows[0]["host"] == "host1"
+    assert "Linux" in rows[0]["os_details"]
+
+
+def test_distributed_read(spark, tmp_path):
+    (tmp_path / "sa1.txt").write_text(SAR_24H)
+    (tmp_path / "sa2.txt").write_text(SAR_AMPM)
+    from sarfile_analyzer_ng_spark.sources.sar_text import read_sar, sections
+
+    df = read_sar(spark, str(tmp_path))
+    assert df.select("file").distinct().count() == 2
+    sect = {r["section"] for r in sections(df).collect()}
+    assert "%user %system %idle" in sect and "LINUX RESTART" in sect
