@@ -40,29 +40,57 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                      threshold: float, round_to: int = 4) -> DataFrame:
     """All pairs (a<b) with cosine ≥ threshold — embedding near-dup.
 
-    Norms are precomputed once per vector (narrow), then a self-join.
-    Brute force is O(n²) — correct and fine for ≤1e5 vectors; at
-    corpus scale route through :func:`lsh_buckets` first and reuse this
-    on candidates only.
+    Vectorized brute force: the (id, normalized-vector) matrix is
+    broadcast to every executor once, and each Arrow batch of the
+    corpus computes one float64 matmul against it (`mapInPandas`), so
+    the O(n²) similarity work runs in BLAS instead of per-pair
+    expression interpretation. Sound while the *matrix* (n×dim
+    doubles) fits an executor — beyond that, route through
+    :func:`lsh_buckets` for candidates and re-rank inside buckets.
     """
-    v = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    pdf = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).toPandas()
+    pdf = pdf.sort_values("vid").reset_index(drop=True)
+    ids = pdf["vid"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            rnd(
-                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
-                round_to,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def batches(iterator):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for batch in iterator:
+            rows_ids = batch["vid"].to_numpy()
+            rows = np.array([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            sims = rows @ all_mat.T
+            # round exactly like util.rnd: 8 digits then round_to
+            sims = np.round(np.round(sims, 8), round_to)
+            keep_r, keep_c = np.where(sims >= threshold)
+            mask = rows_ids[keep_r] < all_ids[keep_c]
+            keep_r, keep_c = keep_r[mask], keep_c[mask]
+            yield pd.DataFrame(
+                {
+                    "id_a": rows_ids[keep_r],
+                    "id_b": all_ids[keep_c],
+                    "cosine": sims[keep_r, keep_c],
+                }
+            )
+
+    src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(batches, out_schema)
 
 
 def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str,

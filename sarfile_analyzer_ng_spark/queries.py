@@ -525,16 +525,23 @@ FROM sessions GROUP BY user_id, session_id
 # --------------------------------------------------------------------
 
 PLANT_OFFSET = 1_000_000
-PLANT_SUFFIX = " qq ww ee rr tt"
 
 
 def _planted_corpus(spark, sf_dir):
     """documents ∪ shifted near-duplicates — gives dedup operators real
-    duplicates to find while staying fully SQL-reproducible."""
+    duplicates to find while staying fully SQL-reproducible.
+
+    The appended marker varies per document (`zz<doc_id mod 97>`): a
+    constant suffix would give every planted doc 3 identical shingles,
+    turning the jaccard candidate join into all-pairs over the planted
+    half (measured 87M candidate rows at sf0.1 vs ~9M with variation).
+    """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 97).cast("string")
+        ).alias("text"),
     )
     return docs.unionByName(dups)
 
@@ -542,7 +549,8 @@ def _planted_corpus(spark, sf_dir):
 SQL_PLANTED = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || '{PLANT_SUFFIX}' AS text
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+         text || ' zz' || CAST(doc_id % 97 AS VARCHAR) AS text
   FROM documents
 """
 
