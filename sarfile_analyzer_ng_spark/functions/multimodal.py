@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages.
+
+The Spark-side mechanics (schema, batching, partitioning, UDF
+signatures) are real and tested; the media *decode* itself is stubbed
+because no image/audio libraries ship in this container — plug a real
+decoder into ``decode_fn`` and nothing else changes. A deterministic
+fake decoder exists for tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),     # opaque bytes
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_media_dir(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Ingest a directory of media files as MEDIA_SCHEMA rows — the
+    ``binaryFile`` source streams payloads without driver involvement."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
+def real_decode(payload: bytes, kind: str):
+    """Placeholder for an actual decoder (PIL/libav/...); the container
+    has no media libraries, so using it raises by design."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in "
+        "this environment; pass fake_decode for the deterministic stub"
+    )
+
+
+def fake_decode(payload: bytes, kind: str):
+    """Deterministic stand-in: derives pseudo-dimensions and an 8-dim
+    feature from the payload hash, so pipelines are testable
+    end-to-end without codecs."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    duration = int.from_bytes(digest[2:4], "big") if kind != "image" else 0
+    feature = [b / 255.0 for b in digest[4:12]]
+    return width, height, duration, feature
+
+
+def extract_features(media: DataFrame, decode_fn=real_decode) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched ``mapInPandas``,
+    partition-parallel, nothing collected. Swap ``decode_fn`` for a
+    real decoder in a container that ships one."""
+
+    def batches(iterator):
+        for pdf in iterator:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                width, height, duration, feature = decode_fn(data, kind)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "duration_ms": duration,
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame-sampling *plan*: one row per frame to decode.
+    Pure JVM (sequence + explode); the decode itself plugs into
+    :func:`extract_features`."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), "duration_ms").cast("long"), F.lit(0)
+    )
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )

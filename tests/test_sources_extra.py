@@ -1,0 +1,97 @@
+"""sadf-JSON source (plain + xz) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import lzma
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.functions import multimodal as MM
+from sarfile_analyzer_ng_spark.sources.sadf_json import parse_sadf_json, read_sadf_json
+
+SADF = {
+    "sysstat": {
+        "hosts": [
+            {
+                "nodename": "h1",
+                "release": "5.14.21",
+                "file-date": "2024-01-15",
+                "number-of-cpus": 2,
+                "statistics": [
+                    {
+                        "timestamp": {"date": "2024-01-15", "time": "00:10:01"},
+                        "cpu-load": [
+                            {"cpu": "all", "user": 1.25, "idle": 98.0},
+                            {"cpu": "0", "user": 2.5, "idle": 96.0},
+                        ],
+                        "memory": {"memfree": 1000, "memused-percent": 75.5},
+                        "io": {"tps": 5.5, "io-reads": {"rtps": 3.3, "bread": 100.0}},
+                        "network": {
+                            "net-dev": [{"iface": "eth0", "rxpck": 10.0, "txpck": 5.0}]
+                        },
+                    }
+                ],
+                "restarts": [{"boot": {"date": "2024-01-15", "time": "05:30:01"}}],
+            }
+        ]
+    }
+}
+
+
+def test_parse_sadf_json_rows():
+    rows = parse_sadf_json("f", json.dumps(SADF).encode())
+    by = {(r["section"], r["metric"], r["device"]): r for r in rows}
+    assert by[("cpu-load", "user", "all")]["value"] == 1.25
+    assert by[("cpu-load", "user", "0")]["value"] == 2.5
+    assert by[("memory", "memfree", None)]["value"] == 1000.0
+    # nested io dict flattened with dotted names
+    assert by[("io", "io-reads.rtps", None)]["value"] == 3.3
+    assert by[("network.net-dev", "rxpck", "eth0")]["value"] == 10.0
+    restart = [r for r in rows if r["restart"]]
+    assert len(restart) == 1 and str(restart[0]["ts"]) == "2024-01-15 05:30:01"
+    assert all(str(r["ts"]).startswith("2024-01-15") for r in rows)
+
+
+def test_read_sadf_json_distributed_and_xz(spark, tmp_path):
+    (tmp_path / "a.json").write_bytes(json.dumps(SADF).encode())
+    (tmp_path / "b.json.xz").write_bytes(lzma.compress(json.dumps(SADF).encode()))
+    (tmp_path / "broken.json").write_bytes(b"{not json")
+    df = read_sadf_json(spark, str(tmp_path))
+    assert df.select("file").distinct().count() == 2  # broken one skipped
+    cpu = df.where((F.col("section") == "cpu-load") & (F.col("device") == "all"))
+    assert cpu.count() == 4  # 2 files x 2 metrics
+
+
+def test_multimodal_fake_decode(spark):
+    rows = [
+        (1, "image", None, b"imagebytes-1", {"path": "/x/1.png"}),
+        (2, "video", None, b"videobytes-2", {"path": "/x/2.mp4", "duration_ms": "2500"}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, decode_fn=MM.fake_decode)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == len(b"imagebytes-1")
+    assert len(got[1]["feature"]) == 8
+    assert got[2]["duration_ms"] > 0 and got[1]["duration_ms"] == 0
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r for r in
+             MM.extract_features(media, decode_fn=MM.fake_decode).collect()}
+    assert again[1]["feature"] == got[1]["feature"]
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    media = spark.createDataFrame(
+        [(1, "image", None, b"x", {})], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        MM.extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(2, "video", None, b"v", {"duration_ms": "2500"})], MM.MEDIA_SCHEMA
+    )
+    frames = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000]
