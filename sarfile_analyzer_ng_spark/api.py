@@ -1,0 +1,169 @@
+"""Engine facade mirroring the reference's programmatic surface.
+
+The reference exposes its analytics through a REST API
+(api/services.py) and the Streamlit pages; every endpoint's *data*
+computation maps to one function here, composed from the operator
+library, so a reference user can translate calls one-to-one:
+
+    reference api/services.py          here
+    ---------------------------------  --------------------------------
+    list_sar_files / file_info:185     file_info
+    resolve_header / header_details    header_details
+    filter_time_range:253 + get_table  get_table
+    statistics (describe tables)       statistics
+    build_overview_stats_csv           export_stats_csv
+    multi-file compare (multi_files)   compare_files
+
+All functions take the long frame produced by sources.sar_text /
+sources.sadf_json and return DataFrames — nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import stats as ST
+from .operators import timeseries as TS
+from .sources.sar_text import section_wide
+from .util import rnd
+
+# Aliases for common sar sections (public sysstat vocabulary) — the
+# reference keeps these in a sqlite headings table
+# (sqlite2_polars.py:237 get_header_from_alias); here they're a
+# broadcast-joinable mapping keyed by a section's first metric.
+SECTION_ALIASES = {
+    "%usr": "CPU",
+    "%user": "CPU",
+    "proc/s": "Tasks created and context switches",
+    "cswch/s": "Tasks created and context switches",
+    "pswpin/s": "Swap pages",
+    "pgpgin/s": "Paging",
+    "tps": "I/O and transfer rate",
+    "kbmemfree": "Memory utilization",
+    "kbswpfree": "Swap utilization",
+    "kbhugfree": "Hugepages utilization",
+    "dentunusd": "Kernel tables",
+    "runq-sz": "Load",
+    "rxpck/s": "Network",
+    "rxerr/s": "Network errors",
+    "call/s": "NFS client",
+    "scall/s": "NFS server",
+    "totsck": "Sockets",
+    "MBfsfree": "Filesystems",
+    "rcvin/s": "Serial lines",
+    "total/s": "Software-based network processing",
+}
+
+
+def alias_of(section: str) -> str:
+    first = section.split()[0] if section else ""
+    return SECTION_ALIASES.get(first, section)
+
+
+def list_files(df: DataFrame) -> DataFrame:
+    """One row per ingested sar file with host and covered range."""
+    return df.groupBy("file", "host").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.countDistinct("section").alias("n_sections"),
+        F.sum(F.col("restart").cast("long")).alias("n_restarts"),
+    )
+
+
+def file_info(df: DataFrame, file: str) -> DataFrame:
+    """Per-section summary of one file — api/services.py:185."""
+    return (
+        df.where(F.col("file") == file)
+        .groupBy("section")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.countDistinct("ts").alias("n_samples"),
+            F.countDistinct("device").alias("n_devices"),
+        )
+    )
+
+
+def header_details(df: DataFrame, file: str, section: str) -> DataFrame:
+    """Metrics + devices of one section — api/services.py:219."""
+    sect = df.where((F.col("file") == file) & (F.col("section") == section))
+    return sect.groupBy("metric").agg(
+        F.countDistinct("device").alias("n_devices"),
+        F.count(F.lit(1)).alias("n_values"),
+        rnd(F.avg("value"), 4).alias("mean"),
+    )
+
+
+def get_table(df: DataFrame, file: str, section: str, start=None, end=None,
+              device: str | None = None) -> DataFrame:
+    """Time-filtered wide table for one section/device —
+    api/services.py:253 filter_time_range + :310 get_table. Filters are
+    applied on the long frame first so they push into the scan before
+    the pivot shuffle."""
+    sect = df.where((F.col("file") == file) & (F.col("section") == section))
+    if start is not None and end is not None:
+        sect = TS.time_filter(sect, "ts", start, end)
+    if device is not None:
+        sect = sect.where(F.col("device") == device)
+    return section_wide(sect, section)
+
+
+def statistics(df: DataFrame, file: str, section: str,
+               device: str | None = None) -> DataFrame:
+    """describe() per metric of one section — the Data tab's statistics
+    table (dia_compute_pl.py:73)."""
+    sect = df.where((F.col("file") == file) & (F.col("section") == section))
+    if device is not None:
+        sect = sect.where(F.col("device") == device)
+    return sect.groupBy("metric").agg(
+        F.count("value").alias("cnt"),
+        rnd(F.avg("value"), 4).alias("mean"),
+        rnd(F.stddev_samp("value"), 4).alias("stddev"),
+        F.round(F.min("value"), 4).alias("min"),
+        F.round(F.max("value"), 4).alias("max"),
+    )
+
+
+def compare_files(df: DataFrame, section: str, metric: str,
+                  device: str | None = None) -> DataFrame:
+    """Same metric across files (multi_files_pl.py single_multi):
+    sections present in EVERY file (merge_headers semantics), then
+    per-file statistics for the chosen metric."""
+    n_files = df.select("file").distinct().count()
+    common = (
+        df.groupBy("section")
+        .agg(F.countDistinct("file").alias("nf"))
+        .where(F.col("nf") == n_files)
+        .select("section")
+    )
+    scoped = df.join(F.broadcast(common), "section").where(
+        (F.col("section") == section) & (F.col("metric") == metric)
+    )
+    if device is not None:
+        scoped = scoped.where(F.col("device") == device)
+    return scoped.groupBy("file").agg(
+        F.count("value").alias("cnt"),
+        rnd(F.avg("value"), 4).alias("mean"),
+        rnd(F.stddev_samp("value"), 4).alias("stddev"),
+        F.round(F.min("value"), 4).alias("min"),
+        F.round(F.max("value"), 4).alias("max"),
+    )
+
+
+def export_stats_csv(df: DataFrame, file: str, out_path: str) -> None:
+    """All-section statistics to CSV — dia_overview_pl.py:86
+    build_overview_stats_csv, distributed writer instead of a driver
+    string."""
+    stats = (
+        df.where(F.col("file") == file)
+        .groupBy("section", "metric")
+        .agg(
+            F.count("value").alias("cnt"),
+            rnd(F.avg("value"), 4).alias("mean"),
+            rnd(F.stddev_samp("value"), 4).alias("stddev"),
+            F.round(F.min("value"), 4).alias("min"),
+            F.round(F.max("value"), 4).alias("max"),
+        )
+    )
+    stats.write.mode("overwrite").option("header", True).csv(out_path)

@@ -229,20 +229,35 @@ def parse_sar_text(file_name: str, content: str) -> list[dict]:
     return rows
 
 
+XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
 def read_sar(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed sar read: one input file per task via ``wholetext``;
-    Arrow-batched Python parse; long typed output (SAR_SCHEMA)."""
+    """Distributed sar read: one input file per task (``binaryFile``
+    source, so single-file ``.xz`` uploads decompress transparently —
+    sar_ingest.py:333 behavior); Arrow-batched Python parse; long typed
+    output (SAR_SCHEMA)."""
     raw = (
-        spark.read.text(path, wholetext=True)
-        .withColumn("file", F.input_file_name())
-        .select("file", "value")
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("file"), F.col("content"))
     )
 
     def parse_batches(iterator):
+        import lzma
+
         for pdf in iterator:
             out: list[dict] = []
-            for file_name, content in zip(pdf["file"], pdf["value"]):
-                out.extend(parse_sar_text(file_name, content))
+            for file_name, content in zip(pdf["file"], pdf["content"]):
+                data = bytes(content)
+                if data[: len(XZ_MAGIC)] == XZ_MAGIC:
+                    try:
+                        data = lzma.decompress(data)
+                    except lzma.LZMAError:
+                        continue
+                out.extend(
+                    parse_sar_text(file_name, data.decode("utf-8", "replace"))
+                )
             yield pd.DataFrame(
                 out, columns=[f.name for f in SAR_SCHEMA.fields]
             )

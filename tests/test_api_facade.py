@@ -1,0 +1,88 @@
+"""The API facade over parsed sar data — the endpoint-level parity
+surface (api/services.py analogs)."""
+
+from __future__ import annotations
+
+import lzma
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark import api as A
+from sarfile_analyzer_ng_spark.sources.sar_text import read_sar
+
+from .test_sar_source import SAR_24H, SAR_AMPM
+
+
+@pytest.fixture(scope="module")
+def sar_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sar_api")
+    (d / "sa1.txt").write_text(SAR_24H)
+    (d / "sa2.txt.xz").write_bytes(lzma.compress(SAR_AMPM.encode()))
+    return read_sar(spark, str(d)).cache()
+
+
+def file_of(sar_df, needle):
+    return [r["file"] for r in sar_df.select("file").distinct().collect()
+            if needle in r["file"]][0]
+
+
+def test_xz_file_parsed(sar_df):
+    assert sar_df.select("file").distinct().count() == 2
+    xz = [r for r in sar_df.select("file", "host").distinct().collect()
+          if r["file"].endswith(".xz")]
+    assert xz and xz[0]["host"] == "host2"
+
+
+def test_list_files(sar_df):
+    rows = {r["host"]: r for r in A.list_files(sar_df).collect()}
+    assert rows["host1"]["n_restarts"] == 1
+    assert rows["host2"]["n_restarts"] == 0
+
+
+def test_file_info_and_header_details(sar_df):
+    f = file_of(sar_df, "sa1")
+    info = {r["section"]: r for r in A.file_info(sar_df, f).collect()}
+    assert info["%user %system %idle"]["n_devices"] == 2
+    det = {r["metric"]: r for r in
+           A.header_details(sar_df, f, "proc/s cswch/s").collect()}
+    assert det["cswch/s"]["n_values"] == 3
+
+
+def test_get_table_wide_with_device(sar_df):
+    f = file_of(sar_df, "sa1")
+    t = A.get_table(sar_df, f, "%user %system %idle", device="all")
+    rows = t.collect()
+    assert {r["device"] for r in rows} == {"all"}
+    assert "%user" in t.columns and "%idle" in t.columns
+
+
+def test_statistics(sar_df):
+    f = file_of(sar_df, "sa1")
+    st = {r["metric"]: r for r in
+          A.statistics(sar_df, f, "proc/s cswch/s").collect()}
+    assert st["proc/s"]["cnt"] == 3
+    assert st["proc/s"]["min"] == 1.2 and st["proc/s"]["max"] == 1.6
+
+
+def test_compare_files_common_sections_only(sar_df):
+    out = A.compare_files(sar_df, "%user %system %idle", "%user", device="all")
+    # section exists only in sa1 (sa2 has '%user %idle') → not common
+    assert out.count() == 0
+    out2 = A.compare_files(sar_df, "%user %idle", "%user", device="all")
+    assert out2.count() in (0, 1)  # only common sections survive
+
+
+def test_alias_lookup():
+    assert A.alias_of("%user %system %idle") == "CPU"
+    assert A.alias_of("kbmemfree kbavail kbmemused %memused") == "Memory utilization"
+    assert A.alias_of("weird metric") == "weird metric"
+
+
+def test_export_stats_csv(spark, sar_df, tmp_path):
+    f = file_of(sar_df, "sa1")
+    out = str(tmp_path / "stats_csv")
+    A.export_stats_csv(sar_df, f, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"section", "metric", "cnt", "mean", "stddev", "min", "max"}
