@@ -187,3 +187,144 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+# --------------------------------------------------------------------
+
+def ivf_train(emb: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
+              iters: int = 2):
+    """Train IVF centroids with a short distributed Lloyd loop.
+
+    Init is deterministic (the ``k_lists`` smallest ids). Assignment is
+    an Arrow-batched matmul against the broadcast centroid matrix;
+    the update step averages per (cluster, dimension) via posexplode —
+    both stages shuffle only K×dim floats, never vectors. Centroids
+    (K×dim) live on the driver between iterations, like any broadcast
+    dimension table.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    seed_rows = (
+        emb.orderBy(F.col(id_col)).limit(k_lists)
+        .select(F.col(vec_col).alias("v")).collect()
+    )
+    centroids = np.array([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        assigned = _ivf_assign(src, centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        for row in upd:
+            centroids[row["cluster"], row["dim"]] = row["m"]
+    return centroids
+
+
+def _ivf_assign(src: DataFrame, centroids) -> DataFrame:
+    """Attach the nearest-centroid id (cosine) to each vector row."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = src.sparkSession
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    b_cn = spark.sparkContext.broadcast(cn)
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.FloatType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def batches(iterator):
+        cmat = b_cn.value
+        for pdf in iterator:
+            rows = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            cl = (rows @ cmat.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({"vid": pdf["vid"], "vec": pdf["vec"], "cluster": cl})
+
+    return src.mapInPandas(batches, schema)
+
+
+def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+                 k: int, centroids, nprobe: int = 4,
+                 round_to: int = 4) -> DataFrame:
+    """IVF search: corpus vectors live in their centroid's list; each
+    query probes its ``nprobe`` nearest lists and re-ranks exactly
+    inside them. Work per query drops from O(n) to O(n·nprobe/K);
+    recall is tunable via nprobe (probe all K lists → exact).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..util import rnd
+
+    spark = emb.sparkSession
+    corpus = _ivf_assign(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), centroids
+    ).select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cvec"),
+        norm(F.col("vec")).alias("cnrm"), "cluster",
+    )
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    b_cn = spark.sparkContext.broadcast(cn)
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.FloatType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def probes(iterator):
+        cmat = b_cn.value
+        for pdf in iterator:
+            rows = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            order = np.argsort(-(rows @ cmat.T), axis=1)[:, :nprobe]
+            out_q, out_v, out_c = [], [], []
+            for i, vid in enumerate(pdf["vid"]):
+                for c in order[i]:
+                    out_q.append(vid)
+                    out_v.append(pdf["vec"].iloc[i])
+                    out_c.append(int(c))
+            yield pd.DataFrame({"query_id": out_q, "qvec": out_v, "cluster": out_c})
+
+    q = queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    probed = q.mapInPandas(probes, probe_schema).withColumn(
+        "qnrm", norm(F.col("qvec"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probed), on="cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            rnd(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )

@@ -1,0 +1,58 @@
+"""Bucketed tables: pre-shuffled storage for repeated co-located joins.
+
+At 100 TB the same fact-fact join (orders ⋈ lineitem on orderkey) runs
+daily; bucketing both tables on the join key at write time removes the
+shuffle from every subsequent join — the scan is already hash-
+partitioned. This module wraps the write/read/verify cycle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, sort_cols: list[str] | None = None) -> None:
+    """Persist as a bucketed (optionally sorted) table. Sorting inside
+    buckets additionally enables merge-join without a sort step."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets tables between sessions but their
+    # files survive in the warehouse dir; clear any orphan location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    orphan = os.path.join(warehouse, table.split(".")[-1])
+    if warehouse and os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str]) -> DataFrame:
+    """Join two tables bucketed on the same keys/count — planner elides
+    both Exchanges (verify with has_shuffle())."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def has_shuffle(df: DataFrame) -> bool:
+    """True if the executed plan contains a SHUFFLE exchange
+    (``Exchange hashpartitioning``/range/rr). BroadcastExchange doesn't
+    count — a broadcast moves the small side, not the data set."""
+    df.collect()  # finalize AQE
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        marker in text
+        for marker in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange RoundRobinPartitioning",
+            "ShuffleQueryStage",
+        )
+    )

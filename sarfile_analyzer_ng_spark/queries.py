@@ -520,6 +520,41 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q27_salted_agg(spark, sf_dir):
+    """Skew-proof two-stage aggregation (operators/skew.py): identical
+    results to the direct groupBy, shuffle spread over salt shards —
+    the plan for hot keys (sar's 'all' CPU, busy devices)."""
+    from .operators import skew as SK
+
+    ev = _t(spark, sf_dir, "events")
+    merged = SK.salted_agg(
+        ev, ["event_type"],
+        [("sum", "value", "_s"), ("count", "value", "cnt"),
+         ("min", "value", "_mn"), ("max", "value", "_mx")],
+        num_salts=16,
+    )
+    return merged.select(
+        "event_type",
+        rnd(F.col("_s"), 4).alias("sum_value"),
+        F.col("cnt"),
+        F.round(F.col("_mn"), 4).alias("min_value"),
+        F.round(F.col("_mx"), 4).alias("max_value"),
+    )
+
+
+SQL_Q27 = """
+SELECT event_type,
+       round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS sum_value,
+       count(value)::BIGINT AS cnt,
+       round(CAST(CAST((min(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS min_value,
+       round(CAST(CAST((max(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------
 # §2.3 LLM-pipeline operators
 # --------------------------------------------------------------------
@@ -674,6 +709,17 @@ def q36_ann_lsh(spark, sf_dir):
                           k=ANN_K, num_planes=8)
 
 
+def q41_ann_ivf(spark, sf_dir):
+    """IVF ANN (L7 scale path, k-means lists): rows-only — the Lloyd
+    loop and Arrow-batched assignment have no SQL twin. nprobe=all
+    lists makes it exhaustive, so recall vs q35 is testable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    centroids = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=1)
+    return S.ann_topk_ivf(emb, queries_df, "vec_id", "embedding", ANN_K,
+                          centroids, nprobe=2)
+
+
 def q37_lang_id(spark, sf_dir):
     """Language ID heuristic (L8)."""
     docs = _t(spark, sf_dir, "documents")
@@ -798,6 +844,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
@@ -805,6 +852,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q36_ann_lsh": (q36_ann_lsh, None),
+    "q41_ann_ivf": (q41_ann_ivf, None),
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),

@@ -19,4 +19,5 @@ def test_registry_shape(spark):
     assert set(oracles) <= set(qs)
     # rows-only ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash", "q36_ann_lsh"}
+    assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash", "q36_ann_lsh",
+                         "q41_ann_ivf"}

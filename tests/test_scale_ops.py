@@ -1,0 +1,92 @@
+"""Scale machinery: salted aggregation/join must be result-identical to
+the direct plans; bucketed joins must elide the shuffle; IVF must
+approach brute-force recall as nprobe grows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.catalog import load_table
+from sarfile_analyzer_ng_spark.functions import similarity as S
+from sarfile_analyzer_ng_spark.operators import bucketing as B
+from sarfile_analyzer_ng_spark.operators import skew as SK
+
+from .conftest import SF_DIR
+
+
+def test_salted_agg_matches_direct(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"),
+            F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in SK.salted_agg(
+            li, ["l_returnflag"],
+            [("sum", "l_quantity", "s"), ("count", "l_quantity", "c"),
+             ("min", "l_quantity", "mn"), ("max", "l_quantity", "mx")],
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_avg_matches_direct(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {r["event_type"]: round(r["a"], 6) for r in
+              ev.groupBy("event_type").agg(F.avg("value").alias("a")).collect()}
+    salted = {r["event_type"]: round(r["avg_value"], 6) for r in
+              SK.salted_avg(ev, ["event_type"], "value").collect()}
+    assert salted == direct
+
+
+def test_replicated_salt_join_matches_direct(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    direct = li.join(o, on=["l_orderkey"]).count()
+    salted = SK.replicated_salt_join(li, o, ["l_orderkey"]).count()
+    assert salted == direct
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    B.write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8)
+    B.write_bucketed(o, "t_o_bucketed", ["l_orderkey"], 8)
+    # force the non-broadcast path: at real scale neither side fits a
+    # broadcast, which is exactly when bucketing pays off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.bucketed_join(spark, "t_li_bucketed", "t_o_bucketed",
+                                 ["l_orderkey"])
+        assert joined.count() == li.join(o, on=["l_orderkey"]).count()
+        assert not B.has_shuffle(joined)
+        # the same join on unbucketed frames DOES shuffle
+        assert B.has_shuffle(li.join(o, on=["l_orderkey"]))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 5)
+    centroids = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=2)
+    assert centroids.shape == (8, 64)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in
+             S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", 3).collect()}
+    got_all = {(r["query_id"], r["neighbor_id"]) for r in
+               S.ann_topk_ivf(emb, queries, "vec_id", "embedding", 3,
+                              centroids, nprobe=8).collect()}
+    # probing every list == exact search
+    assert got_all == brute
+    got_1 = {(r["query_id"], r["neighbor_id"]) for r in
+             S.ann_topk_ivf(emb, queries, "vec_id", "embedding", 3,
+                            centroids, nprobe=2).collect()}
+    assert len(got_1 & brute) >= len(brute) // 3
