@@ -225,6 +225,20 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     reproducible across runs/partitions.
     """
     def batch(iterator):
+        # token→(±1 bit-vector) memo: natural-language token sets are
+        # tiny relative to token counts, so the FNV hash + bit expansion
+        # runs once per distinct token per batch, not once per token.
+        memo: dict[str, object] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def token_bits(tok: str):
+            v = memo.get(tok)
+            if v is None:
+                h = np.uint64(_fnv1a64(tok))
+                v = (2 * ((h >> shifts) & np.uint64(1)).astype(np.int64)) - 1
+                memo[tok] = v
+            return v
+
         for pdf in iterator:
             out_ids, out_hashes = [], []
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
@@ -233,9 +247,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     out_ids.append(doc_id)
                     out_hashes.append(0)
                     continue
-                hs = np.array([_fnv1a64(t) for t in tokens], dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
+                votes = np.zeros(64, dtype=np.int64)
+                for t in tokens:
+                    votes += token_bits(t)
                 sh = np.uint64(0)
                 for bit_idx in np.nonzero(votes > 0)[0]:
                     sh |= np.uint64(1) << np.uint64(bit_idx)

@@ -99,3 +99,37 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length(t).cast("long").alias("n_chars_fp"),
         F.substring(t, 1, 16).alias("prefix16"),
     )
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def clean_text(df: DataFrame, text_col: str,
+               out_col: str = "clean_text") -> DataFrame:
+    """Training-corpus text normalization, all JVM regexp built-ins:
+    redact emails and URLs, drop control characters, collapse runs of
+    whitespace, trim. Order matters (URLs can contain '@')."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, URL_PATTERN, "<URL>")
+    t = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    t = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(t))
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, int],
+               out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by multiplicative hash
+    of the id — stable across runs, engines, partitionings (the
+    property random() sampling can't give a reproducible pipeline).
+    ``weights`` maps split name → percent; must sum to 100."""
+    assert sum(weights.values()) == 100
+    bucket = ((F.col(id_col) % 1_000_003) * 2654435761 % 100)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(out_col, expr)

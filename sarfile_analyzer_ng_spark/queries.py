@@ -812,6 +812,79 @@ FROM documents
 """
 
 
+DECOR = " contact user{id}@example.com \tsee https://ex.am/{id}?x=1  end"
+
+
+def q42_text_clean(spark, sf_dir):
+    """Corpus cleaning (PII/URL redaction + whitespace normalization):
+    documents get a deterministic decoration (email, URL, tab, double
+    spaces) so the operator's transforms are observable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    decorated = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com \tsee https://ex.am/"),
+            F.col("doc_id").cast("string"), F.lit("?x=1  end"),
+        ),
+    )
+    out = TX.clean_text(decorated, "text")
+    return out.select(
+        "doc_id", "clean_text", F.length("clean_text").cast("long").alias("n_clean")
+    )
+
+
+SQL_Q42 = f"""
+WITH decorated AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ' || chr(9) || 'see https://ex.am/'
+              || CAST(doc_id AS VARCHAR) || '?x=1  end' AS text
+  FROM documents),
+cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{TX.URL_PATTERN}', '<URL>', 'g'),
+               '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM decorated)
+SELECT doc_id, clean_text, length(clean_text)::BIGINT AS n_clean FROM cleaned
+"""
+
+
+SPLIT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+
+
+def q43_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by multiplicative id hash —
+    reproducible across engines/runs/partitionings — plus per-split
+    rollup proving the proportions."""
+    ev = TX.hash_split(_t(spark, sf_dir, "events"), "event_id", SPLIT_WEIGHTS)
+    return ev.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_Q43 = """
+WITH assigned AS (
+  SELECT *, (event_id % 1000003) * 2654435761 % 100 AS bucket FROM events),
+split AS (
+  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM assigned)
+SELECT split, event_type, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS avg_value
+FROM split GROUP BY split, event_type
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -857,6 +930,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
 }
 
 
