@@ -63,3 +63,28 @@ def test_whole_stage_codegen_active(spark):
     df.collect()  # AQE finalizes the plan only on execution
     text = plan(df)
     assert "WholeStageCodegen" in text or "*(" in text  # *(n) = codegen stage marker
+
+
+def _exchange_keys(df):
+    import re
+
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    found = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
+    return {f.rsplit(",", 1)[0].strip() for f in found}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    from sarfile_analyzer_ng_spark.queries import q25_asof_join
+
+    keys = _exchange_keys(q25_asof_join(spark, SF_DIR))
+    # one distinct exchange: the per-key window over the unioned sides
+    assert len(keys) == 1
+
+
+def test_salted_agg_two_stage_exchanges(spark):
+    from sarfile_analyzer_ng_spark.queries import q27_salted_agg
+
+    keys = _exchange_keys(q27_salted_agg(spark, SF_DIR))
+    assert len(keys) == 2  # (key, salt) partial + key merge
+    assert any("_salt" in k for k in keys)
