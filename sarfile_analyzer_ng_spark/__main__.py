@@ -1,0 +1,92 @@
+"""Command-line workflow mirroring the reference app's analysis flow:
+upload → pick file → pick section/device/time range → data + stats.
+
+    python -m sarfile_analyzer_ng_spark files <sar_dir>
+    python -m sarfile_analyzer_ng_spark sections <sar_dir> [--file F]
+    python -m sarfile_analyzer_ng_spark analyze <sar_dir> --section S
+        [--file F] [--device D] [--start T] [--end T] [--json]
+    python -m sarfile_analyzer_ng_spark stats <sar_dir> --section S
+        [--file F] [--device D]
+
+Accepts sar ASCII, .xz-compressed ASCII, and sadf -j JSON files mixed
+in one directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from .sources.sadf_json import read_sadf_json
+    from .sources.sar_text import read_sar
+
+    text = read_sar(spark, path)
+    # sadf JSON files parse to zero rows in the text parser and vice
+    # versa, so the union is simply both parsers over the directory.
+    js = read_sadf_json(spark, path)
+    return text.unionByName(js).cache()
+
+
+def _first_file(df, file: str | None) -> str:
+    from pyspark.sql import functions as F
+
+    if file:
+        match = df.where(F.col("file").contains(file)).select("file").first()
+        if not match:
+            sys.exit(f"no ingested file matches {file!r}")
+        return match["file"]
+    return df.select("file").orderBy("file").first()["file"]
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="sarfile_analyzer_ng_spark")
+    ap.add_argument("command", choices=["files", "sections", "analyze", "stats"])
+    ap.add_argument("path")
+    ap.add_argument("--file")
+    ap.add_argument("--section")
+    ap.add_argument("--device")
+    ap.add_argument("--start")
+    ap.add_argument("--end")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    from . import api
+    from .session import get_spark
+
+    spark = get_spark("sar-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = _load(spark, args.path)
+    if df.isEmpty():
+        sys.exit(f"no parseable sar data under {args.path}")
+
+    def show(out):
+        if args.json:
+            for line in out.toJSON().collect():
+                print(line)
+        else:
+            out.show(100, truncate=False)
+
+    if args.command == "files":
+        show(api.list_files(df).orderBy("file"))
+    elif args.command == "sections":
+        f = _first_file(df, args.file)
+        show(api.file_info(df, f).orderBy("section"))
+    elif args.command == "analyze":
+        if not args.section:
+            sys.exit("--section required (see `sections`)")
+        f = _first_file(df, args.file)
+        out = api.get_table(df, f, args.section, args.start, args.end, args.device)
+        show(out.orderBy("ts"))
+    elif args.command == "stats":
+        if not args.section:
+            sys.exit("--section required (see `sections`)")
+        f = _first_file(df, args.file)
+        show(api.statistics(df, f, args.section, args.device).orderBy("metric"))
+
+
+if __name__ == "__main__":
+    main()
