@@ -812,6 +812,54 @@ FROM documents
 """
 
 
+def q44_json_extract(spark, sf_dir):
+    """Semi-structured extraction: events.props is a JSON string; pull
+    a typed field JVM-side (get_json_object) and aggregate on it —
+    the engine's path for sadf-style nested payloads."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_Q44 = """
+SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+       count(*)::BIGINT AS cnt,
+       round(CAST(CAST((avg(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS avg_value,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q45_rollup(spark, sf_dir):
+    """Multi-granularity rollup: per-type rows plus the grand total in
+    one pass (GROUPING SETS) — the per-device + 'all' aggregate views
+    the reference renders, without a second scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.sum("value"), 4).alias("sum_value"),
+        F.grouping("event_type").cast("long").alias("is_total"),
+    )
+
+
+SQL_Q45 = """
+SELECT event_type, count(*)::BIGINT AS cnt,
+       round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+         AS sum_value,
+       (CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END)::BIGINT AS is_total
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
 DECOR = " contact user{id}@example.com \tsee https://ex.am/{id}?x=1  end"
 
 
@@ -932,6 +980,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
 }
 
 
