@@ -22,5 +22,23 @@ def rnd(col: Column, digits: int = 4) -> Column:
 
 
 def sql_rnd(expr: str, digits: int = 4) -> str:
-    """The DuckDB-side twin of :func:`rnd` for oracle SQL strings."""
-    return f"round(round({expr}, 8), {digits})"
+    """The DuckDB-side twin of :func:`rnd` for oracle SQL strings.
+
+    Spark's ``round`` goes through BigDecimal.valueOf(double) — i.e.
+    the double's SHORTEST decimal representation — then HALF_UP.
+    DuckDB's ``round`` works on the binary double, which lands one ulp
+    the other way exactly at half boundaries. Casting through VARCHAR
+    reproduces the shortest-repr step; the DECIMAL(38,8) cast rounds
+    half-up at 8 digits like the inner ``F.round(x, 8)``."""
+    return (
+        f"round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,8)), {digits})::DOUBLE"
+    )
+
+
+# Validity domain of the rnd/sql_rnd parity contract: DuckDB's final
+# DECIMAL→DOUBLE converts the scaled integer first, so once
+# |value|·10^digits exceeds 2^53 that int→double step rounds and the
+# chain can land 1-2 ulp off Spark's BigDecimal path. Keep rounded
+# magnitudes below ~9e15 / 10^digits (round4 → |v| < ~9e11; round2 →
+# |v| < ~9e13). Every oracle value in queries.py is ≤ ~1e9.
+RND_PARITY_MAX_SCALED = 2**53
