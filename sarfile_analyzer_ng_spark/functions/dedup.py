@@ -225,37 +225,44 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     reproducible across runs/partitions.
     """
     def batch(iterator):
-        # token→(±1 bit-vector) memo: natural-language token sets are
-        # tiny relative to token counts, so the FNV hash + bit expansion
-        # runs once per distinct token per batch, not once per token.
-        memo: dict[str, object] = {}
         shifts = np.arange(64, dtype=np.uint64)
-
-        def token_bits(tok: str):
-            v = memo.get(tok)
-            if v is None:
-                h = np.uint64(_fnv1a64(tok))
-                v = (2 * ((h >> shifts) & np.uint64(1)).astype(np.int64)) - 1
-                memo[tok] = v
-            return v
+        # token → ±1 bit-vector, computed once per DISTINCT token: the
+        # FNV hash is the only scalar Python left; everything else is
+        # numpy over the whole Arrow batch.
+        memo: dict[str, np.ndarray] = {}
 
         for pdf in iterator:
-            out_ids, out_hashes = [], []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                tokens = str(text).lower().split()
-                if not tokens:
-                    out_ids.append(doc_id)
-                    out_hashes.append(0)
-                    continue
-                votes = np.zeros(64, dtype=np.int64)
-                for t in tokens:
-                    votes += token_bits(t)
-                sh = np.uint64(0)
-                for bit_idx in np.nonzero(votes > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(bit_idx)
-                out_ids.append(doc_id)
-                out_hashes.append(int(np.int64(sh)))
-            yield pd.DataFrame({"doc": out_ids, "simhash": out_hashes})
+            docs = pdf[id_col].to_numpy()
+            token_lists = (
+                pd.Series(pdf[text_col].to_numpy())
+                .fillna("")
+                .astype(str)
+                .str.lower()
+                .str.split()
+            )
+            lengths = token_lists.str.len().to_numpy()
+            votes = np.zeros((len(docs), 64), dtype=np.int64)
+            if lengths.sum() > 0:
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in token_lists]
+                )
+                doc_idx = np.repeat(np.arange(len(docs)), lengths)
+                uniq, inverse = np.unique(flat, return_inverse=True)
+                for tok in uniq:
+                    if tok not in memo:
+                        h = np.uint64(_fnv1a64(tok))
+                        memo[tok] = (
+                            2 * ((h >> shifts) & np.uint64(1)).astype(np.int64) - 1
+                        )
+                bits_u = np.stack([memo[t] for t in uniq])
+                np.add.at(votes, doc_idx, bits_u[inverse])
+            packed = (
+                ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+            ).astype(np.uint64)
+            packed[lengths == 0] = np.uint64(0)
+            yield pd.DataFrame(
+                {"doc": docs, "simhash": packed.view(np.int64)}
+            )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, _SIMHASH_SCHEMA)
 
@@ -293,6 +300,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             ])
         ).alias("chunk"),
     ).select("doc", "simhash", "chunk.band", "chunk.key")
+    # tiny (doc, 64-bit sig, band keys) frame; cache it so the
+    # self-join below doesn't run the simhash UDF once per side
+    chunks = chunks.cache()
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, on=["band", "key"])
