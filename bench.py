@@ -38,6 +38,10 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - start, 3)
+        # measurements stay independent: operators that cache reused
+        # sub-frames (minhash/simhash/jaccard) must not hold memory
+        # into the next query's run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
