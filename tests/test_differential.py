@@ -1,0 +1,106 @@
+"""Differential tests: the window-based operators vs independent
+straightforward pandas implementations on seeded random data — catches
+semantic drift that golden fixtures and the DuckDB oracle (same SQL
+author) could both miss."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+N_ROWS = 3000
+N_USERS = 40
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 3_000_000, N_ROWS)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(N_ROWS),
+            "user": rng.integers(0, N_USERS, N_ROWS),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 100, N_ROWS), 2),
+            "kind": rng.choice(["a", "b"], N_ROWS),
+        }
+    )
+
+
+def spark_df(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def test_sessionize_differential(spark, frame):
+    got = {
+        (r["event_id"]): r["session_id"]
+        for r in TS.sessionize(spark_df(spark, frame), "ts", ["user"], 600).collect()
+    }
+    exp = {}
+    for _, grp in frame.sort_values(["user", "ts", "event_id"]).groupby("user"):
+        sid = 0
+        prev = None
+        for _, row in grp.iterrows():
+            if prev is None or (row["ts"] - prev).total_seconds() > 600:
+                sid += 1
+            exp[row["event_id"]] = sid
+            prev = row["ts"]
+    assert got == exp
+
+
+def test_rolling_mean_differential(spark, frame):
+    got = {
+        r["event_id"]: r["rolling_mean"]
+        for r in TS.rolling_mean(
+            spark_df(spark, frame), "ts", "value", ["user"], preceding=3
+        ).collect()
+    }
+    for _, grp in frame.sort_values(["user", "ts"]).groupby("user"):
+        roll = grp["value"].rolling(4, min_periods=1).mean()
+        for eid, want in zip(grp["event_id"], roll):
+            assert got[eid] == pytest.approx(round(want, 4), abs=1e-4), eid
+
+
+def test_asof_join_differential(spark, frame):
+    left_pd = frame[frame["kind"] == "a"][["event_id", "user", "ts", "value"]]
+    right_pd = frame[frame["kind"] == "b"][["user", "ts", "value"]]
+    out = TS.asof_join(
+        spark_df(spark, left_pd), spark_df(spark, right_pd),
+        ["user"], "ts", ["value"], "_r",
+    )
+    got = {r["event_id"]: (r["value_r"], r["ts_r"]) for r in out.collect()}
+    exp = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("ts").rename(columns={"value": "value_r", "ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", by="user", direction="backward",
+    )
+    assert len(got) == len(left_pd)
+    for _, row in exp.iterrows():
+        g_val, g_ts = got[row["event_id"]]
+        if pd.isna(row["value_r"]):
+            assert g_val is None and g_ts is None, row["event_id"]
+        else:
+            assert g_val == row["value_r"], row["event_id"]
+            assert pd.Timestamp(g_ts) == row["ts_r"], row["event_id"]
+
+
+def test_detect_gaps_differential(spark, frame):
+    got = {
+        (r["user"], str(r["ts"])): r["gap_seconds"]
+        for r in TS.detect_gaps(spark_df(spark, frame), "ts", ["user"], 7200).collect()
+    }
+    exp = {}
+    for _, grp in frame.sort_values(["user", "ts"]).groupby("user"):
+        prev = None
+        for _, row in grp.iterrows():
+            if prev is not None:
+                gap = int(row["ts"].value // 10**9 - prev.value // 10**9)
+                if gap > 7200:
+                    exp[(row["user"], str(row["ts"]))] = gap
+            prev = row["ts"]
+    assert got == exp
