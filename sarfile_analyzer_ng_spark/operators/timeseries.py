@@ -170,3 +170,71 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str], ts_col: str,
         ).over(w).alias(f"{ts_col}{suffix}"),
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def delta_rate(df: DataFrame, ts_col: str, value_col: str, by: list[str],
+               round_to: int = 4) -> DataFrame:
+    """Counter→rate conversion: per-second rate between consecutive
+    samples of a series — how sysstat itself derives every ``.../s``
+    metric from kernel counters. ``lag`` window per series key; first
+    sample of a series has no rate (null)."""
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    dt = F.col(ts_col).cast("long") - prev_t.cast("long")
+    rate = F.when(dt > 0, (F.col(value_col) - prev_v) / dt)
+    return df.withColumn("rate", rnd(rate, round_to))
+
+
+def resample_filled(df: DataFrame, ts_col: str, every_seconds: int,
+                    by: list[str], value_col: str,
+                    round_to: int = 4) -> DataFrame:
+    """Gap-filled resample: aggregate into fixed buckets AND emit
+    zero-count rows for empty buckets, so downstream charts/windows see
+    a complete grid (a chart gap is how the reference surfaces
+    reboots — here the grid is explicit).
+
+    The bucket grid is generated per series key from its own min/max
+    (sequence + explode — a few rows per series), then left-joined
+    with the real aggregates. No driver-side date math.
+    """
+    bucket = (
+        F.floor(F.col(ts_col).cast("long") / every_seconds) * every_seconds
+    ).cast("timestamp")
+    aggs = df.groupBy(*by, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.sum(value_col), round_to).alias("sum_value"),
+    )
+    spans = df.groupBy(*by).agg(
+        F.min(F.col(ts_col).cast("long")).alias("_lo"),
+        F.max(F.col(ts_col).cast("long")).alias("_hi"),
+    )
+    grid = spans.select(
+        *by,
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("_lo") / every_seconds) * every_seconds),
+                (F.floor(F.col("_hi") / every_seconds) * every_seconds),
+                F.lit(every_seconds),
+            )
+        ).alias("_b"),
+    ).select(*by, F.col("_b").cast("timestamp").alias("bucket"))
+    return (
+        grid.join(aggs, on=[*by, "bucket"], how="left")
+        .select(
+            *by, "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def top_n_per_group(df: DataFrame, by: list[str], order_cols, n: int) -> DataFrame:
+    """Top-N rows per group (vs relational.top_k's global top-k):
+    window rank with deterministic tie-break, one shuffle on the group
+    key, no global sort."""
+    w = Window.partitionBy(*by).orderBy(*order_cols)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_group") <= n)
+    )

@@ -555,6 +555,94 @@ FROM events GROUP BY event_type
 """
 
 
+def q46_delta_rate(spark, sf_dir):
+    """Counter→rate conversion (sysstat's own derivation of .../s
+    metrics): per-second delta of the running per-user value sum."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = TS.delta_rate(ev, "ts", "value", ["user_id"])
+    return out.select("event_id", "user_id", "ts", "rate")
+
+
+SQL_Q46 = """
+SELECT event_id, user_id, ts,
+       CASE WHEN dt > 0 THEN
+         round(CAST(CAST(((value - prev_v) / dt) AS VARCHAR)
+               AS DECIMAL(38,8)), 4)::DOUBLE
+       END AS rate
+FROM (
+  SELECT event_id, user_id, ts, value,
+         lag(value) OVER w AS prev_v,
+         floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT AS dt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+"""
+
+
+FILL_BUCKET_SECONDS = 21600  # 6h
+
+
+def q47_resample_filled(spark, sf_dir):
+    """Gap-filled resample: fixed 6h buckets per event type including
+    empty buckets (cnt=0) — the explicit grid behind chart gaps."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.resample_filled(ev, "ts", FILL_BUCKET_SECONDS, ["event_type"], "value")
+
+
+SQL_Q47 = f"""
+WITH base AS (
+  SELECT event_type, ts, value,
+         to_timestamp((floor(epoch(ts) / {FILL_BUCKET_SECONDS})
+                       * {FILL_BUCKET_SECONDS})::BIGINT)::TIMESTAMP AS bucket
+  FROM events),
+aggs AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS cnt,
+         round(CAST(CAST((sum(value)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
+           AS sum_value
+  FROM base GROUP BY 1, 2),
+spans AS (
+  SELECT event_type,
+         (floor(min(epoch(ts)) / {FILL_BUCKET_SECONDS})
+          * {FILL_BUCKET_SECONDS})::BIGINT AS lo,
+         (floor(max(epoch(ts)) / {FILL_BUCKET_SECONDS})
+          * {FILL_BUCKET_SECONDS})::BIGINT AS hi
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT event_type, to_timestamp(unnest(range(lo, hi + 1,
+         {FILL_BUCKET_SECONDS})))::TIMESTAMP AS bucket
+  FROM spans)
+SELECT g.event_type, g.bucket,
+       coalesce(a.cnt, 0)::BIGINT AS cnt,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM grid g LEFT JOIN aggs a
+  ON g.event_type = a.event_type AND g.bucket = a.bucket
+"""
+
+
+def q48_topn_per_group(spark, sf_dir):
+    """Top-3 orders per market segment (top-N per group, not global
+    top-k): window rank over the joined fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    out = TS.top_n_per_group(
+        joined, ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3,
+    )
+    return out
+
+
+SQL_Q48 = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank_in_group FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT
+           AS rank_in_group
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rank_in_group <= 3
+"""
+
+
 # --------------------------------------------------------------------
 # §2.3 LLM-pipeline operators
 # --------------------------------------------------------------------
@@ -982,6 +1070,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
 }
 
 
