@@ -1,0 +1,58 @@
+"""Sketch operators must land within their documented error bounds of
+the exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.catalog import load_table
+from sarfile_analyzer_ng_spark.operators import sketches as SK
+from sarfile_analyzer_ng_spark.operators import stats as ST
+
+from .conftest import SF_DIR
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("c")).collect()}
+    approx = {r["event_type"]: r["approx_distinct_user_id"] for r in
+              SK.approx_distinct(ev, "user_id", ["event_type"], rsd=0.05).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.15 * e), (k, e, approx[k])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"]) for r in
+             ST.percentiles(li, "l_extendedprice", ["l_returnflag"]).collect()}
+    approx = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"]) for r in
+              SK.approx_percentiles(li, "l_extendedprice", ["l_returnflag"]).collect()}
+    for k, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[k]
+        for e, a in ((e25, a25), (e50, a50), (e75, a75)):
+            assert abs(a - e) / max(e, 1) < 0.02, (k, e, a)
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    s1 = SK.hash_sample(ev, "user_id", 20)
+    s2 = SK.hash_sample(ev, "user_id", 20)
+    ids1 = {r["event_id"] for r in s1.select("event_id").collect()}
+    ids2 = {r["event_id"] for r in s2.select("event_id").collect()}
+    assert ids1 == ids2  # reproducible
+    frac = len(ids1) / ev.count()
+    assert 0.05 < frac < 0.45  # per-KEY sampling: fraction ~ user share
+    # per-key consistency: every sampled user's rows are all present
+    users = {r["user_id"] for r in s1.select("user_id").distinct().collect()}
+    full = ev.where(F.col("user_id").isin([int(u) for u in users])).count()
+    assert full == len(ids1)
+
+
+def test_frequent_items_finds_planted_heavy_hitter(spark):
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    skewed = ev.unionByName(
+        spark.range(500).select(F.lit(7).cast("long").alias("user_id"))
+    )
+    out = SK.frequent_items(skewed, "user_id", support=0.2).collect()[0]
+    assert 7 in out["user_id_freqItems"]
