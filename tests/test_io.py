@@ -1,0 +1,43 @@
+"""CSV ingest parity and partition pruning on partitioned layouts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.catalog import load_table
+from sarfile_analyzer_ng_spark.operators import io as IO
+
+from .conftest import SF_DIR
+
+
+def test_csv_roundtrip_matches_parquet(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    csv_dir = str(tmp_path / "events_csv")
+    ev.write.option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).mode("overwrite").csv(csv_dir)
+    back = IO.read_csv(spark, csv_dir, ev.schema)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum("value"), F.min("ts"), F.max("ts")).collect()[0]
+    b = back.agg(F.sum("value"), F.min("ts"), F.max("ts")).collect()[0]
+    assert a == b
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_day")
+    IO.write_time_partitioned(ev, out, "ts")
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    one_day = back.where(F.col("p_date") == "2024-01-05")
+    filters = IO.partition_filters(one_day)
+    assert "p_date" in filters  # predicate prunes directories, not rows
+    expected = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected
+    # files of other days are not even listed in the scan
+    import re
+
+    text = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: []" not in text
