@@ -1021,6 +1021,37 @@ FROM split GROUP BY split, event_type
 """
 
 
+def q49_anti_join_dedup(spark, sf_dir):
+    """Incremental corpus dedup: drop incoming docs whose exact content
+    already exists in the reference corpus — LEFT ANTI join on the
+    content hash (broadcastable reference digest set at any corpus
+    size, since it's 16 bytes per existing doc)."""
+    ref = _t(spark, sf_dir, "documents").select(F.md5("text").alias("md5"))
+    incoming = _planted_corpus(spark, sf_dir).withColumn(
+        "md5", F.md5("text")
+    )
+    # planted +OFFSET docs have a suffix → genuinely new; a second
+    # copy of the originals (+2·OFFSET) is exact-duplicate noise
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.select(
+        (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"), "text"
+    ).withColumn("md5", F.md5("text"))
+    batch = incoming.unionByName(exact_copies)
+    kept = batch.join(ref, on="md5", how="left_anti")
+    return kept.select("doc_id", "md5")
+
+
+SQL_Q49 = f"""
+WITH ref AS (SELECT md5(text) AS md5 FROM documents),
+batch AS (
+  SELECT doc_id, md5(text) AS md5 FROM ({SQL_PLANTED})
+  UNION ALL
+  SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id, md5(text) AS md5 FROM documents)
+SELECT doc_id, md5 FROM batch
+WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.md5 = batch.md5)
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1073,6 +1104,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
+    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
 }
 
 
