@@ -986,7 +986,7 @@ cleaned AS (
                regexp_replace(text, '{TX.URL_PATTERN}', '<URL>', 'g'),
                '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
              '[\\x00-\\x1F\\x7F]', ' ', 'g'),
-           '\s+', ' ', 'g')) AS clean_text
+           '\\s+', ' ', 'g')) AS clean_text
   FROM decorated)
 SELECT doc_id, clean_text, length(clean_text)::BIGINT AS n_clean FROM cleaned
 """
