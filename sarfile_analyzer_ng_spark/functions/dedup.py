@@ -166,7 +166,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     explode(shingles) → self-join on shingle → |∩| per pair, then
@@ -183,6 +184,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .cache()  # reused three times (two join sides + sizes)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        # Scale lever: a shingle appearing in f documents generates
+        # O(f²) candidate rows while contributing the same +1 to every
+        # true near-dup's intersection. Dropping shingles with document
+        # frequency > max_df bounds the join at the cost of slightly
+        # underestimating jaccard for pairs that shared them (union
+        # sizes above are computed BEFORE the cap, so jaccard only
+        # decreases — no false positives appear).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on="shingle")

@@ -36,6 +36,7 @@ def describe(df: DataFrame, value_cols: list[str], round_to: int = 4) -> DataFra
     long = unpivot(df, [], value_cols)
     return long.groupBy("metric").agg(
         F.count("value").alias("cnt"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_cnt"),
         rnd(F.avg("value"), round_to).alias("mean"),
         rnd(F.stddev_samp("value"), round_to).alias("stddev"),
         F.round(F.min("value"), round_to).alias("min"),

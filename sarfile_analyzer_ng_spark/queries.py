@@ -86,6 +86,7 @@ def q02_describe_stats(spark, sf_dir):
 SQL_Q02 = " UNION ALL ".join(
     f"""
     SELECT '{c}' AS metric, count({c})::BIGINT AS cnt,
+           (count(*) - count({c}))::BIGINT AS null_cnt,
            round(CAST(CAST((avg({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS mean, round(CAST(CAST((stddev_samp({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS stddev,
            round(CAST(CAST((min({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS min, round(CAST(CAST((max({c})) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS max
     FROM lineitem"""

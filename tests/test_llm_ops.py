@@ -96,3 +96,20 @@ def test_fingerprint_md5(spark):
     row = TX.fingerprint(df, "text", "id").collect()[0]
     assert row["md5"] == hashlib.md5(b"abc").hexdigest()
     assert row["n_chars_fp"] == 3 and row["prefix16"] == "abc"
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    # plant a hot shingle shared by ALL docs plus one true near-dup pair
+    docs = [
+        (i, f"common filler words here unique{i} token{i} more{i} text{i}")
+        for i in range(1, 21)
+    ]
+    docs.append((100, "totally separate sentence about spark shuffles okay"))
+    docs.append((101, "totally separate sentence about spark shuffles fine"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.3, max_df=5)
+    found = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in found          # true near-dups survive the cap
+    # the hot "common filler words here" shingles are dropped, so the
+    # filler docs (jaccard only via shared prefix) produce no pairs
+    assert not any(a <= 20 and b <= 20 for a, b in found)
