@@ -1053,6 +1053,19 @@ WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.md5 = batch.md5)
 """
 
 
+def q50_sketch_stats(spark, sf_dir):
+    """Sketch statistics (rows-only: HLL/KLL internals differ between
+    engines by design): per-type approximate distinct users and
+    approximate median — the bounded-memory scale twins verified
+    against exact values in tests/test_sketches.py."""
+    from .operators import sketches as SKC
+
+    ev = _t(spark, sf_dir, "events")
+    distinct = SKC.approx_distinct(ev, "user_id", ["event_type"])
+    quant = SKC.approx_percentiles(ev, "value", ["event_type"], probs=(0.5,))
+    return distinct.join(quant, on="event_type")
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1106,6 +1119,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q50_sketch_stats": (q50_sketch_stats, None),
 }
 
 

@@ -20,4 +20,4 @@ def test_registry_shape(spark):
     # rows-only ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash", "q36_ann_lsh",
-                         "q41_ann_ivf"}
+                         "q41_ann_ivf", "q50_sketch_stats"}
