@@ -65,10 +65,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos = _nanos_ts_cols(path)
     if not nanos:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Scope the legacy-nanos conf to this read: the plan captures the
+    # conf at analysis time, so restoring it afterwards keeps later
+    # parquet reads in the same session on normal timestamp behavior.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in nanos:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Force analysis while the conf is set so the scan is resolved
+        # against the legacy read path before we restore the conf.
+        df.schema
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return df
 
 

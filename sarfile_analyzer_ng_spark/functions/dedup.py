@@ -3,19 +3,45 @@ Jaccard. These are the scale-critical pieces of a training-data
 pipeline: every one is built so the expensive comparison only happens
 inside small candidate buckets, never across the full corpus.
 
-All of exact/minhash/jaccard stay JVM-side (xxhash64 / md5 /
-higher-order array functions). SimHash needs per-bit accumulation and
-uses a vectorized Arrow pandas UDF — the documented slow-but-batched
-path.
+Everything here stays JVM-side (xxhash64 / md5 / explode+aggregate
+shapes) — no Python UDFs anywhere in the dedup path, so the whole
+module runs under whole-stage codegen.
+
+Operators that cache an internal frame for a self-join attach it to
+the returned DataFrame as ``_cached_inputs``; call :func:`release`
+after the consuming action to unpersist (``bench.py`` and long-lived
+sessions should do this — otherwise executor storage accumulates
+across repeated calls).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the internal cached frames backing ``df`` (attached by
+    operators as ``_cached_inputs``). Call after the consuming action;
+    no-op for frames without cached inputs."""
+    for dep in getattr(df, "_cached_inputs", ()):  # noqa: B004 — duck attr
+        dep.unpersist()
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a doc-grain frame over the cluster before an explode.
+
+    Token/shingle explodes multiply row counts ~1000×, so work is
+    proportional to *input* partitioning: a corpus read from a handful
+    of parquet files would explode on a handful of cores. Round-robin
+    repartition to ``defaultParallelism`` when the input is coarser —
+    a no-op at real scale, where scans already produce ≥ cores
+    partitions (maxPartitionBytes splitting)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -59,7 +85,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     the set-semantics shuffle — safe for MinHash, where duplicate
     shingles cannot change a minimum.
     """
-    words = df.select(
+    words = _fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
     )
@@ -162,6 +188,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs._cached_inputs = [banded]  # see release()
     return pairs
 
 
@@ -221,74 +248,53 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+    jac._cached_inputs = [sh]  # see release()
     return jac
 
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF
-    (per-bit sign accumulation is awkward as 64 JVM aggregates; the
-    UDF is vectorized with numpy over whole Arrow batches).
+    """64-bit SimHash per document, fully JVM-side (no Python in the
+    hot path): explode whitespace tokens → ``xxhash64(token)`` → one
+    NULL-skipping ``sum`` aggregate per bit, then pack the 64 majority
+    bits back into one long.
 
-    Deterministic: token hash is a fixed 64-bit FNV-1a, so results are
-    reproducible across runs/partitions.
+    Same explode+aggregate shape as :func:`minhash_signatures` — the
+    shuffle carries 64 small longs + a count per document, map-side
+    partially aggregated, whole-stage codegen end to end. Token
+    *frequency* weights the vote (classic SimHash), so tokens are
+    exploded without dedup.
+
+    Bit ``i`` is set iff tokens with bit ``i`` = 1 outnumber those with
+    0, i.e. ``2 * sum(bit_i) > n_tokens``; ties round down (matches the
+    previous ``votes > 0`` rule). Documents with no tokens (empty/null
+    text) get signature 0, kept via ``explode_outer``.
+
+    Deterministic: xxhash64 with a fixed seed is stable across
+    runs/partitions/engines.
     """
-    def batch(iterator):
-        shifts = np.arange(64, dtype=np.uint64)
-        # token → ±1 bit-vector, computed once per DISTINCT token: the
-        # FNV hash is the only scalar Python left; everything else is
-        # numpy over the whole Arrow batch.
-        memo: dict[str, np.ndarray] = {}
-
-        for pdf in iterator:
-            docs = pdf[id_col].to_numpy()
-            token_lists = (
-                pd.Series(pdf[text_col].to_numpy())
-                .fillna("")
-                .astype(str)
-                .str.lower()
-                .str.split()
-            )
-            lengths = token_lists.str.len().to_numpy()
-            votes = np.zeros((len(docs), 64), dtype=np.int64)
-            if lengths.sum() > 0:
-                flat = np.concatenate(
-                    [np.asarray(t, dtype=object) for t in token_lists]
-                )
-                doc_idx = np.repeat(np.arange(len(docs)), lengths)
-                uniq, inverse = np.unique(flat, return_inverse=True)
-                for tok in uniq:
-                    if tok not in memo:
-                        h = np.uint64(_fnv1a64(tok))
-                        memo[tok] = (
-                            2 * ((h >> shifts) & np.uint64(1)).astype(np.int64) - 1
-                        )
-                bits_u = np.stack([memo[t] for t in uniq])
-                np.add.at(votes, doc_idx, bits_u[inverse])
-            packed = (
-                ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
-            ).astype(np.uint64)
-            packed[lengths == 0] = np.uint64(0)
-            yield pd.DataFrame(
-                {"doc": docs, "simhash": packed.view(np.int64)}
-            )
-
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, _SIMHASH_SCHEMA)
-
-
-def _fnv1a64(token: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in token.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    # Pre-project the hash once: 64 aggregates referencing a shared
+    # column, not 64 re-inlined xxhash64(w) children.
+    valid = F.col("w").isNotNull() & (F.col("w") != "")
+    hashed = toks.select(
+        "doc",
+        F.when(valid, F.xxhash64("w")).alias("h"),
+    )
+    bit = lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    sigs = hashed.groupBy("doc").agg(
+        F.count("h").alias("_n"),  # count(col): NULL (empty-token) rows don't vote
+        *[F.sum(bit(i)).alias(f"_s{i}") for i in range(64)],
+    )
+    packed = None
+    for i in range(64):
+        # coalesce: a no-token doc has NULL sums — its bits are all 0
+        s = F.coalesce(F.col(f"_s{i}"), F.lit(0))
+        term = F.shiftleft((s * 2 > F.col("_n")).cast("long"), i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return sigs.select("doc", packed.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -317,16 +323,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         ).alias("chunk"),
     ).select("doc", "simhash", "chunk.band", "chunk.key")
     # tiny (doc, 64-bit sig, band keys) frame; cache it so the
-    # self-join below doesn't run the simhash UDF once per side
+    # self-join below doesn't run the explode+64-agg pipeline per side
     chunks = chunks.cache()
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "key"])
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming is pair-determined, so filtering before the distinct
+        # is identical — and shrinks the dedup shuffle to matches only
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    out._cached_inputs = [chunks]  # see release()
+    return out

@@ -27,7 +27,8 @@ SaltedAgg = tuple[str, str, str]
 
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # count(col) — NULL-skipping, matching SQL count(value) semantics
+    "count": lambda c: F.count(F.col(c)),
     "min": F.min,
     "max": F.max,
 }

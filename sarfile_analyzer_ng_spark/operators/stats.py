@@ -64,6 +64,9 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
 
     w_rank = Window.partitionBy(*by).orderBy(F.col(value_col))
     w_all = Window.partitionBy(*by)
+    # quantile_cont ignores NULLs; drop them before ranking so _rn/_n
+    # cover only real values (nulls would sort first and shift ranks).
+    df = df.where(F.col(value_col).isNotNull())
     ranked = df.select(*by, value_col).withColumn(
         "_rn", F.row_number().over(w_rank)
     ).withColumn("_n", F.count(F.lit(1)).over(w_all))

@@ -292,8 +292,13 @@ def read_sar(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(cols, columns=field_names)
 
     # One file per partition: a 4 GB executor shouldn't hold many whole
-    # sar reports at once, and per-file tasks give linear fan-out.
-    raw = raw.repartition("file")
+    # sar reports at once, and per-file tasks give linear fan-out. The
+    # partition count must track the file count — hashing into only
+    # spark.sql.shuffle.partitions would pack many files (gigabytes of
+    # raw bytes) into one partition/Arrow batch when the corpus is big.
+    # The count job is column-pruned (file names only, content unread).
+    n_files = raw.select("file").count()
+    raw = raw.repartition(max(int(n_files), 1), "file")
     return raw.mapInPandas(parse_batches, SAR_SCHEMA)
 
 

@@ -42,7 +42,17 @@ def test_simhash_near_pairs(spark):
     found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
     assert found[(1, 4)] == 0
     assert found[(1, 2)] <= 7  # measured hamming(1,2) == 6
-    assert (1, 3) not in found  # hamming(1,3) == 28
+    assert (1, 3) not in found  # hamming(1,3) == 35
+    D.release(pairs)
+
+
+def test_simhash_empty_docs_get_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    sigs = {r["doc"]: r["simhash"] for r in D.simhash(df, "text", "doc_id").collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[2] == 0 and sigs[3] == 0 and sigs[1] != 0
 
 
 def test_ngram_jaccard_exact_values(spark):
