@@ -37,29 +37,48 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
-                     threshold: float, round_to: int = 4) -> DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup.
+                     threshold: float, round_to: int = 4,
+                     rows_per_block: int = 4096) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup,
+    as a distributed block-matrix self-join (nothing ever collects to
+    the driver).
 
-    Vectorized brute force: the (id, normalized-vector) matrix is
-    broadcast to every executor once, and each Arrow batch of the
-    corpus computes one float64 matmul against it (`mapInPandas`), so
-    the O(n²) similarity work runs in BLAS instead of per-pair
-    expression interpretation. Sound while the *matrix* (n×dim
-    doubles) fits an executor — beyond that, route through
-    :func:`lsh_buckets` for candidates and re-rank inside buckets.
+    Rows are hashed into ``B = ceil(n / rows_per_block)`` blocks; every
+    unordered block pair (i ≤ j) becomes one task whose input is the
+    two blocks' vectors (≤ 2·rows_per_block × dim float64 — bounded
+    executor memory at any corpus size), and the O(n²) similarity work
+    runs as one BLAS matmul per block pair inside ``applyInPandas``.
+    Each vector is shuffled B+1 times — the inherent cost of exact
+    all-pairs; at real scale run :func:`lsh_buckets`/IVF first and use
+    this only inside candidate buckets.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = emb.sparkSession
-    pdf = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).toPandas()
-    pdf = pdf.sort_values("vid").reset_index(drop=True)
-    ids = pdf["vid"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n = emb.count()  # scalar aggregate, not a collect
+    num_blocks = max(1, -(-n // rows_per_block))
+
+    src = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
+    )
+    # Replicate each row to every block pair it belongs to: block i
+    # plays the LEFT role for pairs (i, j≥i) and the RIGHT role for
+    # pairs (i′≤i, i). The pair key becomes the shuffle key.
+    left = src.select(
+        "vid", "vec",
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence("blk", F.lit(num_blocks - 1))).alias("pj"),
+        F.lit(0).alias("side"),
+    )
+    right = src.select(
+        "vid", "vec",
+        F.explode(F.sequence(F.lit(0), "blk")).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
 
     out_schema = T.StructType(
         [
@@ -69,28 +88,35 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
         ]
     )
 
-    def batches(iterator):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for batch in iterator:
-            rows_ids = batch["vid"].to_numpy()
-            rows = np.array([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
-            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
-            sims = rows @ all_mat.T
-            # round exactly like util.rnd: 8 digits then round_to
-            sims = np.round(np.round(sims, 8), round_to)
-            keep_r, keep_c = np.where(sims >= threshold)
-            mask = rows_ids[keep_r] < all_ids[keep_c]
-            keep_r, keep_c = keep_r[mask], keep_c[mask]
-            yield pd.DataFrame(
-                {
-                    "id_a": rows_ids[keep_r],
-                    "id_b": all_ids[keep_c],
-                    "cosine": sims[keep_r, keep_c],
-                }
-            )
+    def block_pair(key, pdf):
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_l, ids_r = l["vid"].to_numpy(), r["vid"].to_numpy()
+        ml = np.array([np.asarray(v, dtype=np.float64) for v in l["vec"]])
+        mr = np.array([np.asarray(v, dtype=np.float64) for v in r["vec"]])
+        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        sims = ml @ mr.T
+        # round exactly like util.rnd: 8 digits then round_to
+        sims = np.round(np.round(sims, 8), round_to)
+        kr, kc = np.where(sims >= threshold)
+        a, b = ids_l[kr], ids_r[kc]
+        # orient a<b; the diagonal pair (i,i) sees each unordered pair
+        # twice (x,y)/(y,x) and self-pairs once — a<b keeps one copy
+        # and drops selfs; off-diagonal pairs appear in exactly one
+        # block pair, so no cross-task duplicates exist.
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo < hi
+        out = pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": sims[kr, kc][keep]}
+        )
+        if key[0] == key[1]:
+            out = out.drop_duplicates(["id_a", "id_b"])
+        return out
 
-    src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    return src.mapInPandas(batches, out_schema)
+    return both.groupBy("pi", "pj").applyInPandas(block_pair, out_schema)
 
 
 def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str,

@@ -74,6 +74,31 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_cosine_dup_pairs_blocked_matches_single_block(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    one = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           S.cosine_dup_pairs(emb, "vec_id", "embedding", 0.3,
+                              rows_per_block=10**9).collect()}
+    # tiny blocks force a real multi-block pair grid (B ≈ n/7)
+    many = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            S.cosine_dup_pairs(emb, "vec_id", "embedding", 0.3,
+                               rows_per_block=7).collect()}
+    assert one and many == one
+
+
+def test_cosine_dup_pairs_never_collects_to_driver(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas/collect in cosine_dup_pairs")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = S.cosine_dup_pairs(emb, "vec_id", "embedding", 0.3)
+    assert out.count() > 0  # count() is a scalar action, not a collect
+
+
 def test_ivf_recall_improves_with_nprobe(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") <= 5)
