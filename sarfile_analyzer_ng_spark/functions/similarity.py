@@ -178,7 +178,10 @@ def lsh_buckets(emb: DataFrame, id_col: str, vec_col: str, dim: int,
         F.when(dot(F.col(vec_col), _plane(i, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(num_planes)
     ]
-    return emb.withColumn("bucket", F.concat(*bits))
+    # num_planes=0 → one global bucket: degenerates to exact search,
+    # which is the oracle configuration for parity checks
+    bucket = F.concat(*bits) if bits else F.lit("")
+    return emb.withColumn("bucket", bucket)
 
 
 def ann_topk_lsh(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,

@@ -799,14 +799,17 @@ def q36_ann_lsh(spark, sf_dir):
 
 
 def q41_ann_ivf(spark, sf_dir):
-    """IVF ANN (L7 scale path, k-means lists): rows-only — the Lloyd
-    loop and Arrow-batched assignment have no SQL twin. nprobe=all
-    lists makes it exhaustive, so recall vs q35 is testable."""
+    """IVF ANN (L7 scale path, k-means lists), probing ALL lists:
+    exhaustive probing is exactly brute force, so the brute-force SQL
+    (SQL_Q35) is this query's oracle — the whole IVF path (Lloyd
+    training, list assignment, probe, in-list re-rank) is hash-checked
+    end to end. The sub-exhaustive configuration (nprobe < K) is the
+    production scale path, recall-tested in tests/test_scale_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
     centroids = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=1)
     return S.ann_topk_ivf(emb, queries_df, "vec_id", "embedding", ANN_K,
-                          centroids, nprobe=2)
+                          centroids, nprobe=8)
 
 
 def q37_lang_id(spark, sf_dir):
@@ -1067,6 +1070,109 @@ def q50_sketch_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# cross-check queries: oracle-checkable invariants for the hash-seeded
+# operators (q31/q32/q36/q50 stay rows-only as the primary demos; these
+# entries put their correctness into the driver's CORRECTNESS file)
+# --------------------------------------------------------------------
+
+
+def q51_minhash_twin_recall(spark, sf_dir):
+    """MinHash+LSH recall gate: every planted near-dup twin (doc,
+    doc+OFFSET) must be recovered at est_jaccard ≥ 0.5. The twin count
+    equals count(documents) — SQL-expressible — so banding recall is
+    driver-checked, not just pytest-checked."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id")
+    twins = pairs.where(
+        (F.col("est_jaccard") >= 0.5)
+        & (F.col("doc_b") == F.col("doc_a") + PLANT_OFFSET)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+        twins.select(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        "n_expected", "n_found",
+        (F.col("n_expected") - F.col("n_found")).alias("n_missing"),
+    )
+
+
+SQL_Q51 = """
+SELECT count(*)::BIGINT AS n_expected, count(*)::BIGINT AS n_found,
+       0::BIGINT AS n_missing
+FROM documents
+"""
+
+
+def q52_simhash_twin_recall(spark, sf_dir):
+    """SimHash recall gate: exact-duplicate twins have identical
+    signatures, so banding MUST pair them (all chunks equal) — a
+    deterministic guarantee, checked against count(documents)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
+    corpus = docs.unionByName(twins)
+    pairs = D.simhash_near_pairs(corpus, "text", "doc_id", max_hamming=0)
+    found = pairs.where(F.col("doc_b") == F.col("doc_a") + PLANT_OFFSET)
+    return docs.select(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+        found.select(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        "n_expected", "n_found",
+        (F.col("n_expected") - F.col("n_found")).alias("n_missing"),
+    )
+
+
+SQL_Q52 = SQL_Q51
+
+
+def q53_lsh_exact_parity(spark, sf_dir):
+    """LSH ANN in its degenerate one-bucket configuration (num_planes=0)
+    — bucketing, bucket join, scoring, and ranking all execute, and the
+    result must equal exact brute force, so SQL_Q35 is the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.ann_topk_lsh(emb, queries_df, "vec_id", "embedding", dim=64,
+                          k=ANN_K, num_planes=0)
+
+
+def q54_sketch_bounds(spark, sf_dir):
+    """Sketch error-bound gate: exact distinct count is oracle-checked
+    directly; the HLL estimate and approximate median must sit within
+    documented error bounds (booleans the oracle expects true)."""
+    from .operators import sketches as SKC
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact_distinct"),
+    )
+    med = (
+        ST.percentiles(ev, "value", ["event_type"], probs=(0.5,))
+        .select("event_type", F.col("p50").alias("exact_p50"))
+    )
+    approx = SKC.approx_distinct(ev, "user_id", ["event_type"])
+    aq = SKC.approx_percentiles(ev, "value", ["event_type"], probs=(0.5,))
+    joined = exact.join(med, "event_type").join(approx, "event_type").join(aq, "event_type")
+    hll_col = [c for c in approx.columns if c != "event_type"][0]
+    ap50_col = [c for c in aq.columns if c != "event_type"][0]
+    return joined.select(
+        "event_type", "n_exact_distinct",
+        (
+            F.abs(F.col(hll_col) - F.col("n_exact_distinct"))
+            <= 0.15 * F.col("n_exact_distinct")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col(ap50_col) - F.col("exact_p50"))
+            <= 0.10 * F.abs(F.col("exact_p50"))
+        ).alias("p50_ok"),
+    )
+
+
+SQL_Q54 = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact_distinct,
+       true AS hll_ok, true AS p50_ok
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -1106,7 +1212,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q36_ann_lsh": (q36_ann_lsh, None),
-    "q41_ann_ivf": (q41_ann_ivf, None),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
@@ -1120,6 +1226,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
     "q50_sketch_stats": (q50_sketch_stats, None),
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
 }
 
 
