@@ -23,42 +23,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import metadata as MD
 from .operators import stats as ST
 from .operators import timeseries as TS
 from .sources.sar_text import section_wide
 from .util import rnd
 
-# Aliases for common sar sections (public sysstat vocabulary) — the
-# reference keeps these in a sqlite headings table
-# (sqlite2_polars.py:237 get_header_from_alias); here they're a
-# broadcast-joinable mapping keyed by a section's first metric.
-SECTION_ALIASES = {
-    "%usr": "CPU",
-    "%user": "CPU",
-    "proc/s": "Tasks created and context switches",
-    "cswch/s": "Tasks created and context switches",
-    "pswpin/s": "Swap pages",
-    "pgpgin/s": "Paging",
-    "tps": "I/O and transfer rate",
-    "kbmemfree": "Memory utilization",
-    "kbswpfree": "Swap utilization",
-    "kbhugfree": "Hugepages utilization",
-    "dentunusd": "Kernel tables",
-    "runq-sz": "Load",
-    "rxpck/s": "Network",
-    "rxerr/s": "Network errors",
-    "call/s": "NFS client",
-    "scall/s": "NFS server",
-    "totsck": "Sockets",
-    "MBfsfree": "Filesystems",
-    "rcvin/s": "Serial lines",
-    "total/s": "Software-based network processing",
-}
-
 
 def alias_of(section: str) -> str:
-    first = section.split()[0] if section else ""
-    return SECTION_ALIASES.get(first, section)
+    """Human-readable alias for a sar header — full bidirectional table
+    in metadata.py (reference keeps it in sqlite:
+    sqlite2_polars.py:168/:186, helpers_pl.py:62 translate_headers).
+    Exact (whitespace-normalized) lookup first, then fuzzy word-overlap
+    for cross-sysstat-version header drift; unknown headers map to
+    themselves."""
+    exact = MD.header_to_alias(section)
+    if exact:
+        return exact
+    want = set(section.split())
+    best, best_n = None, 0
+    for header, alias, _, _ in MD._headings_rows():
+        n = len(want & set(header.split()))
+        if n > best_n:
+            best, best_n = alias, n
+    return best if best_n > 0 else section
+
+
+def header_of(alias: str, observed_headers: list[str]) -> str:
+    """Reverse lookup: alias → the observed header it names (reference
+    helpers_pl.py:81 translate_aliases + :100 aliases_2_header)."""
+    return MD.translate_aliases([alias], observed_headers)[alias]
 
 
 def list_files(df: DataFrame) -> DataFrame:
@@ -86,13 +80,18 @@ def file_info(df: DataFrame, file: str) -> DataFrame:
 
 
 def header_details(df: DataFrame, file: str, section: str) -> DataFrame:
-    """Metrics + devices of one section — api/services.py:219."""
+    """Metrics + devices of one section, each with its man-page
+    description — api/services.py:219 (descriptions via
+    helpers_pl.py:143 get_metric_desc_from_manpage; here a broadcast
+    dim built from the same public sysstat man page)."""
     sect = df.where((F.col("file") == file) & (F.col("section") == section))
-    return sect.groupBy("metric").agg(
+    stats = sect.groupBy("metric").agg(
         F.countDistinct("device").alias("n_devices"),
         F.count(F.lit(1)).alias("n_values"),
         rnd(F.avg("value"), 4).alias("mean"),
     )
+    dim = MD.metric_descriptions_df(df.sparkSession)
+    return stats.join(F.broadcast(dim), on="metric", how="left")
 
 
 def get_table(df: DataFrame, file: str, section: str, start=None, end=None,

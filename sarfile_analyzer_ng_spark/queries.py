@@ -1172,6 +1172,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q55_header_alias_roundtrip(spark, sf_dir):
+    """Bidirectional header↔alias dimension integrity (reference keeps
+    this in sqlite: sqlite2_polars.py:168/:186, helpers_pl.py:62-116):
+    forward direction explodes each header's metrics and counts
+    man-page-description coverage; reverse direction recovers each
+    alias's canonical header. DuckDB reads the same checked-in TSVs."""
+    from . import metadata as MD
+
+    h = MD.headings_df(spark).select("alias", "header")
+    m = MD.metric_descriptions_df(spark).select("metric", F.lit(1).alias("_has"))
+    exploded = h.select(
+        "alias", "header", F.explode(F.split("header", " ")).alias("metric")
+    )
+    cov = (
+        exploded.join(F.broadcast(m), "metric", "left")
+        .groupBy("alias", "header")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_metrics"),
+            F.sum(F.coalesce(F.col("_has"), F.lit(0))).cast("bigint").alias("n_described"),
+        )
+    )
+    canon = h.groupBy("alias").agg(F.min("header").alias("canonical_header"))
+    return cov.join(F.broadcast(canon), "alias")
+
+
+_DATA_DIR = "/root/repo/sarfile_analyzer_ng_spark/data"
+
+SQL_Q55 = f"""
+WITH h AS (
+  SELECT header, alias
+  FROM read_csv('{_DATA_DIR}/headings.tsv', delim='\t', header=true,
+                quote='', all_varchar=true)),
+m AS (
+  SELECT metric
+  FROM read_csv('{_DATA_DIR}/metric_descriptions.tsv', delim='\t',
+                header=true, quote='', all_varchar=true)),
+e AS (SELECT alias, header, unnest(string_split(header, ' ')) AS metric FROM h),
+cov AS (
+  SELECT alias, header, count(*)::BIGINT AS n_metrics,
+         sum(CASE WHEN metric IN (SELECT metric FROM m)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_described
+  FROM e GROUP BY alias, header),
+canon AS (SELECT alias, min(header) AS canonical_header FROM h GROUP BY alias)
+SELECT cov.alias, cov.header, cov.n_metrics, cov.n_described,
+       canon.canonical_header
+FROM cov JOIN canon USING (alias)
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1230,6 +1279,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
 }
 
 

@@ -77,6 +77,38 @@ def test_alias_lookup():
     assert A.alias_of("%user %system %idle") == "CPU"
     assert A.alias_of("kbmemfree kbavail kbmemused %memused") == "Memory utilization"
     assert A.alias_of("weird metric") == "weird metric"
+    # exact full-header lookup (no fuzz needed)
+    assert A.alias_of("tps rkB/s wkB/s areq-sz aqu-sz await svctm %util") == "Block Devices"
+
+
+def test_header_of_reverse_lookup():
+    observed = ["%user %system %idle", "rxpck/s txpck/s rxkB/s txkB/s"]
+    # alias resolves to the OBSERVED header variant, not the canonical one
+    assert A.header_of("CPU", observed) == "%user %system %idle"
+    assert A.header_of("IFACE", observed) == "rxpck/s txpck/s rxkB/s txkB/s"
+    # unknown alias falls through to itself (reference behavior)
+    assert A.header_of("No such alias", observed) == "No such alias"
+
+
+def test_header_details_have_manpage_descriptions(sar_df):
+    f = file_of(sar_df, "sa1")
+    det = {r["metric"]: r["description"] for r in
+           A.header_details(sar_df, f, "%user %system %idle").collect()}
+    assert "user level" in det["%user"]
+    assert "system level" in det["%system"] or "kernel" in det["%system"]
+
+
+def test_metric_descriptions_cover_core_sections():
+    from sarfile_analyzer_ng_spark import metadata as MD
+
+    for metric, needle in [
+        ("%user", "user level"),          # CPU
+        ("kbmemfree", "free memory"),     # memory
+        ("rxpck/s", "packets received"),  # network
+        ("tps", "transfers per second"),  # disk
+    ]:
+        desc = MD.metric_description(metric)
+        assert desc and needle in desc.lower(), metric
 
 
 def test_export_stats_csv(spark, sar_df, tmp_path):
