@@ -1,0 +1,219 @@
+"""File-management catalog over a parquet store — the engine-side
+equivalents of the reference's upload/delete/ops services
+(sarfile_analyzer_ng api/services.py:94 ``upload_sar_file``, :159
+``delete_sar_file``, :379 ``disk_usage_report``, :524
+``cleanup_old_files``; rename flow from code/mng_sar.py).
+
+Layout: ``<root>/<user>/<name>`` (raw upload) +
+``<root>/<user>/<name>.parquet`` (the parsed long frame, written once
+at upload — every later query reads the columnar form). The parquet is
+partitioned by section so per-section queries prune at the directory
+level; at 100 TB the same layout holds with a date partition added.
+
+Driver-side ``os.walk`` here touches only filesystem *metadata* (names,
+sizes, mtimes) — never data rows; usage reports come back as
+DataFrames so they compose with the rest of the engine.
+"""
+
+from __future__ import annotations
+
+import lzma
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.sadf_json import read_sadf_json
+from .sources.sar_text import XZ_MAGIC, read_sar
+
+
+class StoreError(ValueError):
+    """User-facing store failure (bad upload, missing file, ...)."""
+
+
+class SarStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _user_dir(self, user: str) -> Path:
+        if not user or "/" in user or user.startswith("."):
+            raise StoreError(f"invalid user {user!r}")
+        d = self.root / user
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _check_name(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise StoreError(f"invalid file name {name!r}")
+        return name
+
+    # -- upload --------------------------------------------------------
+    def upload(self, user: str, filename: str, content: bytes) -> dict:
+        """Preprocess (xz → plain, sadf JSON → long frame, ASCII sar →
+        long frame), rename to ``<host>_<date>`` (reference
+        mng_sar rename flow), store raw + parquet eagerly.
+
+        Binary ``sa`` datafiles would need the sysstat ``sar`` binary
+        to convert (reference shells out to ``sar -A``); without it the
+        upload is rejected with a clear error rather than guessed at.
+        """
+        self._check_name(filename)
+        warnings: list[str] = []
+        if content[: len(XZ_MAGIC)] == XZ_MAGIC:
+            try:
+                content = lzma.decompress(content)
+            except lzma.LZMAError as exc:
+                raise StoreError(f"{filename}: bad xz archive: {exc}")
+            if filename.endswith(".xz"):
+                filename = filename[: -len(".xz")]
+            warnings.append(f"{filename}: xz archive unpacked")
+
+        is_json = content.lstrip()[:1] == b"{"
+        if not is_json:
+            try:
+                content.decode("utf-8")
+            except UnicodeDecodeError:
+                if shutil.which("sar"):
+                    raise StoreError(
+                        f"{filename}: binary SAR datafile conversion not wired up"
+                    )
+                raise StoreError(
+                    f"{filename}: binary SAR datafile and no sysstat 'sar' "
+                    "binary available to convert it"
+                )
+
+        # Parse through the same distributed readers every other query
+        # uses (sources.sar_text / sources.sadf_json) via a staging dir;
+        # everything consuming the lazy frame stays inside the staging
+        # context.
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            (Path(tmp) / filename).write_bytes(content)
+            if is_json:
+                df = read_sadf_json(self.spark, tmp)
+                warnings.append(f"{filename}: sadf JSON converted")
+            else:
+                df = read_sar(self.spark, tmp)
+
+            # rename to host_YYYY-MM-DD from the parsed content, like
+            # the reference's rename_sar_file — one tiny aggregate, no
+            # collect of data rows
+            head = df.agg(
+                F.min_by("host", "ts").alias("host"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+            ).first()
+            if head["host"] is None:
+                raise StoreError(f"{filename}: no sar samples found")
+            name = f"{head['host']}_{head['day']}"
+            d = self._user_dir(user)
+            if (d / f"{name}.parquet").exists():
+                warnings.append(f"{name}: existing parquet was overwritten")
+
+            (d / name).write_bytes(content)
+            # fix the file column to the stored name, partition by
+            # section so per-section reads prune at directory level
+            out = df.withColumn("file", F.lit(name))
+            out.write.mode("overwrite").partitionBy("section").parquet(
+                str(d / f"{name}.parquet")
+            )
+        n_rows = self.load(user, name).count()
+        n_sections = self.load(user, name).select("section").distinct().count()
+        return {
+            "name": name,
+            "rows": n_rows,
+            "headers": n_sections,
+            "warnings": warnings,
+        }
+
+    # -- read ----------------------------------------------------------
+    def load(self, user: str, name: str) -> DataFrame:
+        p = self._user_dir(user) / f"{self._check_name(name)}.parquet"
+        if not p.exists():
+            raise StoreError(f"file {name} not found")
+        return self.spark.read.parquet(str(p))
+
+    def list_files(self, user: str | None = None) -> DataFrame:
+        """(user, name, raw_bytes, parquet_bytes, age_days) per stored
+        file — filesystem metadata only."""
+        rows = []
+        now = time.time()
+        users = [user] if user else sorted(
+            e.name for e in self.root.iterdir() if e.is_dir()
+        )
+        for u in users:
+            d = self.root / u
+            if not d.is_dir():
+                continue
+            for pq in sorted(d.glob("*.parquet")):
+                name = pq.name[: -len(".parquet")]
+                raw = d / name
+                pq_bytes = sum(
+                    f.stat().st_size for f in pq.rglob("*") if f.is_file()
+                )
+                rows.append((
+                    u, name,
+                    raw.stat().st_size if raw.exists() else 0,
+                    pq_bytes,
+                    (now - pq.stat().st_mtime) / 86400.0,
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "user string, name string, raw_bytes long, parquet_bytes long, age_days double",
+        )
+
+    def disk_usage_report(self) -> DataFrame:
+        """Per-user totals, largest consumers first (services.py:379)."""
+        files = self.list_files()
+        return (
+            files.groupBy("user")
+            .agg(
+                (F.sum("raw_bytes") + F.sum("parquet_bytes")).alias("total_bytes"),
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("raw_bytes").alias("sar_bytes"),
+                F.sum("parquet_bytes").alias("parquet_bytes"),
+            )
+            .orderBy(F.col("total_bytes").desc())
+        )
+
+    # -- delete / cleanup ---------------------------------------------
+    def delete(self, user: str, name: str) -> None:
+        d = self._user_dir(user)
+        name = self._check_name(name)
+        removed = False
+        raw = d / name
+        if raw.exists():
+            raw.unlink()
+            removed = True
+        pq = d / f"{name}.parquet"
+        if pq.exists():
+            shutil.rmtree(pq)
+            removed = True
+        if not removed:
+            raise StoreError(f"file {name} not found")
+
+    def cleanup_old_files(self, days: int = 30, user: str | None = None,
+                          dry_run: bool = True) -> dict:
+        """Delete stored files older than ``days`` (mtime-based age);
+        ``dry_run`` returns the identical report without touching
+        anything (services.py:524)."""
+        old = [
+            (r["user"], r["name"], r["raw_bytes"] + r["parquet_bytes"])
+            for r in self.list_files(user)
+                .where(F.col("age_days") > days).collect()
+        ]
+        deleted_bytes = sum(b for _, _, b in old)
+        if not dry_run:
+            for u, name, _ in old:
+                self.delete(u, name)
+        return {
+            "dry_run": dry_run,
+            "deleted_files": len(old),
+            "deleted_bytes": deleted_bytes,
+            "files": [{"user": u, "name": n} for u, n, _ in old],
+        }
