@@ -311,14 +311,22 @@ def sections(df: DataFrame) -> DataFrame:
     )
 
 
-def section_wide(df: DataFrame, section: str) -> DataFrame:
+def section_wide(df: DataFrame, section: str,
+                 metrics: list[str] | None = None) -> DataFrame:
     """One sar section pivoted to one column per metric — the engine
-    form of pl_helpers2.py:178 ``create_metrics_df``. The pivot value
-    list comes from a tiny distinct over the (filtered, pruned) long
-    frame, so no full-corpus job is triggered."""
+    form of pl_helpers2.py:178 ``create_metrics_df``.
+
+    Passing ``metrics`` (a known vocabulary — for sar-text frames the
+    section name's own tokens, or the headings dim in metadata.py)
+    skips the seed job entirely; the default derives the pivot value
+    list with a tiny distinct over the filtered long frame, which is
+    correct for every source (sadf-JSON sections are named by JSON key,
+    not by header line, so their vocabulary can't come from the name)."""
     sect = df.where(F.col("section") == section)
-    metrics = [r["metric"] for r in sect.select("metric").distinct().collect()]
-    metrics.sort()
+    if metrics is None:
+        metrics = sorted(
+            r["metric"] for r in sect.select("metric").distinct().collect()
+        )
     return (
         sect.groupBy("file", "host", "ts", "device")
         .pivot("metric", metrics)

@@ -104,3 +104,35 @@ def test_distributed_read(spark, tmp_path):
     assert df.select("file").distinct().count() == 2
     sect = {r["section"] for r in sections(df).collect()}
     assert "%user %system %idle" in sect and "LINUX RESTART" in sect
+
+
+def test_section_wide_explicit_metrics_skips_seed_job(spark, tmp_path):
+    (tmp_path / "sa1.txt").write_text(SAR_24H)
+    from sarfile_analyzer_ng_spark.sources.sar_text import read_sar, section_wide
+
+    df = read_sar(spark, str(tmp_path)).cache()
+    df.count()
+    section = "%user %system %idle"
+    sc = spark.sparkContext
+
+    sc.setJobGroup("seeded", "explicit metric list")
+    try:
+        wide = section_wide(df, section, metrics=sorted(section.split()))
+    finally:
+        sc.setJobGroup(None, None)
+    # plan construction with an explicit vocabulary runs ZERO jobs
+    assert sc.statusTracker().getJobIdsForGroup("seeded") == []
+
+    sc.setJobGroup("unseeded", "derived metric list")
+    try:
+        section_wide(df, section)
+    finally:
+        sc.setJobGroup(None, None)
+    # the default runs the distinct seed job at plan-construction time
+    assert len(sc.statusTracker().getJobIdsForGroup("unseeded")) >= 1
+
+    # and the seeded plan computes the same wide table
+    rows = wide.orderBy("ts").collect()
+    assert [c for c in wide.columns if c.startswith("%")] == ["%idle", "%system", "%user"]
+    assert rows and rows[0]["%user"] is not None
+    df.unpersist()

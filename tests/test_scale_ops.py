@@ -74,6 +74,81 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def _skewed_lineitem(spark):
+    """lineitem with a planted hot orderkey: half of all rows collapse
+    onto key 1 — the one-reducer-pins-the-stage shape."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linenumber"
+    )
+    return li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+
+
+def test_salted_join_matches_direct_under_planted_skew(spark):
+    li = _skewed_lineitem(spark)
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    agg = lambda df: {
+        r["l_orderkey"]: (r["n"], round(r["s"], 2))
+        for r in df.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    direct = agg(li.join(o, on="l_orderkey"))
+    salted = agg(SK.replicated_salt_join(li, o, ["l_orderkey"]))
+    assert salted == direct
+    assert direct[1][0] > len(direct)  # the hot key really dominates
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    # sf0.01 so the hot partition's compressed shuffle bytes clear the
+    # (already tiny) skew threshold. The repartition(16) matters: AQE
+    # splits a skewed reduce partition BETWEEN map outputs, so a
+    # single-mapper input (one small parquet file) can never be split —
+    # at real scale scans produce thousands of mappers and this is moot.
+    li = (
+        load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+        .withColumn(
+            "l_orderkey",
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey")),
+        )
+        .repartition(16)
+    )
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    confs = {
+        # force the sort-merge path (at real scale orders doesn't broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # thresholds small enough that the planted key trips the splitter
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = li.join(o, on="l_orderkey")
+        got = len(joined.collect())  # collect() finalizes THIS plan's AQE
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the planted skew"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    expected = li.join(o, on="l_orderkey").count()
+    assert got == expected
+
+
 def test_cosine_dup_pairs_blocked_matches_single_block(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     one = {(r["id_a"], r["id_b"]): r["cosine"] for r in

@@ -77,3 +77,59 @@ def test_sessionize_stream_counts(spark, events_dir):
                 got.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()}
     b_events = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert g_events == b_events
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop a windowed-agg stream between batches, resume from the same
+    checkpoint with new data, and resume once more with NO new data:
+    output must equal the batch computation over closed windows, with
+    no duplicates from recovery replay."""
+    import datetime
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    ev.where(F.col("ts") <= cut).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def drain():
+        stream = SO.stream_events(spark, in_dir, schema)
+        agg = SO.windowed_agg(
+            stream, "ts", "1 hour", "1 second", ["event_type"],
+            [F.count(F.lit(1)).alias("cnt")],
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()                                   # phase 1: first half
+    n_phase1 = spark.read.parquet(out_dir).count()
+    ev.where(F.col("ts") > cut).write.mode("append").parquet(in_dir)
+    drain()                                   # phase 2: resume + rest
+    drain()                                   # phase 3: recovery, no new data
+
+    got = {(str(r["bucket"]), r["event_type"]): r["cnt"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == spark.read.parquet(out_dir).count()  # no duplicate rows
+    assert n_phase1 < len(got)  # phase 1 emitted some but not all windows
+
+    # batch twin over CLOSED windows (watermark = max ts - 1s)
+    watermark = hi - datetime.timedelta(seconds=1)
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("bucket") + F.expr("INTERVAL 1 HOUR") <= F.lit(watermark))
+    )
+    expected = {(str(r["bucket"]), r["event_type"]): r["cnt"]
+                for r in batch.collect()}
+    assert got == expected
