@@ -35,11 +35,12 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for _ in range(reps):
+    for rep in range(reps):
         for key, (fn, _) in REGISTRY.items():
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - start, 3)
+            print(f"[bench] rep{rep} {key} {elapsed}s", file=sys.stderr)
             # min over reps: single-shot numbers on a 32-thread local
             # JVM swing ±50% from JIT/python-worker warm-up and GC; the
             # min is the reproducible cost of the plan itself

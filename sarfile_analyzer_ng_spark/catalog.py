@@ -73,8 +73,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set(key, "true")
     try:
         df = spark.read.parquet(path)
+        # pyarrow reports INT96 timestamps as ns too, but Spark reads
+        # those as timestamps directly — only columns that actually
+        # surface as longs went through the legacy-nanos path.
+        long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
         for c in nanos:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            if c in long_cols:
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         # Force analysis while the conf is set so the scan is resolved
         # against the legacy read path before we restore the conf.
         df.schema

@@ -41,3 +41,18 @@ def test_partitioned_write_prunes(spark, tmp_path):
         one_day._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters: []" not in text
+
+
+def test_load_table_roundtrips_spark_written_timestamps(spark, tmp_path):
+    """gen_sf.py-style rewrites store events.ts as a plain Spark
+    timestamp; load_table must not re-apply the nanos-long conversion
+    (pyarrow reports Spark's INT96/micros as ns too)."""
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "copy")
+    for t in ("events", "nation"):
+        load_table(spark, SF_DIR, t).write.parquet(f"{out}/{t}.parquet")
+    back = load_table(spark, out, "events")
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    a = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
+    b = back.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
+    assert a == b
