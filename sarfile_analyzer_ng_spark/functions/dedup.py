@@ -252,6 +252,68 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jac
 
 
+def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """LSH-prefiltered exact Jaccard: the 100 TB composition.
+
+    :func:`ngram_jaccard_pairs` alone joins on shared shingles, which
+    is quadratic when the shingle vocabulary saturates (every shingle
+    hot). This runs MinHash banding first and computes exact Jaccard
+    only for candidate pairs, so the per-pair verify cost is
+    ``|candidates| × avg doc size`` — independent of how hot the
+    shingle space is:
+
+    band bucket self-join (bounded buckets) → candidate (a, b) pairs
+    → join each side to its per-doc sorted shingle-hash set (shuffles
+    on doc id, uniform) → ``array_intersect`` size per pair.
+
+    Misses only pairs LSH never buckets together: with the default
+    64/16 banding, P(miss) ≈ (1 − s⁴)¹⁶ — 0.5% at s = 0.73, < 1e-6 at
+    s ≥ 0.9. Deterministic (fixed-seed xxhash64), so results are
+    reproducible run-to-run on the same data. Same output schema as
+    :func:`ngram_jaccard_pairs`.
+    """
+    raw = minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes, bands)
+    cand = raw.select("doc_a", "doc_b").cache()
+    sh = (
+        shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+        .select("doc", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    # Per-doc shingle sets, restricted to docs that survived LSH; the
+    # arrays ride the pair join instead of re-exploding per shingle.
+    in_cand = cand.select(F.col("doc_a").alias("doc")).unionByName(
+        cand.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    sets = (
+        sh.join(in_cand, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("shs"),
+             F.count(F.lit(1)).alias("sz"))
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("_sa"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("_sb"),
+                     F.col("sz").alias("sz_b"))
+    out = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    out._cached_inputs = [cand, *getattr(raw, "_cached_inputs", ())]  # see release()
+    return out
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side (no Python in the
     hot path): explode whitespace tokens → ``xxhash64(token)`` → one

@@ -745,6 +745,21 @@ WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS D
 """
 
 
+def q56_lsh_jaccard(spark, sf_dir):
+    """LSH-prefiltered exact Jaccard (L4 scale path): MinHash banding
+    generates candidates, exact Jaccard verifies only those pairs.
+    This is the composition q33 documents for 100 TB — q33's shared-
+    shingle join is quadratic when the shingle vocabulary saturates
+    (measured 34x wall at 10x docs on the synthetic corpus), while
+    this stays near-linear. Same oracle as q33: banding recall at the
+    gate similarities (min jaccard 0.73, P(miss) <= 0.5%/pair,
+    deterministic fixed-seed hashes) reproduces the exact pair set —
+    verified equal at sf0.001 and sf0.01."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return D.lsh_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
+                               threshold=JACCARD_TAU)
+
+
 def q34_cosine_dup(spark, sf_dir):
     """Embedding cosine near-dup pairs (L5)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1258,6 +1273,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q36_ann_lsh": (q36_ann_lsh, None),

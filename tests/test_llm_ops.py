@@ -64,6 +64,22 @@ def test_ngram_jaccard_exact_values(spark):
     assert found[(1, 2)] == round(10 / 12, 4)
 
 
+
+def test_lsh_jaccard_matches_exact(spark):
+    """The LSH-prefiltered composition must reproduce the exact
+    jaccard pair set on the gate corpus (deterministic hashes; all
+    qualifying pairs sit well above the banding S-curve knee)."""
+    from sarfile_analyzer_ng_spark.queries import _planted_corpus, JACCARD_TAU
+    corpus = _planted_corpus(spark, "/root/testdata/sf0.001")
+    exact = D.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=JACCARD_TAU)
+    lsh = D.lsh_jaccard_pairs(corpus, "text", "doc_id", threshold=JACCARD_TAU)
+    a = {tuple(r) for r in exact.collect()}
+    b = {tuple(r) for r in lsh.collect()}
+    assert a == b and len(a) > 0
+    D.release(exact)
+    D.release(lsh)
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.where(F.col("vec_id") <= 5)
