@@ -54,6 +54,83 @@ def run_batch_equivalent(stream_out: DataFrame, query_name: str,
     return spark.table(query_name)
 
 
+def rate_stream(stream: DataFrame, ts_col: str, key_col: str,
+                value_col: str, round_to: int = 4) -> DataFrame:
+    """Streaming counter→rate conversion (ST4): the streaming twin of
+    ``operators.timeseries.delta_rate``, which needs ``lag`` — a window
+    Structured Streaming cannot express. ``applyInPandasWithState``
+    keeps one (last_ts, last_value) pair per series as explicit state:
+    each micro-batch sorts its rows, takes per-second deltas against
+    the carried state, and updates it, so rates are continuous across
+    batch boundaries and state is O(1) per series regardless of stream
+    length.
+
+    Matches the batch operator row-for-row on any prefix-ordered
+    replay: first sample of a series → null rate; non-positive time
+    delta → null rate (duplicate timestamps / clock steps). The raw
+    rate leaves the Python function unrounded; rounding happens
+    JVM-side through the same ``util.rnd`` the batch operator uses, so
+    the two agree exactly even on half-boundary values.
+    """
+    from ..util import rnd
+
+    out_schema = T.StructType([
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("raw_rate", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_s", T.LongType()),
+        T.StructField("last_val", T.DoubleType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        last_s, last_val = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            ts = pdf[ts_col]
+            if getattr(ts.dtype, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            secs = ts.astype("int64") // 1_000_000_000  # epoch seconds
+            vals = pdf[value_col].astype("float64")
+            prev_s = secs.shift(1).astype("float64")
+            prev_v = vals.shift(1)
+            if last_s is not None and len(pdf):
+                prev_s.iloc[0] = last_s
+                prev_v.iloc[0] = last_val
+            dt = secs - prev_s
+            rate = (vals - prev_v) / dt
+            rate[~(dt > 0)] = float("nan")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series": series,
+                        "ts": pdf[ts_col],
+                        "value": vals,
+                        "raw_rate": rate,
+                    }
+                )
+            )
+            if len(pdf):
+                last_s = int(secs.iloc[-1])
+                last_val = float(vals.iloc[-1])
+        if last_s is not None:
+            state.update((last_s, last_val))
+        yield from frames
+
+    out = stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out.select(
+        "series", "ts", "value", rnd(F.col("raw_rate"), round_to).alias("rate")
+    )
+
+
 def sessionize_stream(stream: DataFrame, ts_col: str, key_col: str,
                       gap_seconds: int, watermark: str) -> DataFrame:
     """Stateful gap-based sessionization (ST3) using the built-in

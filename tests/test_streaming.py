@@ -133,3 +133,63 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     expected = {(str(r["bucket"]), r["event_type"]): r["cnt"]
                 for r in batch.collect()}
     assert got == expected
+
+
+def test_rate_stream_matches_batch_delta_rate(spark, tmp_path):
+    """ST4: applyInPandasWithState counter->rate must equal the batch
+    lag-window operator row-for-row, with state carrying last (ts,
+    value) across micro-batch boundaries (one file per trigger)."""
+    import os
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    src = str(tmp_path / "rate_src")
+    os.makedirs(src)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        # one row per (series, ts): lag over duplicate timestamps has
+        # no deterministic order, so parity needs unique keys
+        .groupBy(F.col("event_type").alias("series"), "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")  # parquet TIMESTAMP, not NTZ
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = f"{src}/chunk{i}.parquet"
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(
+            path, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = SO.rate_stream(stream, "ts", "series", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rate_stream_test")
+    assert q.lastProgress is not None  # stream actually ran
+
+    batch = TS.delta_rate(
+        spark.read.parquet(src), "ts", "value", ["series"]
+    ).select("series", "ts", "value", "rate")
+    g = {(r["series"], str(r["ts"])): (r["value"], r["rate"]) for r in got.collect()}
+    b = {(r["series"], str(r["ts"])): (r["value"], r["rate"]) for r in batch.collect()}
+    assert len(g) == len(b) > 0
+    assert g == b
+    # state really carried across batches: at most one null rate per
+    # series (the true first sample), not one per micro-batch
+    nulls = got.where(F.col("rate").isNull()).groupBy("series").count().collect()
+    assert all(r["count"] == 1 for r in nulls)
