@@ -108,7 +108,8 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       shingle_n: int = 3, num_hashes: int = 64) -> DataFrame:
+                       shingle_n: int = 3, num_hashes: int = 64,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signatures as (doc, sig array<bigint>).
 
     Shape matters for scale: shingles are EXPLODED first, then each of
@@ -118,8 +119,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     re-evaluate — the whole shingle expression per hash), and the
     groupBy gets map-side partial mins, so the shuffle carries only
     64 longs per document regardless of document size.
+
+    Pass ``shingles`` (a (doc, shingle) frame from
+    :func:`shingle_rows`) to reuse an explode the caller already pays
+    for — the explode is the dominant stage, so compositions like
+    :func:`lsh_jaccard_pairs` halve their scan work by sharing it.
     """
-    exploded = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    exploded = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    )
     mins = exploded.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -150,7 +160,8 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_hashes: int = 64,
-                      bands: int = 16) -> DataFrame:
+                      bands: int = 16,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding with the
     estimated Jaccard from signature agreement.
 
@@ -161,7 +172,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     is for re-ranking candidates only.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes,
+                             shingles=shingles)
     banded = sig.select(
         "doc", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("band")
     )
@@ -274,13 +286,20 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     reproducible run-to-run on the same data. Same output schema as
     :func:`ngram_jaccard_pairs`.
     """
-    raw = minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes, bands)
-    cand = raw.select("doc_a", "doc_b").cache()
+    # One shingle explode feeds BOTH stages: the banding prefilter
+    # min-aggregates over it (min is dup-invariant, and
+    # xxhash64-of-hash is still a uniform hash family) and the verify
+    # pass collects it into per-doc sets (collect_set dedups, so no
+    # extra distinct shuffle is added anywhere). The explode dominates
+    # the scan cost; caching it pays it once.
     sh = (
         shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
         .select("doc", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+        .cache()
     )
+    raw = minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes, bands,
+                            shingles=sh)
+    cand = raw.select("doc_a", "doc_b").cache()
     # Per-doc shingle sets, restricted to docs that survived LSH; the
     # arrays ride the pair join instead of re-exploding per shingle.
     in_cand = cand.select(F.col("doc_a").alias("doc")).unionByName(
@@ -289,8 +308,8 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sets = (
         sh.join(in_cand, "doc", "left_semi")
         .groupBy("doc")
-        .agg(F.sort_array(F.collect_set("shingle")).alias("shs"),
-             F.count(F.lit(1)).alias("sz"))
+        .agg(F.sort_array(F.collect_set("shingle")).alias("shs"))
+        .withColumn("sz", F.size("shs").cast("bigint"))
     )
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("_sa"),
                      F.col("sz").alias("sz_a"))
@@ -310,7 +329,7 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    out._cached_inputs = [cand, *getattr(raw, "_cached_inputs", ())]  # see release()
+    out._cached_inputs = [cand, sh, *getattr(raw, "_cached_inputs", ())]  # see release()
     return out
 
 
