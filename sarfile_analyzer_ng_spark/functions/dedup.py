@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 
 def release(df: DataFrame) -> None:
     """Unpersist the internal cached frames backing ``df`` (attached by
@@ -28,20 +30,8 @@ def release(df: DataFrame) -> None:
         dep.unpersist()
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a doc-grain frame over the cluster before an explode.
-
-    Token/shingle explodes multiply row counts ~1000×, so work is
-    proportional to *input* partitioning: a corpus read from a handful
-    of parquet files would explode on a handful of cores. Round-robin
-    repartition to ``defaultParallelism`` when the input is coarser —
-    a no-op at real scale, where scans already produce ≥ cores
-    partitions (maxPartitionBytes splitting)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# shared with the text/feature ops — see util.fan_out
+_fan_out = fan_out
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

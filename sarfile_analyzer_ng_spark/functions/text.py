@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 # Stopword alternations per language; the heuristic scores a document
 # by word-boundary stopword hits and takes the argmax with a fixed
 # deterministic tie order (en > de > es > fr > zh).
@@ -39,6 +41,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
     """Predict language by stopword-hit argmax, deterministic tie order."""
+    df = fan_out(df)  # regexp-bound map stage: parallelism = scan splits
     s = lang_scores(F.col(text_col))
     pred = (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
@@ -52,6 +55,7 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFra
 
 def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish pre-token count per document."""
+    df = fan_out(df)  # regexp-bound map stage
     t = F.col(text_col)
     return df.withColumn(
         "n_ws_tokens", F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("long")
@@ -67,6 +71,7 @@ def quality_score(df: DataFrame, text_col: str, round_to: int = 4) -> DataFrame:
     stopword ratio (a fluency proxy). Score formula is arbitrary but
     fixed; the operator's value is the feature plumbing at scale.
     """
+    df = fan_out(df)  # regexp-bound map stage
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     n_words = F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("double")

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,3 +42,20 @@ def sql_rnd(expr: str, digits: int = 4) -> str:
 # magnitudes below ~9e15 / 10^digits (round4 → |v| < ~9e11; round2 →
 # |v| < ~9e13). Every oracle value in queries.py is ≤ ~1e9.
 RND_PARITY_MAX_SCALED = 2**53
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a frame over the cluster before CPU-heavy map-only work.
+
+    Map-only stages (regexp features, token explodes) inherit SCAN
+    parallelism, and parquet can only split at row-group boundaries —
+    a single-row-group file runs regexp over the whole corpus on one
+    core no matter how many executors exist. Round-robin repartition
+    to ``defaultParallelism`` when the input is coarser; a no-op at
+    real scale, where scans already produce ≥ cores partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
