@@ -154,3 +154,24 @@ def sessionize_stream(stream: DataFrame, ts_col: str, key_col: str,
             "session_end",
         )
     )
+
+
+def dedup_stream(stream: DataFrame, text_col: str, ts_col: str,
+                 watermark: str) -> DataFrame:
+    """Streaming exact dedup (ST5): the streaming twin of
+    ``functions.dedup.exact_dedup``. Content-hash state per md5 digest;
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    digest and expires state once the watermark passes it, so a
+    continuous ingest stream dedups with bounded memory — the digest
+    set never outgrows the watermark horizon.
+
+    Batch keeps the smallest id per digest, streaming keeps the first
+    arrival — the surviving *digest set* is identical; parity is tested
+    on that.
+    """
+    return (
+        stream.withColumn("_digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )

@@ -193,3 +193,56 @@ def test_rate_stream_matches_batch_delta_rate(spark, tmp_path):
     # series (the true first sample), not one per micro-batch
     nulls = got.where(F.col("rate").isNull()).groupBy("series").count().collect()
     assert all(r["count"] == 1 for r in nulls)
+
+
+def test_dedup_stream_matches_batch_digest_set(spark, tmp_path):
+    """ST5: streaming content-hash dedup must keep exactly the batch
+    operator's surviving digest set, with duplicates planted across
+    micro-batch boundaries (state must carry between batches)."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("ts", F.timestamp_seconds(1_700_000_000 + F.col("doc_id")))
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        (F.col("ts") + F.expr("INTERVAL 10 SECONDS")).alias("ts"),
+    )
+    full = docs.unionByName(twins)
+    pdf = full.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    n = len(pdf)
+    # chunk 0 = originals, chunk 1 = twins: every twin is a duplicate
+    # of a digest first seen in an earlier micro-batch
+    for i, sl in enumerate([pdf.iloc[: n // 2], pdf.iloc[n // 2:]]):
+        path = f"{src}/chunk{i}.parquet"
+        sl.to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.dedup_stream(stream, "text", "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_test")
+
+    batch = D.exact_dedup(spark.read.parquet(src), "text", "doc_id")
+    g = {r["d"] for r in got.select(F.md5("text").alias("d")).collect()}
+    b = {r["d"] for r in batch.select(F.md5("text").alias("d")).collect()}
+    assert got.count() == batch.count() == len(b)
+    assert g == b
+    # twins really were dropped: every survivor is an original
+    assert got.where(F.col("doc_id") >= 1_000_000).count() == 0
