@@ -48,28 +48,63 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
                 probs: tuple[float, ...] = (0.25, 0.5, 0.75),
                 round_to: int = 4) -> DataFrame:
     """Exact interpolated percentiles per group (polars describe shows
-    25/50/75%), quantile_cont semantics.
+    25/50/75%), quantile_cont semantics — as a fully distributed rank.
 
-    Sort-based instead of Spark's ``percentile`` aggregate: that
-    aggregate buffers every group's values in executor memory — an OOM
-    at 100 TB group sizes. Here a window sort ranks values per group
-    (distributed spillable sort), each rank-(lo|hi) row contributes its
-    interpolation share, and a groupBy sums the shares. The groupBy
-    reuses the window's partitioning, so there is ONE shuffle and no
-    per-group buffering. Also ~2× faster than the buffering aggregate
-    at sf0.1. For sketch-grade needs at extreme scale, swap in
-    ``percentile_approx`` — kept exact here for oracle parity.
+    Spark's ``percentile`` aggregate buffers each group in executor
+    memory, and the textbook window-rank version
+    (``row_number().over(partitionBy(group).orderBy(v))``) hashes each
+    whole group into ONE task — a single 10 TB group serializes, no
+    matter how many executors exist. Here the global rank is computed
+    without ever materializing a group in one task:
+
+    1. range-exchange on (group, value) — groups may SPLIT across
+       partitions, so fragment size is bounded by partition size, not
+       group size (skew-free by construction);
+    2. ``row_number`` per (group, fragment) — parallel local sorts;
+    3. fragment row-counts (a tiny (groups × partitions) frame) give
+       each fragment's global offset via a cumulative window over that
+       tiny frame, broadcast-joined back: global rank = local rank +
+       offset, group size from the same frame;
+    4. each rank-(lo|hi) row contributes its interpolation share; a
+       groupBy sums them.
+
+    Ranks among tied values depend on fragment order, but shares only
+    read the *values* at ranks lo/hi — tie-invariant, so results are
+    deterministic. For sketch-grade needs at extreme scale, swap in
+    ``percentile_approx`` / the KLL sketch (operators/sketches.py) —
+    kept exact here for oracle parity.
     """
     from pyspark.sql import Window
 
-    w_rank = Window.partitionBy(*by).orderBy(F.col(value_col))
-    w_all = Window.partitionBy(*by)
-    # quantile_cont ignores NULLs; drop them before ranking so _rn/_n
-    # cover only real values (nulls would sort first and shift ranks).
+    # quantile_cont ignores NULLs; drop them before ranking so ranks
+    # and group sizes cover only real values.
     df = df.where(F.col(value_col).isNotNull())
-    ranked = df.select(*by, value_col).withColumn(
-        "_rn", F.row_number().over(w_rank)
-    ).withColumn("_n", F.count(F.lit(1)).over(w_all))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Both consumers below (fragment ranks, fragment counts) must see
+    # the SAME _pid mapping. The two plan branches canonicalize to the
+    # same exchange, so AQE reuses one shuffle stage (asserted in
+    # tests/test_plans.py); range sampling is per-attempt
+    # deterministic, so even a non-reused plan agrees.
+    vals = (
+        df.select(*by, value_col)
+        .repartitionByRange(n_part, *[F.col(c) for c in by], F.col(value_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_frag = Window.partitionBy(*by, "_pid").orderBy(F.col(value_col))
+    local = vals.withColumn("_lrn", F.row_number().over(w_frag))
+    frags = vals.groupBy(*by, "_pid").agg(F.count(F.lit(1)).alias("_fc"))
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*by)
+    offs = frags.withColumn(
+        "_off", F.coalesce(F.sum("_fc").over(w_off), F.lit(0))
+    ).withColumn("_n", F.sum("_fc").over(w_grp)).drop("_fc")
+    ranked = local.join(F.broadcast(offs), [*by, "_pid"]).withColumn(
+        "_rn", F.col("_lrn") + F.col("_off")
+    )
     aggs = []
     for p in probs:
         pos = (F.col("_n") - 1) * F.lit(p) + 1  # 1-based fractional rank

@@ -88,3 +88,21 @@ def test_salted_agg_two_stage_exchanges(spark):
     keys = _exchange_keys(q27_salted_agg(spark, SF_DIR))
     assert len(keys) == 2  # (key, salt) partial + key merge
     assert any("_salt" in k for k in keys)
+
+
+def test_percentiles_distributed_rank_reuses_range_shuffle(spark):
+    """percentiles() computes fragment ranks and fragment counts from
+    the same range exchange; AQE must materialize that shuffle ONCE so
+    both branches see identical partition ids (the rank-offset join is
+    keyed on them), and no per-group hash window may appear (that
+    would serialize each group into one task)."""
+    from sarfile_analyzer_ng_spark.queries import q03_percentiles
+
+    df = q03_percentiles(spark, SF_DIR)
+    df.collect()  # AQE finalizes stages only on execution
+    text = plan(df)
+    assert "Reused" in text
+    assert "rangepartitioning" in text
+    # the window runs per (group, fragment), never per whole group:
+    # its required ordering includes the fragment id
+    assert "_pid" in text
