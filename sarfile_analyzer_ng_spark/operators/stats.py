@@ -48,29 +48,37 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
                 probs: tuple[float, ...] = (0.25, 0.5, 0.75),
                 round_to: int = 4) -> DataFrame:
     """Exact interpolated percentiles per group (polars describe shows
-    25/50/75%), quantile_cont semantics — as a fully distributed rank.
+    25/50/75%), quantile_cont semantics — as a fully distributed rank
+    with ONE full-data shuffle.
 
     Spark's ``percentile`` aggregate buffers each group in executor
     memory, and the textbook window-rank version
     (``row_number().over(partitionBy(group).orderBy(v))``) hashes each
     whole group into ONE task — a single 10 TB group serializes, no
     matter how many executors exist. Here the global rank is computed
-    without ever materializing a group in one task:
+    without ever materializing a group in one task, and without a
+    window operator at all:
 
     1. range-exchange on (group, value) — groups may SPLIT across
        partitions, so fragment size is bounded by partition size, not
-       group size (skew-free by construction);
-    2. ``row_number`` per (group, fragment) — parallel local sorts;
-    3. fragment row-counts (a tiny (groups × partitions) frame) give
-       each fragment's global offset via a cumulative window over that
-       tiny frame, broadcast-joined back: global rank = local rank +
-       offset, group size from the same frame;
+       group size (skew-free by construction) — then sort WITHIN each
+       partition (spillable, no exchange);
+    2. ``monotonically_increasing_id`` snapshots the sorted in-
+       partition row order (contiguous per partition by construction);
+    3. one tiny aggregate per (group, fragment) — count + min(id) —
+       yields, via a cumulative window over that tiny frame, each
+       fragment's global offset and group size; broadcast-join back:
+       global rank = (id − fragment min id) + offset + 1;
     4. each rank-(lo|hi) row contributes its interpolation share; a
-       groupBy sums them.
+       map-side-partial groupBy sums them.
 
-    Ranks among tied values depend on fragment order, but shares only
-    read the *values* at ranks lo/hi — tie-invariant, so results are
-    deterministic. For sketch-grade needs at extreme scale, swap in
+    Both branches read the SAME physically-sorted shuffle output: the
+    plan canonicalizes to one range exchange, which AQE materializes
+    once (asserted in tests/test_plans.py), and the partition-local
+    sort is deterministic. Rank assignment among tied rows is
+    arbitrary but the rows are identical in (group, value) — shares
+    only read the value at ranks lo/hi, so results are deterministic.
+    For sketch-grade needs at extreme scale, swap in
     ``percentile_approx`` / the KLL sketch (operators/sketches.py) —
     kept exact here for oracle parity.
     """
@@ -80,30 +88,29 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
     # and group sizes cover only real values.
     df = df.where(F.col(value_col).isNotNull())
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    # Both consumers below (fragment ranks, fragment counts) must see
-    # the SAME _pid mapping. The two plan branches canonicalize to the
-    # same exchange, so AQE reuses one shuffle stage (asserted in
-    # tests/test_plans.py); range sampling is per-attempt
-    # deterministic, so even a non-reused plan agrees.
     vals = (
         df.select(*by, value_col)
         .repartitionByRange(n_part, *[F.col(c) for c in by], F.col(value_col))
+        .sortWithinPartitions(*by, value_col)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    w_frag = Window.partitionBy(*by, "_pid").orderBy(F.col(value_col))
-    local = vals.withColumn("_lrn", F.row_number().over(w_frag))
-    frags = vals.groupBy(*by, "_pid").agg(F.count(F.lit(1)).alias("_fc"))
+    frags = vals.groupBy(*by, "_pid").agg(
+        F.count(F.lit(1)).alias("_fc"), F.min("_mid").alias("_fmin")
+    )
     w_off = (
         Window.partitionBy(*by)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_grp = Window.partitionBy(*by)
-    offs = frags.withColumn(
-        "_off", F.coalesce(F.sum("_fc").over(w_off), F.lit(0))
-    ).withColumn("_n", F.sum("_fc").over(w_grp)).drop("_fc")
-    ranked = local.join(F.broadcast(offs), [*by, "_pid"]).withColumn(
-        "_rn", F.col("_lrn") + F.col("_off")
+    offs = (
+        frags.withColumn("_off", F.coalesce(F.sum("_fc").over(w_off), F.lit(0)))
+        .withColumn("_n", F.sum("_fc").over(w_grp))
+        .drop("_fc")
+    )
+    ranked = vals.join(F.broadcast(offs), [*by, "_pid"]).withColumn(
+        "_rn", F.col("_mid") - F.col("_fmin") + F.col("_off") + 1
     )
     aggs = []
     for p in probs:

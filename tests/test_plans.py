@@ -103,6 +103,7 @@ def test_percentiles_distributed_rank_reuses_range_shuffle(spark):
     text = plan(df)
     assert "Reused" in text
     assert "rangepartitioning" in text
-    # the window runs per (group, fragment), never per whole group:
-    # its required ordering includes the fragment id
+    # ranks come from the sorted-partition row ids + fragment offsets;
+    # no hash window over whole groups may appear
     assert "_pid" in text
+    assert "hashpartitioning(event_type" not in text.split("rangepartitioning")[0]
