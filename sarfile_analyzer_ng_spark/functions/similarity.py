@@ -357,3 +357,40 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .where(F.col("rank") <= k)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def knn_classify(emb: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, label_col: str, k: int = 5) -> DataFrame:
+    """k-NN majority-vote classification over the embedding space —
+    the standard label-propagation / eval application of similarity
+    search (assign each query the modal label of its k nearest
+    neighbors by cosine).
+
+    Composes :func:`ann_topk_bruteforce` (broadcast query set, one
+    corpus pass, no corpus shuffle) with a per-query vote; ties break
+    to the smaller label for determinism. Swap the brute-force
+    neighbor source for :func:`ann_topk_lsh` / :func:`ann_topk_ivf`
+    at corpus sizes where exact scoring is too hot — the vote is
+    source-agnostic.
+    """
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlabel")
+    )
+    topk = ann_topk_bruteforce(emb, queries, id_col, vec_col, k)
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nlabel").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("_nlabel").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )

@@ -138,3 +138,28 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, int],
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      out_col: str | None = None) -> DataFrame:
+    """Deterministic per-stratum sampling — how a training mix is
+    actually built (e.g. keep 10% of crawl, 100% of curated sources).
+
+    Each row's bucket in [0, 10000) comes from a multiplicative hash
+    of its id (same engine-portable integer scheme as
+    :func:`hash_split`) — stable across runs, engines, and
+    partitionings, so the sample itself is oracle-checkable in plain
+    SQL. A row survives iff bucket < fraction × 10000 for its stratum;
+    strata absent from ``fractions`` are dropped. Pure map-stage
+    filter: no shuffle, scales with the scan.
+    """
+    bucket = (F.col(id_col) % 1_000_003) * 2654435761 % 10000
+    expr = None
+    for name, frac in fractions.items():
+        cond = (F.col(strata_col) == name) & (bucket < int(round(frac * 10000)))
+        expr = cond if expr is None else expr | cond
+    out = df.where(expr)
+    if out_col:
+        out = out.withColumn(out_col, bucket)
+    return out

@@ -760,6 +760,69 @@ def q56_lsh_jaccard(spark, sf_dir):
                                threshold=JACCARD_TAU)
 
 
+
+def q57_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (training-mix construction):
+    keep 100% of one source, thin the others. Engine-portable integer
+    hash (hash_split's scheme), so DuckDB reproduces the exact rows."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.stratified_sample(
+        docs, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.1},
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_Q57 = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ((doc_id % 1000003) * 2654435761) % 10000 AS bucket
+  FROM documents)
+WHERE (source = 'src0' AND bucket < 10000)
+   OR (source = 'src1' AND bucket < 2500)
+   OR (source = 'src2' AND bucket < 5000)
+   OR (source = 'src3' AND bucket < 1000)
+"""
+
+
+def q58_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label assignment over embeddings (the eval /
+    label-propagation application of similarity search)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.knn_classify(emb, queries, "vec_id", "embedding", "label",
+                          k=ANN_K)
+
+
+SQL_Q58 = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         round(CAST(CAST((list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+  FROM n q JOIN n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id <= {ANN_NUM_QUERIES}),
+topk AS (
+  SELECT query_id, neighbor_id, nlabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {ANN_K}),
+votes AS (
+  SELECT query_id, nlabel, count(*)::BIGINT AS votes
+  FROM topk GROUP BY 1, 2)
+SELECT query_id, nlabel AS pred_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nlabel ASC) AS rk
+  FROM votes)
+WHERE rk = 1
+"""
+
+
+
 def q34_cosine_dup(spark, sf_dir):
     """Embedding cosine near-dup pairs (L5)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1274,6 +1337,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q36_ann_lsh": (q36_ann_lsh, None),

@@ -139,3 +139,40 @@ def test_ngram_jaccard_max_df_cap(spark):
     # the hot "common filler words here" shingles are dropped, so the
     # filler docs (jaccard only via shared prefix) produce no pairs
     assert not any(a <= 20 and b <= 20 for a, b in found)
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = TX.stratified_sample(docs, "source", "doc_id", fr)
+    b = TX.stratified_sample(docs, "source", "doc_id", fr)
+    got = {r["doc_id"] for r in a.select("doc_id").collect()}
+    assert got == {r["doc_id"] for r in b.select("doc_id").collect()}  # stable
+    per = {r["source"]: r["n"] for r in
+           a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert per.get("src0") == n_src0            # fraction 1.0 keeps all
+    assert "src2" not in per                    # fraction 0.0 drops all
+    assert set(per) <= {"src0", "src1"}         # unlisted strata dropped
+    n_src1 = docs.where(F.col("source") == "src1").count()
+    assert 0 < per.get("src1", 0) < n_src1      # strictly thinned
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    # 4 corpus points on two axes: labels 1,1 near +x, 2 near -x;
+    # query at +x must take label 1 by majority (k=3)
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [-1.0, 0.0], 2),
+        (4, [0.8, 0.2], 2), (10, [1.0, 0.05], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    queries = emb.where(F.col("vec_id") == 10)
+    out = S.knn_classify(emb, queries, "vec_id", "embedding", "label", k=3)
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0]["pred_label"] == 1 and got[0]["votes"] == 2
+    # tie at k=4 (2 votes each label) -> smaller label wins
+    out2 = S.knn_classify(emb, queries, "vec_id", "embedding", "label", k=4)
+    r2 = out2.collect()[0]
+    assert r2["pred_label"] == 1 and r2["votes"] == 2
