@@ -95,3 +95,29 @@ def test_frame_sample_plan(spark):
     )
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def test_multimodal_features_feed_dedup_surface(spark):
+    """End-to-end media near-dup: binary payloads → Arrow-batched
+    feature extraction → the SAME dedup operators the text/embedding
+    tables use (exact via content digest, near via feature cosine).
+    Nothing about the dedup surface is multimodal-specific."""
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+    from sarfile_analyzer_ng_spark.functions import similarity as SIM
+
+    payloads = [b"clipA" * 40, b"clipB" * 40, b"clipC" * 40]
+    rows = [(i + 1, "image", None, p, {}) for i, p in enumerate(payloads)]
+    rows += [(100 + 1, "image", None, payloads[0], {})]  # exact dup of 1
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, decode_fn=MM.fake_decode).cache()
+
+    # exact dedup on the digest: the duplicate payload collapses
+    kept = D.exact_dedup(feats, "sha256", "media_id")
+    assert kept.count() == 3
+    assert {r["media_id"] for r in kept.select("media_id").collect()} == {1, 2, 3}
+
+    # near-dup via feature cosine: identical payloads → cosine 1.0
+    pairs = SIM.cosine_dup_pairs(feats, "media_id", "feature", 0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 101) in got
+    feats.unpersist()
