@@ -51,6 +51,9 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # the registry grows every round; r1_subset_seconds keeps the
+    # total comparable to BENCH_r01's 48-query registry
+    r1_keys = [k for k in timings if not k.startswith(("q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58"))]
     print(
         json.dumps(
             {
@@ -59,6 +62,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "r1_subset_seconds": round(sum(timings[k] for k in r1_keys), 3),
             }
         )
     )
