@@ -120,9 +120,15 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         if shingles is not None
         else shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
     )
+    # Collapse the shingle to a 64-bit fingerprint ONCE, then seed the
+    # num_hashes family over the fixed-width long: re-hashing the
+    # ~25-byte string per seed costs ~1.5x the whole aggregation
+    # (measured 2.6 s -> 1.7 s at sf0.1). Hash-of-hash with distinct
+    # seeds is still a uniform family over shingles.
+    exploded = exploded.select("doc", F.xxhash64("shingle").alias("_fp"))
     mins = exploded.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("_fp"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
