@@ -128,9 +128,13 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, int],
     """Deterministic train/val/test assignment by multiplicative hash
     of the id — stable across runs, engines, partitionings (the
     property random() sampling can't give a reproducible pipeline).
-    ``weights`` maps split name → percent; must sum to 100."""
+    ``weights`` maps split name → percent; must sum to 100.
+
+    ``pmod`` (not ``%``) so negative ids still land in [0, 100) —
+    Spark's ``%`` preserves sign, and a negative bucket would satisfy
+    no range, silently dropping the row from every split."""
     assert sum(weights.values()) == 100
-    bucket = ((F.col(id_col) % 1_000_003) * 2654435761 % 100)
+    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(100))
     expr = None
     lo = 0
     for name, pct in weights.items():
@@ -153,8 +157,12 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     SQL. A row survives iff bucket < fraction × 10000 for its stratum;
     strata absent from ``fractions`` are dropped. Pure map-stage
     filter: no shuffle, scales with the scan.
+
+    ``pmod`` keeps buckets in [0, 10000) for negative ids too —
+    Spark's ``%`` preserves sign, and a negative bucket would pass
+    ``bucket < threshold`` for every stratum, including fraction 0.0.
     """
-    bucket = (F.col(id_col) % 1_000_003) * 2654435761 % 10000
+    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(10000))
     expr = None
     for name, frac in fractions.items():
         cond = (F.col(strata_col) == name) & (bucket < int(round(frac * 10000)))

