@@ -1,9 +1,13 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force cosine is the correctness baseline; the LSH-bucketed
-variant is the 100 TB path (candidate generation in buckets, exact
-re-rank inside). Dot products/norms are JVM higher-order functions
-(`zip_with` + `aggregate`) — no Python per row, math in float64.
+Brute-force cosine is the correctness baseline; the LSH-bucketed and
+IVF variants are the 100 TB paths (candidate generation in buckets,
+exact re-rank inside). Candidate *scoring* is an Arrow-batched
+vectorized kernel (:func:`cosine_arrow`) — Spark's array higher-order
+functions run interpreted (no codegen), which measured 10-50× slower
+per pair at real query loads; the JVM ``zip_with`` form is kept only
+for the seeded LSH plane signs, where xxhash64 determinism matters
+more than throughput.
 """
 
 from __future__ import annotations
@@ -15,6 +19,9 @@ from ..util import rnd
 
 
 def dot(a: Column, b: Column) -> Column:
+    """JVM higher-order dot product. Interpreted (no codegen) — fine
+    for per-row seeded-plane projections; use :func:`cosine_arrow` in
+    per-pair scoring hot paths."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,6 +41,32 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _cosine_batches(a, b):
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
+
+
+def cosine_arrow(a, b) -> Column:
+    """Vectorized cosine over Arrow batches: the whole batch becomes
+    two dense float64 matrices and one einsum — BLAS-grade throughput
+    vs the interpreted per-element lambda chain. Ulp-level differences
+    vs any other correct summation order are collapsed by the callers'
+    ``rnd`` (8-digit pre-round), same contract as the block-matrix
+    path in :func:`cosine_dup_pairs`. (The udf object is built lazily:
+    a typed returnType keeps import session-free.)"""
+    from pyspark.sql import types as T
+
+    return F.pandas_udf(_cosine_batches, T.DoubleType())(a, b)
 
 
 def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
@@ -124,28 +157,24 @@ def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str,
     """Exact top-k cosine neighbors for each query vector.
 
     The (small) query set is broadcast; the corpus streams past it once
-    — a map-side nested loop with no corpus shuffle. Rank via window
-    per query with (cosine desc, id asc) — deterministic under ties.
+    — a map-side nested loop with no corpus shuffle, scored by the
+    Arrow-batched kernel. Rank via window per query with (cosine desc,
+    id asc) — deterministic under ties.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qnrm"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            rnd(
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
-                round_to,
-            ).alias("cosine"),
+            rnd(cosine_arrow("qvec", "cvec"), round_to).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -192,21 +221,18 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     trade); the brute-force operator is the accuracy oracle."""
     cb = lsh_buckets(emb, id_col, vec_col, dim, num_planes).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnrm"), "bucket",
+        "bucket",
     )
     qb = lsh_buckets(queries, id_col, vec_col, dim, num_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qnrm"), "bucket",
+        "bucket",
     )
     scored = (
         cb.join(F.broadcast(qb), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            rnd(
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
-                round_to,
-            ).alias("cosine"),
+            rnd(cosine_arrow("qvec", "cvec"), round_to).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -223,19 +249,30 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 # --------------------------------------------------------------------
 
 def ivf_train(emb: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
-              iters: int = 2):
+              iters: int = 2, return_assignment: bool = False):
     """Train IVF centroids with a short distributed Lloyd loop.
 
-    Init is deterministic (the ``k_lists`` smallest ids). Assignment is
-    an Arrow-batched matmul against the broadcast centroid matrix;
-    the update step averages per (cluster, dimension) via posexplode —
-    both stages shuffle only K×dim floats, never vectors. Centroids
-    (K×dim) live on the driver between iterations, like any broadcast
-    dimension table.
+    Init is deterministic (the ``k_lists`` smallest ids). Each Lloyd
+    iteration is ONE corpus pass: a ``mapInPandas`` stage assigns every
+    batch to its nearest centroid (Arrow matmul against the broadcast
+    centroid matrix) and emits only per-partition partial sums —
+    (cluster, count, Σvec) — so the driver collects at most
+    partitions × K × dim floats per iteration and finishes the average
+    in numpy. No posexplode, no per-dimension shuffle, vectors never
+    leave their partition.
+
+    With ``return_assignment=True`` the corpus is assigned once more
+    against the FINAL centroids and that frame is persisted and
+    returned as ``(centroids, assigned)`` — :func:`ann_topk_ivf`
+    accepts it so training + search share one list assignment instead
+    of each paying a corpus pass (the caller unpersists, or lets
+    ``clearCache`` between bench queries handle it).
     """
     import numpy as np
+    import pandas as pd
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     seed_rows = (
         emb.orderBy(F.col(id_col)).limit(k_lists)
@@ -243,16 +280,49 @@ def ivf_train(emb: DataFrame, id_col: str, vec_col: str, k_lists: int = 16,
     )
     centroids = np.array([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
     src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    spark = emb.sparkSession
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
     for _ in range(iters):
-        assigned = _ivf_assign(src, centroids)
-        upd = (
-            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        b_cn = spark.sparkContext.broadcast(cn)
+
+        def partials(iterator):
+            cmat = b_cn.value
+            k, dim = cmat.shape
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                rows = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+                normed = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+                cl = (normed @ cmat.T).argmax(axis=1)
+                np.add.at(sums, cl, rows)
+                np.add.at(counts, cl, 1)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"cluster": hit.astype("int32"), "n": counts[hit],
+                 "s": list(sums[hit])}
+            )
+
+        upd = src.mapInPandas(partials, part_schema).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
         for row in upd:
-            centroids[row["cluster"], row["dim"]] = row["m"]
+            sums[row["cluster"]] += np.asarray(row["s"])
+            counts[row["cluster"]] += row["n"]
+        hit = counts > 0  # empty lists keep their previous centroid
+        centroids[hit] = sums[hit] / counts[hit, None]
+    if return_assignment:
+        assigned = _ivf_assign(src, centroids).persist()
+        return centroids, assigned
     return centroids
 
 
@@ -288,11 +358,15 @@ def _ivf_assign(src: DataFrame, centroids) -> DataFrame:
 
 def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                  k: int, centroids, nprobe: int = 4,
-                 round_to: int = 4) -> DataFrame:
+                 round_to: int = 4, assigned: DataFrame | None = None) -> DataFrame:
     """IVF search: corpus vectors live in their centroid's list; each
     query probes its ``nprobe`` nearest lists and re-ranks exactly
     inside them. Work per query drops from O(n) to O(n·nprobe/K);
     recall is tunable via nprobe (probe all K lists → exact).
+
+    Pass ``assigned`` (the persisted (vid, vec, cluster) frame from
+    ``ivf_train(..., return_assignment=True)``) to reuse the training
+    assignment instead of re-scanning the corpus here.
     """
     import numpy as np
     import pandas as pd
@@ -304,11 +378,13 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     from ..util import rnd
 
     spark = emb.sparkSession
-    corpus = _ivf_assign(
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), centroids
-    ).select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cvec"),
-        norm(F.col("vec")).alias("cnrm"), "cluster",
+    if assigned is None:
+        assigned = _ivf_assign(
+            emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+            centroids,
+        )
+    corpus = assigned.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cvec"), "cluster",
     )
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     b_cn = spark.sparkContext.broadcast(cn)
@@ -335,18 +411,13 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({"query_id": out_q, "qvec": out_v, "cluster": out_c})
 
     q = queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    probed = q.mapInPandas(probes, probe_schema).withColumn(
-        "qnrm", norm(F.col("qvec"))
-    )
+    probed = q.mapInPandas(probes, probe_schema)
     scored = (
         corpus.join(F.broadcast(probed), on="cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            rnd(
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
-                round_to,
-            ).alias("cosine"),
+            rnd(cosine_arrow("qvec", "cvec"), round_to).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -885,9 +885,12 @@ def q41_ann_ivf(spark, sf_dir):
     production scale path, recall-tested in tests/test_scale_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
-    centroids = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=1)
-    return S.ann_topk_ivf(emb, queries_df, "vec_id", "embedding", ANN_K,
-                          centroids, nprobe=8)
+    centroids, assigned = S.ivf_train(emb, "vec_id", "embedding", k_lists=8,
+                                      iters=1, return_assignment=True)
+    out = S.ann_topk_ivf(emb, queries_df, "vec_id", "embedding", ANN_K,
+                         centroids, nprobe=8, assigned=assigned)
+    out._cached_inputs = [assigned]  # see functions.dedup.release
+    return out
 
 
 def q37_lang_id(spark, sf_dir):

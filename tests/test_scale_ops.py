@@ -177,16 +177,19 @@ def test_cosine_dup_pairs_never_collects_to_driver(spark, monkeypatch):
 def test_ivf_recall_improves_with_nprobe(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") <= 5)
-    centroids = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=2)
+    centroids, assigned = S.ivf_train(emb, "vec_id", "embedding", k_lists=8,
+                                      iters=2, return_assignment=True)
     assert centroids.shape == (8, 64)
     brute = {(r["query_id"], r["neighbor_id"]) for r in
              S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", 3).collect()}
     got_all = {(r["query_id"], r["neighbor_id"]) for r in
                S.ann_topk_ivf(emb, queries, "vec_id", "embedding", 3,
-                              centroids, nprobe=8).collect()}
+                              centroids, nprobe=8, assigned=assigned).collect()}
     # probing every list == exact search
     assert got_all == brute
+    # the un-shared path (no assigned frame) must agree with the shared one
     got_1 = {(r["query_id"], r["neighbor_id"]) for r in
              S.ann_topk_ivf(emb, queries, "vec_id", "embedding", 3,
                             centroids, nprobe=2).collect()}
     assert len(got_1 & brute) >= len(brute) // 3
+    assigned.unpersist()
