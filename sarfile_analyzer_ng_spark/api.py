@@ -125,10 +125,17 @@ def statistics(df: DataFrame, file: str, section: str,
 
 
 def compare_files(df: DataFrame, section: str, metric: str,
-                  device: str | None = None) -> DataFrame:
+                  device: str | None = None, aligned: bool = False,
+                  every: str = "hour") -> DataFrame:
     """Same metric across files (multi_files_pl.py single_multi):
     sections present in EVERY file (merge_headers semantics), then
-    per-file statistics for the chosen metric."""
+    per-file statistics for the chosen metric.
+
+    ``aligned=True`` returns the overlay table instead: each file's
+    timestamps are rebased onto one shared day axis (time-of-day
+    preserved — the reference's replace_ymt, dataframe_funcs_pl.py:81)
+    and the metric is averaged per (file, rebased ``every`` bucket),
+    so files recorded on different days compare point-for-point."""
     n_files = df.select("file").distinct().count()
     common = (
         df.groupBy("section")
@@ -141,6 +148,14 @@ def compare_files(df: DataFrame, section: str, metric: str,
     )
     if device is not None:
         scoped = scoped.where(F.col("device") == device)
+    if aligned:
+        overlay = TS.overlay_align(scoped, "ts", ["file"])
+        return overlay.groupBy(
+            "file", F.date_trunc(every, "ts_aligned").alias("ts_aligned")
+        ).agg(
+            F.count("value").alias("cnt"),
+            rnd(F.avg("value"), 4).alias("mean"),
+        )
     return scoped.groupBy("file").agg(
         F.count("value").alias("cnt"),
         rnd(F.avg("value"), 4).alias("mean"),

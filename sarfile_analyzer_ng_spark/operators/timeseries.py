@@ -238,3 +238,34 @@ def top_n_per_group(df: DataFrame, by: list[str], order_cols, n: int) -> DataFra
         df.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
         .where(F.col("rank_in_group") <= n)
     )
+
+
+def overlay_align(df: DataFrame, ts_col: str, by: list[str],
+                  out_col: str = "ts_aligned") -> DataFrame:
+    """Rebase each group's timestamps onto one shared day axis,
+    preserving time-of-day — the Spark form of the reference's
+    ``replace_ymt`` (dataframe_funcs_pl.py:81), which swaps the
+    year/month/day of the comparison range for each file's own first
+    day so sar files recorded on different days overlay on a single
+    time axis (the multi-file compare flow, multi_files_pl.py).
+
+    Per group (file), subtract the midnight of its FIRST day:
+    ``aligned = epoch + (ts − date_trunc('day', min ts))`` — day one
+    of every file lands on 1970-01-01 with its time-of-day intact,
+    and multi-day files keep their day offsets (day two → Jan 2).
+
+    The per-group anchor frame is one row per group — broadcast back,
+    so the fact table is scanned once with no wide shuffle; the
+    arithmetic is pure JVM timestamp math.
+    """
+    anchors = df.groupBy(*by).agg(
+        F.unix_micros(F.date_trunc("DAY", F.min(ts_col))).alias("_day0_us")
+    )
+    return (
+        df.join(F.broadcast(anchors), on=by)
+        .withColumn(
+            out_col,
+            F.timestamp_micros(F.unix_micros(F.col(ts_col)) - F.col("_day0_us")),
+        )
+        .drop("_day0_us")
+    )

@@ -1151,6 +1151,60 @@ def q50_sketch_stats(spark, sf_dir):
     return distinct.join(quant, on="event_type")
 
 
+OVERLAY_A = ("2024-01-10 00:00:00", "2024-01-13 00:00:00")
+OVERLAY_B = ("2024-01-20 00:00:00", "2024-01-23 00:00:00")
+
+
+def q59_overlay_align(spark, sf_dir):
+    """Cross-file time-of-day alignment (reference replace_ymt,
+    dataframe_funcs_pl.py:81 + the multi-file overlay flow): two
+    disjoint 3-day windows of `events` play two sar files recorded on
+    different days; each is rebased onto a common day axis
+    (time-of-day preserved) and compared hour-by-hour on the rebased
+    axis — the overlay table the reference charts."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(
+        (F.col("ts") >= F.lit(OVERLAY_A[0])) & (F.col("ts") < F.lit(OVERLAY_A[1]))
+    ).withColumn("file", F.lit("fa"))
+    b = ev.where(
+        (F.col("ts") >= F.lit(OVERLAY_B[0])) & (F.col("ts") < F.lit(OVERLAY_B[1]))
+    ).withColumn("file", F.lit("fb"))
+    aligned = TS.overlay_align(a.unionByName(b), "ts", ["file"])
+    hourly = aligned.groupBy(
+        F.date_trunc("HOUR", "ts_aligned").alias("tod")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.avg(F.when(F.col("file") == "fa", F.col("value"))), 4).alias("avg_a"),
+        rnd(F.avg(F.when(F.col("file") == "fb", F.col("value"))), 4).alias("avg_b"),
+    )
+    return hourly.withColumn(
+        "gap", rnd(F.col("avg_a") - F.col("avg_b"), 4)
+    )
+
+
+SQL_Q59 = f"""
+WITH u AS (
+  SELECT 'fa' AS file, ts, value FROM events
+  WHERE ts >= TIMESTAMP '{OVERLAY_A[0]}' AND ts < TIMESTAMP '{OVERLAY_A[1]}'
+  UNION ALL
+  SELECT 'fb' AS file, ts, value FROM events
+  WHERE ts >= TIMESTAMP '{OVERLAY_B[0]}' AND ts < TIMESTAMP '{OVERLAY_B[1]}'),
+anch AS (SELECT file, date_trunc('day', min(ts)) AS day0 FROM u GROUP BY file),
+al AS (
+  SELECT u.file, TIMESTAMP '1970-01-01 00:00:00' + (u.ts - a.day0) AS ts_aligned,
+         value
+  FROM u JOIN anch a USING (file)),
+hourly AS (
+  SELECT date_trunc('hour', ts_aligned) AS tod, count(*)::BIGINT AS cnt,
+         round(CAST(CAST((avg(CASE WHEN file = 'fa' THEN value END)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_a,
+         round(CAST(CAST((avg(CASE WHEN file = 'fb' THEN value END)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS avg_b
+  FROM al GROUP BY 1)
+SELECT tod, cnt, avg_a, avg_b,
+       round(CAST(CAST((avg_a - avg_b) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS gap
+FROM hourly
+"""
+
+
 # --------------------------------------------------------------------
 # cross-check queries: oracle-checkable invariants for the hash-seeded
 # operators (q31/q32/q36/q50 stay rows-only as the primary demos; these
@@ -1363,6 +1417,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
     "q50_sketch_stats": (q50_sketch_stats, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),

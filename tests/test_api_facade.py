@@ -118,3 +118,25 @@ def test_export_stats_csv(spark, sar_df, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() > 0
     assert set(back.columns) == {"section", "metric", "cnt", "mean", "stddev", "min", "max"}
+
+
+def test_compare_files_aligned_overlay(spark):
+    """aligned=True rebases each file onto one day axis and averages
+    per (file, bucket): the two files below share times-of-day on
+    different dates, so their aligned buckets must coincide."""
+    from datetime import datetime
+
+    rows = [
+        ("fa", "cpu", "%user", "all", datetime(2024, 1, 10, 8, 15), 10.0),
+        ("fa", "cpu", "%user", "all", datetime(2024, 1, 10, 8, 45), 20.0),
+        ("fb", "cpu", "%user", "all", datetime(2024, 2, 2, 8, 20), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "file string, section string, metric string, device string, "
+              "ts timestamp, value double",
+    )
+    out = A.compare_files(df, "cpu", "%user", aligned=True).collect()
+    by_file = {r["file"]: r for r in out}
+    assert len(out) == 2  # one 08:00 bucket per file, same aligned axis
+    assert by_file["fa"]["ts_aligned"] == by_file["fb"]["ts_aligned"]
+    assert by_file["fa"]["mean"] == 15.0 and by_file["fb"]["mean"] == 40.0

@@ -124,3 +124,21 @@ def test_describe_matches_known_values(spark):
     row = ST.describe(df, ["x"]).collect()[0]
     assert row["cnt"] == 3 and row["mean"] == 2.0 and row["stddev"] == 1.0
     assert row["min"] == 1.0 and row["max"] == 3.0
+
+
+def test_overlay_align_rebases_to_common_day(spark):
+    """Two 'files' recorded on different days, same times-of-day, must
+    land on identical aligned timestamps (reference replace_ymt
+    semantics); a second day within one file keeps its +1d offset."""
+    df = spark.createDataFrame(
+        [("fa", ts("2024-01-10T08:30:00"), 1.0),
+         ("fa", ts("2024-01-11T02:00:00"), 2.0),   # day two of file a
+         ("fb", ts("2024-03-05T08:30:00"), 3.0),
+         ("fb", ts("2024-03-05T23:15:00"), 4.0)],
+        "file string, t timestamp, v double",
+    )
+    out = {(r["file"], r["v"]): r["ts_aligned"]
+           for r in TS.overlay_align(df, "t", ["file"]).collect()}
+    assert out[("fa", 1.0)] == out[("fb", 3.0)] == ts("1970-01-01T08:30:00")
+    assert out[("fa", 2.0)] == ts("1970-01-02T02:00:00")
+    assert out[("fb", 4.0)] == ts("1970-01-01T23:15:00")
