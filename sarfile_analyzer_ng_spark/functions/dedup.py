@@ -385,7 +385,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+                       max_hamming: int = 8, band_bits: int = 16,
+                       sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates: band the 64-bit simhash into 64/band_bits
     chunks, join on chunk, verify with exact Hamming distance.
 
@@ -394,8 +395,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     bands guarantee hamming ≤7 but give only 256 distinct keys per
     band (big buckets at corpus scale); the 16-bit default keeps
     buckets small and finds ≤3-flip pairs deterministically, farther
-    pairs probabilistically."""
-    sigs = simhash(df, text_col, id_col)
+    pairs probabilistically.
+
+    Pass ``sigs`` (a (doc, simhash) frame) to skip signature
+    computation — e.g. when a corpus contains exact copies whose
+    signatures are by construction identical to already-signed
+    documents, signing each text once and unioning shifted ids halves
+    the explode+aggregate work."""
+    if sigs is None:
+        sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
         "doc", "simhash",
         F.explode(
