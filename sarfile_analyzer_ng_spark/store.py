@@ -146,9 +146,70 @@ class SarStore:
             raise StoreError(f"file {name} not found")
         return self.spark.read.parquet(str(p))
 
+    _LIST_SCHEMA = (
+        "user string, name string, raw_bytes long, parquet_bytes long, "
+        "age_days double"
+    )
+
     def list_files(self, user: str | None = None) -> DataFrame:
         """(user, name, raw_bytes, parquet_bytes, age_days) per stored
-        file — filesystem metadata only."""
+        file — filesystem metadata only, listed DISTRIBUTED: Spark's
+        ``binaryFile`` file index walks ``<root>/<user>/...`` on
+        executors (parallel listing at large file counts), and sizes /
+        newest-mtime aggregate per stored name as a normal grouped
+        plan. No driver-side os.walk, so millions of stored files
+        never serialize through the driver; a maintained catalog table
+        would add per-upload write amplification and tombstone
+        compaction for the same answer. The walk survives only as the
+        fallback for roots Spark cannot list."""
+        if user is not None:
+            self._check_user(user)
+        try:
+            files = (
+                self.spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(str(self.root))
+                .select("path", "length", "modificationTime")
+            )
+        except Exception:  # empty/unlistable root → driver fallback
+            return self._list_files_walk(user)
+        rootstr = str(self.root.resolve())
+        rel = F.expr(
+            f"substring(path, instr(path, '{rootstr}') + {len(rootstr) + 1})"
+        )
+        parts = F.split(rel, "/")
+        per = files.select(
+            parts.getItem(0).alias("user"),
+            F.regexp_replace(parts.getItem(1), r"\.parquet$", "").alias("name"),
+            parts.getItem(1).endswith(".parquet").alias("is_pq"),
+            "length", "modificationTime",
+        ).where(F.size(parts) >= 2)
+        if user is not None:
+            per = per.where(F.col("user") == user)
+        now_us = F.unix_micros(F.current_timestamp())
+        return (
+            per.groupBy("user", "name")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(~F.col("is_pq"), F.col("length"))), F.lit(0)
+                ).alias("raw_bytes"),
+                F.sum(F.when(F.col("is_pq"), F.col("length"))).alias("parquet_bytes"),
+                F.max(
+                    F.when(F.col("is_pq"), F.col("modificationTime"))
+                ).alias("_mtime"),
+            )
+            # a stored entry is defined by its parquet artifact, like
+            # the reference's <name>.parquet-driven listing
+            .where(F.col("parquet_bytes").isNotNull())
+            .select(
+                "user", "name", "raw_bytes", "parquet_bytes",
+                ((now_us - F.unix_micros(F.col("_mtime"))) / 86400e6)
+                .alias("age_days"),
+            )
+        )
+
+    def _list_files_walk(self, user: str | None = None) -> DataFrame:
+        """Driver-side fallback listing (metadata-only os.walk)."""
         rows = []
         now = time.time()
         users = [self._check_user(user)] if user else sorted(
@@ -161,19 +222,16 @@ class SarStore:
             for pq in sorted(d.glob("*.parquet")):
                 name = pq.name[: -len(".parquet")]
                 raw = d / name
-                pq_bytes = sum(
-                    f.stat().st_size for f in pq.rglob("*") if f.is_file()
-                )
+                leaf = [f for f in pq.rglob("*")
+                        if f.is_file() and not f.name.startswith(("_", "."))]
                 rows.append((
                     u, name,
                     raw.stat().st_size if raw.exists() else 0,
-                    pq_bytes,
-                    (now - pq.stat().st_mtime) / 86400.0,
+                    sum(f.stat().st_size for f in leaf),
+                    (now - max((f.stat().st_mtime for f in leaf),
+                               default=pq.stat().st_mtime)) / 86400.0,
                 ))
-        return self.spark.createDataFrame(
-            rows,
-            "user string, name string, raw_bytes long, parquet_bytes long, age_days double",
-        )
+        return self.spark.createDataFrame(rows, self._LIST_SCHEMA)
 
     def disk_usage_report(self) -> DataFrame:
         """Per-user totals, largest consumers first (services.py:379)."""

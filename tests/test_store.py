@@ -68,10 +68,12 @@ def test_disk_usage_report(store):
 
 def test_cleanup_old_files_dry_run_then_delete(store):
     info = store.upload("alice", "a.txt", SAR_24H.encode())
-    # age the parquet artificially: set mtime 40 days back
+    # age the parquet artificially: set every data file's mtime 40
+    # days back (age = newest data-file mtime)
     pq = store.root / "alice" / f"{info['name']}.parquet"
     old = time.time() - 40 * 86400
-    os.utime(pq, (old, old))
+    for f in [pq, *pq.rglob("*")]:
+        os.utime(f, (old, old))
 
     dry = store.cleanup_old_files(days=30, dry_run=True)
     assert dry["deleted_files"] == 1 and dry["dry_run"]
@@ -84,3 +86,17 @@ def test_cleanup_old_files_dry_run_then_delete(store):
     store.upload("alice", "a.txt", SAR_24H.encode())
     assert store.cleanup_old_files(days=30, dry_run=False)["deleted_files"] == 0
     assert store.list_files("alice").count() == 1
+
+
+def test_list_files_is_distributed_not_walk(store, monkeypatch):
+    """The primary listing path must be the Spark file index — the
+    driver-side walk is only the fallback for unlistable roots."""
+    store.upload("alice", "a.txt", SAR_24H.encode())
+
+    def boom(*a, **k):
+        raise AssertionError("fell back to the driver-side walk")
+
+    monkeypatch.setattr(store, "_list_files_walk", boom)
+    rows = store.list_files().collect()
+    assert [r["user"] for r in rows] == ["alice"]
+    assert rows[0]["parquet_bytes"] > 0 and rows[0]["age_days"] < 1.0
