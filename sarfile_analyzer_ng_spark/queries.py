@@ -1397,8 +1397,9 @@ FROM cov JOIN canon USING (alias)
 # q50-q55 — while the tail carries (a) the rows-only demos q31/q32/q36
 # whose driver row is just a row count (their correctness gates
 # q51/q52/q53 sit in the window) and (b) four simple map/window ops
-# (q42/q43/q48/q49) that tests/test_oracle_parity.py replays against
-# DuckDB locally at every SF.
+# (q42/q44/q48/q49, unchanged since their recorded round-2 passes)
+# that tests/test_oracle_parity.py replays against DuckDB locally at
+# every SF.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
@@ -1439,7 +1440,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
@@ -1455,7 +1456,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q36_ann_lsh": (q36_ann_lsh, None),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
 }

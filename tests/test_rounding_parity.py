@@ -47,3 +47,41 @@ def test_rnd_matches_duckdb_round_chain(spark):
         (i, got[i], (r4, r2)) for i, r4, r2 in expected if got[i] != (r4, r2)
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_registry_outputs_inside_rnd_parity_domain(spark):
+    """The rnd/sql_rnd contract only holds while |value|·10^digits
+    stays under 2^53 (util.RND_PARITY_MAX_SCALED): beyond it, DuckDB's
+    DECIMAL→DOUBLE step can land an ulp off Spark's BigDecimal path.
+    Execute every registry query at the largest local SF and assert
+    every double column observes the domain (digits=4 is the tightest
+    rounding any query uses), so new queries/SFs can't silently step
+    outside the contract the whole oracle gate rests on."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sarfile_analyzer_ng_spark.functions.dedup import release
+    from sarfile_analyzer_ng_spark.queries import REGISTRY
+    from sarfile_analyzer_ng_spark.util import RND_PARITY_MAX_SCALED
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    limit = RND_PARITY_MAX_SCALED / 10**4
+    offenders = []
+    for key, (fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        df = fn(spark, sf_dir)
+        dbl = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, T.DoubleType)]
+        if not dbl:
+            continue
+        row = df.agg(
+            *[F.max(F.abs(F.col(c))).alias(c) for c in dbl]
+        ).first()
+        release(df)
+        for c in dbl:
+            if row[c] is not None and row[c] >= limit:
+                offenders.append((key, c, row[c]))
+    assert not offenders, offenders
