@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out
+from ..util import fan_out, rnd
 
 # Stopword alternations per language; the heuristic scores a document
 # by word-boundary stopword hits and takes the argmax with a fixed
@@ -108,6 +108,111 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+NATID_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# redaction applies in this order; email first, since an address can
+# contain an IPv4-shaped domain that the later patterns would shred
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "n_emails": (EMAIL_PATTERN, "<EMAIL>"),
+    "n_phones": (PHONE_PATTERN, "<PHONE>"),
+    "n_ids": (NATID_PATTERN, "<ID>"),
+    "n_ips": (IPV4_PATTERN, "<IP>"),
+}
+
+
+def pii_scan(df: DataFrame, text_col: str,
+             out_col: str = "pii_redacted") -> DataFrame:
+    """Per-document PII audit for a training corpus: count emails,
+    phone numbers, IPv4 addresses, and SSN-shaped ids, flag documents
+    that contain any, and emit a redacted copy of the text.
+
+    All detection is JVM ``regexp_count``/``regexp_replace`` inside
+    whole-stage codegen — a pure map stage that scales with the scan.
+    Patterns stick to constructs with identical Java-regex (Spark) and
+    RE2 (DuckDB oracle) semantics: classes, ``\\b``, ``{m,n}``.
+    Counts are raw pattern hits on the original text; redaction runs
+    sequentially in PII_PATTERNS order.
+    """
+    df = fan_out(df)  # regexp-bound map stage
+    t = F.col(text_col)
+    for name, (pat, _) in PII_PATTERNS.items():
+        df = df.withColumn(name, F.regexp_count(t, F.lit(pat)).cast("long"))
+    total = sum((F.col(n) for n in PII_PATTERNS), F.lit(0))
+    red = t
+    for _, (pat, token) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, token)
+    return df.withColumn("has_pii", (total > 0).cast("long")).withColumn(
+        out_col, red
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str,
+                       round_to: int = 4) -> DataFrame:
+    """Gopher-style within-document repetition features — the classic
+    quality gate that drops boilerplate and spam from a training mix
+    (Rae et al. 2021, "Scaling Language Models", §A1.1):
+
+    - ``n_words``          whitespace tokens
+    - ``uniq_word_ratio``  distinct words / words
+    - ``top_word_frac``    share of the single most frequent word
+    - ``dup_word_frac``    share of words occurring more than once
+    - ``top_bigram_frac``  share of the most frequent adjacent bigram
+                           (0.0 for single-word documents)
+
+    Shape at scale: one posexplode over the scan, a window ``lead``
+    and two aggregations all keyed on (doc, token) — uniform keys,
+    shuffle volume proportional to token count, no per-doc state
+    beyond a document's own tokens (documents are bounded; a single
+    doc never spans partitions only for the in-doc window, which is
+    the same constraint every per-doc window op here carries).
+    """
+    from pyspark.sql import Window
+
+    words = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        words.withColumn("nxt", F.lead("word").over(win))
+        .where(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "word", "nxt").alias("bigram"))
+    )
+    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+    )
+    bc = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_big = bc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_big_cnt")
+    )
+    nw = F.col("n_words").cast("double")
+    return (
+        per_doc.join(per_big, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            rnd(F.col("n_uniq") / nw, round_to).alias("uniq_word_ratio"),
+            rnd(F.col("top_cnt") / nw, round_to).alias("top_word_frac"),
+            rnd(F.col("dup_cnt") / nw, round_to).alias("dup_word_frac"),
+            rnd(
+                F.coalesce(
+                    F.col("top_big_cnt") / F.col("n_bigrams").cast("double"),
+                    F.lit(0.0),
+                ),
+                round_to,
+            ).alias("top_bigram_frac"),
+        )
+    )
 
 
 def clean_text(df: DataFrame, text_col: str,

@@ -1126,6 +1126,125 @@ FROM split GROUP BY split, event_type
 """
 
 
+def q60_pii_scan(spark, sf_dir):
+    """Training-corpus PII audit: per-doc counts of emails / phones /
+    SSN-shaped ids / IPv4s, a has_pii flag, and a redacted copy. The
+    word-soup corpus carries no PII, so each doc gets a deterministic
+    doc_id-derived decoration first (same device as q42) — detection
+    counts and the redacted text are then observable and oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    decorated = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" mail user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" ref 123-45-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = TX.pii_scan(decorated, "text")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ids", "n_ips", "has_pii", "pii_redacted"
+    )
+
+
+SQL_Q60 = rf"""
+WITH decorated AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ref 123-45-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           AS text
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TX.EMAIL_PATTERN}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{TX.PHONE_PATTERN}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(text, '{TX.NATID_PATTERN}'))::BIGINT AS n_ids,
+         len(regexp_extract_all(text, '{TX.IPV4_PATTERN}'))::BIGINT AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{TX.PHONE_PATTERN}', '<PHONE>', 'g'),
+           '{TX.NATID_PATTERN}', '<ID>', 'g'),
+           '{TX.IPV4_PATTERN}', '<IP>', 'g') AS pii_redacted
+  FROM decorated)
+SELECT doc_id, n_emails, n_phones, n_ids, n_ips,
+       (CASE WHEN n_emails + n_phones + n_ids + n_ips > 0
+             THEN 1 ELSE 0 END)::BIGINT AS has_pii,
+       pii_redacted
+FROM counted
+"""
+
+
+def q61_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: distinct-
+    word ratio, most-frequent-word share, duplicated-word share, and
+    most-frequent-bigram share — the standard boilerplate/spam gate of
+    a training-data mix."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.repetition_signals(docs, "text", "doc_id")
+
+
+SQL_Q61 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents),
+words AS (SELECT doc_id, unnest(l) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM words GROUP BY doc_id, w),
+per_doc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_words, count(*)::BIGINT AS n_uniq,
+         max(cnt)::BIGINT AS top_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_cnt
+  FROM wc GROUP BY doc_id),
+bis AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+  FROM toks),
+bc AS (SELECT doc_id, b, count(*)::BIGINT AS cnt FROM bis GROUP BY doc_id, b),
+per_big AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, max(cnt)::BIGINT AS top_big_cnt
+  FROM bc GROUP BY doc_id)
+SELECT d.doc_id, d.n_words,
+       round(CAST(CAST((d.n_uniq / d.n_words::DOUBLE) AS VARCHAR)
+             AS DECIMAL(38,8)), 4)::DOUBLE AS uniq_word_ratio,
+       round(CAST(CAST((d.top_cnt / d.n_words::DOUBLE) AS VARCHAR)
+             AS DECIMAL(38,8)), 4)::DOUBLE AS top_word_frac,
+       round(CAST(CAST((d.dup_cnt / d.n_words::DOUBLE) AS VARCHAR)
+             AS DECIMAL(38,8)), 4)::DOUBLE AS dup_word_frac,
+       round(CAST(CAST((coalesce(b.top_big_cnt / b.n_bigrams::DOUBLE, 0.0))
+             AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS top_bigram_frac
+FROM per_doc d LEFT JOIN per_big b USING (doc_id)
+"""
+
+
 def q49_anti_join_dedup(spark, sf_dir):
     """Incremental corpus dedup: drop incoming docs whose exact content
     already exists in the reference corpus — LEFT ANTI join on the
@@ -1396,10 +1515,10 @@ FROM cov JOIN canon USING (alias)
 # every oracled gate — including the hash-seeded-operator gates
 # q50-q55 — while the tail carries (a) the rows-only demos q31/q32/q36
 # whose driver row is just a row count (their correctness gates
-# q51/q52/q53 sit in the window) and (b) four simple map/window ops
-# (q42/q44/q48/q49, unchanged since their recorded round-2 passes)
-# that tests/test_oracle_parity.py replays against DuckDB locally at
-# every SF.
+# q51/q52/q53 sit in the window) and (b) six simple map/window ops
+# (q42/q44/q45/q46/q48/q49, unchanged since their recorded round-2
+# passes) that tests/test_oracle_parity.py replays against DuckDB
+# locally at every SF.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
@@ -1441,8 +1560,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
-    "q45_rollup": (q45_rollup, SQL_Q45),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
+    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q59_overlay_align": (q59_overlay_align, SQL_Q59),
     "q50_sketch_stats": (q50_sketch_stats, None),
@@ -1457,6 +1576,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q36_ann_lsh": (q36_ann_lsh, None),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
 }

@@ -56,7 +56,11 @@ SAR_SCHEMA = T.StructType(
 DEVICE_COLUMNS = {"CPU", "DEV", "IFACE", "TTY", "FCHOST", "FILESYSTEM"}
 DEVICE_LAST_COLUMNS = {"FCHOST", "FILESYSTEM"}
 
-_RE_TIME = re.compile(r"^(\d{2}:\d{2}:\d{2})(\s+(AM|PM))?\s+", re.IGNORECASE)
+# Meridiem matched UPPERCASE ONLY, mirroring the reference
+# (pl_helpers2.py:80 strips r"(^\d{2}:\d{2}:\d{2}\s+(AM|PM)\s+)"):
+# sar's C/en_US locale emits "AM"/"PM", and a case-insensitive match
+# would swallow a lowercase header token that merely spells "am".
+_RE_TIME = re.compile(r"^(\d{2}:\d{2}:\d{2})(\s+(AM|PM))?\s+")
 _RE_RESTART = re.compile(r"LINUX RESTART", re.IGNORECASE)
 _RE_IGNORE = re.compile(
     r"(bus.*idvendor|intr/s|temp.*device|mhz)", re.IGNORECASE

@@ -115,6 +115,42 @@ def test_token_counts_hand_checked(spark):
     assert row["n_bpe_tokens"] == 7
 
 
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 or mail a.b@x.co from 10.0.3.1 ref 123-45-6789"),
+            (2, "no personal data here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scan(df, "text").collect()}
+    hit = rows[1]
+    assert (hit["n_emails"], hit["n_phones"], hit["n_ids"], hit["n_ips"]) == (1, 1, 1, 1)
+    assert hit["has_pii"] == 1
+    assert hit["pii_redacted"] == "call <PHONE> or mail <EMAIL> from <IP> ref <ID>"
+    clean = rows[2]
+    assert clean["has_pii"] == 0 and clean["pii_redacted"] == clean["text"]
+
+
+def test_repetition_signals_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, "w1 w2 w3 w4")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_signals(df, "text", "doc_id").collect()}
+    r1 = rows[1]  # words a,a,b; bigrams "a a","a b"
+    assert r1["n_words"] == 3
+    assert r1["uniq_word_ratio"] == round(2 / 3, 4)
+    assert r1["top_word_frac"] == round(2 / 3, 4)
+    assert r1["dup_word_frac"] == round(2 / 3, 4)
+    assert r1["top_bigram_frac"] == 0.5
+    r2 = rows[2]  # single word: no bigrams → frac 0.0
+    assert r2["n_words"] == 1 and r2["top_bigram_frac"] == 0.0
+    r3 = rows[3]  # all unique
+    assert r3["uniq_word_ratio"] == 1.0 and r3["dup_word_frac"] == 0.0
+    assert r3["top_bigram_frac"] == round(1 / 3, 4)
+
+
 def test_fingerprint_md5(spark):
     import hashlib
 
