@@ -260,6 +260,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jac
 
 
+def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
+                  id_col: str, shingle_n: int = 3) -> DataFrame:
+    """Train/eval decontamination: find training documents that share
+    any word ``shingle_n``-gram with an evaluation/benchmark set, so
+    they can be dropped before training (the standard n-gram-overlap
+    decontamination of GPT-3 appendix C / PaLM §7).
+
+    Returns ``(id_col, n_shared_shingles)`` for contaminated training
+    docs only — callers anti-join this against the corpus to clean it.
+
+    Shape at scale: both sides shingle via :func:`shingle_rows`
+    (distinct per doc), the eval side collapses to a distinct shingle
+    SET and is broadcast — eval suites are tiny next to a training
+    corpus, so the contamination probe is a broadcast hash join the
+    train scan streams through; output rows are bounded by the train
+    shingle count (linear, never the quadratic shared-shingle blowup
+    of an all-pairs join). Joins on the shingle STRING, not a hash —
+    exactness is the point of decontamination.
+    """
+    tr = shingle_rows(train, text_col, id_col, shingle_n)
+    ev = (
+        shingle_rows(eval_df, text_col, id_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(F.col("doc").alias(id_col), "n_shared_shingles")
+    )
+
+
 def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16) -> DataFrame:

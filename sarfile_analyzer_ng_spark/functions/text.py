@@ -215,6 +215,141 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 3, round_to: int = 4) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    topic signal used to slice and inspect a training mix.
+
+    score = tf · ln(N / df), ranked per document by (rounded score
+    desc, term asc); the ROUNDED score is the sort key so rank order
+    is identical across engines (two correct engines can differ by an
+    ulp on raw ln products, and an ulp at a rank boundary would swap
+    rows).
+
+    Shape at scale: explode → (doc, term) counts with map-side
+    partials; document frequency is a second aggregation over the
+    distinct (doc, term) pairs already in hand; the corpus-size scalar
+    joins in as a broadcast single-row frame (no driver action); the
+    per-doc top-k window partitions on doc_id — uniform keys, no
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            rnd(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                round_to,
+            ),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def source_mix_weights(df: DataFrame, source_col: str, text_col: str,
+                       targets: dict[str, float],
+                       round_to: int = 6) -> DataFrame:
+    """Per-source sampling weights that rebalance a corpus toward a
+    target mixture — the knob a training-data pipeline turns to hit
+    e.g. 40% web / 30% books without materializing a new corpus.
+
+    For each source: token share = tokens_s / total_tokens, raw ratio
+    = target_s / share_s, and ``sample_weight`` = ratio / max(ratio) —
+    keep-probabilities in (0, 1] that preserve the target proportions
+    by downsampling every source relative to the most under-target
+    one. Feed the weights to :func:`stratified_sample`.
+
+    Shape at scale: token counting is a codegen map stage; everything
+    after is an aggregation to ONE ROW PER SOURCE (sources are a
+    handful), so the unpartitioned windows for total/max run on a
+    frame of that size — trivially safe at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(source_col).alias("source"),
+        F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tgt = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col("source")]
+    everything = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything)
+    ratio = tgt / share
+    out = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(share, round_to).alias("token_share"),
+        tgt.alias("target_share"),
+        rnd(ratio / F.max(ratio).over(everything), round_to).alias(
+            "sample_weight"
+        ),
+    )
+    return out
+
+
+def top_ngrams(df: DataFrame, text_col: str, id_col: str,
+               n: int = 5, k: int = 20) -> DataFrame:
+    """Most-repeated word ``n``-grams corpus-wide, with occurrence and
+    document counts — the memorization-risk / boilerplate report run
+    before training (sequences repeated across many documents are the
+    ones a model memorizes verbatim).
+
+    Shape at scale: one shingle explode (shared machinery with the
+    dedup family), a two-level aggregation with map-side partials on
+    uniform shingle keys, then a global top-k that plans as
+    TakeOrderedAndProject — per-partition heaps of ``k`` rows, never a
+    full sort. The rank column is attached AFTER the limit, so its
+    window touches exactly ``k`` rows.
+    """
+    from pyspark.sql import Window
+    from .dedup import shingle_rows
+
+    grams = shingle_rows(df, text_col, id_col, n, distinct=False)
+    counts = grams.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("doc")).alias("n_docs"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("shingle").asc()
+    ).limit(k).select(
+        F.col("shingle").alias("ngram"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+    win = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return top.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
 def clean_text(df: DataFrame, text_col: str,
                out_col: str = "clean_text") -> DataFrame:
     """Training-corpus text normalization, all JVM regexp built-ins:

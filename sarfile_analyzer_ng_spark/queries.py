@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .util import rnd
+from .util import rnd, sql_rnd
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
@@ -1245,6 +1245,123 @@ FROM per_doc d LEFT JOIN per_big b USING (doc_id)
 """
 
 
+def q62_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination: documents with doc_id % 50
+    == 0 play the held-out eval suite; every other doc is training
+    data. Flag training docs sharing any 3-gram shingle with the eval
+    set, with the count of shared distinct shingles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return D.decontaminate(tr, ev, "text", "doc_id", shingle_n=3)
+
+
+SQL_Q62 = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_shared_shingles
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 50 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def q63_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (keyword extraction over the
+    training mix). Rank key is the ROUNDED score (desc) then term
+    (asc), so ordering is reproducible across engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+SQL_Q63 = rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, term, tf,
+         {sql_rnd('tf * ln(n_docs::DOUBLE / df)', 4)} AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q64_mix_weights(spark, sf_dir):
+    """Source-mix rebalancing: per-source token shares and the
+    keep-probabilities that steer the corpus toward a 40/30/20/10
+    target mixture by downsampling."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.source_mix_weights(docs, "source", "text", MIX_TARGETS)
+
+
+SQL_Q64 = rf"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source),
+tgt(source, target_share) AS (
+  VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+j AS (
+  SELECT p.source, n_docs, n_tokens, target_share,
+         n_tokens::DOUBLE / sum(n_tokens) OVER () AS share,
+         target_share / (n_tokens::DOUBLE / sum(n_tokens) OVER ()) AS ratio
+  FROM per p JOIN tgt USING (source))
+SELECT source, n_docs, n_tokens,
+       {sql_rnd('share', 6)} AS token_share,
+       target_share,
+       {sql_rnd('ratio / max(ratio) OVER ()', 6)} AS sample_weight
+FROM j
+"""
+
+
+def q65_top_ngrams(spark, sf_dir):
+    """Corpus-wide most-repeated 5-grams with occurrence and document
+    counts — the memorization-risk report run before training."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.top_ngrams(docs, "text", "doc_id", n=5, k=20)
+
+
+SQL_Q65 = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS ngram
+  FROM words WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS ngram FROM words WHERE len(w) < 5),
+counts AS (
+  SELECT ngram, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM grams GROUP BY ngram)
+SELECT ngram, n_occurrences, n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)::BIGINT AS rank
+FROM counts ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
 def q49_anti_join_dedup(spark, sf_dir):
     """Incremental corpus dedup: drop incoming docs whose exact content
     already exists in the reference corpus — LEFT ANTI join on the
@@ -1515,19 +1632,15 @@ FROM cov JOIN canon USING (alias)
 # every oracled gate — including the hash-seeded-operator gates
 # q50-q55 — while the tail carries (a) the rows-only demos q31/q32/q36
 # whose driver row is just a row count (their correctness gates
-# q51/q52/q53 sit in the window) and (b) six simple map/window ops
-# (q42/q44/q45/q46/q48/q49, unchanged since their recorded round-2
-# passes) that tests/test_oracle_parity.py replays against DuckDB
-# locally at every SF.
+# q51/q52/q53 sit in the window) and (b) ten simple map/filter/window
+# ops (q04/q05/q07/q08/q42/q44/q45/q46/q48/q49, unchanged since their
+# recorded round-2 passes) that tests/test_oracle_parity.py replays
+# against DuckDB locally at every SF.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     "q09_device_filter": (q09_device_filter, SQL_Q09),
     "q10_resample": (q10_resample, SQL_Q10),
     "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
@@ -1562,6 +1675,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q60_pii_scan": (q60_pii_scan, SQL_Q60),
     "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
+    "q62_decontaminate": (q62_decontaminate, SQL_Q62),
+    "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
+    "q64_mix_weights": (q64_mix_weights, SQL_Q64),
+    "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q59_overlay_align": (q59_overlay_align, SQL_Q59),
     "q50_sketch_stats": (q50_sketch_stats, None),
@@ -1580,6 +1697,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
 }
 
 
