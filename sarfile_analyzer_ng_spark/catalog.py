@@ -55,6 +55,19 @@ def _nanos_ts_cols(path: str) -> list[str]:
     ]
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet timestamps written without a timezone (pyarrow
+    ``timestamp[us]``, isAdjustedToUTC=false) surface as TIMESTAMP_NTZ
+    in Spark 4. With the session pinned to UTC the wall-clock values
+    are identical, so cast them to the session-zoned TIMESTAMP type —
+    every operator, CSV format option, and oracle compare in this
+    engine is written against the zoned type."""
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; normalizes TIMESTAMP(NANOS) parquet columns to
     Spark timestamps (integer ``div`` keeps full precision — a double
@@ -64,7 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     nanos = _nanos_ts_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     # Scope the legacy-nanos conf to this read: the plan captures the
     # conf at analysis time, so restoring it afterwards keeps later
     # parquet reads in the same session on normal timestamp behavior.
@@ -80,6 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in nanos:
             if c in long_cols:
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = _normalize_ntz(df)
         # Force analysis while the conf is set so the scan is resolved
         # against the legacy read path before we restore the conf.
         df.schema
