@@ -282,18 +282,29 @@ def source_mix_weights(df: DataFrame, source_col: str, text_col: str,
     by downsampling every source relative to the most under-target
     one. Feed the weights to :func:`stratified_sample`.
 
-    Shape at scale: token counting is a codegen map stage; everything
-    after is an aggregation to ONE ROW PER SOURCE (sources are a
-    handful), so the unpartitioned windows for total/max run on a
-    frame of that size — trivially safe at any corpus size.
+    Sources NOT named in ``targets`` are excluded entirely — no output
+    row, and they contribute nothing to the total-token denominator or
+    the max-ratio normalizer. The mix is defined over the listed
+    sources only (an unlisted source is weight 0: drop it before
+    sampling), matching an inner join against the targets relation.
+
+    Shape at scale: token counting is a codegen map stage, and the
+    target-source filter is pushed into the scan before the shuffle;
+    everything after is an aggregation to ONE ROW PER SOURCE (sources
+    are a handful), so the unpartitioned windows for total/max run on
+    a frame of that size — trivially safe at any corpus size.
     """
     from pyspark.sql import Window
 
-    toks = fan_out(df).select(
-        F.col(source_col).alias("source"),
-        F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
-        .cast("long")
-        .alias("n_toks"),
+    toks = (
+        fan_out(df)
+        .where(F.col(source_col).isin(list(targets)))
+        .select(
+            F.col(source_col).alias("source"),
+            F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
+            .cast("long")
+            .alias("n_toks"),
+        )
     )
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
