@@ -328,6 +328,67 @@ def source_mix_weights(df: DataFrame, source_col: str, text_col: str,
     return out
 
 
+def apply_mix_weights(df: DataFrame, source_col: str, id_col: str,
+                      text_col: str, targets: dict[str, float],
+                      round_to: int = 6) -> DataFrame:
+    """End-to-end mix rebalancing: compute per-source keep
+    probabilities (:func:`source_mix_weights`), apply them with the
+    deterministic hash sampler (:func:`stratified_sample`'s bucket
+    scheme), and report the ACHIEVED token mix of the sampled corpus
+    next to the target — the closed-loop check that the weights
+    actually steer the corpus where they claim.
+
+    Per the mix-weights contract, sources not named in ``targets``
+    are dropped (weight 0): the inner join against the broadcast
+    weights frame removes them before sampling.
+
+    Shape at scale: the weights frame is one row per target source —
+    broadcast into the join, so sampling is a scan-side map filter
+    (no shuffle of the corpus), and the achieved-mix report is one
+    aggregation to a handful of rows. No driver collect.
+    ``floor(sample_weight × 10000)`` turns each keep probability into
+    a bucket threshold; multiply-then-floor on the already
+    cross-engine-rounded weight is IEEE-exact in both engines, so the
+    sampled row set is oracle-reproducible.
+    """
+    from pyspark.sql import Window
+
+    weights = source_mix_weights(df, source_col, text_col, targets, round_to)
+    w = F.broadcast(
+        weights.select(
+            F.col("source").alias(source_col),
+            "target_share",
+            F.floor(F.col("sample_weight") * 10000).alias("threshold"),
+        )
+    )
+    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(10000))
+    sampled = df.join(w, on=source_col, how="inner").where(
+        bucket < F.col("threshold")
+    )
+    per = sampled.groupBy(
+        F.col(source_col).alias("source"), F.col("target_share")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(
+            F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
+            .cast("long")
+        ).alias("n_tokens_kept"),
+    )
+    everything = Window.partitionBy()
+    share = (
+        F.col("n_tokens_kept").cast("double")
+        / F.sum("n_tokens_kept").over(everything)
+    )
+    return per.select(
+        "source",
+        "n_docs_kept",
+        "n_tokens_kept",
+        "target_share",
+        rnd(share, round_to).alias("achieved_share"),
+        rnd(share - F.col("target_share"), round_to).alias("share_err"),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str, id_col: str,
                n: int = 5, k: int = 20) -> DataFrame:
     """Most-repeated word ``n``-grams corpus-wide, with occurrence and

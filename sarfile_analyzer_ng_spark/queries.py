@@ -1336,6 +1336,53 @@ FROM j
 """
 
 
+def q66_mix_apply(spark, sf_dir):
+    """Closed-loop mix rebalancing: compute the q64 sample weights,
+    apply them with the deterministic hash sampler, and report the
+    achieved token mix of the sampled corpus against MIX_TARGETS —
+    verifying end-to-end that the weights steer the corpus as
+    claimed."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return TX.apply_mix_weights(docs, "source", "doc_id", "text", MIX_TARGETS)
+
+
+SQL_Q66 = rf"""
+WITH per AS (
+  SELECT source,
+         sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source),
+tgt(source, target_share) AS (
+  VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+j AS (
+  SELECT p.source, target_share,
+         target_share / (n_tokens::DOUBLE / sum(n_tokens) OVER ()) AS ratio
+  FROM per p JOIN tgt USING (source)),
+w AS (
+  SELECT source, target_share,
+         floor({sql_rnd('ratio / max(ratio) OVER ()', 6)} * 10000) AS threshold
+  FROM j),
+sampled AS (
+  SELECT d.source, d.text, target_share
+  FROM documents d JOIN w USING (source)
+  WHERE (((doc_id % 1000003) * 2654435761) % 10000 + 10000) % 10000
+        < threshold),
+per2 AS (
+  SELECT source, target_share, count(*)::BIGINT AS n_docs_kept,
+         sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+           AS n_tokens_kept
+  FROM sampled GROUP BY source, target_share)
+SELECT source, n_docs_kept, n_tokens_kept, target_share,
+       {sql_rnd('n_tokens_kept::DOUBLE / sum(n_tokens_kept) OVER ()', 6)}
+         AS achieved_share,
+       {sql_rnd(
+           'n_tokens_kept::DOUBLE / sum(n_tokens_kept) OVER () - target_share',
+           6)}
+         AS share_err
+FROM per2
+"""
+
+
 def q65_top_ngrams(spark, sf_dir):
     """Corpus-wide most-repeated 5-grams with occurrence and document
     counts — the memorization-risk report run before training."""
@@ -1678,6 +1725,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q62_decontaminate": (q62_decontaminate, SQL_Q62),
     "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
+    "q66_mix_apply": (q66_mix_apply, SQL_Q66),
     "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q59_overlay_align": (q59_overlay_align, SQL_Q59),

@@ -212,3 +212,33 @@ def test_knn_classify_majority_and_tiebreak(spark):
     out2 = S.knn_classify(emb, queries, "vec_id", "embedding", "label", k=4)
     r2 = out2.collect()[0]
     assert r2["pred_label"] == 1 and r2["votes"] == 2
+
+
+def test_mix_weights_target_sources_only(spark):
+    # contract: sources absent from targets are excluded entirely,
+    # and shares/weights are computed over the listed sources only
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    w = TX.source_mix_weights(docs, "source", "text", targets).collect()
+    assert {r["source"] for r in w} == set(targets)
+    assert abs(sum(r["token_share"] for r in w) - 1.0) < 1e-6
+    assert max(r["sample_weight"] for r in w) == 1.0
+    assert all(0.0 < r["sample_weight"] <= 1.0 for r in w)
+
+
+def test_mix_apply_hits_targets_within_tolerance(spark):
+    # closed loop: the computed sample_weights, fed through the
+    # deterministic sampler, must land the token mix near MIX_TARGETS
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = TX.apply_mix_weights(docs, "source", "doc_id", "text", targets)
+    rows = out.collect()
+    assert {r["source"] for r in rows} == set(targets)
+    assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-5
+    # sampling noise at sf0.001 (~hundreds of docs/source) dominates;
+    # 5pp tolerance catches wrong-denominator / wrong-ratio bugs while
+    # staying robust to hash-bucket variance
+    for r in rows:
+        assert abs(r["share_err"]) < 0.05, (r["source"], r["share_err"])
