@@ -764,6 +764,52 @@ WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS D
 """
 
 
+JACCARD_MAX_DF = 8
+
+
+def q67_jaccard_maxdf(spark, sf_dir):
+    """q33 with the `max_df` hot-shingle cap engaged (the scale lever
+    that bounds the candidate join): shingles appearing in more than
+    JACCARD_MAX_DF documents are dropped from the intersection join,
+    while union sizes keep the pre-cap counts — so jaccard can only
+    decrease and no false positives appear. The oracle mirrors the
+    document-frequency cap exactly, driver-checking the contract that
+    dedup.py:222-236 previously only documented."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
+                                 threshold=JACCARD_TAU,
+                                 max_df=JACCARD_MAX_DF)
+
+
+SQL_Q67 = f"""
+WITH corpus AS ({SQL_PLANTED}),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) > {JACCARD_MAX_DF}),
+kept AS (
+  SELECT doc, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS jaccard
+FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {JACCARD_TAU}
+"""
+
+
 def q56_lsh_jaccard(spark, sf_dir):
     """LSH-prefiltered exact Jaccard (L4 scale path): MinHash banding
     generates candidates, exact Jaccard verifies only those pairs.
@@ -1710,6 +1756,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
