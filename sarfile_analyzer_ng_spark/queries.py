@@ -1721,31 +1721,21 @@ FROM cov JOIN canon USING (alias)
 # key -> (spark callable, oracle SQL or None for rows-only checks)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
-# FIRST 50 entries (insertion order). The window below therefore holds
-# every oracled gate — including the hash-seeded-operator gates
-# q50-q55 — while the tail carries (a) the rows-only demos q31/q32/q36
-# whose driver row is just a row count (their correctness gates
-# q51/q52/q53 sit in the window) and (b) ten simple map/filter/window
-# ops (q04/q05/q07/q08/q42/q44/q45/q46/q48/q49, unchanged since their
-# recorded round-2 passes) that tests/test_oracle_parity.py replays
-# against DuckDB locally at every SF.
+# FIRST 50 entries (insertion order). Rotation policy (round 4):
+#  - anything CHANGED or NEW this round sits in the window
+#    (q64 fixed, q66/q67 new);
+#  - entries last recorded in an OLDER round rotate back in
+#    (q04/q05/q07/q08/q42/q44-q46/q48/q49 from r2, plus the rows-only
+#    demos q31/q32/q36 whose oracled gates q51/q52/q53 also sit here);
+#  - the tail carries the 15 entries most recently recorded green
+#    (round 3: q01/q02/q06/q09-q20), UNCHANGED since that pass —
+#    enforced by tests/test_tail_staleness.py, which digests each tail
+#    entry's oracle SQL + optimized plan against
+#    tests/data/tail_snapshots.json and fails if one drifts without
+#    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    # ---- driver window (first 50 entries) ----
     "q03_percentiles": (q03_percentiles, SQL_Q03),
-    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
-    "q09_device_filter": (q09_device_filter, SQL_Q09),
-    "q10_resample": (q10_resample, SQL_Q10),
-    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
-    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
-    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
-    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
-    "q15_global_range": (q15_global_range, SQL_Q15),
-    "q16_alias_join": (q16_alias_join, SQL_Q16),
-    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
-    "q18_topk": (q18_topk, SQL_Q18),
-    "q19_correlation": (q19_correlation, SQL_Q19),
-    "q20_outliers": (q20_outliers, SQL_Q20),
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
@@ -1782,7 +1772,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
-    # ---- tail: beyond the driver's 50-entry recording window ----
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q36_ann_lsh": (q36_ann_lsh, None),
@@ -1796,6 +1785,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),
     "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    # ---- tail: beyond the driver's 50-entry recording window ----
+    # (recorded green in round 3; staleness-guarded, see above)
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
+    "q09_device_filter": (q09_device_filter, SQL_Q09),
+    "q10_resample": (q10_resample, SQL_Q10),
+    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
+    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
+    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
+    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
+    "q15_global_range": (q15_global_range, SQL_Q15),
+    "q16_alias_join": (q16_alias_join, SQL_Q16),
+    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
+    "q18_topk": (q18_topk, SQL_Q18),
+    "q19_correlation": (q19_correlation, SQL_Q19),
+    "q20_outliers": (q20_outliers, SQL_Q20),
 }
 
 

@@ -1,0 +1,79 @@
+"""Snapshot the registry TAIL (entries beyond the driver's 50-entry
+recording window) so tests/test_tail_staleness.py can prove they are
+unchanged since the round that last recorded them green.
+
+Each tail entry gets two digests:
+  - sql_sha:  sha256 of its oracle SQL text (None → "rows-only"),
+  - plan_sha: sha256 of its *normalized* optimized logical plan at
+    sf0.001 — expression ids (#123), plan ids, and memory-size hints
+    are scrubbed, so the digest moves only when the query's actual
+    shape (operators, expressions, inputs) moves.
+
+POLICY: regenerate this snapshot ONLY when rotating the tail, and only
+with entries whose most recent driver CORRECTNESS row is green. A
+digest mismatch in the test means the query changed after that pass —
+the fix is to rotate it back into the 50-entry window, not to rerun
+this script on a red query.
+
+Usage: python tools/snapshot_tail.py [--round rN]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SNAPSHOT_PATH = "/root/repo/tests/data/tail_snapshots.json"
+SF_DIR = "/root/testdata/sf0.001"
+WINDOW = 50
+
+
+def _normalize_plan(plan: str) -> str:
+    plan = re.sub(r"#\d+", "#N", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
+    plan = re.sub(r"\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "SZ", plan)
+    return plan.strip()
+
+
+def _sha(text: str) -> str:
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def tail_digests(spark) -> dict[str, dict[str, str]]:
+    """Digest every registry entry beyond the driver window."""
+    from sarfile_analyzer_ng_spark.queries import REGISTRY
+
+    out = {}
+    for key in list(REGISTRY)[WINDOW:]:
+        fn, sql = REGISTRY[key]
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        out[key] = {
+            "sql_sha": _sha(sql) if sql is not None else "rows-only",
+            "plan_sha": _sha(_normalize_plan(plan)),
+        }
+    return out
+
+
+def main() -> None:
+    from sarfile_analyzer_ng_spark.session import get_spark
+
+    recorded = sys.argv[sys.argv.index("--round") + 1] if "--round" in sys.argv else "r3"
+    spark = get_spark("snapshot-tail", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    digests = tail_digests(spark)
+    for v in digests.values():
+        v["last_recorded"] = recorded
+    with open(SNAPSHOT_PATH, "w") as f:
+        json.dump(digests, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(digests)} tail snapshots to {SNAPSHOT_PATH}")
+
+
+if __name__ == "__main__":
+    main()
