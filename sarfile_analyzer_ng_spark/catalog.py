@@ -61,10 +61,16 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     in Spark 4. With the session pinned to UTC the wall-clock values
     are identical, so cast them to the session-zoned TIMESTAMP type —
     every operator, CSV format option, and oracle compare in this
-    engine is written against the zoned type."""
+    engine is written against the zoned type.
+
+    Fallback only: :func:`load_table` disables NTZ inference at the
+    scan (a cast on top of the scan blocks parquet filter pushdown on
+    the column), so this fires just for frames read outside it.
+    Top-level fields only — an NTZ nested inside a struct/array/map
+    would pass through uncast; no supported table has one."""
     for f in df.schema.fields:
         if f.dataType.typeName() == "timestamp_ntz":
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+            df = df.withColumn(f.name, F.col(f"`{f.name}`").cast("timestamp"))
     return df
 
 
@@ -77,7 +83,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     nanos = _nanos_ts_cols(path)
     if not nanos:
-        return _normalize_ntz(spark.read.parquet(path))
+        # Surface tz-less parquet timestamps as session-zoned LTZ at
+        # the scan itself (conf scoped to this read, like the nanos
+        # conf below): casting NTZ→LTZ on top of the scan would stop
+        # parquet filter pushdown on those columns. _normalize_ntz
+        # stays as a belt-and-braces fallback.
+        ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        prev_ntz = spark.conf.get(ntz_key, None)
+        spark.conf.set(ntz_key, "false")
+        try:
+            df = spark.read.parquet(path)
+            # schema access resolves the scan while the conf is set
+            df.schema
+        finally:
+            if prev_ntz is None:
+                spark.conf.unset(ntz_key)
+            else:
+                spark.conf.set(ntz_key, prev_ntz)
+        return _normalize_ntz(df)
     # Scope the legacy-nanos conf to this read: the plan captures the
     # conf at analysis time, so restoring it afterwards keeps later
     # parquet reads in the same session on normal timestamp behavior.

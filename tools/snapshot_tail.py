@@ -9,11 +9,14 @@ Each tail entry gets two digests:
     are scrubbed, so the digest moves only when the query's actual
     shape (operators, expressions, inputs) moves.
 
-POLICY: regenerate this snapshot ONLY when rotating the tail, and only
-with entries whose most recent driver CORRECTNESS row is green. A
-digest mismatch in the test means the query changed after that pass —
-the fix is to rotate it back into the 50-entry window, not to rerun
-this script on a red query.
+POLICY: regenerate this snapshot ONLY (a) when rotating the tail, with
+entries whose most recent driver CORRECTNESS row is green, or (b)
+after an engine-wide infrastructure change (e.g. a scan-path conf)
+that moves EVERY plan digest, and only once a full local
+``tools/check_oracle.py`` run passes. A digest mismatch in the test
+otherwise means the query changed after its recorded pass — the fix
+is to rotate it back into the 50-entry window, not to rerun this
+script on a red query.
 
 Usage: python tools/snapshot_tail.py [--round rN]
 """
