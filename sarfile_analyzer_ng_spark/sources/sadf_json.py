@@ -45,7 +45,8 @@ def _flatten(d: dict, prefix: str = "") -> dict:
     return out
 
 
-def _rows_for_section(section: str, payload, ts, base: dict) -> list[dict]:
+def _rows_for_section(section: str, payload, ts, base: dict,
+                      skipped: set[str] | None = None) -> list[dict]:
     rows = []
     entries = payload if isinstance(payload, list) else [payload]
     for entry in entries:
@@ -59,6 +60,12 @@ def _rows_for_section(section: str, payload, ts, base: dict) -> list[dict]:
                 break
         for metric, value in flat.items():
             if isinstance(value, bool) or not isinstance(value, (int, float)):
+                # non-numeric, non-device field the generic traversal
+                # drops — surfaced to the uploader (reference
+                # sar_ingest.py:382-387 warns per unknown field); a new
+                # sysstat device-axis key would land here too.
+                if skipped is not None:
+                    skipped.add(f"unknown field skipped: {section}.{metric}")
                 continue
             rows.append(
                 {
@@ -74,8 +81,11 @@ def _rows_for_section(section: str, payload, ts, base: dict) -> list[dict]:
     return rows
 
 
-def parse_sadf_json(file_name: str, content: bytes) -> list[dict]:
-    """Pure per-file parser (executor-side body)."""
+def parse_sadf_json(file_name: str, content: bytes,
+                    skipped: set[str] | None = None) -> list[dict]:
+    """Pure per-file parser (executor-side body). Pass a ``skipped``
+    set to collect unknown-field warnings (upload path only — the
+    distributed read skips the bookkeeping)."""
     if content[: len(XZ_MAGIC)] == XZ_MAGIC:
         content = lzma.decompress(content)
     data = json.loads(content)
@@ -103,10 +113,13 @@ def parse_sadf_json(file_name: str, content: bytes) -> list[dict]:
                 if section == "network" and isinstance(payload, dict):
                     for sub, sub_payload in payload.items():
                         out.extend(
-                            _rows_for_section(f"network.{sub}", sub_payload, ts, base)
+                            _rows_for_section(f"network.{sub}", sub_payload,
+                                              ts, base, skipped)
                         )
                 else:
-                    out.extend(_rows_for_section(section, payload, ts, base))
+                    out.extend(
+                        _rows_for_section(section, payload, ts, base, skipped)
+                    )
         for restart in host.get("restarts", []):
             boot = restart.get("boot", restart) if isinstance(restart, dict) else {}
             time_str = boot.get("time")
@@ -147,3 +160,20 @@ def read_sadf_json(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in SAR_SCHEMA.fields])
 
     return raw.mapInPandas(batches, SAR_SCHEMA)
+
+
+def sadf_warnings(file_name: str, content: bytes) -> list[str]:
+    """Upload-time scan for sysstat fields the traversal drops
+    (reference sar_ingest.py:24-60, 382-387: per-field warnings on
+    unrecognized keys, surfaced to the uploader). One driver-side pass
+    over the single uploaded file — never part of the distributed
+    read. Returns sorted, deduplicated messages; broken JSON returns
+    no warnings here because upload fails loudly later anyway."""
+    skipped: set[str] = set()
+    try:
+        if content[: len(XZ_MAGIC)] == XZ_MAGIC:
+            content = lzma.decompress(content)
+        parse_sadf_json(file_name, content, skipped=skipped)
+    except (json.JSONDecodeError, lzma.LZMAError, ValueError, KeyError):
+        return []
+    return sorted(skipped)

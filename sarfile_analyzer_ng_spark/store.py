@@ -25,7 +25,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sources.sadf_json import read_sadf_json
+from .sources.sadf_json import read_sadf_json, sadf_warnings
 from .sources.sar_text import XZ_MAGIC, read_sar
 
 
@@ -104,6 +104,9 @@ class SarStore:
             if is_json:
                 df = read_sadf_json(self.spark, tmp)
                 warnings.append(f"{filename}: sadf JSON converted")
+                warnings.extend(
+                    f"{filename}: {w}" for w in sadf_warnings(filename, content)
+                )
             else:
                 df = read_sar(self.spark, tmp)
 

@@ -100,3 +100,67 @@ def test_list_files_is_distributed_not_walk(store, monkeypatch):
     rows = store.list_files().collect()
     assert [r["user"] for r in rows] == ["alice"]
     assert rows[0]["parquet_bytes"] > 0 and rows[0]["age_days"] < 1.0
+
+
+def test_sadf_upload_warns_on_unknown_fields(store):
+    # doctored sadf JSON carrying fields the traversal drops: a
+    # free-text field in a plain section and a string-valued field in
+    # a device section that is NOT a known device key (what a new
+    # sysstat version's section would look like)
+    doc = {
+        "sysstat": {
+            "hosts": [
+                {
+                    "nodename": "jhost",
+                    "release": "9.9",
+                    "file-date": "2024-05-01",
+                    "statistics": [
+                        {
+                            "timestamp": {
+                                "date": "2024-05-01", "time": "10:00:00"
+                            },
+                            "memory": {"memfree": 10.0, "flavor": "extra"},
+                            "cpu-load": [
+                                {"cpu": "all", "usr": 1.5, "psu-id": "A"}
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    }
+    import json as _json
+
+    info = store.upload("alice", "doc.json", _json.dumps(doc).encode())
+    flat = "\n".join(info["warnings"])
+    assert "unknown field skipped: memory.flavor" in flat
+    assert "unknown field skipped: cpu-load.psu-id" in flat
+    # known numeric fields must not be flagged
+    assert "memfree" not in flat and "usr" not in flat
+
+
+def test_sadf_upload_no_warnings_on_clean_file(store):
+    doc = {
+        "sysstat": {
+            "hosts": [
+                {
+                    "nodename": "jhost2",
+                    "release": "9.9",
+                    "file-date": "2024-05-02",
+                    "statistics": [
+                        {
+                            "timestamp": {
+                                "date": "2024-05-02", "time": "10:00:00"
+                            },
+                            "memory": {"memfree": 10.0},
+                            "cpu-load": [{"cpu": "all", "usr": 1.5}],
+                        }
+                    ],
+                }
+            ]
+        }
+    }
+    import json as _json
+
+    info = store.upload("alice", "doc2.json", _json.dumps(doc).encode())
+    assert not any("unknown field" in w for w in info["warnings"])
