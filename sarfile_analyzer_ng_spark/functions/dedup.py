@@ -468,3 +468,77 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     out._cached_inputs = [chunks]  # see release()
     return out
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(doc, rep)`` where ``rep`` is the smallest doc id in the
+    component. The missing step between "pair list" and "deduplicated
+    corpus" — LSH emits pairs, but keep-one-per-GROUP needs the
+    transitive closure (a~b, b~c ⇒ {a,b,c} keep one), the standard
+    MinHash→CC composition of the dedup literature.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels. The sum
+    of labels strictly decreases until the fixpoint, so one tiny
+    scalar aggregate per round is the convergence test — no data ever
+    reaches the driver. Rounds needed = component diameter, which for
+    near-dup clusters is small (they are near-cliques: 2-4 rounds in
+    practice); ``localCheckpoint`` cuts the growing join lineage each
+    round. At extreme diameters (long chain graphs — not the dup
+    workload) the alternating large-star/small-star algorithm halves
+    rounds; not needed here.
+
+    Only documents appearing in ``pairs`` get a row — singletons are
+    their own representative by definition and never shuffle.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("rep", F.col("doc"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy(F.col("src").alias("doc"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("rep")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("doc").alias("doc_id"), "rep")
+
+
+def dedup_apply(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+    """Keep one document per duplicate cluster: drop every cluster
+    member except its representative. Broadcast-sized in the common
+    case (the drop list is bounded by the number of near-dup docs, far
+    smaller than the corpus); Spark picks broadcast vs shuffle from
+    stats — the anti join streams the corpus scan either way."""
+    drop = clusters.where(F.col("doc_id") != F.col("rep")).select("doc_id")
+    return df.join(
+        drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )

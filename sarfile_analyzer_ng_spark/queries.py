@@ -735,10 +735,9 @@ def q32_dedup_simhash(spark, sf_dir):
 
 
 def q33_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup (L4) on the planted corpus."""
-    corpus = _planted_corpus(spark, sf_dir)
-    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
-                                 threshold=JACCARD_TAU)
+    """Exact n-gram Jaccard near-dup (L4) on the planted corpus
+    (memoized frame shared with its cluster consumers q68/q69)."""
+    return _jaccard_pairs_shared(spark, sf_dir)
 
 
 SQL_Q33 = f"""
@@ -761,6 +760,101 @@ SELECT doc_a, doc_b, inter,
        round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS jaccard
 FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
 WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {JACCARD_TAU}
+"""
+
+
+# Exact-jaccard pair frame shared by its consumers (q33 demo, q68
+# clusters, q69 apply) — identical pipeline, identical corpus; cached
+# and memoized per (session, sf_dir) like _MINHASH_PAIR_MEMO. Bounded:
+# two ids + two numbers per near-dup pair.
+_JACCARD_PAIR_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    pairs = _JACCARD_PAIR_MEMO.get(key)
+    if pairs is None:
+        corpus = _planted_corpus(spark, sf_dir)
+        pairs = D.ngram_jaccard_pairs(
+            corpus, "text", "doc_id", shingle_n=3, threshold=JACCARD_TAU
+        ).cache()
+        _JACCARD_PAIR_MEMO[key] = pairs
+    return pairs
+
+
+# DuckDB fragment producing the q33 pair set (doc_a, doc_b) — embedded
+# by the cluster oracles so Spark memoization and SQL stay in lockstep.
+_SQL_JAC_PAIRS = f"""
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {JACCARD_TAU})
+"""
+
+
+def q68_dup_clusters(spark, sf_dir):
+    """Connected components over the q33 near-dup pairs: each involved
+    document mapped to its cluster representative (min doc id) — the
+    LSH→CC composition every 100 TB dedup pipeline runs between "pair
+    list" and "keep one per cluster"."""
+    return D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+
+
+SQL_Q68 = f"""
+WITH RECURSIVE corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.doc, e.d FROM reach w JOIN edges e ON e.s = w.r)
+SELECT doc AS doc_id, min(r)::BIGINT AS rep FROM reach GROUP BY doc
+"""
+
+
+def q69_dedup_apply(spark, sf_dir):
+    """Near-dup dedup applied: the planted corpus with every cluster
+    member except the representative dropped (anti join against the
+    bounded drop list)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    clusters = D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+    kept = D.dedup_apply(corpus, clusters, "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("md5"))
+
+
+SQL_Q69 = f"""
+WITH RECURSIVE corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.doc, e.d FROM reach w JOIN edges e ON e.s = w.r),
+clusters AS (
+  SELECT doc AS doc_id, min(r) AS rep FROM reach GROUP BY doc)
+SELECT c.doc_id, md5(c.text) AS md5
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> rep)
 """
 
 
@@ -1723,20 +1817,18 @@ FROM cov JOIN canon USING (alias)
 # ORDER MATTERS: the driver's correctness harness records only the
 # FIRST 50 entries (insertion order). Rotation policy (round 4):
 #  - anything CHANGED or NEW this round sits in the window
-#    (q64 fixed, q66/q67 new);
+#    (q64 fixed, q66/q67/q68/q69 new);
 #  - entries last recorded in an OLDER round rotate back in
 #    (q04/q05/q07/q08/q42/q44-q46/q48/q49 from r2, plus the rows-only
 #    demos q31/q32/q36 whose oracled gates q51/q52/q53 also sit here);
-#  - the tail carries the 15 entries most recently recorded green
-#    (round 3: q01/q02/q06/q09-q20), UNCHANGED since that pass —
+#  - the tail carries the 17 entries most recently recorded green
+#    (round 3: q01-q03/q06/q09-q21), UNCHANGED since that pass —
 #    enforced by tests/test_tail_staleness.py, which digests each tail
 #    entry's oracle SQL + optimized plan against
 #    tests/data/tail_snapshots.json and fails if one drifts without
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q03_percentiles": (q03_percentiles, SQL_Q03),
-    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q24_running_sum": (q24_running_sum, SQL_Q24),
@@ -1747,6 +1839,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
+    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
+    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -1787,6 +1881,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (recorded green in round 3; staleness-guarded, see above)
+    "q03_percentiles": (q03_percentiles, SQL_Q03),
+    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

@@ -242,3 +242,27 @@ def test_mix_apply_hits_targets_within_tolerance(spark):
     # staying robust to hash-bucket variance
     for r in rows:
         assert abs(r["share_err"]) < 0.05, (r["source"], r["share_err"])
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # chain 1-2, 2-3 plus separate pair 10-11: transitive closure must
+    # put {1,2,3} in one cluster with rep 1 (needs >1 propagation
+    # round), {10,11} with rep 10
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_id"], r["rep"]) for r in D.dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_apply_keeps_representatives_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    kept = D.dedup_apply(docs, D.dup_clusters(pairs), "doc_id")
+    # reps 1 and 10 survive; singleton 99 untouched; members 2,3,11 dropped
+    assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
