@@ -215,6 +215,78 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def quality_filter(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 20, max_words: int = 100_000,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0,
+                   min_stop_ratio: float = 0.02,
+                   max_punct_ratio: float = 0.3,
+                   max_dup_word_frac: float = 0.85,
+                   max_top_bigram_frac: float = 0.25,
+                   langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+                   round_to: int = 4) -> DataFrame:
+    """The composed C4/Gopher-style document gate a training pipeline
+    actually runs: length, word-shape, punctuation, stopword-fluency,
+    repetition, and language rules evaluated together into one
+    ``keep`` verdict per document (C4: Raffel et al. 2020 §2.2;
+    Gopher: Rae et al. 2021 §A1.1). PII hits ride along as an audit
+    column — redaction, not dropping, is the usual remedy.
+
+    The stopword-fluency rule only applies to documents *detected* as
+    English (the stopword list is English); other languages pass it.
+
+    Rules compare the ROUNDED signal columns, so the verdict is
+    engine-reproducible (an ulp away from a threshold must not flip
+    keep/drop between Spark and the oracle).
+
+    Shape at scale: every signal except repetition is one codegen map
+    stage over the scan; repetition adds its explode+agg keyed on the
+    doc id, joined back on that same id — shuffle volume proportional
+    to token count, verdict evaluation free. At 100 TB this is the
+    cheap pre-filter run before any pairwise dedup.
+    """
+    base = quality_score(df.select(id_col, text_col), text_col, round_to)
+    base = lang_id(base, text_col)
+    t = F.col(text_col)
+    n_pii = sum(
+        (F.regexp_count(t, F.lit(p)) for p, _ in PII_PATTERNS.values()),
+        F.lit(0),
+    )
+    base = base.withColumn("n_pii", n_pii.cast("long"))
+    rep = repetition_signals(
+        df.select(id_col, text_col), text_col, id_col, round_to
+    ).select(id_col, "dup_word_frac", "top_bigram_frac")
+    j = base.join(rep, id_col)
+    ok_words = F.col("n_words").between(min_words, max_words)
+    ok_wlen = F.col("mean_word_len").between(
+        min_mean_word_len, max_mean_word_len
+    )
+    ok_punct = F.col("punct_ratio") <= max_punct_ratio
+    ok_stop = (F.col("pred_lang") != "en") | (
+        F.col("stopword_ratio") >= min_stop_ratio
+    )
+    ok_rep = (F.col("dup_word_frac") <= max_dup_word_frac) & (
+        F.col("top_bigram_frac") <= max_top_bigram_frac
+    )
+    ok_lang = F.col("pred_lang").isin(list(langs))
+    keep = ok_words & ok_wlen & ok_punct & ok_stop & ok_rep & ok_lang
+    return j.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "dup_word_frac",
+        "top_bigram_frac",
+        "pred_lang",
+        "n_pii",
+        ok_words.cast("long").alias("ok_words"),
+        ok_lang.cast("long").alias("ok_lang"),
+        ok_rep.cast("long").alias("ok_repetition"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                     k: int = 3, round_to: int = 4) -> DataFrame:
     """Top-``k`` TF-IDF terms per document — the classic keyword /

@@ -1385,6 +1385,85 @@ FROM per_doc d LEFT JOIN per_big b USING (doc_id)
 """
 
 
+def q70_quality_filter(spark, sf_dir):
+    """Composed C4/Gopher-style quality gate: every per-document
+    signal (length, word shape, punctuation, English stopword
+    fluency, repetition, detected language, PII audit count)
+    evaluated into one keep/drop verdict."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.quality_filter(docs, "text", "doc_id")
+
+
+_PII_SQL_COUNT = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))"
+    for pat, _ in TX.PII_PATTERNS.values()
+)
+
+SQL_Q70 = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop,
+         {_sql_lang_score('en')} AS s_en, {_sql_lang_score('de')} AS s_de,
+         {_sql_lang_score('es')} AS s_es, {_sql_lang_score('fr')} AS s_fr,
+         {_sql_lang_score('zh')} AS s_zh,
+         ({_PII_SQL_COUNT})::BIGINT AS n_pii
+  FROM documents),
+sig AS (
+  SELECT doc_id, n_words::BIGINT AS n_words,
+         {sql_rnd('CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END', 4)} AS mean_word_len,
+         {sql_rnd('CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END', 4)} AS punct_ratio,
+         {sql_rnd('CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END', 4)} AS stopword_ratio,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+                THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang,
+         n_pii
+  FROM f),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM documents),
+words AS (SELECT doc_id, unnest(l) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM words GROUP BY doc_id, w),
+per_doc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS nw,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_cnt
+  FROM wc GROUP BY doc_id),
+bis AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+  FROM toks),
+bc AS (SELECT doc_id, b, count(*)::BIGINT AS cnt FROM bis GROUP BY doc_id, b),
+per_big AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, max(cnt)::BIGINT AS top_big_cnt
+  FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+         {sql_rnd('d.dup_cnt / d.nw::DOUBLE', 4)} AS dup_word_frac,
+         {sql_rnd('coalesce(b.top_big_cnt / b.n_bigrams::DOUBLE, 0.0)', 4)} AS top_bigram_frac
+  FROM per_doc d LEFT JOIN per_big b USING (doc_id)),
+j AS (SELECT * FROM sig JOIN rep USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+       dup_word_frac, top_bigram_frac, pred_lang, n_pii,
+       (n_words BETWEEN 20 AND 100000)::BIGINT AS ok_words,
+       (pred_lang IN ('en', 'de', 'es', 'fr'))::BIGINT AS ok_lang,
+       (dup_word_frac <= 0.85 AND top_bigram_frac <= 0.25)::BIGINT
+         AS ok_repetition,
+       (n_words BETWEEN 20 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio <= 0.3
+        AND (pred_lang <> 'en' OR stopword_ratio >= 0.02)
+        AND dup_word_frac <= 0.85 AND top_bigram_frac <= 0.25
+        AND pred_lang IN ('en', 'de', 'es', 'fr'))::BIGINT AS keep
+FROM j
+"""
+
+
 def q62_decontaminate(spark, sf_dir):
     """Train/eval n-gram decontamination: documents with doc_id % 50
     == 0 play the held-out eval suite; every other doc is training
@@ -1829,7 +1908,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
@@ -1841,6 +1919,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
+    "q70_quality_filter": (q70_quality_filter, SQL_Q70),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -1883,6 +1962,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (recorded green in round 3; staleness-guarded, see above)
     "q03_percentiles": (q03_percentiles, SQL_Q03),
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
+    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

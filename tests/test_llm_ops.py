@@ -266,3 +266,22 @@ def test_dedup_apply_keeps_representatives_and_singletons(spark):
     kept = D.dedup_apply(docs, D.dup_clusters(pairs), "doc_id")
     # reps 1 and 10 survive; singleton 99 untouched; members 2,3,11 dropped
     assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
+
+
+def test_quality_filter_rules_hand_checked(spark):
+    rows = [
+        # healthy: 24 distinct-ish words with English stopwords
+        (1, "the cat sat on the mat and the dog ran to the park for a "
+            "walk that was long and good in the warm sun today"),
+        # too short
+        (2, "tiny doc"),
+        # repetitive spam: one bigram dominates
+        (3, " ".join(["buy now"] * 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           TX.quality_filter(df, "text", "doc_id").collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["ok_words"] == 0
+    assert got[3]["keep"] == 0 and got[3]["ok_repetition"] == 0
+    assert got[1]["pred_lang"] == "en"
