@@ -400,6 +400,57 @@ def source_mix_weights(df: DataFrame, source_col: str, text_col: str,
     return out
 
 
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    context-window prep step between a cleaned corpus and a tokenizer
+    (chunk size in whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens so no span is lost at a boundary).
+
+    chunk ``i`` covers words ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens − overlap``; a document shorter than
+    one chunk yields exactly one (possibly short) chunk.
+
+    Shape at scale: pure map stage — ``split`` → ``sequence`` →
+    ``explode`` → ``slice``, all JVM built-ins inside codegen; output
+    rows ≈ input tokens / stride, no shuffle, no Python. Chunk ids are
+    deterministic, so downstream exact-dedup on (doc, chunk) is
+    reproducible.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.array_size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+    )
+    out = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            words.alias("_words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("_words"),
+                F.col("chunk_id") * stride + 1,
+                F.lit(chunk_tokens),
+            ).alias("_chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        F.array_size(F.col("_chunk")).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def apply_mix_weights(df: DataFrame, source_col: str, id_col: str,
                       text_col: str, targets: dict[str, float],
                       round_to: int = 6) -> DataFrame:

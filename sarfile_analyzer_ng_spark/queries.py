@@ -1385,6 +1385,32 @@ FROM per_doc d LEFT JOIN per_big b USING (doc_id)
 """
 
 
+def q71_chunk_documents(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking (32-token chunks,
+    8-token overlap) — the context-window prep between a cleaned
+    corpus and the tokenizer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.chunk_documents(docs, "text", "doc_id",
+                              chunk_tokens=32, overlap=8)
+
+
+SQL_Q71 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+meta AS (
+  SELECT doc_id, l,
+         greatest(1, CAST(ceil((len(l) - 8)::DOUBLE / 24) AS INT)) AS n_chunks
+  FROM toks),
+ch AS (
+  SELECT doc_id, l, unnest(range(0, n_chunks)) AS chunk_id FROM meta)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       array_to_string(l[chunk_id*24 + 1 : chunk_id*24 + 32], ' ')
+         AS chunk_text,
+       len(l[chunk_id*24 + 1 : chunk_id*24 + 32])::BIGINT AS n_chunk_tokens
+FROM ch
+"""
+
+
 def q70_quality_filter(spark, sf_dir):
     """Composed C4/Gopher-style quality gate: every per-document
     signal (length, word shape, punctuation, English stopword
@@ -1908,7 +1934,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
@@ -1920,6 +1945,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
+    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -1963,6 +1989,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q03_percentiles": (q03_percentiles, SQL_Q03),
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
+    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

@@ -285,3 +285,20 @@ def test_quality_filter_rules_hand_checked(spark):
     assert got[2]["keep"] == 0 and got[2]["ok_words"] == 0
     assert got[3]["keep"] == 0 and got[3]["ok_repetition"] == 0
     assert got[1]["pred_lang"] == "en"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short doc")],
+                               "doc_id long, text string")
+    out = TX.chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 words, stride 2 -> ceil((10-2)/2) = 4 chunks
+    assert sum(1 for k in got if k[0] == 1) == 4
+    assert got[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"   # 2-token overlap
+    assert got[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    # doc 2: shorter than one chunk -> exactly one short chunk
+    assert sum(1 for k in got if k[0] == 2) == 1
+    assert got[(2, 0)]["chunk_text"] == "short doc"
+    assert got[(2, 0)]["n_chunk_tokens"] == 2
