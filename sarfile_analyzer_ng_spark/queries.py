@@ -1027,6 +1027,67 @@ WHERE rank <= {ANN_K}
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+
+
+def q72_kmeans_twin(spark, sf_dir):
+    """Engine-reproducible Lloyd k-means (k=8, 2 iterations,
+    smallest-id init): the oracled geometry gate for ivf_train's
+    Arrow partial-sum production path — rounded-cosine assignment and
+    rounded centroid components make every step replayable in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd_exact(emb, "vec_id", "embedding",
+                                k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _sql_kmeans_assign(cent: str, out: str) -> str:
+    """One rounded-cosine assignment pass against centroid CTE `cent`."""
+    cos = sql_rnd(
+        "list_dot_product(v.e, c.c) / "
+        "(sqrt(list_sum(list_transform(v.e, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(c.c, x -> x * x))))",
+        4,
+    )
+    return f"""{out} AS (
+  SELECT vec_id, cluster, e, cos FROM (
+    SELECT v.vec_id, c.cluster, v.e, {cos} AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos} DESC, c.cluster ASC) AS rk
+    FROM v CROSS JOIN {cent} c)
+  WHERE rk = 1)"""
+
+
+def _sql_kmeans_update(assigned: str, prev: str, out: str) -> str:
+    """Rounded per-component mean update; empty clusters keep their
+    previous centroid."""
+    return f"""{out}_m AS (
+  SELECT cluster, i, {sql_rnd('avg(e[i])', 6)} AS m
+  FROM {assigned}, range(1, {EMB_DIM + 1}) t(i) GROUP BY cluster, i),
+{out}_l AS (
+  SELECT cluster, list(m ORDER BY i) AS c FROM {out}_m GROUP BY cluster),
+{out} AS (
+  SELECT p.cluster, coalesce(l.c, p.c) AS c
+  FROM {prev} p LEFT JOIN {out}_l l USING (cluster))"""
+
+
+SQL_Q72 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+{_sql_kmeans_assign('cent2', 'a3')}
+SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a3
+"""
+
+
 def q36_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (L7) — rows-only (xxhash64-derived planes)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1934,7 +1995,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
@@ -1946,6 +2006,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
+    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -1990,6 +2051,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
+    "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

@@ -302,3 +302,19 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert sum(1 for k in got if k[0] == 2) == 1
     assert got[(2, 0)]["chunk_text"] == "short doc"
     assert got[(2, 0)]["n_chunk_tokens"] == 2
+
+
+def test_kmeans_lloyd_exact_separates_clusters(spark):
+    # two tight, well-separated direction clusters; k=2 with
+    # smallest-id seeds (one seed per cluster: ids 1 and 2)
+    rows = [
+        (1, [1.0, 0.0, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.1]),
+        (3, [0.9, 0.1, 0.1, 0.0]), (4, [0.1, 0.9, 0.0, 0.1]),
+        (5, [1.0, 0.1, 0.0, 0.0]), (6, [0.0, 1.1, 0.1, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.kmeans_lloyd_exact(emb, "vec_id", "embedding", k=2, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got[1] == got[3] == got[5]
+    assert got[2] == got[4] == got[6]
+    assert got[1] != got[2]
