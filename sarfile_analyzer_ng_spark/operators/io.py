@@ -51,3 +51,27 @@ def partition_filters(df: DataFrame) -> str:
         df._jdf.queryExecution(), "formatted"
     )
     return "\n".join(l.strip() for l in text.splitlines() if "PartitionFilters" in l)
+
+
+def write_jsonl_shards(df: DataFrame, path: str, num_shards: int,
+                       shard_key: str, mode: str = "overwrite") -> None:
+    """Sharded JSONL corpus export — the interchange format training
+    pipelines consume (one JSON object per line, a bounded number of
+    similar-size shard files).
+
+    Sharding hashes ``shard_key`` into exactly ``num_shards``
+    partitions (`repartition(n, col)` — deterministic placement given
+    the key, unlike round-robin), so a document always lands in the
+    same shard across runs and re-exports are diffable. Spark's json
+    sink writes one file per partition: shard count is explicit and
+    independent of the input layout. Compression stays off by default
+    — downstream tokenizer jobs split plain files at arbitrary
+    offsets; gzip shards would serialize each reader.
+    """
+    df.repartition(num_shards, F.col(shard_key)).write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType) -> DataFrame:
+    """Schema-pinned JSONL read (inference would re-scan the corpus)."""
+    return spark.read.schema(schema).json(path)

@@ -109,3 +109,40 @@ def test_percentiles_distributed_rank_single_materialization(spark):
     assert "_pid" in text
     for dep in getattr(df, "_cached_inputs", ()):
         dep.unpersist()
+
+
+def test_mix_apply_broadcasts_weights_no_corpus_shuffle_join(spark):
+    from sarfile_analyzer_ng_spark.queries import q66_mix_apply
+
+    text = plan(q66_mix_apply(spark, SF_DIR))
+    # the 4-row weights frame must broadcast; the corpus side must
+    # never sort-merge against it
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_quality_filter_pure_jvm_no_python(spark):
+    from sarfile_analyzer_ng_spark.queries import q70_quality_filter
+
+    text = plan(q70_quality_filter(spark, SF_DIR))
+    assert "BatchEvalPython" not in text
+    assert "ArrowEvalPython" not in text
+
+
+def test_chunking_is_map_only_no_exchange(spark):
+    from sarfile_analyzer_ng_spark.queries import q71_chunk_documents
+
+    text = plan(q71_chunk_documents(spark, SF_DIR))
+    # split->sequence->explode->slice is a pure map pipeline; the only
+    # acceptable exchange is fan_out's round-robin repartition
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+    exchanges = [l for l in text.splitlines() if "Exchange" in l]
+    assert all("RoundRobin" in l or "REPARTITION" in l for l in exchanges), exchanges
+
+
+def test_kmeans_twin_broadcasts_centroids(spark):
+    from sarfile_analyzer_ng_spark.queries import q72_kmeans_twin
+
+    text = plan(q72_kmeans_twin(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text

@@ -4,7 +4,7 @@ window.
 The driver records correctness for only the first 50 registry entries;
 the tail rides on its last recorded green round. That is only sound if
 tail entries are UNCHANGED since that round — this test enforces it by
-digesting each tail entry's oracle SQL and normalized optimized plan
+digesting each tail entry's oracle SQL and normalized analyzed plan
 against the snapshot taken when the tail was last rotated
 (tests/data/tail_snapshots.json, written by tools/snapshot_tail.py).
 
@@ -52,7 +52,7 @@ def test_tail_entries_unchanged_since_recorded_round(spark, snapshot):
         if want.get("sql_sha") != got["sql_sha"]:
             stale.append(f"{key}: oracle SQL changed")
         elif want.get("plan_sha") != got["plan_sha"]:
-            stale.append(f"{key}: optimized plan changed")
+            stale.append(f"{key}: analyzed plan changed")
     assert not stale, (
         "tail queries changed since their last driver-recorded pass - "
         "rotate them into the 50-entry window: " + "; ".join(stale)

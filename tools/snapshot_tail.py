@@ -4,10 +4,14 @@ unchanged since the round that last recorded them green.
 
 Each tail entry gets two digests:
   - sql_sha:  sha256 of its oracle SQL text (None → "rows-only"),
-  - plan_sha: sha256 of its *normalized* optimized logical plan at
+  - plan_sha: sha256 of its *normalized* analyzed logical plan at
     sf0.001 — expression ids (#123), plan ids, and memory-size hints
     are scrubbed, so the digest moves only when the query's actual
-    shape (operators, expressions, inputs) moves.
+    shape (operators, expressions, inputs) moves. The ANALYZED plan
+    (not optimized) on purpose: cache substitution rewrites the
+    optimized plan with InMemoryRelations whose contents depend on
+    what else ran in the session, which made the digest
+    order-dependent under the full test suite.
 
 POLICY: regenerate this snapshot ONLY (a) when rotating the tail, with
 entries whose most recent driver CORRECTNESS row is green, or (b)
@@ -55,7 +59,7 @@ def tail_digests(spark) -> dict[str, dict[str, str]]:
     for key in list(REGISTRY)[WINDOW:]:
         fn, sql = REGISTRY[key]
         df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = df._jdf.queryExecution().analyzed().toString()
         out[key] = {
             "sql_sha": _sha(sql) if sql is not None else "rows-only",
             "plan_sha": _sha(_normalize_plan(plan)),
