@@ -175,3 +175,27 @@ def dedup_stream(stream: DataFrame, text_col: str, ts_col: str,
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+def quality_gate_stream(stream: DataFrame, text_col: str,
+                        min_words: int = 20,
+                        max_punct_ratio: float = 0.3,
+                        langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+                        ) -> DataFrame:
+    """Streaming document quality gate (ST6): the stateless subset of
+    ``functions.text.quality_filter`` applied to a document stream —
+    length, punctuation, and detected-language rules are pure map
+    stages, so the EXACT batch operators run unchanged on a readStream
+    frame (no state, no watermark, bounded memory by construction).
+    The repetition rules need per-doc aggregation and stay in the
+    batch scrub; an ingest-side gate drops the obvious rejects before
+    they ever hit storage.
+    """
+    from ..functions.text import lang_id, quality_score
+
+    gated = lang_id(quality_score(stream, text_col), text_col)
+    return gated.where(
+        (F.col("n_words") >= min_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & F.col("pred_lang").isin(list(langs))
+    )

@@ -54,6 +54,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     to ``defaultParallelism`` when the input is coarser; a no-op at
     real scale, where scans already produce ≥ cores partitions.
     """
+    if df.isStreaming:
+        # partitioning is the stream source's concern (maxFilesPerTrigger
+        # etc.), and .rdd is illegal on a streaming frame
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -246,3 +246,39 @@ def test_dedup_stream_matches_batch_digest_set(spark, tmp_path):
     assert g == b
     # twins really were dropped: every survivor is an original
     assert got.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_quality_gate_stream_matches_batch_filter(spark, tmp_path):
+    """ST6: the stateless quality gate must pass exactly the documents
+    the batch map-stage rules pass — operator reuse on a stream, no
+    state, no watermark."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.text import lang_id, quality_score
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.toPandas().to_parquet(f"{src}/docs.parquet", index=False)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = SO.quality_gate_stream(stream, "text")
+    q = (
+        out.writeStream.format("memory").queryName("quality_gate_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in
+           spark.table("quality_gate_test").select("doc_id").collect()}
+
+    batch = lang_id(quality_score(spark.read.parquet(src), "text"), "text")
+    want = {
+        r["doc_id"]
+        for r in batch.where(
+            (F.col("n_words") >= 20)
+            & (F.col("punct_ratio") <= 0.3)
+            & F.col("pred_lang").isin(["en", "de", "es", "fr"])
+        ).select("doc_id").collect()
+    }
+    assert got == want and 0 < len(got) < 500
