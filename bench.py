@@ -60,8 +60,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # the registry grows every round; r1_subset_seconds keeps the
-    # total comparable to BENCH_r01's 48-query registry
-    r1_keys = [k for k in timings if not k.startswith(("q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58"))]
+    # total comparable to BENCH_r01's 48-query registry. The list is
+    # PINNED to the exact keys BENCH_r01 measured — the previous
+    # exclusion-based form silently absorbed every query added after
+    # round 1 (q59+), inflating the "comparable" number each round.
+    r1_keys = [k for k in (
+        "q01_pricing_summary", "q02_describe_stats", "q03_percentiles",
+        "q04_time_filter", "q05_dedup_first", "q06_pivot_wide",
+        "q07_melt_long", "q08_header_inventory", "q09_device_filter",
+        "q10_resample", "q11_minmax_argmax", "q12_restart_insert",
+        "q13_intersect_headers", "q14_multifile_describe",
+        "q15_global_range", "q16_alias_join", "q17_join_rollup",
+        "q18_topk", "q19_correlation", "q20_outliers", "q21_gap_detect",
+        "q22_hourly_profile", "q23_rolling_avg", "q24_running_sum",
+        "q25_asof_join", "q26_sessionize", "q27_salted_agg",
+        "q30_dedup_exact", "q31_dedup_minhash", "q32_dedup_simhash",
+        "q33_ngram_jaccard", "q34_cosine_dup", "q35_ann_topk",
+        "q36_ann_lsh", "q37_lang_id", "q38_quality_score",
+        "q39_token_count", "q40_fingerprint", "q41_ann_ivf",
+        "q42_text_clean", "q43_hash_split", "q44_json_extract",
+        "q45_rollup", "q46_delta_rate", "q47_resample_filled",
+        "q48_topn_per_group", "q49_anti_join_dedup", "q50_sketch_stats",
+    ) if k in timings]
     print(
         json.dumps(
             {
