@@ -200,24 +200,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+def shingle_hash_rows(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3) -> DataFrame:
+    """Distinct (doc, 64-bit shingle hash) rows — the candidate-join
+    input of the exact-jaccard family. Hashes (xxhash64) instead of
+    strings: smaller shuffle, cheaper sort, same pairs (collision odds
+    ~n²/2⁶⁴). Exposed so callers running several jaccard variants
+    (plain + max_df-capped) can build and cache it once."""
+    return (
+        shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+        .select("doc", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3, threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     explode(shingles) → self-join on shingle → |∩| per pair, then
     |A∪B| = |A|+|B|−|∩|. The shingle join is the candidate generator;
     at 100 TB this runs *after* an LSH/banding prefilter (see
     minhash_lsh_pairs) — kept exact here as the verification pass.
+
+    Pass ``shingles`` (a cached :func:`shingle_hash_rows` frame) to
+    share one shingle build across variants; the caller then owns its
+    lifetime (it is left out of ``_cached_inputs``).
     """
-    # join key is the 64-bit shingle hash, not the string: smaller
-    # shuffle, cheaper sort, same pairs (collision odds ~n²/2⁶⁴)
+    owns_cache = shingles is None
     sh = (
-        shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
-        .select("doc", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-        .cache()  # reused three times (two join sides + sizes)
-    )
+        shingle_hash_rows(df, text_col, id_col, shingle_n).cache()
+        if owns_cache
+        else shingles
+    )  # reused three times (two join sides + sizes)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # Scale lever: a shingle appearing in f documents generates
@@ -256,7 +273,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    jac._cached_inputs = [sh]  # see release()
+    jac._cached_inputs = [sh] if owns_cache else []  # see release()
     return jac
 
 

@@ -768,6 +768,20 @@ WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS D
 # and memoized per (session, sf_dir) like _MINHASH_PAIR_MEMO. Bounded:
 # two ids + two numbers per near-dup pair.
 _JACCARD_PAIR_MEMO: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles_shared(spark, sf_dir) -> DataFrame:
+    """One cached (doc, shingle-hash) frame for the whole exact-jaccard
+    family (q33 via the pair memo, the max_df variant q67) — the
+    shingle explode is the family's dominant shared cost."""
+    key = (id(spark), sf_dir)
+    sh = _SHINGLE_MEMO.get(key)
+    if sh is None:
+        corpus = _planted_corpus(spark, sf_dir)
+        sh = D.shingle_hash_rows(corpus, "text", "doc_id", shingle_n=3).cache()
+        _SHINGLE_MEMO[key] = sh
+    return sh
 
 
 def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
@@ -776,7 +790,8 @@ def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
     if pairs is None:
         corpus = _planted_corpus(spark, sf_dir)
         pairs = D.ngram_jaccard_pairs(
-            corpus, "text", "doc_id", shingle_n=3, threshold=JACCARD_TAU
+            corpus, "text", "doc_id", shingle_n=3, threshold=JACCARD_TAU,
+            shingles=_shingles_shared(spark, sf_dir),
         ).cache()
         _JACCARD_PAIR_MEMO[key] = pairs
     return pairs
@@ -872,7 +887,8 @@ def q67_jaccard_maxdf(spark, sf_dir):
     corpus = _planted_corpus(spark, sf_dir)
     return D.ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
                                  threshold=JACCARD_TAU,
-                                 max_df=JACCARD_MAX_DF)
+                                 max_df=JACCARD_MAX_DF,
+                                 shingles=_shingles_shared(spark, sf_dir))
 
 
 SQL_Q67 = f"""
