@@ -59,12 +59,52 @@ def read_media_dir(spark: SparkSession, path: str, kind: str) -> DataFrame:
 
 
 def real_decode(payload: bytes, kind: str):
-    """Placeholder for an actual decoder (PIL/libav/...); the container
-    has no media libraries, so using it raises by design."""
+    """Decode dispatch: REAL decode for formats that need no codec
+    library (binary PPM/PGM — pure header parse + numpy), documented
+    ``NotImplementedError`` for compressed formats (JPEG/PNG/audio/
+    video), whose codecs do not ship in this container — plug a
+    PIL/libav decoder in here and nothing else changes."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload, kind)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in "
-        "this environment; pass fake_decode for the deterministic stub"
+        "compressed-media decoding requires image/audio libraries not "
+        "present in this environment; binary PPM/PGM decodes natively, "
+        "or pass fake_decode for the deterministic stub"
     )
+
+
+def decode_ppm(payload: bytes, kind: str):
+    """Real image decode for binary netpbm (P6 RGB / P5 gray) — header
+    parse + ``numpy.frombuffer``, no codec library involved. Returns
+    (width, height, 0, feature) where the 8-dim feature is the
+    mean-pooled 2×4 luminance grid in [0, 1] — deterministic, so the
+    downstream similarity ops are testable on real pixels."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = (int(t) for t in tokens)
+    channels = 3 if payload[:2] == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    px = np.frombuffer(
+        payload, dtype=dtype, count=width * height * channels, offset=i
+    ).reshape(height, width, channels)
+    lum = px.astype(np.float64).mean(axis=2) / maxval
+    rows = np.array_split(lum, 2, axis=0)
+    cells = [c.mean() for r in rows for c in np.array_split(r, 4, axis=1)]
+    return width, height, 0, [float(c) for c in cells]
 
 
 def fake_decode(payload: bytes, kind: str):

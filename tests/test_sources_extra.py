@@ -121,3 +121,41 @@ def test_multimodal_features_feed_dedup_surface(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 101) in got
     feats.unpersist()
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """real_decode genuinely decodes binary netpbm without any codec
+    library: a synthetic P6 image with known geometry and a bright
+    left / dark right half must yield matching dims and luminance
+    features."""
+    width, height = 8, 4
+    left = b"\xff\xff\xff" * (width // 2)
+    right = b"\x00\x00\x00" * (width // 2)
+    payload = b"P6\n# test comment\n8 4\n255\n" + (left + right) * height
+    media = spark.createDataFrame(
+        [(1, "image", None, payload, {})], MM.MEDIA_SCHEMA
+    )
+    got = MM.extract_features(media).collect()[0]  # default real_decode
+    assert (got["width"], got["height"]) == (width, height)
+    feat = got["feature"]
+    assert len(feat) == 8
+    # 2x4 grid: columns 0-1 fully white (1.0), columns 2-3 fully black
+    assert feat[0] == feat[1] == 1.0 and feat[2] == feat[3] == 0.0
+    assert got["duration_ms"] == 0
+
+
+def test_multimodal_ppm_p5_gray_and_16bit(spark):
+    w, h = 4, 2
+    p5 = b"P5\n4 2\n255\n" + bytes([0, 64, 128, 255] * h)
+    p5_16 = b"P5\n4 2\n65535\n" + b"".join(
+        v.to_bytes(2, "big") for v in [0, 16384, 32768, 65535] * h
+    )
+    media = spark.createDataFrame(
+        [(1, "image", None, p5, {}), (2, "image", None, p5_16, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+    # 8-bit and 16-bit encodings of the same ramp give ~equal features
+    for a, b in zip(got[1]["feature"], got[2]["feature"]):
+        assert abs(a - b) < 0.01
