@@ -451,6 +451,54 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def pack_sequences(chunks: DataFrame, id_cols: list[str], tokens_col: str,
+                   capacity: int, num_shards: int = 64) -> DataFrame:
+    """Assign token chunks to fixed-capacity training sequences — the
+    concatenate-then-split packing LM training runs between chunking
+    and tokenization (documents are laid end to end; a sequence
+    boundary falls every ``capacity`` tokens, so chunks may straddle
+    two sequences — the standard GPT-style packing, not bin packing).
+
+    Each chunk gets: its shard, the sequence id its FIRST token lands
+    in, and its token offset within that sequence. Layout is fully
+    deterministic: shard = multiplicative hash of the first id col mod
+    ``num_shards`` (:func:`hash_split`'s engine-portable scheme, so
+    the oracle replays the exact layout), order within a shard =
+    ``id_cols``.
+
+    Shape at scale: one shuffle onto uniform hash shards, then a
+    running-sum window PER SHARD — no global ordering anywhere, so
+    adding executors splits the work; a single unpartitioned window
+    here would serialize the corpus through one task at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        (F.col(id_cols[0]) % 1_000_003) * 2654435761, F.lit(num_shards)
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*[F.col(c) for c in id_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        chunks.select(*id_cols, F.col(tokens_col).alias("_n"), shard)
+        .withColumn("_cum", F.sum("_n").over(w))
+        .select(
+            *id_cols,
+            "shard",
+            F.col("_n").cast("long").alias("n_tokens"),
+            ((F.col("_cum") - F.col("_n")) / capacity)
+            .cast("long")
+            .alias("seq_id"),
+            F.pmod(F.col("_cum") - F.col("_n"), F.lit(capacity))
+            .cast("long")
+            .alias("seq_offset"),
+        )
+    )
+    return out
+
+
 def apply_mix_weights(df: DataFrame, source_col: str, id_col: str,
                       text_col: str, targets: dict[str, float],
                       round_to: int = 6) -> DataFrame:

@@ -1488,6 +1488,49 @@ FROM ch
 """
 
 
+PACK_CAPACITY = 128
+PACK_SHARDS = 8
+
+
+def q73_pack_sequences(spark, sf_dir):
+    """Sequence packing over the q71 chunks: lay chunks end to end per
+    hash shard and mark each chunk's training-sequence id and token
+    offset (GPT-style concatenate-then-split, capacity 128)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = TX.chunk_documents(docs, "text", "doc_id",
+                                chunk_tokens=32, overlap=8)
+    return TX.pack_sequences(chunks, ["doc_id", "chunk_id"],
+                             "n_chunk_tokens", capacity=PACK_CAPACITY,
+                             num_shards=PACK_SHARDS)
+
+
+SQL_Q73 = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+meta AS (
+  SELECT doc_id, l,
+         greatest(1, CAST(ceil((len(l) - 8)::DOUBLE / 24) AS INT)) AS n_chunks
+  FROM toks),
+ch AS (
+  SELECT doc_id, l, unnest(range(0, n_chunks)) AS chunk_id FROM meta),
+chunks AS (
+  SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         len(l[chunk_id*24 + 1 : chunk_id*24 + 32])::BIGINT AS n_tokens,
+         (((doc_id % 1000003) * 2654435761) % {PACK_SHARDS}
+          + {PACK_SHARDS}) % {PACK_SHARDS} AS shard
+  FROM ch),
+packed AS (
+  SELECT doc_id, chunk_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum0
+  FROM chunks)
+SELECT doc_id, chunk_id, shard, n_tokens,
+       CAST(floor(cum0 / {PACK_CAPACITY}) AS BIGINT) AS seq_id,
+       (cum0 % {PACK_CAPACITY})::BIGINT AS seq_offset
+FROM packed
+"""
+
+
 def q70_quality_filter(spark, sf_dir):
     """Composed C4/Gopher-style quality gate: every per-document
     signal (length, word shape, punctuation, English stopword
@@ -2011,7 +2054,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
@@ -2023,6 +2065,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
+    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -2068,6 +2111,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q24_running_sum": (q24_running_sum, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

@@ -318,3 +318,19 @@ def test_kmeans_lloyd_exact_separates_clusters(spark):
     assert got[1] == got[3] == got[5]
     assert got[2] == got[4] == got[6]
     assert got[1] != got[2]
+
+
+def test_pack_sequences_layout_invariants(spark):
+    # one shard so the whole layout is one deterministic stream
+    rows = [(1, 0, 50), (1, 1, 50), (2, 0, 60), (3, 0, 40)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n long")
+    out = TX.pack_sequences(chunks, ["doc_id", "chunk_id"], "n",
+                            capacity=128, num_shards=1)
+    got = sorted((r["doc_id"], r["chunk_id"], r["seq_id"], r["seq_offset"])
+                 for r in out.collect())
+    # cumulative starts: 0, 50, 100, 160 -> seq 0,0,0,1; offsets mod 128
+    assert got == [(1, 0, 0, 0), (1, 1, 0, 50), (2, 0, 0, 100),
+                   (3, 0, 1, 32)]
+    # offsets always < capacity; seq ids non-decreasing in stream order
+    assert all(o < 128 for *_, o in got)
