@@ -2042,12 +2042,12 @@ FROM cov JOIN canon USING (alias)
 # ORDER MATTERS: the driver's correctness harness records only the
 # FIRST 50 entries (insertion order). Rotation policy (round 4):
 #  - anything CHANGED or NEW this round sits in the window
-#    (q64 fixed, q66/q67/q68/q69 new);
+#    (q64 fixed, q66-q73 new);
 #  - entries last recorded in an OLDER round rotate back in
 #    (q04/q05/q07/q08/q42/q44-q46/q48/q49 from r2, plus the rows-only
 #    demos q31/q32/q36 whose oracled gates q51/q52/q53 also sit here);
-#  - the tail carries the 17 entries most recently recorded green
-#    (round 3: q01-q03/q06/q09-q21), UNCHANGED since that pass —
+#  - the tail carries the 21 entries most recently recorded green
+#    (round 3: q01-q03/q06/q09-q25), UNCHANGED since that pass —
 #    enforced by tests/test_tail_staleness.py, which digests each tail
 #    entry's oracle SQL + optimized plan against
 #    tests/data/tail_snapshots.json and fails if one drifts without
