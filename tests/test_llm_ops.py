@@ -334,3 +334,44 @@ def test_pack_sequences_layout_invariants(spark):
                    (3, 0, 1, 32)]
     # offsets always < capacity; seq ids non-decreasing in stream order
     assert all(o < 128 for *_, o in got)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    # with overlap=0, concatenating a doc's chunks in chunk_id order
+    # must reproduce its exact token stream — no token lost or
+    # duplicated at any boundary, for lengths around every boundary
+    docs = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in (1, 3, 4, 5, 7, 8, 9, 16, 17)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TX.chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=0)
+    rows = sorted(((r["doc_id"], r["chunk_id"], r["chunk_text"])
+                   for r in out.collect()))
+    rebuilt = {}
+    for doc_id, _, chunk in rows:
+        rebuilt[doc_id] = (rebuilt.get(doc_id, "") + " " + chunk).strip()
+    for n, text in docs:
+        assert rebuilt[n] == text, n
+
+
+def test_pack_sequences_offsets_are_consistent(spark):
+    # within every (shard, seq), offsets must start at the running
+    # total mod capacity and advance by each chunk's token count
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    chunks = TX.chunk_documents(docs, "text", "doc_id",
+                                chunk_tokens=32, overlap=8)
+    packed = TX.pack_sequences(chunks, ["doc_id", "chunk_id"],
+                               "n_chunk_tokens", capacity=128, num_shards=8)
+    rows = packed.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // 128
+            assert r["seq_offset"] == cum % 128
+            cum += r["n_tokens"]
