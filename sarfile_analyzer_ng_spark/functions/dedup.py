@@ -312,7 +312,8 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
 
 def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, threshold: float = 0.5,
-                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                      num_hashes: int = 64, bands: int = 16,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """LSH-prefiltered exact Jaccard: the 100 TB composition.
 
     :func:`ngram_jaccard_pairs` alone joins on shared shingles, which
@@ -337,11 +338,17 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # xxhash64-of-hash is still a uniform hash family) and the verify
     # pass collects it into per-doc sets (collect_set dedups, so no
     # extra distinct shuffle is added anywhere). The explode dominates
-    # the scan cost; caching it pays it once.
+    # the scan cost; caching it pays it once. A caller-provided
+    # ``shingles`` frame (:func:`shingle_hash_rows`, distinct) is
+    # equivalent on both paths — min and collect_set are dup-invariant
+    # — and shares the one explode across the whole dedup family.
+    owns_cache = shingles is None
     sh = (
         shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
         .select("doc", F.xxhash64("shingle").alias("shingle"))
         .cache()
+        if owns_cache
+        else shingles
     )
     raw = minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes, bands,
                             shingles=sh)
@@ -375,7 +382,11 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    out._cached_inputs = [cand, sh, *getattr(raw, "_cached_inputs", ())]  # see release()
+    out._cached_inputs = [  # see release()
+        cand,
+        *([sh] if owns_cache else []),
+        *getattr(raw, "_cached_inputs", ()),
+    ]
     return out
 
 

@@ -714,7 +714,10 @@ def _minhash_pairs_shared(spark, sf_dir) -> DataFrame:
     pairs = _MINHASH_PAIR_MEMO.get(key)
     if pairs is None:
         corpus = _planted_corpus(spark, sf_dir)
-        pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id").cache()
+        pairs = D.minhash_lsh_pairs(
+            corpus, "text", "doc_id",
+            shingles=_shingles_shared(spark, sf_dir),
+        ).cache()
         _MINHASH_PAIR_MEMO[key] = pairs
     return pairs
 
@@ -932,7 +935,8 @@ def q56_lsh_jaccard(spark, sf_dir):
     verified equal at sf0.001 and sf0.01."""
     corpus = _planted_corpus(spark, sf_dir)
     return D.lsh_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
-                               threshold=JACCARD_TAU)
+                               threshold=JACCARD_TAU,
+                               shingles=_shingles_shared(spark, sf_dir))
 
 
 
