@@ -375,3 +375,27 @@ def test_pack_sequences_offsets_are_consistent(spark):
             assert r["seq_id"] == cum // 128
             assert r["seq_offset"] == cum % 128
             cum += r["n_tokens"]
+
+
+def test_release_leaves_shared_shingle_frame_cached(spark):
+    # operators given an externally-owned shingle frame must NOT
+    # unpersist it on release() — it is shared across the dedup family
+    df = docs_df(spark)
+    sh = D.shingle_hash_rows(df, "text", "doc_id").cache()
+    sh.count()
+    jac = D.ngram_jaccard_pairs(df, "text", "doc_id", shingles=sh)
+    jac.count()
+    D.release(jac)
+    assert sh.storageLevel.useMemory  # still cached
+    lsh = D.lsh_jaccard_pairs(df, "text", "doc_id", shingles=sh)
+    lsh.count()
+    D.release(lsh)
+    assert sh.storageLevel.useMemory
+    # owned path still cleans up after itself
+    jac2 = D.ngram_jaccard_pairs(df, "text", "doc_id")
+    jac2.count()
+    internal = jac2._cached_inputs[0]
+    assert internal.storageLevel.useMemory
+    D.release(jac2)
+    assert not internal.storageLevel.useMemory
+    sh.unpersist()
