@@ -1535,6 +1535,44 @@ FROM packed
 """
 
 
+def q74_shard_manifest(spark, sf_dir):
+    """Export manifest: per-shard document/token/byte totals and id
+    range for the deterministic JSONL sharding
+    (operators/io.py:write_jsonl_shards) — the index a training job
+    reads to plan loaders without touching shard payloads. Same
+    engine-portable shard hash as q73, so the manifest is
+    oracle-checkable and stable across re-exports."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = F.pmod(
+        (F.col("doc_id") % 1_000_003) * 2654435761, F.lit(PACK_SHARDS)
+    )
+    return (
+        docs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.regexp_count(F.col("text"), F.lit(TX.WS_TOKEN_PATTERN))
+            ).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_Q74 = rf"""
+SELECT (((doc_id % 1000003) * 2654435761) % {PACK_SHARDS}
+        + {PACK_SHARDS}) % {PACK_SHARDS} AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+         AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1
+"""
+
+
 def q70_quality_filter(spark, sf_dir):
     """Composed C4/Gopher-style quality gate: every per-document
     signal (length, word shape, punctuation, English stopword
@@ -2058,7 +2096,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
@@ -2070,6 +2107,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
+    "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -2116,6 +2154,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
