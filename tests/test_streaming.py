@@ -282,3 +282,32 @@ def test_quality_gate_stream_matches_batch_filter(spark, tmp_path):
         ).select("doc_id").collect()
     }
     assert got == want and 0 < len(got) < 500
+
+
+def test_chunking_runs_unchanged_on_stream(spark, tmp_path):
+    """chunk_documents is a pure map pipeline, so the batch operator
+    must run verbatim on a readStream frame and emit the identical
+    chunk set."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.text import chunk_documents
+
+    src = str(tmp_path / "chunk_src")
+    os.makedirs(src)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.toPandas().to_parquet(f"{src}/docs.parquet", index=False)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = chunk_documents(stream, "text", "doc_id", chunk_tokens=32, overlap=8)
+    q = (
+        out.writeStream.format("memory").queryName("chunk_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in
+           spark.table("chunk_stream_test").collect()}
+    want = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in
+            chunk_documents(spark.read.parquet(src), "text", "doc_id",
+                            chunk_tokens=32, overlap=8).collect()}
+    assert got == want and len(got) > 1000
