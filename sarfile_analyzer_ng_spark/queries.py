@@ -1108,6 +1108,45 @@ SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a3
 """
 
 
+def q75_quantize_embeddings(spark, sf_dir):
+    """Per-vector int8 affine quantization of the embedding column
+    (vector-store compression: float32 → int8). Codes serialized as a
+    comma string so the row is hash-comparable; scale/zero carried for
+    local dequantization."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("q"), lambda x: x.cast("string"))
+        ).alias("q_codes"),
+        "scale",
+        "zero",
+    )
+
+
+SQL_Q75 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+m AS (
+  SELECT vec_id, e, list_min(e) AS vmin, list_max(e) AS vmax,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v)
+SELECT vec_id,
+       CASE WHEN vmax = vmin
+            THEN array_to_string(list_transform(e, x -> 0), ',')
+            ELSE array_to_string(
+              list_transform(e, x ->
+                CAST(round({sql_rnd('(x - vmin) / scale', 4)}) AS INT)),
+              ',')
+       END AS q_codes,
+       {sql_rnd('scale', 8)} AS scale,
+       {sql_rnd('vmin', 8)} AS zero
+FROM m
+"""
+
+
 def q36_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (L7) — rows-only (xxhash64-derived planes)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2096,7 +2135,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
@@ -2108,6 +2146,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -2155,6 +2194,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

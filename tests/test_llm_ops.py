@@ -399,3 +399,19 @@ def test_release_leaves_shared_shingle_frame_cached(spark):
     D.release(jac2)
     assert not internal.storageLevel.useMemory
     sh.unpersist()
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    rows = [(1, [0.0, 0.5, 1.0, -1.0]), (2, [2.0, 2.0, 2.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           S.quantize_embeddings(emb, "vec_id", "embedding").collect()}
+    q1, s1, z1 = got[1]["q"], got[1]["scale"], got[1]["zero"]
+    # dequantized values within half a step of the originals (plus the
+    # carried error of the 8-decimal-rounded scale, <= code * 5e-9)
+    for code, x in zip(q1, [0.0, 0.5, 1.0, -1.0]):
+        assert abs((code * s1 + z1) - x) <= s1 / 2 + 255 * 5e-9
+    assert min(q1) == 0 and max(q1) == 255
+    # constant vector: all-zero codes, scale 0, zero = the constant
+    assert got[2]["q"] == [0, 0, 0, 0]
+    assert got[2]["scale"] == 0.0 and got[2]["zero"] == 2.0
