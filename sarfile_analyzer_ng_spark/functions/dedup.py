@@ -313,7 +313,8 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
 def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """LSH-prefiltered exact Jaccard: the 100 TB composition.
 
     :func:`ngram_jaccard_pairs` alone joins on shared shingles, which
@@ -350,8 +351,16 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         if owns_cache
         else shingles
     )
-    raw = minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes, bands,
-                            shingles=sh)
+    # A caller holding the banding output already (a session memo
+    # shared with the minhash demo/gate queries) passes it as
+    # ``candidates`` — the prefilter stage then costs nothing here.
+    owns_raw = candidates is None
+    raw = (
+        minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes,
+                          bands, shingles=sh)
+        if owns_raw
+        else candidates
+    )
     cand = raw.select("doc_a", "doc_b").cache()
     # Per-doc shingle sets, restricted to docs that survived LSH; the
     # arrays ride the pair join instead of re-exploding per shingle.
@@ -385,7 +394,7 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     out._cached_inputs = [  # see release()
         cand,
         *([sh] if owns_cache else []),
-        *getattr(raw, "_cached_inputs", ()),
+        *(getattr(raw, "_cached_inputs", ()) if owns_raw else ()),
     ]
     return out
 

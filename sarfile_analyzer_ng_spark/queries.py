@@ -936,7 +936,8 @@ def q56_lsh_jaccard(spark, sf_dir):
     corpus = _planted_corpus(spark, sf_dir)
     return D.lsh_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3,
                                threshold=JACCARD_TAU,
-                               shingles=_shingles_shared(spark, sf_dir))
+                               shingles=_shingles_shared(spark, sf_dir),
+                               candidates=_minhash_pairs_shared(spark, sf_dir))
 
 
 
