@@ -1148,6 +1148,86 @@ FROM m
 """
 
 
+def q76_quantized_recall(spark, sf_dir):
+    """Retrieval-quality gate for int8 quantization (the question that
+    decides whether the 4× compression is usable): per query, how many
+    of the exact top-5 cosine neighbors survive when the corpus is
+    quantized and dequantized. Both rankings use rounded scores with
+    deterministic tie-breaks, and the dequantized vectors are built
+    from the cross-engine-identical (codes, scale, zero) of q75 — so
+    the overlap counts are exactly oracle-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = S.quantize_embeddings(emb, "vec_id", "embedding")
+    deq = qz.select(
+        "vec_id",
+        F.transform(
+            F.col("q"),
+            lambda c: c.cast("double") * F.col("scale") + F.col("zero"),
+        ).alias("embedding"),
+    )
+    exact = S.ann_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") <= ANN_NUM_QUERIES),
+        "vec_id", "embedding", k=ANN_K,
+    )
+    quant = S.ann_topk_bruteforce(
+        deq, deq.where(F.col("vec_id") <= ANN_NUM_QUERIES),
+        "vec_id", "embedding", k=ANN_K,
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        quant.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+        .alias("n_overlap")
+    )
+
+
+def _sql_ann_rank(src: str, out: str) -> str:
+    cos = sql_rnd("list_dot_product(q.e, c.e) / (q.nrm * c.nrm)", 4)
+    return f"""{out} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM {src} q JOIN {src} c ON c.vec_id != q.vec_id
+    WHERE q.vec_id <= {ANN_NUM_QUERIES})
+  WHERE rank <= {ANN_K})"""
+
+
+SQL_Q76 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+m AS (
+  SELECT vec_id, e, list_min(e) AS vmin, list_max(e) AS vmax,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN vmax = vmin
+              THEN list_transform(e, x -> {sql_rnd('vmin', 8)})
+              ELSE list_transform(e, x ->
+                CAST(round({sql_rnd('(x - vmin) / scale', 4)}) AS INT)
+                * {sql_rnd('scale', 8)} + {sql_rnd('vmin', 8)})
+         END AS e
+  FROM m),
+ne AS (SELECT vec_id, e,
+              sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+nq AS (SELECT vec_id, e,
+              sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dq),
+{_sql_ann_rank('ne', 'exact')},
+{_sql_ann_rank('nq', 'quant')}
+SELECT e.query_id, count(qt.neighbor_id)::BIGINT AS n_overlap
+FROM exact e LEFT JOIN quant qt
+  ON qt.query_id = e.query_id AND qt.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 def q36_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (L7) — rows-only (xxhash64-derived planes)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2136,7 +2216,6 @@ FROM cov JOIN canon USING (alias)
 #    being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
@@ -2148,6 +2227,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
@@ -2196,6 +2276,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
+    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),

@@ -415,3 +415,13 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     # constant vector: all-zero codes, scale 0, zero = the constant
     assert got[2]["q"] == [0, 0, 0, 0]
     assert got[2]["scale"] == 0.0 and got[2]["zero"] == 2.0
+
+
+def test_quantized_recall_stays_high(spark):
+    # int8 quantization must keep ~all of the exact top-5 neighbors
+    from sarfile_analyzer_ng_spark.queries import q76_quantized_recall
+
+    rows = q76_quantized_recall(spark, "/root/testdata/sf0.001").collect()
+    avg = sum(r["n_overlap"] for r in rows) / len(rows)
+    assert avg >= 4.0, avg
+    assert all(r["n_overlap"] >= 3 for r in rows)
