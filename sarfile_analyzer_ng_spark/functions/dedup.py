@@ -16,6 +16,8 @@ across repeated calls).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -230,11 +232,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     lifetime (it is left out of ``_cached_inputs``).
     """
     owns_cache = shingles is None
-    sh = (
+    cached = (
         shingle_hash_rows(df, text_col, id_col, shingle_n).cache()
         if owns_cache
         else shingles
     )  # reused three times (two join sides + sizes)
+    sh = cached
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # Scale lever: a shingle appearing in f documents generates
@@ -273,7 +276,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    jac._cached_inputs = [sh] if owns_cache else []  # see release()
+    # the CACHED frame, not `sh` — with max_df set, `sh` is rebound to
+    # the anti-joined (uncached) derivative and release() would leak
+    # the real cache entry
+    jac._cached_inputs = [cached] if owns_cache else []  # see release()
     return jac
 
 
@@ -516,10 +522,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     MinHash→CC composition of the dedup literature.
 
     Min-label propagation: every node starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels. The sum
-    of labels strictly decreases until the fixpoint, so one tiny
-    scalar aggregate per round is the convergence test — no data ever
-    reaches the driver. Rounds needed = component diameter, which for
+    round takes the min of its own and its neighbors' labels.
+    Convergence is detected by counting CHANGED labels in the round
+    (an emptiness probe on a flag column — no data ever reaches the
+    driver, and unlike a label-sum test it cannot be fooled by 64-bit
+    wraparound on hash-valued doc ids). If ``max_iter`` is exhausted
+    before the fixpoint (component diameter > max_iter) a warning is
+    logged — representatives may then disagree within a component.
+    Rounds needed = component diameter, which for
     near-dup clusters is small (they are near-cliques: 2-4 rounds in
     practice); ``localCheckpoint`` cuts the growing join lineage each
     round. At extreme diameters (long chain graphs — not the dup
@@ -545,27 +555,37 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("rep", F.col("doc"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc"])
             .groupBy(F.col("src").alias("doc"))
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        labels = (
+        updated = (
             labels.join(neighbor_min, "doc", "left")
             .select(
                 "doc",
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
                 ).alias("rep"),
+                (
+                    F.coalesce(F.col("nbr_rep"), F.col("rep")) < F.col("rep")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("rep")).first()[0]
-        if cur_sum == prev_sum:
+        labels = updated.drop("chg")
+        if updated.where(F.col("chg")).isEmpty():
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "dup_clusters: max_iter=%d exhausted before the label "
+            "fixpoint; representatives may disagree within components "
+            "of diameter > max_iter",
+            max_iter,
+        )
     return labels.select(F.col("doc").alias("doc_id"), "rep")
 
 

@@ -199,13 +199,18 @@ def _plane(seed: int, dim: int) -> Column:
 
 
 def lsh_buckets(emb: DataFrame, id_col: str, vec_col: str, dim: int,
-                num_planes: int = 16) -> DataFrame:
+                num_planes: int = 16,
+                planes: list[Column] | None = None) -> DataFrame:
     """Random-hyperplane LSH: bucket = bit-string of sign(v·plane_i).
     Cosine-similar vectors land in the same bucket with high
-    probability; the bucket key shuffles uniformly."""
+    probability; the bucket key shuffles uniformly. ``planes``
+    overrides the seeded pseudo-random planes (parity gates inject a
+    constant plane to force one bucket through the REAL bit path)."""
+    if planes is None:
+        planes = [_plane(i, dim) for i in range(num_planes)]
     bits = [
-        F.when(dot(F.col(vec_col), _plane(i, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(num_planes)
+        F.when(dot(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
     ]
     # num_planes=0 → one global bucket: degenerates to exact search,
     # which is the oracle configuration for parity checks
@@ -215,15 +220,16 @@ def lsh_buckets(emb: DataFrame, id_col: str, vec_col: str, dim: int,
 
 def ann_topk_lsh(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                  dim: int, k: int, num_planes: int = 8,
-                 round_to: int = 4) -> DataFrame:
+                 round_to: int = 4,
+                 planes: list[Column] | None = None) -> DataFrame:
     """Scale-path ANN: join query and corpus on LSH bucket, exact
     re-rank inside buckets. Recall < 1 by construction (that's the
     trade); the brute-force operator is the accuracy oracle."""
-    cb = lsh_buckets(emb, id_col, vec_col, dim, num_planes).select(
+    cb = lsh_buckets(emb, id_col, vec_col, dim, num_planes, planes).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         "bucket",
     )
-    qb = lsh_buckets(queries, id_col, vec_col, dim, num_planes).select(
+    qb = lsh_buckets(queries, id_col, vec_col, dim, num_planes, planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         "bucket",
     )
@@ -553,7 +559,7 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
-                        bits: int = 8) -> DataFrame:
+                        bits: int = 8, keep_vec: bool = False) -> DataFrame:
     """Per-vector affine int quantization of an embedding column — the
     standard vector-store compression (float32 → int8 is a 4× memory /
     bandwidth cut that barely moves cosine recall). Each vector
@@ -566,7 +572,9 @@ def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
     constant vector (max = min) quantizes to all zeros with scale 0.
 
     Shape at scale: one codegen map stage (`transform` +
-    `array_min/max`), no shuffle, no Python.
+    `array_min/max`), no shuffle, no Python. ``keep_vec=True`` carries
+    the original vector column alongside the codes so quantize +
+    compare consumers (the q76 recall gate) stay a single scan.
     """
     from ..util import rnd
 
@@ -584,8 +592,11 @@ def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
             .cast("int"),
         )
     )
+    cols = [F.col(id_col)]
+    if keep_vec:
+        cols.append(F.col(vec_col))
     return emb.select(
-        F.col(id_col),
+        *cols,
         q.alias("q"),
         rnd(scale, 8).alias("scale"),
         rnd(vmin, 8).alias("zero"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out, rnd
+from ..util import fan_out, rnd, shard_hash
 
 # Stopword alternations per language; the heuristic scores a document
 # by word-boundary stopword hits and takes the argmax with a fixed
@@ -473,9 +473,7 @@ def pack_sequences(chunks: DataFrame, id_cols: list[str], tokens_col: str,
     """
     from pyspark.sql import Window
 
-    shard = F.pmod(
-        (F.col(id_cols[0]) % 1_000_003) * 2654435761, F.lit(num_shards)
-    ).alias("shard")
+    shard = shard_hash(F.col(id_cols[0]), num_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(*[F.col(c) for c in id_cols])
@@ -532,7 +530,7 @@ def apply_mix_weights(df: DataFrame, source_col: str, id_col: str,
             F.floor(F.col("sample_weight") * 10000).alias("threshold"),
         )
     )
-    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(10000))
+    bucket = shard_hash(F.col(id_col), 10000)
     sampled = df.join(w, on=source_col, how="inner").where(
         bucket < F.col("threshold")
     )
@@ -617,7 +615,7 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, int],
     Spark's ``%`` preserves sign, and a negative bucket would satisfy
     no range, silently dropping the row from every split."""
     assert sum(weights.values()) == 100
-    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(100))
+    bucket = shard_hash(F.col(id_col), 100)
     expr = None
     lo = 0
     for name, pct in weights.items():
@@ -645,7 +643,7 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     Spark's ``%`` preserves sign, and a negative bucket would pass
     ``bucket < threshold`` for every stratum, including fraction 0.0.
     """
-    bucket = F.pmod((F.col(id_col) % 1_000_003) * 2654435761, F.lit(10000))
+    bucket = shard_hash(F.col(id_col), 10000)
     expr = None
     for name, frac in fractions.items():
         cond = (F.col(strata_col) == name) & (bucket < int(round(frac * 10000)))

@@ -59,16 +59,29 @@ def write_jsonl_shards(df: DataFrame, path: str, num_shards: int,
     pipelines consume (one JSON object per line, a bounded number of
     similar-size shard files).
 
-    Sharding hashes ``shard_key`` into exactly ``num_shards``
-    partitions (`repartition(n, col)` — deterministic placement given
-    the key, unlike round-robin), so a document always lands in the
-    same shard across runs and re-exports are diffable. Spark's json
-    sink writes one file per partition: shard count is explicit and
-    independent of the input layout. Compression stays off by default
-    — downstream tokenizer jobs split plain files at arbitrary
+    Placement is the engine-portable :func:`~..util.shard_hash` of
+    ``shard_key`` — the SAME scheme the export manifest
+    (queries.q74_shard_manifest) and :func:`~..functions.text.
+    pack_sequences` compute — written as a ``shard=K`` directory per
+    shard, so a manifest planned from that hash describes the real
+    export byte-for-byte (a plain ``repartition(n, col)`` would place
+    rows by Spark-internal murmur3, which no manifest reader can
+    replay). The pre-write ``repartition`` on the shard column
+    colocates each shard value in one task → exactly one file per
+    shard directory, and a document always lands in the same shard
+    across runs, so re-exports are diffable. Compression stays off by
+    default — downstream tokenizer jobs split plain files at arbitrary
     offsets; gzip shards would serialize each reader.
     """
-    df.repartition(num_shards, F.col(shard_key)).write.mode(mode).json(path)
+    from ..util import shard_hash
+
+    out = df.withColumn("shard", shard_hash(F.col(shard_key), num_shards))
+    (
+        out.repartition(num_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str,

@@ -35,6 +35,17 @@ def sql_rnd(expr: str, digits: int = 4) -> str:
     )
 
 
+def shard_hash(key: Column, num_shards: int) -> Column:
+    """Engine-portable deterministic shard assignment for an integer
+    id: Knuth multiplicative hash mod ``num_shards``, reproducible in
+    ANSI SQL as ``(((key % 1000003) * 2654435761) % n + n) % n`` —
+    unlike Spark's murmur3 ``repartition(n, col)`` placement, which no
+    other engine (or manifest reader) can replay. One scheme shared by
+    the JSONL shard writer, sequence packing, and the export manifest
+    so they can never drift apart."""
+    return F.pmod((key % 1_000_003) * 2654435761, F.lit(num_shards))
+
+
 # Validity domain of the rnd/sql_rnd parity contract: DuckDB's final
 # DECIMAL→DOUBLE converts the scaled integer first, so once
 # |value|·10^digits exceeds 2^53 that int→double step rounds and the

@@ -69,8 +69,10 @@ def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     )
     out = str(tmp_path / "corpus")
     IO.write_jsonl_shards(docs, out, num_shards=4, shard_key="doc_id")
-    files = sorted(glob.glob(f"{out}/part-*"))
-    assert len(files) == 4                       # exact shard count
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 4                        # exact shard count
+    files = sorted(glob.glob(f"{out}/shard=*/part-*"))
+    assert len(files) == 4                       # one file per shard dir
     with open(files[0]) as f:
         json.loads(f.readline())                 # valid JSONL payload
 
@@ -87,6 +89,40 @@ def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     out2 = str(tmp_path / "corpus2")
     IO.write_jsonl_shards(docs, out2, num_shards=4, shard_key="doc_id")
     sizes = lambda d: sorted(
-        spark.read.text(p).count() for p in sorted(glob.glob(f"{d}/part-*"))
+        spark.read.text(p).count() for p in sorted(glob.glob(f"{d}/shard=*/part-*"))
     )
     assert sizes(out) == sizes(out2)
+
+
+def test_manifest_indexes_export(spark, tmp_path):
+    """The q74 manifest contract: directory shard=K of the JSONL
+    export holds exactly the rows the shard_hash manifest ascribes to
+    shard K (count and id range) — i.e. a loader planned from the
+    manifest reads the true shard boundaries."""
+    import glob
+    import json
+
+    from sarfile_analyzer_ng_spark.util import shard_hash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "export")
+    IO.write_jsonl_shards(docs, out, num_shards=4, shard_key="doc_id")
+    manifest = (
+        docs.groupBy(shard_hash(F.col("doc_id"), 4).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(manifest) == 4
+    for row in manifest:
+        ids = []
+        for fp in glob.glob(f"{out}/shard={row['shard']}/part-*"):
+            with open(fp) as f:
+                ids.extend(json.loads(line)["doc_id"] for line in f)
+        assert len(ids) == row["n_docs"]
+        assert min(ids) == row["lo"] and max(ids) == row["hi"]
