@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--start")
     ap.add_argument("--end")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--limit", type=int, default=10_000,
+        help="max rows printed (default 10000; <=0 means unlimited — "
+        "streams batches through the driver instead of collecting)",
+    )
     args = ap.parse_args(argv)
 
     from . import api
@@ -64,11 +69,19 @@ def main(argv: list[str] | None = None) -> None:
         sys.exit(f"no parseable sar data under {args.path}")
 
     def show(out):
+        # Bounded output: a CLI pointed at a big query result must not
+        # collect it onto the driver. --limit caps the result plan
+        # itself (CollectLimit); <=0 streams via toLocalIterator, which
+        # holds one partition at a time instead of the full frame.
         if args.json:
-            for line in out.toJSON().collect():
-                print(line)
+            if args.limit > 0:
+                for line in out.limit(args.limit).toJSON().collect():
+                    print(line)
+            else:
+                for line in out.toJSON().toLocalIterator():
+                    print(line)
         else:
-            out.show(100, truncate=False)
+            out.show(args.limit if args.limit > 0 else 100, truncate=False)
 
     if args.command == "files":
         show(api.list_files(df).orderBy("file"))

@@ -55,6 +55,43 @@ def _nanos_ts_cols(path: str) -> list[str]:
     ]
 
 
+def _contains_ntz(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_ntz(dt.keyType) or _contains_ntz(dt.valueType)
+    return False
+
+
+def _ntz_to_ltz(dt):
+    """The same type tree with every TIMESTAMP_NTZ leaf replaced by the
+    session-zoned TIMESTAMP type."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _ntz_to_ltz(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_ntz_to_ltz(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _ntz_to_ltz(dt.keyType), _ntz_to_ltz(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
 def _normalize_ntz(df: DataFrame) -> DataFrame:
     """Parquet timestamps written without a timezone (pyarrow
     ``timestamp[us]``, isAdjustedToUTC=false) surface as TIMESTAMP_NTZ
@@ -66,11 +103,18 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     Fallback only: :func:`load_table` disables NTZ inference at the
     scan (a cast on top of the scan blocks parquet filter pushdown on
     the column), so this fires just for frames read outside it.
-    Top-level fields only — an NTZ nested inside a struct/array/map
-    would pass through uncast; no supported table has one."""
+    Recurses through struct/array/map types (one struct-level cast per
+    affected top-level column — Spark casts nested types elementwise),
+    and column references are backtick-escaped so dotted names resolve
+    as single columns."""
     for f in df.schema.fields:
-        if f.dataType.typeName() == "timestamp_ntz":
-            df = df.withColumn(f.name, F.col(f"`{f.name}`").cast("timestamp"))
+        if _contains_ntz(f.dataType):
+            df = df.withColumn(
+                f.name,
+                F.col("`" + f.name.replace("`", "``") + "`").cast(
+                    _ntz_to_ltz(f.dataType)
+                ),
+            )
     return df
 
 

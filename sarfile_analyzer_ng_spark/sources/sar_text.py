@@ -62,9 +62,17 @@ DEVICE_LAST_COLUMNS = {"FCHOST", "FILESYSTEM"}
 # would swallow a lowercase header token that merely spells "am".
 _RE_TIME = re.compile(r"^(\d{2}:\d{2}:\d{2})(\s+(AM|PM))?\s+")
 _RE_RESTART = re.compile(r"LINUX RESTART", re.IGNORECASE)
-_RE_IGNORE = re.compile(
-    r"(bus.*idvendor|intr/s|temp.*device|mhz)", re.IGNORECASE
-)
+# Two drop layers, mirroring the reference's two:
+# - structural sections that never tabulate (USB bus inventory,
+#   thermal device names): parse_into_polars.py:88 ``reg_ignore``,
+#   always on;
+# - the "unwanted headers" list "CPU MHz" / "INTR intr/s":
+#   pl_helpers2.py:100-113 ``get_unwanted_headers``, surfaced as the
+#   ``drop_unwanted`` flag (default True = reference behavior; False
+#   parses both sections like any other).
+_RE_IGNORE_ALWAYS = re.compile(r"(bus.*idvendor|temp.*device)", re.IGNORECASE)
+_RE_IGNORE_UNWANTED = re.compile(r"(intr/s|mhz)", re.IGNORECASE)
+UNWANTED_HEADERS = ("CPU MHz", "INTR intr/s")
 _RE_COMMA_NUM = re.compile(r"(\d+),(\d+)")
 _RE_DATE_CANDIDATES = (
     (re.compile(r"\b(\d{4})-(\d{2})-(\d{2})\b"), "ymd"),
@@ -113,7 +121,8 @@ def _parse_clock_seconds(token: str, ampm: str | None) -> int:
     return h * 3600 + m * 60 + s
 
 
-def parse_sar_columns(file_name: str, content: str) -> dict[str, list]:
+def parse_sar_columns(file_name: str, content: str,
+                      drop_unwanted: bool = True) -> dict[str, list]:
     """Parse one sar ASCII report into columnar lists (pure function —
     the executor-side body of the distributed read).
 
@@ -186,7 +195,9 @@ def parse_sar_columns(file_name: str, content: str) -> dict[str, list]:
         if ignore_section:
             continue
         if expect_header:
-            if _RE_IGNORE.search(line):
+            if _RE_IGNORE_ALWAYS.search(line) or (
+                drop_unwanted and _RE_IGNORE_UNWANTED.search(line)
+            ):
                 ignore_section = True
                 expect_header = False
                 continue
@@ -250,10 +261,11 @@ def parse_sar_columns(file_name: str, content: str) -> dict[str, list]:
     }
 
 
-def parse_sar_text(file_name: str, content: str) -> list[dict]:
+def parse_sar_text(file_name: str, content: str,
+                   drop_unwanted: bool = True) -> list[dict]:
     """Row-dict view of :func:`parse_sar_columns` (test/inspection
     convenience; the distributed read uses the columnar form)."""
-    cols = parse_sar_columns(file_name, content)
+    cols = parse_sar_columns(file_name, content, drop_unwanted)
     names = list(cols)
     cols = {
         k: (list(v.to_pydatetime()) if k == "ts" else list(v))
@@ -265,11 +277,13 @@ def parse_sar_text(file_name: str, content: str) -> list[dict]:
 XZ_MAGIC = b"\xfd7zXZ\x00"
 
 
-def read_sar(spark: SparkSession, path: str) -> DataFrame:
+def read_sar(spark: SparkSession, path: str,
+             drop_unwanted: bool = True) -> DataFrame:
     """Distributed sar read: one input file per task (``binaryFile``
     source, so single-file ``.xz`` uploads decompress transparently —
     sar_ingest.py:333 behavior); Arrow-batched Python parse; long typed
-    output (SAR_SCHEMA)."""
+    output (SAR_SCHEMA). ``drop_unwanted`` applies the reference's
+    "CPU MHz" / "INTR intr/s" exclusion (see UNWANTED_HEADERS)."""
     raw = (
         spark.read.format("binaryFile")
         .load(path)
@@ -290,7 +304,8 @@ def read_sar(spark: SparkSession, path: str) -> DataFrame:
                     except lzma.LZMAError:
                         continue
                 cols = parse_sar_columns(
-                    file_name, data.decode("utf-8", "replace")
+                    file_name, data.decode("utf-8", "replace"),
+                    drop_unwanted,
                 )
                 # one Arrow batch per file, built column-wise
                 yield pd.DataFrame(cols, columns=field_names)
@@ -315,18 +330,35 @@ def sections(df: DataFrame) -> DataFrame:
     )
 
 
+def _known_header_set() -> frozenset[str]:
+    """Whitespace-normalized headers of the checked-in headings dim
+    (metadata.py) — the man-page vocabulary of every known sar
+    section. Driver-side constant; no Spark involved."""
+    from .. import metadata as MD
+
+    return frozenset(MD._norm(h) for h, *_ in MD._headings_rows())
+
+
 def section_wide(df: DataFrame, section: str,
                  metrics: list[str] | None = None) -> DataFrame:
     """One sar section pivoted to one column per metric — the engine
     form of pl_helpers2.py:178 ``create_metrics_df``.
 
-    Passing ``metrics`` (a known vocabulary — for sar-text frames the
-    section name's own tokens, or the headings dim in metadata.py)
-    skips the seed job entirely; the default derives the pivot value
-    list with a tiny distinct over the filtered long frame, which is
-    correct for every source (sadf-JSON sections are named by JSON key,
-    not by header line, so their vocabulary can't come from the name)."""
+    Pivot vocabulary, in order of preference:
+
+    1. caller-supplied ``metrics``;
+    2. the section name's own tokens, when the section is a KNOWN sar
+       header (headings dim, metadata.py) — sar-text section keys ARE
+       the header's space-joined metric columns, so for every section
+       the man page knows, the vocabulary is the name itself and NO
+       seed job runs;
+    3. a tiny distinct over the filtered long frame — the unavoidable
+       fallback for sadf-JSON sections (named by JSON key, not by
+       header line) and unknown/new sar sections.
+    """
     sect = df.where(F.col("section") == section)
+    if metrics is None and " ".join(section.split()) in _known_header_set():
+        metrics = section.split()
     if metrics is None:
         metrics = sorted(
             r["metric"] for r in sect.select("metric").distinct().collect()

@@ -140,3 +140,29 @@ def test_compare_files_aligned_overlay(spark):
     assert len(out) == 2  # one 08:00 bucket per file, same aligned axis
     assert by_file["fa"]["ts_aligned"] == by_file["fb"]["ts_aligned"]
     assert by_file["fa"]["mean"] == 15.0 and by_file["fb"]["mean"] == 40.0
+
+
+def test_cli_json_output_respects_limit(spark, tmp_path, capsys, monkeypatch):
+    """The CLI bounds driver-side collection: --limit caps the rows
+    printed in --json mode (the old unbounded toJSON().collect() would
+    pull an arbitrarily large result onto the driver)."""
+    from sarfile_analyzer_ng_spark.__main__ import main
+
+    d = tmp_path / "sar_cli"
+    d.mkdir()
+    (d / "sa1.txt").write_text(SAR_24H)
+    # keep the CLI on the already-running test session
+    monkeypatch.setattr(
+        "sarfile_analyzer_ng_spark.session.get_spark", lambda name: spark
+    )
+    main(["analyze", str(d), "--section", "%user %system %idle",
+          "--json", "--limit", "1"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    import json as _json
+
+    _json.loads(lines[0])  # valid JSON row
+
+    main(["analyze", str(d), "--section", "%user %system %idle", "--json"])
+    lines_all = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines_all) == 2  # fixture has two devices at one ts

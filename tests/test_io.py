@@ -58,6 +58,51 @@ def test_load_table_roundtrips_spark_written_timestamps(spark, tmp_path):
     assert a == b
 
 
+def test_normalize_ntz_nested_and_dotted(spark, tmp_path):
+    """_normalize_ntz recurses into struct/array/map fields and
+    resolves dotted column names as single (escaped) columns — the
+    two latent gaps of the old top-level-only implementation. Fixture
+    is real parquet written by pyarrow with tz-less us timestamps."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sarfile_analyzer_ng_spark.catalog import _normalize_ntz
+
+    t = datetime.datetime(2024, 1, 5, 12, 30, 0)
+    ts = pa.timestamp("us")  # no tz → Spark reads TIMESTAMP_NTZ
+    table = pa.table(
+        {
+            "a.b": pa.array([t], type=ts),
+            "s": pa.array([{"t": t, "n": 7}],
+                          type=pa.struct([("t", ts), ("n", pa.int64())])),
+            "arr": pa.array([[t, t]], type=pa.list_(ts)),
+            "plain": pa.array([3], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ntz.parquet")
+    pq.write_table(table, path)
+
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        df.schema
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    assert "timestamp_ntz" in df.schema.simpleString()  # fixture is real
+
+    out = _normalize_ntz(df)
+    assert "timestamp_ntz" not in out.schema.simpleString()
+    row = out.collect()[0]
+    assert row["a.b"] == t
+    assert row["s"]["t"] == t and row["s"]["n"] == 7
+    assert row["arr"] == [t, t]
+    assert row["plain"] == 3
+
+
 def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     import glob
     import json

@@ -76,8 +76,50 @@ def test_device_last_filesystem():
     assert rows[0]["value"] == 50000.0
 
 
+SAR_UNWANTED = """\
+Linux 5.14.21-default (host3) \t2024-01-15 \t_x86_64_\t(4 CPU)
+
+00:00:01        CPU     %user     %system     %idle
+00:10:01        all      1.00        0.50     98.50
+
+00:00:01  CPU MHz
+00:10:01  all 2400.00
+
+00:00:01   INTR  intr/s
+00:10:01    sum  512.00
+
+00:00:01    proc/s   cswch/s
+00:10:01      1.20    250.00
+"""
+
+
 def test_ignored_sections_dropped():
     assert not any("MHz" in (r["section"] or "") for r in parse_sar_text("f", SAR_24H))
+
+
+def test_unwanted_headers_flag():
+    """Reference parity (pl_helpers2.py:100-113 get_unwanted_headers):
+    "CPU MHz" and "INTR intr/s" are dropped by default and the drop is
+    config-surfaced — drop_unwanted=False parses both sections."""
+    default_secs = {r["section"] for r in parse_sar_text("f", SAR_UNWANTED)}
+    assert not any("MHz" in s for s in default_secs)
+    assert not any("intr/s" in s for s in default_secs)
+    # the surrounding sections are untouched by the drop
+    assert "%user %system %idle" in default_secs
+    assert "proc/s cswch/s" in default_secs
+
+    kept_secs = {
+        r["section"]
+        for r in parse_sar_text("f", SAR_UNWANTED, drop_unwanted=False)
+    }
+    assert "MHz" in kept_secs          # CPU is the device column
+    assert "INTR intr/s" in kept_secs
+    mhz = [
+        r
+        for r in parse_sar_text("f", SAR_UNWANTED, drop_unwanted=False)
+        if r["metric"] == "MHz"
+    ]
+    assert mhz and mhz[0]["value"] == 2400.0 and mhz[0]["device"] == "all"
 
 
 def test_ampm_clock_and_us_date():
@@ -128,8 +170,20 @@ def test_section_wide_explicit_metrics_skips_seed_job(spark, tmp_path):
         section_wide(df, section)
     finally:
         sc.setJobGroup(None, None)
-    # the default runs the distinct seed job at plan-construction time
+    # "%user %system %idle" is NOT a headings-dim header, so the
+    # default falls back to the distinct seed job at plan construction
     assert len(sc.statusTracker().getJobIdsForGroup("unseeded")) >= 1
+
+    # a KNOWN sar header gets its vocabulary from the metadata dim —
+    # no metrics argument, still zero jobs
+    sc.setJobGroup("known", "headings-dim vocabulary")
+    try:
+        known_wide = section_wide(df, "proc/s cswch/s")
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("known") == []
+    assert {"proc/s", "cswch/s"} <= set(known_wide.columns)
+    assert known_wide.count() == 3
 
     # and the seeded plan computes the same wide table
     rows = wide.orderBy("ts").collect()
