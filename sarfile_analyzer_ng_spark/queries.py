@@ -730,43 +730,36 @@ def q31_dedup_minhash(spark, sf_dir):
     return pairs.where(F.col("est_jaccard") >= 0.5)
 
 
-# Base-document SimHash signatures shared by the simhash family (q32
-# demo, q52 twin-recall gate): the signature depends only on the text,
-# so the N base documents are signed ONCE per (session, sf_dir) and
-# each consumer derives its extra rows (planted-suffix dups, shifted
-# exact twins) from that frame. Tiny (doc id + one long per row);
+# One SimHash signing pass over the PLANTED corpus serves the whole
+# simhash family: q32 bands these signatures directly, and q52 derives
+# the base-document signatures by filtering below PLANT_OFFSET (the
+# planted half's ids are shifted by it) — one cached explode+32-agg
+# pipeline instead of one per consumer. A split design (sign base and
+# planted halves separately, union) measured SLOWER for q32 (+1.4 s at
+# sf0.1): two aggregation pipelines + a cache barrier cost more than
+# the single fused pass. Tiny frame (doc id + one long per row);
 # session-lived like _MINHASH_PAIR_MEMO, deliberately not in
 # _cached_inputs.
 _SIMHASH_SIG_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
-def _simhash_sigs_shared(spark, sf_dir) -> DataFrame:
+def _planted_simhash_sigs(spark, sf_dir) -> DataFrame:
     key = (id(spark), sf_dir)
     sigs = _SIMHASH_SIG_MEMO.get(key)
     if sigs is None:
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        sigs = D.simhash(docs, "text", "doc_id").cache()
+        corpus = _planted_corpus(spark, sf_dir)
+        sigs = D.simhash(corpus, "text", "doc_id").cache()
         _SIMHASH_SIG_MEMO[key] = sigs
     return sigs
 
 
 def q32_dedup_simhash(spark, sf_dir):
     """SimHash near-dup (L3) — rows-only check (xxhash64 signatures; no
-    SQL twin). Base-document signatures come from the shared memo; only
-    the planted (suffix-modified) half is signed here."""
+    SQL twin). Signatures come from the family-shared planted-corpus
+    memo (one signing pass serves q32 + q52)."""
     corpus = _planted_corpus(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.concat(
-            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 97).cast("string")
-        ).alias("text"),
-    )
-    sigs = _simhash_sigs_shared(spark, sf_dir).unionByName(
-        D.simhash(dups, "text", "doc_id")
-    )
     return D.simhash_near_pairs(corpus, "text", "doc_id", max_hamming=8,
-                                sigs=sigs)
+                                sigs=_planted_simhash_sigs(spark, sf_dir))
 
 
 def q33_ngram_jaccard(spark, sf_dir):
@@ -2135,10 +2128,13 @@ def q52_simhash_twin_recall(spark, sf_dir):
     The signature depends only on the text, so each text is signed
     ONCE and the twins' signatures are the same rows with shifted ids
     — halves the explode+aggregate work while exercising the same
-    banding/pairing path. The base signatures come from the shared
-    _SIMHASH_SIG_MEMO (one signing pass serves q32 + q52)."""
+    banding/pairing path. The base signatures are the sub-OFFSET slice
+    of the family-shared planted-corpus memo (one signing pass serves
+    q32 + q52)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = _simhash_sigs_shared(spark, sf_dir)
+    sigs = _planted_simhash_sigs(spark, sf_dir).where(
+        F.col("doc") < PLANT_OFFSET
+    )
     twin_sigs = sigs.select((F.col("doc") + PLANT_OFFSET).alias("doc"), "simhash")
     pairs = D.simhash_near_pairs(
         docs, "text", "doc_id", max_hamming=0,
