@@ -513,6 +513,68 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, window: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word ``k``-gram, slide a ``window`` of
+    consecutive gram hashes per document, keep the minimum of each
+    window, distinct. Guarantee: any substring match of at least
+    ``k + window - 1`` words between two documents shares at least one
+    fingerprint — a POSITIONAL detection contract MinHash (whole-doc
+    set similarity) does not give. Expected density is 2/(window+1) of
+    the gram count (the winnowing bound), so the fingerprint index is
+    a ~60% reduction at the defaults.
+
+    Cross-engine hash: the first 8 hex chars of md5 parsed as a long
+    (Spark ``conv(substr(md5 …),16,10)`` ≡ DuckDB
+    ``('0x' || substr(md5 …))::BIGINT``) — unlike the xxhash64 family
+    members (minhash/simhash, rows-only checks) this one is fully
+    value-hash oracled.
+
+    Shape at scale: posexplode + per-doc windows — the shuffle is
+    keyed by doc id (uniform), windows never span documents, no global
+    ordering. Documents with fewer than ``k + window - 1`` words have
+    no complete window and produce no fingerprints (callers needing
+    every doc can left-join).
+    """
+    words = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    grams = words.select(
+        "doc",
+        "pos",
+        F.concat_ws(
+            " ", "w", *[F.lead("w", j).over(win) for j in range(1, k)]
+        ).alias("gram"),
+        F.lead("w", k - 1).over(win).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    hashed = grams.select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    fwin = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        hashed.select(
+            "doc",
+            F.min("h").over(fwin).alias("fp"),
+            F.row_number().over(win).alias("_rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("_n"),
+        )
+        # only COMPLETE windows fingerprint (the guarantee is stated
+        # over full windows; incomplete tails would over-select)
+        .where(F.col("_rk") <= F.col("_n") - (window - 1))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     ``(doc, rep)`` where ``rep`` is the smallest doc id in the

@@ -843,7 +843,8 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY 1, 2),
 pairs AS (
-  SELECT doc_a, doc_b
+  SELECT doc_a, doc_b,
+         round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS jaccard
   FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
   WHERE round(CAST(CAST((inter::DOUBLE / (sa.sz + sb.sz - inter)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE >= {JACCARD_TAU})
 """
@@ -964,6 +965,192 @@ def q56_lsh_jaccard(spark, sf_dir):
                                shingles=_shingles_shared(spark, sf_dir),
                                candidates=_minhash_pairs_shared(spark, sf_dir))
 
+
+
+def q78_dup_rate_by_source(spark, sf_dir):
+    """Cross-source duplicate-leakage matrix: how many near-dup pairs
+    connect each (source, source) bucket, and at what average
+    similarity — the report a corpus curator reads to find which dumps
+    plagiarize each other before picking dedup order. Composes the
+    memoized q33 pair frame with a broadcast source lookup (planted
+    ids map back to their base document's source)."""
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def base(c):
+        return F.when(
+            F.col(c) >= PLANT_OFFSET, F.col(c) - PLANT_OFFSET
+        ).otherwise(F.col(c))
+
+    sa = docs.select(F.col("doc_id").alias("_ida"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("_idb"), F.col("source").alias("src_b"))
+    j = (
+        pairs.withColumn("_ida", base("doc_a"))
+        .withColumn("_idb", base("doc_b"))
+        .join(F.broadcast(sa), "_ida")
+        .join(F.broadcast(sb), "_idb")
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "jaccard",
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            rnd(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )
+
+
+SQL_Q78 = f"""
+WITH corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+sel AS (
+  SELECT least(sa.source, sb.source) AS src_lo,
+         greatest(sa.source, sb.source) AS src_hi,
+         p.jaccard
+  FROM pairs p
+  JOIN documents sa ON sa.doc_id =
+    CASE WHEN p.doc_a >= {PLANT_OFFSET} THEN p.doc_a - {PLANT_OFFSET} ELSE p.doc_a END
+  JOIN documents sb ON sb.doc_id =
+    CASE WHEN p.doc_b >= {PLANT_OFFSET} THEN p.doc_b - {PLANT_OFFSET} ELSE p.doc_b END)
+SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs,
+       {sql_rnd('avg(jaccard)', 4)} AS avg_jaccard
+FROM sel GROUP BY 1, 2
+"""
+
+
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q79_winnow_fingerprints(spark, sf_dir):
+    """Per-document winnowing fingerprint stats (MOSS positional
+    fingerprinting — functions/dedup.py:winnow_fingerprints): gram
+    count, fingerprint count, and min/max fingerprint per document.
+    md5-derived hashes make this the dedup-family member whose VALUES
+    are fully cross-engine (minhash/simhash are rows-only)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = D.winnow_fingerprints(docs, "text", "doc_id",
+                                k=WINNOW_K, window=WINNOW_W)
+    grams = (
+        docs.select(
+            "doc_id",
+            (F.size(F.split(F.lower(F.col("text")), r"\s+")) - (WINNOW_K - 1))
+            .cast("long")
+            .alias("n_grams"),
+        )
+    )
+    agg = fps.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+    return grams.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+        "fp_min",
+        "fp_max",
+    )
+
+
+# The winnowing pipeline as a reusable DuckDB fragment: words with
+# positions via a lateral range over the split array, k-grams from
+# array slices, md5-hex hashes, per-window minima over complete
+# windows only — the exact twin of winnow_fingerprints.
+def _sql_winnow(corpus: str, out: str) -> str:
+    return f"""{out}_v AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  FROM {corpus}),
+{out}_g AS (
+  SELECT doc, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, w, unnest(range(1, len(w) - {WINNOW_K - 2})) AS i
+        FROM {out}_v)),
+{out}_w AS (
+  SELECT doc,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         row_number() OVER (PARTITION BY doc ORDER BY pos) AS rk,
+         count(*) OVER (PARTITION BY doc) AS n
+  FROM {out}_g),
+{out} AS (
+  SELECT DISTINCT doc, fp FROM {out}_w WHERE rk <= n - {WINNOW_W - 1})"""
+
+
+SQL_Q79 = f"""
+WITH {_sql_winnow('documents', 'fps')},
+grams AS (
+  SELECT doc_id, (len(string_split_regex(lower(text), '\\s+')) - {WINNOW_K - 1})::BIGINT AS n_grams
+  FROM documents),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
+  FROM fps GROUP BY doc)
+SELECT g.doc_id, g.n_grams,
+       coalesce(a.n_fp, 0)::BIGINT AS n_fp, a.fp_min, a.fp_max
+FROM grams g LEFT JOIN agg a ON a.doc = g.doc_id
+"""
+
+
+def q80_winnow_twin_overlap(spark, sf_dir):
+    """Winnowing as a dedup detector: every planted twin (same text +
+    a per-doc suffix) must share most fingerprints with its base —
+    per-pair overlap counts, fully value-checked cross-engine. The
+    suffix only perturbs the final windows, so the overlap fraction
+    stays near 1 while distinct documents share almost nothing."""
+    corpus = _planted_corpus(spark, sf_dir)
+    fps = D.winnow_fingerprints(corpus, "text", "doc_id",
+                                k=WINNOW_K, window=WINNOW_W)
+    base = fps.where(F.col("doc") < PLANT_OFFSET).select(
+        F.col("doc").alias("doc_id"), F.col("fp")
+    )
+    twin = fps.where(F.col("doc") >= PLANT_OFFSET).select(
+        (F.col("doc") - PLANT_OFFSET).alias("doc_id"),
+        F.col("fp").alias("fp_t"),
+    )
+    nb = base.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    nt = twin.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_twin"))
+    common = (
+        base.join(twin, (base["doc_id"] == twin["doc_id"]) & (F.col("fp") == F.col("fp_t")))
+        .groupBy(base["doc_id"].alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        nb.join(nt, "doc_id")
+        .join(common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_base",
+            "n_twin",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            rnd(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_base").cast("double"),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
+SQL_Q80 = f"""
+WITH corpus AS ({SQL_PLANTED}),
+{_sql_winnow('corpus', 'fps')},
+base AS (SELECT doc AS doc_id, fp FROM fps WHERE doc < {PLANT_OFFSET}),
+twin AS (SELECT doc - {PLANT_OFFSET} AS doc_id, fp FROM fps WHERE doc >= {PLANT_OFFSET}),
+nb AS (SELECT doc_id, count(*)::BIGINT AS n_base FROM base GROUP BY doc_id),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n_twin FROM twin GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_common
+  FROM base b JOIN twin t ON t.doc_id = b.doc_id AND t.fp = b.fp
+  GROUP BY b.doc_id)
+SELECT nb.doc_id, nb.n_base, nt.n_twin,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       {sql_rnd('coalesce(c.n_common, 0)::DOUBLE / nb.n_base', 4)} AS overlap
+FROM nb JOIN nt USING (doc_id) LEFT JOIN common c USING (doc_id)
+"""
 
 
 def q57_stratified_sample(spark, sf_dir):
@@ -2344,11 +2531,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
-    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
-    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    # new round-5 operators
+    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
+    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
+    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
+    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

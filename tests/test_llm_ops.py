@@ -425,3 +425,42 @@ def test_quantized_recall_stays_high(spark):
     avg = sum(r["n_overlap"] for r in rows) / len(rows)
     assert avg >= 4.0, avg
     assert all(r["n_overlap"] >= 3 for r in rows)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing contract (SIGMOD'03): two documents sharing a run
+    of at least k + window - 1 = 6 words share at least one
+    fingerprint; documents with no shared 3-gram share none."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-word shared run
+    rows = [
+        (1, f"one two {shared} three four five six seven"),
+        (2, f"red blue {shared} green yellow purple orange pink"),
+        (3, "completely different words with no common trigram at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, "text", "doc_id", k=3, window=4)
+    by_doc = {
+        r["doc"]: set(r["fps"])
+        for r in fps.groupBy("doc").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2]          # guarantee: shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # no shared trigram -> none
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Fingerprints ≈ the 2/(w+1) winnowing density, and documents too
+    short for one complete window produce no fingerprints."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(5000)}" for _ in range(400)]
+    rows = [(1, " ".join(words)), (2, "too short doc"), (3, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, "text", "doc_id", k=3, window=4)
+    counts = {r["doc"]: r["n"] for r in
+              fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_grams = 400 - 2
+    assert 0.25 * n_grams <= counts[1] <= 0.55 * n_grams  # ~2/(w+1)=0.4
+    assert 2 not in counts          # 1 gram < window -> no complete window
+    assert counts.get(3, 0) >= 1    # 4 grams = exactly one window
