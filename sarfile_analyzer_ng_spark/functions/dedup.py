@@ -575,6 +575,35 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def decontaminate_winnow(train: DataFrame, eval_df: DataFrame,
+                         text_col: str, id_col: str,
+                         k: int = 3, window: int = 4) -> DataFrame:
+    """Positional train/eval decontamination via winnowing: flag
+    training documents sharing any fingerprint with the eval suite.
+
+    The winnowing guarantee makes this a CONTIGUOUS-copy detector —
+    any verbatim run of ``k + window - 1`` words shared with an eval
+    document always shares a fingerprint — whereas
+    :func:`decontaminate`'s shingle-set overlap also fires on
+    scattered vocabulary overlap. At scale the broadcast side is the
+    eval FINGERPRINT set, ~2/(window+1) the size of the full shingle
+    set, and the train side is the same broadcast-join-streams-scan
+    shape. Returns ``(id_col, n_shared_fps)`` for flagged docs.
+    """
+    tr = winnow_fingerprints(train, text_col, id_col, k, window)
+    ev = (
+        winnow_fingerprints(eval_df, text_col, id_col, k, window)
+        .select("fp")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "fp")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .select(F.col("doc").alias(id_col), "n_shared_fps")
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     ``(doc, rep)`` where ``rep`` is the smallest doc id in the

@@ -1153,6 +1153,29 @@ FROM nb JOIN nt USING (doc_id) LEFT JOIN common c USING (doc_id)
 """
 
 
+def q81_decontaminate_winnow(spark, sf_dir):
+    """Winnow-based decontamination (the positional twin of q62's
+    shingle-set version): training docs flagged only on evidence of a
+    CONTIGUOUS shared run with the eval suite (doc_id % 50 == 0), with
+    the count of shared fingerprints. Fully value-hash oracled —
+    the md5-hex winnowing pipeline replays in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return D.decontaminate_winnow(tr, ev, "text", "doc_id",
+                                  k=WINNOW_K, window=WINNOW_W)
+
+
+SQL_Q81 = f"""
+WITH {_sql_winnow('documents', 'fps')},
+ev AS (SELECT DISTINCT fp FROM fps WHERE doc % 50 = 0)
+SELECT f.doc AS doc_id, count(*)::BIGINT AS n_shared_fps
+FROM fps f JOIN ev USING (fp)
+WHERE f.doc % 50 <> 0
+GROUP BY f.doc
+"""
+
+
 def q57_stratified_sample(spark, sf_dir):
     """Deterministic per-source sampling (training-mix construction):
     keep 100% of one source, thin the others. Engine-portable integer
@@ -2529,14 +2552,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q50_sketch_stats": (q50_sketch_stats, None),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     # new round-5 operators
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
+    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),

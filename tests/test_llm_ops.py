@@ -464,3 +464,27 @@ def test_winnow_density_and_short_docs(spark):
     assert 0.25 * n_grams <= counts[1] <= 0.55 * n_grams  # ~2/(w+1)=0.4
     assert 2 not in counts          # 1 gram < window -> no complete window
     assert counts.get(3, 0) >= 1    # 4 grams = exactly one window
+
+
+def test_decontaminate_winnow_contiguous_only(spark):
+    """Winnow decontamination flags verbatim contiguous copying (≥
+    k+window-1 = 6 shared words) and, unlike shingle-set overlap,
+    stays quiet for scattered vocabulary reuse."""
+    leak = "the quick brown fox jumps over"
+    ev = spark.createDataFrame(
+        [(100, f"eval question about {leak} and lazy dogs everywhere")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, f"train doc copying {leak} verbatim plus extra words here"),
+            # same vocabulary, never 3 words in a row in eval order
+            (2, "quick the fox brown over jumps dogs lazy and everywhere "
+                "about question eval extra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_fps"]
+           for r in D.decontaminate_winnow(tr, ev, "text", "doc_id").collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
