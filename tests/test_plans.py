@@ -146,3 +146,41 @@ def test_kmeans_twin_broadcasts_centroids(spark):
     text = plan(q72_kmeans_twin(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert "CartesianProduct" not in text
+
+
+def test_winnow_windows_are_doc_partitioned(spark):
+    """The winnowing scale claim: every window in the plan partitions
+    by doc — a single-partition window (empty partitionBy) would
+    serialize the corpus through one task at 100 TB."""
+    from sarfile_analyzer_ng_spark.queries import q79_winnow_fingerprints
+
+    df = q79_winnow_fingerprints(spark, SF_DIR)
+    p = plan(df)
+    assert "Window" in p
+    import re
+
+    # every Window operator's partition spec must mention doc
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", p):
+        spec = m.group(0)
+        assert "doc" in spec, f"unpartitioned window: {spec[:120]}"
+    # pure JVM: no Python eval anywhere in the winnow pipeline
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dup_rate_by_source_broadcasts_dims(spark):
+    """q78 joins the (tiny) source dim twice — both must broadcast,
+    and the pair frame must not shuffle for them."""
+    from sarfile_analyzer_ng_spark.queries import q78_dup_rate_by_source
+
+    df = q78_dup_rate_by_source(spark, SF_DIR)
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_decontaminate_winnow_broadcasts_eval_fps(spark):
+    """q81's eval fingerprint set must be the broadcast side; the
+    train fingerprints stream through a broadcast join."""
+    from sarfile_analyzer_ng_spark.queries import q81_decontaminate_winnow
+
+    df = q81_decontaminate_winnow(spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan(df)
