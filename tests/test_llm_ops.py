@@ -488,3 +488,45 @@ def test_decontaminate_winnow_contiguous_only(spark):
            for r in D.decontaminate_winnow(tr, ev, "text", "doc_id").collect()}
     assert 1 in out and out[1] >= 1
     assert 2 not in out
+
+
+def test_winnow_guarantee_randomized(spark):
+    """Randomized property check of the winnowing guarantee: for 60
+    generated pairs, two documents embedding the same run of
+    6-12 words (each with otherwise doc-unique vocabulary) must share
+    a fingerprint, and fully-unique documents never do. One Spark pass
+    evaluates every pair."""
+    import random
+
+    rng = random.Random(99)
+    rows, expect_share = [], {}
+    doc_id = 0
+    for i in range(60):
+        run_len = rng.randrange(6, 13)
+        shared = [f"s{i}x{j}" for j in range(run_len)]
+        positive = rng.random() < 0.5
+        pair = []
+        for side in range(2):
+            n_pre = rng.randrange(0, 15)
+            n_post = rng.randrange(0, 15)
+            words = (
+                [f"d{doc_id}p{j}" for j in range(n_pre)]
+                + (shared if positive or side == 0 else
+                   [f"d{doc_id}q{j}" for j in range(run_len)])
+                + [f"d{doc_id}t{j}" for j in range(n_post)]
+            )
+            rows.append((doc_id, " ".join(words)))
+            pair.append(doc_id)
+            doc_id += 1
+        expect_share[tuple(pair)] = positive
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, "text", "doc_id", k=3, window=4)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    for (a, b), positive in expect_share.items():
+        shared_fps = by_doc.get(a, set()) & by_doc.get(b, set())
+        if positive:
+            assert shared_fps, f"pair ({a},{b}) shares a 6+ run but no fp"
+        else:
+            assert not shared_fps, f"pair ({a},{b}) disjoint but shares fp"
