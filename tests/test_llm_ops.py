@@ -530,3 +530,42 @@ def test_winnow_guarantee_randomized(spark):
             assert shared_fps, f"pair ({a},{b}) shares a 6+ run but no fp"
         else:
             assert not shared_fps, f"pair ({a},{b}) disjoint but shares fp"
+
+
+def test_ngram_jaccard_maxdf_releases_the_cached_frame(spark):
+    """The owns_cache path with max_df: release() must unpersist the
+    frame that was actually cached (pre-anti-join shingles), not the
+    derived uncached one — the r4 leak ADVICE flagged."""
+    rows = [(i, "common words everywhere " + " ".join(f"u{i}x{j}" for j in range(6)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                threshold=0.0, max_df=3)
+    out.count()
+    cached = out._cached_inputs
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory     # the truly cached frame
+    D.release(out)
+    assert not cached[0].storageLevel.useMemory  # actually unpersisted
+
+
+def test_dup_clusters_warns_on_non_convergence(spark, caplog):
+    """A label chain longer than max_iter cannot reach the fixpoint:
+    dup_clusters must log a warning instead of silently returning
+    unconverged representatives."""
+    import logging
+
+    chain = [(i, i + 1) for i in range(1, 8)]   # path graph, diameter 7
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with caplog.at_level(logging.WARNING,
+                         logger="sarfile_analyzer_ng_spark.functions.dedup"):
+        out = D.dup_clusters(pairs, max_iter=2).collect()
+    assert any("max_iter" in r.message for r in caplog.records)
+    assert len(out) == 8
+    # and with enough rounds the same graph converges quietly
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="sarfile_analyzer_ng_spark.functions.dedup"):
+        ok = D.dup_clusters(pairs, max_iter=10).collect()
+    assert not caplog.records
+    assert {r["rep"] for r in ok} == {1}
