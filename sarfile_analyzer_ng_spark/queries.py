@@ -1344,6 +1344,77 @@ SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a3
 """
 
 
+# SemDeDup gate corpus: every base vector gets a deterministic twin at
+# vec_id + offset whose direction barely moves (x → rnd(0.9x + 0.01)),
+# so twin-base cosine is ≥ 0.996 while the hardest NON-twin pair in
+# the data measures ≤ 0.53 (both SFs) — tau = 0.8 sits in a ≥ 0.27
+# margin on each side and no rounded value can cross it.
+EMB_PLANT_OFFSET = 1_000_000
+SEMDEDUP_TAU = 0.8
+
+
+def _planted_emb(spark, sf_dir):
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    twins = base.select(
+        (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("e", lambda x: rnd(x * 0.9 + 0.01, 6)).alias("e"),
+    )
+    return base.unionByName(twins)
+
+
+def q82_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-prune semantic dedup) on a planted
+    corpus: every base vector has a near-identical twin (cos ≥ 0.996).
+    The operator must keep every base vector and drop exactly the
+    twins that landed in their base's k-means cluster — the kept flag
+    of all 2N rows is value-checked against the SQL replay, and the
+    twins that cross a cluster boundary (co-location is the paper's
+    known recall limit) stay kept in BOTH engines."""
+    corpus = _planted_emb(spark, sf_dir)
+    return S.semdedup(
+        corpus, "vec_id", "e",
+        tau=SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+
+
+_SQL_SEMDEDUP_PAIR_COS = sql_rnd(
+    "list_dot_product(x.e, y.e) / "
+    "(sqrt(list_sum(list_transform(x.e, t -> t * t))) * "
+    "sqrt(list_sum(list_transform(y.e, t -> t * t))))",
+    4,
+)
+
+SQL_Q82 = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id,
+         list_transform(e, x -> {sql_rnd('x * 0.9 + 0.01', 6)}) AS e
+  FROM base),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+{_sql_kmeans_assign('cent2', 'a3')},
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vid
+  FROM a3 x JOIN a3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {_SQL_SEMDEDUP_PAIR_COS} >= {SEMDEDUP_TAU})
+SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+       (d.vid IS NULL) AS kept
+FROM a3 a LEFT JOIN dropped d ON a.vec_id = d.vid
+"""
+
+
 def q75_quantize_embeddings(spark, sf_dir):
     """Per-vector int8 affine quantization of the embedding column
     (vector-store compression: float32 → int8). Codes serialized as a
@@ -2495,9 +2566,10 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 25 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q37-q40/q42/q43/q45-q49/q55/q59-q66/
-#    q70), UNCHANGED since that pass — enforced by
+#  - the tail carries the 30 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q37-q40/q42-q44/q45-q49/q55/q57-q66/
+#    q70/q71/q73 — q58 rotated out of the window to make room for the
+#    new q82), UNCHANGED since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -2552,14 +2624,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q50_sketch_stats": (q50_sketch_stats, None),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     # new round-5 operators
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),

@@ -10,6 +10,8 @@ from sarfile_analyzer_ng_spark.functions import dedup as D
 from sarfile_analyzer_ng_spark.functions import similarity as S
 from sarfile_analyzer_ng_spark.functions import text as TX
 
+from .conftest import SF_DIR
+
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog near the river bank"),
     (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
@@ -569,3 +571,65 @@ def test_dup_clusters_warns_on_non_convergence(spark, caplog):
         ok = D.dup_clusters(pairs, max_iter=10).collect()
     assert not caplog.records
     assert {r["rep"] for r in ok} == {1}
+
+
+def test_semdedup_prune_matches_numpy_reference(spark):
+    # decouple pruning from clustering: hand the operator an explicit
+    # assignment, then recompute the expected verdicts with a plain
+    # numpy mirror of the documented rule (any smaller-id cluster
+    # member with rounded cosine >= tau drops the larger id).
+    # rows_per_chunk=4 forces the chunked-matmul path across chunks.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(30, 8))
+    twins = base[:5] * 0.95 + 0.02  # near-parallel to ids 0..4
+    vecs = np.vstack([base, twins])
+    # twin of id i gets id 102 + i: 102 ≡ 0 (mod 3), so every twin
+    # shares its base's cluster under the explicit i % 3 assignment
+    ids = list(range(30)) + [102 + i for i in range(5)]
+    clusters = {i: i % 3 for i in ids}
+    tau = 0.95
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[j]]) for j, i in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = spark.createDataFrame(
+        [(i, clusters[i]) for i in ids], "vec_id long, cluster long"
+    )
+    out = S.semdedup(
+        emb, "vec_id", "embedding", tau=tau,
+        rows_per_chunk=4, assigned=assigned,
+    )
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(np.round(m @ m.T, 8), 4)
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    expect = {}
+    for pj, j in enumerate(order):
+        drop = any(
+            clusters[ids[i]] == clusters[ids[j]] and sims[i, j] >= tau
+            for i in (order[x] for x in range(pj))
+        )
+        expect[ids[j]] = not drop
+    assert got == expect
+    # every co-clustered twin must have been dropped
+    assert all(not got[102 + i] for i in range(5))
+
+
+def test_semdedup_end_to_end_drops_co_clustered_twins(spark):
+    # full pipeline on the sf0.001 planted corpus: nothing from the
+    # base corpus is ever dropped; dropped ids are all twins; recall
+    # over twins is bounded only by cluster co-location (>= 0.9 here)
+    from sarfile_analyzer_ng_spark.queries import (
+        EMB_PLANT_OFFSET,
+        q82_semdedup,
+    )
+
+    out = q82_semdedup(spark, SF_DIR).collect()
+    dropped = [r["vec_id"] for r in out if not r["kept"]]
+    n_twins = sum(1 for r in out if r["vec_id"] >= EMB_PLANT_OFFSET)
+    assert dropped and all(i >= EMB_PLANT_OFFSET for i in dropped)
+    assert len(dropped) >= 0.9 * n_twins

@@ -184,3 +184,20 @@ def test_decontaminate_winnow_broadcasts_eval_fps(spark):
 
     df = q81_decontaminate_winnow(spark, SF_DIR)
     assert "BroadcastHashJoin" in plan(df)
+
+
+def test_semdedup_prunes_inside_cluster_partitions(spark):
+    """SemDeDup's scale contract: the quadratic pruning runs as ONE
+    Arrow stage grouped by cluster — the plan must show the
+    FlatMapGroupsInPandas preceded by a cluster-keyed exchange, and
+    no pair-row join materialization anywhere."""
+    from sarfile_analyzer_ng_spark.queries import q82_semdedup
+
+    df = q82_semdedup(spark, SF_DIR)
+    p = plan(df)
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(cluster" in p
+    # pruning must NOT be a pair self-join (CartesianProduct or a
+    # cluster-keyed SortMergeJoin of the corpus against itself feeding
+    # the Python stage would mean pair rows materialize)
+    assert "CartesianProduct" not in p
