@@ -652,3 +652,107 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     if out_col:
         out = out.withColumn(out_col, bucket)
     return out
+
+
+def hashed_ngram_buckets(df: DataFrame, text_col: str, id_col: str,
+                         n_buckets: int = 1024) -> DataFrame:
+    """Hashed bag-of-n-grams features (word unigrams + bigrams →
+    ``n_buckets`` hash buckets): one ``(doc, bucket)`` row per gram
+    occurrence — the shared feature extractor for DSIR importance
+    weighting and any hashed-vocabulary classifier.
+
+    Cross-engine hash (same contract as winnowing): first 8 hex chars
+    of md5 parsed as a long, mod ``n_buckets`` — DuckDB replays it as
+    ``('0x' || substr(md5(g),1,8))::BIGINT % B``. Tokenization is the
+    corpus-wide ``\\s+`` split on lowercased text.
+
+    Shape at scale: posexplode + one per-doc window (``lead``) for the
+    bigram — shuffle keyed by doc id, uniform; then a pure codegen
+    hash map stage. No Python, no driver state.
+    """
+    from pyspark.sql import Window
+
+    words = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    pair = words.select("doc", "w", F.lead("w").over(win).alias("w2"))
+    uni = pair.select("doc", F.col("w").alias("gram"))
+    bi = pair.where(F.col("w2").isNotNull()).select(
+        "doc", F.concat_ws(" ", "w", "w2").alias("gram")
+    )
+    return uni.unionByName(bi).select(
+        "doc",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
+                 id_col: str, n_buckets: int = 1024,
+                 round_to: int = 4) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling; Xie et al. 2023, arXiv:2302.03169): score every raw
+    document by how much more likely its hashed n-gram features are
+    under the TARGET distribution than under the RAW distribution —
+    ``logw(doc) = Σ_b count_b(doc) · (ln p̂_t[b] − ln p̂_r[b])`` with
+    Laplace-smoothed hashed unigram+bigram models. Select-high docs
+    look like the target domain; compose with top-k
+    (TakeOrderedAndProject) or :func:`hash_split` for the actual
+    resampling step.
+
+    Cross-engine determinism: bucket log-ratios are pre-rounded at 8
+    digits (so both engines sum IDENTICAL per-bucket values and the
+    final ``rnd`` collapse only has to absorb summation order), and
+    the bucket hash is the md5-based portable scheme of
+    :func:`hashed_ngram_buckets`.
+
+    Shape at scale: two gram passes (raw + target) aggregated by
+    bucket; the weight table is ≤ ``n_buckets`` rows → broadcast into
+    the per-doc bucket counts; one (doc, bucket) agg keyed by doc.
+    Nothing quadratic, nothing on the driver, no Python.
+    """
+    g_r = hashed_ngram_buckets(raw, text_col, id_col, n_buckets)
+    g_t = hashed_ngram_buckets(target, text_col, id_col, n_buckets)
+    rc = g_r.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tc = g_t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot_r = rc.agg(F.sum("cr").cast("double").alias("tr"))
+    tot_t = tc.agg(F.sum("ct").cast("double").alias("tt"))
+    wt = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            rnd(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)).cast("double") + 1.0)
+                    / (F.col("tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cr").cast("double") + 1.0)
+                    / (F.col("tr") + F.lit(float(n_buckets)))
+                ),
+                8,
+            ).alias("w"),
+        )
+    )
+    doc_b = g_r.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("c"))
+    logw = (
+        doc_b.join(F.broadcast(wt), "b")
+        .groupBy("doc")
+        .agg(rnd(F.sum(F.col("c") * F.col("w")), round_to).alias("logw"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc"))
+        .join(logw, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )

@@ -1176,6 +1176,62 @@ GROUP BY f.doc
 """
 
 
+DSIR_BUCKETS = 1024
+
+
+def q83_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: every document scored by how target-
+    like its hashed unigram+bigram features are, target = the src0
+    slice of the corpus. The full weight column (all docs, rounded) is
+    value-checked against the SQL replay of the smoothed log-ratio
+    model — hash, smoothing, and summation all cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return TX.dsir_weights(
+        docs, target, "text", "doc_id", n_buckets=DSIR_BUCKETS
+    )
+
+
+def _sql_hashed_grams(words: str, out: str) -> str:
+    """(doc, bucket) per gram occurrence — unigrams + bigrams of the
+    ``\\s+``-split word array CTE ``words`` (columns doc, w)."""
+    return f"""{out} AS (
+  SELECT doc, ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc, w[i] AS gram
+    FROM (SELECT doc, w, unnest(range(1, len(w) + 1)) AS i FROM {words})
+    UNION ALL
+    SELECT doc, w[i] || ' ' || w[i + 1] AS gram
+    FROM (SELECT doc, w, unnest(range(1, len(w))) AS i FROM {words})))"""
+
+
+SQL_Q83 = f"""
+WITH rw AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  FROM documents),
+tw AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  FROM documents WHERE source = 'src0'),
+{_sql_hashed_grams('rw', 'rg')},
+{_sql_hashed_grams('tw', 'tg')},
+rc AS (SELECT b, count(*)::DOUBLE AS cr FROM rg GROUP BY b),
+tc AS (SELECT b, count(*)::DOUBLE AS ct FROM tg GROUP BY b),
+tots AS (
+  SELECT (SELECT sum(cr) FROM rc) AS tr, (SELECT sum(ct) FROM tc) AS tt),
+wt AS (
+  SELECT rc.b,
+         {sql_rnd(f'ln((coalesce(tc.ct, 0) + 1) / (tots.tt + {DSIR_BUCKETS}))'
+                  f' - ln((rc.cr + 1) / (tots.tr + {DSIR_BUCKETS}))', 8)} AS w
+  FROM rc LEFT JOIN tc USING (b), tots),
+db AS (SELECT doc, b, count(*)::DOUBLE AS c FROM rg GROUP BY doc, b),
+lw AS (
+  SELECT doc, {sql_rnd('sum(c * w)', 4)} AS logw
+  FROM db JOIN wt USING (b) GROUP BY doc)
+SELECT d.doc_id, coalesce(lw.logw, 0.0) AS logw
+FROM documents d LEFT JOIN lw ON lw.doc = d.doc_id
+"""
+
+
 def q57_stratified_sample(spark, sf_dir):
     """Deterministic per-source sampling (training-mix construction):
     keep 100% of one source, thin the others. Engine-portable integer
@@ -2566,10 +2622,10 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 30 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q37-q40/q42-q44/q45-q49/q55/q57-q66/
-#    q70/q71/q73 — q58 rotated out of the window to make room for the
-#    new q82), UNCHANGED since that pass — enforced by
+#  - the tail carries the 31 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q37-q40/q42-q44/q45-q49/q55/
+#    q57-q66/q70/q71/q73 — q34/q58 rotated out of the window to make
+#    room for the new q82/q83), UNCHANGED since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -2621,17 +2677,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q50_sketch_stats": (q50_sketch_stats, None),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     # new round-5 operators
     "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q44_json_extract": (q44_json_extract, SQL_Q44),

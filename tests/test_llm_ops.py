@@ -633,3 +633,33 @@ def test_semdedup_end_to_end_drops_co_clustered_twins(spark):
     n_twins = sum(1 for r in out if r["vec_id"] >= EMB_PLANT_OFFSET)
     assert dropped and all(i >= EMB_PLANT_OFFSET for i in dropped)
     assert len(dropped) >= 0.9 * n_twins
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # two disjoint vocabularies: target-domain docs must score higher
+    # than off-domain docs, and a mixed doc must land in between
+    med = "patient dose trial clinical symptom therapy outcome"
+    web = "click buy cheap deal offer shop sale discount"
+    rows = [
+        (1, med + " patient trial"),
+        (2, med + " dose therapy"),
+        (3, web + " click buy"),
+        (4, web + " deal offer"),
+        (5, "patient dose click buy trial deal symptom shop"),  # mixed
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.where(F.col("doc_id") <= 2)
+    out = TX.dsir_weights(raw, target, "text", "doc_id", n_buckets=256)
+    w = {r["doc_id"]: r["logw"] for r in out.collect()}
+    assert len(w) == 5
+    assert min(w[1], w[2]) > w[5] > max(w[3], w[4])
+
+
+def test_hashed_ngram_buckets_counts(spark):
+    # "a b c" -> unigrams a, b, c + bigrams "a b", "b c" = 5 rows,
+    # all buckets within range
+    df = spark.createDataFrame([(7, "A b c")], "doc_id long, text string")
+    rows = TX.hashed_ngram_buckets(df, "text", "doc_id", n_buckets=32).collect()
+    assert len(rows) == 5
+    assert all(0 <= r["b"] < 32 for r in rows)
+    assert all(r["doc"] == 7 for r in rows)

@@ -201,3 +201,15 @@ def test_semdedup_prunes_inside_cluster_partitions(spark):
     # cluster-keyed SortMergeJoin of the corpus against itself feeding
     # the Python stage would mean pair rows materialize)
     assert "CartesianProduct" not in p
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """DSIR's scale contract: the ≤ n_buckets-row weight table is the
+    broadcast side of the per-doc join — the (doc, bucket) counts
+    must never shuffle to meet it — and no Python stage exists."""
+    from sarfile_analyzer_ng_spark.queries import q83_dsir_weights
+
+    df = q83_dsir_weights(spark, SF_DIR)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
