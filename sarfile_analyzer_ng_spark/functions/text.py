@@ -756,3 +756,58 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
             F.coalesce("logw", F.lit(0.0)).alias("logw"),
         )
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                    vocab_size: int = 20, round_to: int = 4) -> DataFrame:
+    """Unigram-LM fluency scoring — the KenLM-perplexity stand-in of
+    CCNet-style quality filtering (Wenzek et al. 2020), trainable on
+    the corpus itself with no external model: take the top
+    ``vocab_size`` tokens as the vocabulary, pool everything else into
+    one <unk> mass, and score each document by its mean token log
+    probability (plus the derived perplexity). Low ``avg_logp`` / high
+    ``ppl`` marks documents full of rare or garbled tokens — the
+    standard "perplexity bucket" signal for quality stratification.
+
+    Determinism: the vocabulary is top-V by (count DESC, token ASC) —
+    ties at the cut cannot diverge between engines; per-token log
+    probs are pre-rounded at 8 digits so both engines aggregate
+    identical values; ``ppl = exp(−avg_logp)`` is computed from the
+    already-rounded mean.
+
+    Shape at scale: one token-count agg (shuffle keyed by token), a
+    V-row TakeOrdered for the vocabulary (broadcast), then one
+    map-side broadcast join + per-doc agg. The model is two scalar
+    aggregates plus V rows — nothing corpus-sized leaves the
+    executors, no Python anywhere.
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnts.agg(F.sum("c").alias("n"))
+    vocab = cnts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_size)
+    unk = (
+        cnts.join(F.broadcast(vocab.select("w")), "w", "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("cu"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(unk))
+        .select(
+            "doc",
+            rnd(F.log(F.coalesce("c", F.col("cu")) / F.col("n")), 8).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg("lp"), round_to).alias("avg_logp"),
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "avg_logp",
+        rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
+    )

@@ -1176,6 +1176,44 @@ GROUP BY f.doc
 """
 
 
+UNIGRAM_VOCAB = 20
+
+
+def q84_unigram_logprob(spark, sf_dir):
+    """Unigram-LM fluency scores (the KenLM-perplexity stand-in of
+    CCNet quality filtering): corpus-trained top-20 vocabulary with a
+    pooled <unk> mass; every document's mean token log-prob and
+    perplexity value-checked against the SQL replay. 11 of the 31
+    corpus tokens fall outside the vocabulary, so the <unk> path is
+    live in the gate, not just in unit tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_logprob(
+        docs, "text", "doc_id", vocab_size=UNIGRAM_VOCAB
+    )
+
+
+SQL_Q84 = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+cnts AS (SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM cnts),
+vocab AS (SELECT w, c FROM cnts ORDER BY c DESC, w ASC LIMIT {UNIGRAM_VOCAB}),
+unk AS (
+  SELECT coalesce(sum(c), 0) AS cu FROM cnts
+  WHERE w NOT IN (SELECT w FROM vocab)),
+scored AS (
+  SELECT t.doc, {sql_rnd('ln(coalesce(v.c, unk.cu) / tot.n)', 8)} AS lp
+  FROM toks t LEFT JOIN vocab v USING (w), tot, unk),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_tokens, {sql_rnd('avg(lp)', 4)} AS avg_logp
+  FROM scored GROUP BY doc)
+SELECT doc AS doc_id, n_tokens, avg_logp,
+       {sql_rnd('exp(-avg_logp)', 4)} AS ppl
+FROM agg
+"""
+
+
 DSIR_BUCKETS = 1024
 
 
@@ -2622,10 +2660,11 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 31 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q37-q40/q42-q44/q45-q49/q55/
-#    q57-q66/q70/q71/q73 — q34/q58 rotated out of the window to make
-#    room for the new q82/q83), UNCHANGED since that pass — enforced by
+#  - the tail carries the 32 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q37-q40/q42-q49/q54/q55/
+#    q57-q66/q70/q71/q73 — q34/q54/q58 rotated out of the window to
+#    make room for the new q82/q83/q84), UNCHANGED since that pass —
+#    enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -2678,10 +2717,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q50_sketch_stats": (q50_sketch_stats, None),
-    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     # new round-5 operators
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
+    "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2689,6 +2728,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q44_json_extract": (q44_json_extract, SQL_Q44),

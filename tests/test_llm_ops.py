@@ -663,3 +663,27 @@ def test_hashed_ngram_buckets_counts(spark):
     assert len(rows) == 5
     assert all(0 <= r["b"] < 32 for r in rows)
     assert all(r["doc"] == 7 for r in rows)
+
+
+def test_unigram_logprob_hand_checked(spark):
+    # corpus: "a a a b" + "b c" → counts a=3, b=2, c=1, N=6.
+    # vocab_size=2 keeps {a, b}; unk mass = 1 (the single "c").
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           TX.unigram_logprob(df, "text", "doc_id", vocab_size=2).collect()}
+    lp = lambda num: round(round(math.log(num / 6.0), 8), 4)
+    r1 = out[1]
+    exp1 = round(round((3 * round(math.log(3 / 6), 8)
+                        + round(math.log(2 / 6), 8)) / 4, 8), 4)
+    assert (r1["n_tokens"], r1["avg_logp"]) == (4, exp1)
+    r2 = out[2]  # tokens b (2/6) and unk-pooled c (1/6)
+    exp2 = round(round((round(math.log(2 / 6), 8)
+                        + round(math.log(1 / 6), 8)) / 2, 8), 4)
+    assert (r2["n_tokens"], r2["avg_logp"]) == (2, exp2)
+    assert r2["ppl"] == round(round(math.exp(-exp2), 8), 4)
+    # the rare-token doc is the higher-perplexity one
+    assert r2["ppl"] > r1["ppl"]

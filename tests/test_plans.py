@@ -213,3 +213,17 @@ def test_dsir_weight_table_broadcasts(spark):
     p = plan(df)
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_unigram_logprob_model_broadcasts(spark):
+    """q84's model (V-row vocab + two scalar masses) must broadcast
+    into the token stream — the corpus-sized token frame never
+    shuffles to meet the model — and the vocab cut must be a
+    TakeOrdered, not a global sort."""
+    from sarfile_analyzer_ng_spark.queries import q84_unigram_logprob
+
+    df = q84_unigram_logprob(spark, SF_DIR)
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
