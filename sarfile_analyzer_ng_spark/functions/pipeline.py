@@ -1,0 +1,79 @@
+"""End-to-end corpus curation: the quality → exact-dedup →
+decontaminate funnel a training-data pipeline runs before mixing
+(RefinedWeb: Penedo et al. 2023 §3; CCNet: Wenzek et al. 2020) —
+composed from this repo's first-class operators into ONE DataFrame
+plan, so Catalyst optimizes across stage boundaries and every
+document is attributed to the FIRST stage that rejects it.
+
+This is the composition gate: each stage is individually oracled
+elsewhere (q70 quality, q30 exact dedup, q81 winnow decontamination);
+this module proves they compose into the real pipeline without
+driver-side glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import decontaminate_winnow
+from .text import quality_filter
+
+
+def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
+                  id_col: str, source_col: str,
+                  winnow_k: int = 3, winnow_w: int = 4,
+                  **quality_kwargs) -> DataFrame:
+    """Attribute every training document to its curation outcome:
+
+    - ``quality``      — rejected by the composed C4/Gopher gate
+      (:func:`~..text.quality_filter`);
+    - ``duplicate``    — survived quality but is not the smallest-id
+      holder of its exact text hash (md5 groupBy, q30 semantics);
+    - ``contaminated`` — survived both but shares a winnowing
+      fingerprint with the eval suite (contiguous-copy detection,
+      q81 semantics);
+    - ``kept``         — survived all three.
+
+    Returns ``(id, source, n_words, stage)``; aggregate by (source,
+    stage) for the funnel report, or filter ``stage = 'kept'`` for
+    the output corpus.
+
+    Ordering matters and is part of the contract: dedup ranks only
+    among quality-passing docs (a rejected doc must not shadow a
+    clean duplicate), and decontamination only scans dedup survivors
+    (fingerprinting text that is already dropped is wasted work — at
+    100 TB the quality gate removes most of the corpus before the
+    only non-map stage runs).
+
+    Shape at scale: quality is map-only + one doc-keyed explode/agg;
+    dedup is one shuffle on the uniform md5 hash; decontamination
+    broadcasts the eval fingerprint set. Everything shuffles at most
+    once per stage on a uniform key; no driver state, no Python.
+    """
+    qf = quality_filter(train, text_col, id_col, **quality_kwargs)
+    base = train.select(id_col, source_col, text_col).join(
+        qf.select(id_col, "n_words", "keep"), id_col
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    qpass = base.where(F.col("keep") == 1).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    dpass = qpass.where(F.col("_rn") == 1).select(id_col, text_col)
+    flagged = decontaminate_winnow(
+        dpass, eval_df, text_col, id_col, winnow_k, winnow_w
+    ).select(id_col, F.lit(True).alias("_flag"))
+    return (
+        base.join(qpass.select(id_col, "_rn"), id_col, "left")
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            source_col,
+            "n_words",
+            F.when(F.col("keep") == 0, "quality")
+            .when(F.col("_rn") > 1, "duplicate")
+            .when(F.col("_flag"), "contaminated")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )

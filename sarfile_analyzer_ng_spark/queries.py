@@ -1176,6 +1176,45 @@ GROUP BY f.doc
 """
 
 
+# Eval split for the pipeline gate: doc_id % 49 — unlike the % 50
+# split of q81, 49 does not divide PLANT_OFFSET, so the planted twin
+# of an eval document LANDS IN TRAIN and the contamination stage must
+# catch it as a verbatim copy (the realistic leak).
+PIPELINE_EVAL_MOD = 49
+
+
+def _pipeline_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = docs.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(dups)
+
+
+def q85_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (quality → exact dedup → winnow
+    decontamination) over a planted corpus with exact duplicates AND
+    verbatim eval leaks; per-(source, stage) doc/token totals — the
+    report a curator reads before mixing. Composition gate for
+    q70 + q30 + q81 running as ONE Catalyst plan."""
+    from .functions import pipeline as P
+
+    corpus = _pipeline_corpus(spark, sf_dir)
+    train = corpus.where(
+        F.pmod(F.col("doc_id"), F.lit(PIPELINE_EVAL_MOD)) != 0
+    )
+    eval_df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.pmod(F.col("doc_id"), F.lit(PIPELINE_EVAL_MOD)) == 0)
+        .select("doc_id", "text")
+    )
+    funnel = P.curate_funnel(train, eval_df, "text", "doc_id", "source")
+    return funnel.groupBy("source", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+    )
+
+
 UNIGRAM_VOCAB = 20
 
 
@@ -2135,7 +2174,12 @@ _PII_SQL_COUNT = " + ".join(
     for pat, _ in TX.PII_PATTERNS.values()
 )
 
-SQL_Q70 = f"""
+# Parameterized so SQL_Q85's pipeline oracle replays the IDENTICAL
+# quality gate over its planted train corpus; `_sql_quality('documents')`
+# reproduces the historical SQL_Q70 text byte-for-byte (tail digest
+# unchanged).
+def _sql_quality(corpus: str) -> str:
+    return f"""
 WITH f AS (
   SELECT doc_id,
          length(text)::DOUBLE AS n_chars,
@@ -2146,7 +2190,7 @@ WITH f AS (
          {_sql_lang_score('es')} AS s_es, {_sql_lang_score('fr')} AS s_fr,
          {_sql_lang_score('zh')} AS s_zh,
          ({_PII_SQL_COUNT})::BIGINT AS n_pii
-  FROM documents),
+  FROM {corpus}),
 sig AS (
   SELECT doc_id, n_words::BIGINT AS n_words,
          {sql_rnd('CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END', 4)} AS mean_word_len,
@@ -2163,7 +2207,7 @@ sig AS (
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
-  FROM documents),
+  FROM {corpus}),
 words AS (SELECT doc_id, unnest(l) AS w FROM toks),
 wc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM words GROUP BY doc_id, w),
 per_doc AS (
@@ -2197,6 +2241,46 @@ SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
         AND dup_word_frac <= 0.85 AND top_bigram_frac <= 0.25
         AND pred_lang IN ('en', 'de', 'es', 'fr'))::BIGINT AS keep
 FROM j
+"""
+
+
+SQL_Q70 = _sql_quality("documents")
+
+
+SQL_Q85 = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, source FROM documents),
+train AS (SELECT * FROM corpus WHERE doc_id % {PIPELINE_EVAL_MOD} <> 0),
+evald AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {PIPELINE_EVAL_MOD} = 0),
+qf AS ({_sql_quality('train')}),
+base AS (
+  SELECT t.doc_id, t.source, t.text, q.n_words, q.keep
+  FROM train t JOIN qf q USING (doc_id)),
+qpass AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM base WHERE keep = 1),
+dpass AS (SELECT doc_id, text FROM qpass WHERE rn = 1),
+{_sql_winnow('dpass', 'tfps')},
+{_sql_winnow('evald', 'efps')},
+flagged AS (
+  SELECT DISTINCT t.doc AS doc_id
+  FROM tfps t JOIN (SELECT DISTINCT fp FROM efps) e USING (fp)),
+staged AS (
+  SELECT b.doc_id, b.source, b.n_words,
+         CASE WHEN b.keep = 0 THEN 'quality'
+              WHEN q.rn > 1 THEN 'duplicate'
+              WHEN f.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS stage
+  FROM base b
+  LEFT JOIN qpass q USING (doc_id)
+  LEFT JOIN flagged f USING (doc_id))
+SELECT source, stage, count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS n_words
+FROM staged GROUP BY source, stage
 """
 
 
@@ -2660,11 +2744,11 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 32 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q37-q40/q42-q49/q54/q55/
-#    q57-q66/q70/q71/q73 — q34/q54/q58 rotated out of the window to
-#    make room for the new q82/q83/q84), UNCHANGED since that pass —
-#    enforced by
+#  - the tail carries the 33 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q35/q37-q40/q42-q49/q54/q55/
+#    q57-q66/q70/q71/q73 — q34/q35/q54/q58 rotated out of the window
+#    to make room for the new q82/q83/q84/q85), UNCHANGED since that
+#    pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -2712,7 +2796,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
-    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
@@ -2721,6 +2804,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2728,6 +2812,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above)
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),

@@ -227,3 +227,15 @@ def test_unigram_logprob_model_broadcasts(spark):
     assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_curation_funnel_composes_without_python(spark):
+    """q85's whole funnel must stay JVM-side (quality regexes, md5
+    window, winnow fingerprints are all codegen) with the eval
+    fingerprint set broadcast into the train scan."""
+    from sarfile_analyzer_ng_spark.queries import q85_curation_funnel
+
+    df = q85_curation_funnel(spark, SF_DIR)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
