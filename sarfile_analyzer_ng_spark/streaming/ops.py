@@ -199,3 +199,104 @@ def quality_gate_stream(stream: DataFrame, text_col: str,
         & (F.col("punct_ratio") <= max_punct_ratio)
         & F.col("pred_lang").isin(list(langs))
     )
+
+
+def near_dup_candidates_stream(stream: DataFrame, text_col: str,
+                               id_col: str, shingle_n: int = 3,
+                               num_hashes: int = 64,
+                               bands: int = 16) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates (ST7): the
+    streaming half of the dedup composition — candidate generation
+    runs continuously at ingest; exact-Jaccard re-ranking stays a
+    batch job over the emitted pairs (the same split as the batch
+    q56 pipeline).
+
+    Signatures are computed PER ROW with array higher-order functions
+    (a stream cannot pay the batch explode+groupBy shuffle per
+    micro-batch); the hash family is identical to
+    ``functions.dedup.minhash_signatures`` — xxhash64 of the shingle
+    fingerprint seeded per hash index — and the band key formula is
+    the exact ``minhash_bands`` one, so streaming band keys equal
+    batch band keys value-for-value.
+
+    Expression-shape caveat that is the whole design here: HOFs run
+    interpreted with NO common-subexpression caching, so nesting the
+    signature array inside ``minhash_bands``'s ``element_at`` calls
+    re-evaluates the entire shingle pipeline 64×64 times per row
+    (measured: minutes per micro-batch). Instead each of the 64 mins
+    is its own column expression referenced by EXACTLY ONE band, so
+    per-row work is 64 shingle evaluations — the stream's inherent
+    per-row trade; bulk (re)processing should use the batch family.
+
+    State is ONE long per band key: the first document to arrive
+    claims the band (the bucket's representative); every later
+    arrival emits ``(doc, anchor, band)``. The emission is an
+    anchored STAR, not the batch clique — state stays bounded no
+    matter how hot a bucket gets, and for dedup the star suffices
+    (every near-dup is linked to its bucket representative; the
+    batch verifier resolves clusters). Docs are processed in id
+    order inside a micro-batch, so replaying the same files yields
+    the same anchors.
+    """
+    import pandas as pd
+
+    from ..functions.dedup import word_shingles
+
+    fps = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+    )
+    mins = [
+        F.array_min(
+            F.transform(fps, lambda fp: F.xxhash64(fp, F.lit(i)))
+        )
+        for i in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    # identical formula to functions.dedup.minhash_bands, but over the
+    # per-hash columns (one reference each) instead of element_at into
+    # a recomputed signature array
+    band_keys = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(
+                "_",
+                *[
+                    mins[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = stream.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*band_keys)).alias("band"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("anchor", T.LongType()),
+            T.StructField("band", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("anchor", T.LongType())])
+
+    def fn(key, pdf_iter, state):
+        (band,) = key
+        anchor = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            for doc in pdf.sort_values("doc")["doc"]:
+                if anchor is None:
+                    anchor = int(doc)
+                elif int(doc) != anchor:
+                    rows.append((int(doc), anchor, band))
+        if anchor is not None:
+            state.update((anchor,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc", "anchor", "band"])
+
+    return banded.groupBy(F.col("band")).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -311,3 +311,76 @@ def test_chunking_runs_unchanged_on_stream(spark, tmp_path):
             chunk_documents(spark.read.parquet(src), "text", "doc_id",
                             chunk_tokens=32, overlap=8).collect()}
     assert got == want and len(got) > 1000
+
+
+def test_near_dup_candidates_stream_flags_cross_batch_twins(spark, tmp_path):
+    """ST7: exact twins arriving in a LATER micro-batch share all 16
+    band keys with their base, so every twin must be emitted as a
+    candidate — and (band state carrying across batches) anchored to
+    a document from the earlier batch, its own base for ≥ 90% of
+    twins. Streaming signatures must equal the batch family's."""
+    import os
+
+    src = str(tmp_path / "neardup_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    base_pdf = docs.toPandas().sort_values("doc_id")
+    twin_pdf = twins.toPandas().sort_values("doc_id")
+    for i, sl in enumerate([base_pdf, twin_pdf]):
+        p = f"{src}/chunk{i}.parquet"
+        sl.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.near_dup_candidates_stream(stream, "text", "doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("neardup_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("neardup_stream_test").collect()
+
+    emitted = {}
+    for r in got:
+        emitted.setdefault(r["doc"], set()).add(r["anchor"])
+    twin_ids = set(twin_pdf["doc_id"])
+    flagged_twins = twin_ids & set(emitted)
+    assert flagged_twins == twin_ids  # every twin is a candidate
+    anchored_to_base = sum(
+        1 for t in twin_ids if (t - 1_000_000) in emitted[t]
+    )
+    assert anchored_to_base >= 0.9 * len(twin_ids)
+
+    # no doc is ever emitted against itself
+    assert all(r["doc"] != r["anchor"] for r in got)
+
+    # streaming band keys == batch family values: a twin's emitted
+    # bands must all be band keys the BATCH pipeline computes for its
+    # base document (identical text → identical signature)
+    from sarfile_analyzer_ng_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    base3 = minhash_signatures(
+        docs.where(F.col("doc_id") == 3), "text", "doc_id"
+    )
+    batch_bands = {
+        r["band"]
+        for r in base3.select(
+            F.explode(minhash_bands(F.col("sig"), 16, 4)).alias("band")
+        ).collect()
+    }
+    stream_bands = {r["band"] for r in got if r["doc"] == 1_000_003}
+    assert stream_bands and stream_bands <= batch_bands
