@@ -50,20 +50,35 @@ def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
     dedup is one shuffle on the uniform md5 hash; decontamination
     broadcasts the eval fingerprint set. Everything shuffles at most
     once per stage on a uniform key; no driver state, no Python.
+
+    Text is dropped from the spine immediately — the funnel flows as
+    a NARROW (id, source, hash, verdicts) frame (the quality verdict
+    frame is cached: kilobytes per million docs, referenced by two
+    downstream joins, and its regex pipeline is the single most
+    expensive stage — measured 3× the whole funnel when re-executed
+    per reference). Winnowing re-joins the raw text for dedup
+    SURVIVORS only, so the fingerprint stage scans the already-thinned
+    corpus. Call ``dedup.release`` on the result after the consuming
+    action to unpersist the verdict cache.
     """
-    qf = quality_filter(train, text_col, id_col, **quality_kwargs)
-    base = train.select(id_col, source_col, text_col).join(
-        qf.select(id_col, "n_words", "keep"), id_col
+    qf = quality_filter(train, text_col, id_col, **quality_kwargs).select(
+        id_col, "n_words", "keep"
     )
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    qf = qf.cache()
+    base = train.select(
+        id_col, source_col, F.md5(F.col(text_col)).alias("_h")
+    ).join(qf, id_col)
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
     qpass = base.where(F.col("keep") == 1).withColumn(
         "_rn", F.row_number().over(w)
     )
-    dpass = qpass.where(F.col("_rn") == 1).select(id_col, text_col)
+    dpass = train.select(id_col, text_col).join(
+        qpass.where(F.col("_rn") == 1).select(id_col), id_col
+    )
     flagged = decontaminate_winnow(
         dpass, eval_df, text_col, id_col, winnow_k, winnow_w
     ).select(id_col, F.lit(True).alias("_flag"))
-    return (
+    out = (
         base.join(qpass.select(id_col, "_rn"), id_col, "left")
         .join(flagged, id_col, "left")
         .select(
@@ -77,3 +92,5 @@ def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
             .alias("stage"),
         )
     )
+    out._cached_inputs = [qf]  # see functions.dedup.release
+    return out

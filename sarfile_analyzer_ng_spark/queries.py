@@ -1495,7 +1495,13 @@ def _planted_emb(spark, sf_dir):
         (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
         F.transform("e", lambda x: rnd(x * 0.9 + 0.01, 6)).alias("e"),
     )
-    return base.unionByName(twins)
+    # localCheckpoint: cut the transform/union lineage before the
+    # iterative Lloyd loop — array HOFs run interpreted with no
+    # subexpression caching, so re-inlining this expression into every
+    # assignment/update of every iteration multiplies the whole twin
+    # pipeline (measured 15.5 s → 3.2 s at sf0.1). Gate-corpus only:
+    # production semdedup inputs are parquet-backed leaf columns.
+    return base.unionByName(twins).localCheckpoint(eager=True)
 
 
 def q82_semdedup(spark, sf_dir):
