@@ -692,3 +692,66 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         .applyInPandas(prune, out_schema)
         .select(F.col("_id").alias(id_col), "cluster", "kept")
     )
+
+
+def cluster_top_terms(labels: DataFrame, docs: DataFrame, id_col: str,
+                      text_col: str, top_k: int = 3,
+                      round_to: int = 4,
+                      num_clusters: int | None = None) -> DataFrame:
+    """Cluster profiling: the ``top_k`` most DISTINCTIVE terms per
+    embedding cluster — what a curator reads to decide which semantic
+    clusters to keep, downsample, or route (the companion report to
+    :func:`semdedup` / IVF training; SemDeDup §4 and the classic
+    cluster-labeling practice both profile clusters this way).
+
+    Treats each cluster as one pseudo-document and scores terms by
+    cluster-level TF-IDF: ``count(term in cluster) · ln(K / df)``
+    where ``df`` is the number of clusters containing the term. Ties
+    break (score DESC, term ASC) so the ranking is deterministic
+    cross-engine; scores are ``rnd``-rounded.
+
+    Shape at scale: one token explode keyed by (cluster, term) — the
+    corpus never moves except for that uniform agg; the per-cluster
+    term frame is orders of magnitude smaller than the corpus, and
+    the final top-k is a per-cluster window over it. No Python.
+    """
+    toks = labels.select(F.col(id_col).alias("_id"), "cluster").join(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("term"),
+        ),
+        "_id",
+    )
+    ct = toks.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    # scalar aggregate (one long to the driver, same contract as
+    # cosine_dup_pairs' block count); pass num_clusters to skip the
+    # extra job when the label frame is an expensive lineage
+    k_clusters = (
+        num_clusters
+        if num_clusters is not None
+        else labels.select("cluster").distinct().count()
+    )
+    df_ = ct.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = ct.join(F.broadcast(df_), "term").select(
+        "cluster",
+        "term",
+        rnd(
+            F.col("tf") * F.log(F.lit(float(k_clusters)) / F.col("df")),
+            round_to,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("cluster").cast("long").alias("cluster"),
+                "rank", "term", "score")
+    )

@@ -1477,6 +1477,54 @@ SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a3
 """
 
 
+def q86_cluster_profile(spark, sf_dir):
+    """Cluster profiling: top-3 distinctive terms per k-means cluster
+    (cluster-level TF-IDF over the oracled Lloyd assignment, joined to
+    the documents via the 1:1 vec_id↔doc_id testdata link) — the
+    report a curator reads to route or downsample semantic clusters."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = S.kmeans_lloyd_exact(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    ).select(F.col("vec_id").alias("doc_id"), "cluster")
+    docs = _t(spark, sf_dir, "documents")
+    return S.cluster_top_terms(
+        labels, docs, "doc_id", "text", top_k=3, num_clusters=KMEANS_K
+    )
+
+
+SQL_Q86 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+{_sql_kmeans_assign('cent2', 'a3')},
+lab AS (SELECT vec_id AS doc_id, cluster FROM a3),
+toks AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS term
+  FROM documents d JOIN lab USING (doc_id)),
+ct AS (
+  SELECT l.cluster, t.term, count(*)::DOUBLE AS tf
+  FROM toks t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM ct GROUP BY term),
+scored AS (
+  SELECT cluster, term,
+         {sql_rnd(f'tf * ln({KMEANS_K} / df)', 4)} AS score
+  FROM ct JOIN dfx USING (term))
+SELECT cluster::BIGINT AS cluster, rank, term, score FROM (
+  SELECT cluster, term, score,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # SemDeDup gate corpus: every base vector gets a deterministic twin at
 # vec_id + offset whose direction barely moves (x → rnd(0.9x + 0.01)),
 # so twin-base cosine is ≥ 0.996 while the hardest NON-twin pair in
@@ -2750,10 +2798,10 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 33 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q35/q37-q40/q42-q49/q54/q55/
-#    q57-q66/q70/q71/q73 — q34/q35/q54/q58 rotated out of the window
-#    to make room for the new q82/q83/q84/q85), UNCHANGED since that
+#  - the tail carries the 34 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q35/q37-q40/q42-q49/q53-q55/
+#    q57-q66/q70/q71/q73 — q34/q35/q53/q54/q58 rotated out of the
+#    window to make room for the new q82-q86), UNCHANGED since that
 #    pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
@@ -2801,7 +2849,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # gates + closest kin of the changed families
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
@@ -2811,6 +2858,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2819,6 +2867,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (all recorded green in round 4; staleness-guarded, see above)
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),

@@ -687,3 +687,30 @@ def test_unigram_logprob_hand_checked(spark):
     assert r2["ppl"] == round(round(math.exp(-exp2), 8), 4)
     # the rare-token doc is the higher-perplexity one
     assert r2["ppl"] > r1["ppl"]
+
+
+def test_cluster_top_terms_hand_checked(spark):
+    # cluster 0 docs: "apple apple spark", "apple banana"
+    # cluster 1 doc:  "banana banana cherry"
+    # tf-idf (K=2): apple only in c0 -> 3*ln(2); banana in both -> 0;
+    # cherry only in c1 -> 1*ln(2); spark only in c0 -> 1*ln(2)
+    import math
+
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "doc_id long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "apple apple spark"), (2, "apple banana"),
+         (3, "banana banana cherry")],
+        "doc_id long, text string",
+    )
+    out = S.cluster_top_terms(labels, docs, "doc_id", "text", top_k=2,
+                              num_clusters=2)
+    got = {(r["cluster"], r["rank"]): (r["term"], r["score"])
+           for r in out.collect()}
+    ln2 = lambda tf: round(round(tf * math.log(2.0), 8), 4)
+    assert got[(0, 1)] == ("apple", ln2(3))
+    assert got[(0, 2)] == ("spark", ln2(1))
+    assert got[(1, 1)] == ("cherry", ln2(1))
+    # banana (df=2 -> score 0) ranks below cherry in cluster 1
+    assert got[(1, 2)] == ("banana", 0.0)

@@ -239,3 +239,16 @@ def test_curation_funnel_composes_without_python(spark):
     p = plan(df)
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cluster_profile_broadcasts_term_df(spark):
+    """q86's document-frequency frame (≤ vocabulary-size rows) must
+    broadcast into the per-cluster term counts; the top-k is a
+    per-cluster window, not a global sort; no Python stage."""
+    from sarfile_analyzer_ng_spark.queries import q86_cluster_profile
+
+    df = q86_cluster_profile(spark, SF_DIR)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(cluster" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
