@@ -1253,6 +1253,48 @@ FROM agg
 """
 
 
+def q87_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    rank every document by its unigram-LM perplexity WITHIN its
+    source and cut each source into deciles — the stratification a
+    curator samples from ('head/middle/tail' quality tiers, here 10
+    tiers). Decile assignment is ntile over (ppl, doc_id) — fully
+    deterministic — and the per-(source, decile) doc counts and ppl
+    ranges are value-checked against the SQL replay."""
+    docs = _t(spark, sf_dir, "documents")
+    ppl = TX.unigram_logprob(docs, "text", "doc_id",
+                             vocab_size=UNIGRAM_VOCAB)
+    j = docs.select("doc_id", "source").join(ppl, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("ppl_lo"),
+            F.max("ppl").alias("ppl_hi"),
+        )
+    )
+
+
+SQL_Q87 = f"""
+WITH p AS ({SQL_Q84}),
+j AS (
+  SELECT d.doc_id, d.source, p.ppl
+  FROM documents d JOIN p USING (doc_id)),
+t AS (
+  SELECT source, ppl,
+         ntile(10) OVER (PARTITION BY source
+                         ORDER BY ppl ASC, doc_id ASC) AS decile
+  FROM j)
+SELECT source, decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       min(ppl) AS ppl_lo, max(ppl) AS ppl_hi
+FROM t GROUP BY source, decile
+"""
+
+
 DSIR_BUCKETS = 1024
 
 
@@ -2798,11 +2840,12 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 34 entries most recently recorded green
+#  - the tail carries the 35 entries most recently recorded green
 #    (round 4: q04/q05/q07/q08/q34/q35/q37-q40/q42-q49/q53-q55/
-#    q57-q66/q70/q71/q73 — q34/q35/q53/q54/q58 rotated out of the
-#    window to make room for the new q82-q86), UNCHANGED since that
-#    pass — enforced by
+#    q57-q66/q70-q73 — q34/q35/q53/q54/q58/q72 rotated out of the
+#    window to make room for the new q82-q87; q72's kmeans replay
+#    stays pinned through the in-window q82/q86 oracles), UNCHANGED
+#    since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -2851,7 +2894,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q50_sketch_stats": (q50_sketch_stats, None),
     # new round-5 operators
     "q82_semdedup": (q82_semdedup, SQL_Q82),
@@ -2859,6 +2901,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
+    "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2869,6 +2912,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q44_json_extract": (q44_json_extract, SQL_Q44),

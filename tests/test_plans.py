@@ -252,3 +252,17 @@ def test_cluster_profile_broadcasts_term_df(spark):
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(cluster" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_perplexity_buckets_window_is_source_partitioned(spark):
+    """q87's decile window must partition by source — an empty
+    partitionBy would serialize the corpus through one task."""
+    import re
+
+    from sarfile_analyzer_ng_spark.queries import q87_perplexity_buckets
+
+    df = q87_perplexity_buckets(spark, SF_DIR)
+    p = plan(df)
+    for m in re.finditer(r"Window \[ntile.*?\], \[(.*?)\]", p):
+        assert "source" in m.group(0), m.group(0)[:120]
+    assert "ntile" in p
