@@ -44,6 +44,10 @@ def _normalize_plan(plan: str) -> str:
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
     plan = re.sub(r"\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "SZ", plan)
+    # lambda variable NAMES carry a session-global counter (x_24 in a
+    # fresh session is x_93 after other queries built lambdas) — the
+    # suffix is identity, not shape
+    plan = re.sub(r"lambda ([a-z]+)_\d+#N", r"lambda \1#N", plan)
     return plan.strip()
 
 
