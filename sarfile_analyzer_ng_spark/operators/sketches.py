@@ -56,3 +56,109 @@ def frequent_items(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     single-pass FreqItems (Karp et al); may contain false positives,
     never false negatives."""
     return df.freqItems([col], support)
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                k_hashes: int = 4) -> DataFrame:
+    """Build a Bloom filter over a key column as ONE row holding the
+    packed bitmap (``array<bigint>`` of ``m_bits / 64`` words) — the
+    broadcastable membership sketch for "have we seen this text/URL/
+    doc before" filtering when the reference corpus is too large to
+    broadcast as an exact set (the standard incremental-dedup /
+    decontamination accelerator; Bloom 1970).
+
+    Hashes are the engine-portable md5 scheme (hash ``j`` = first 8
+    hex chars of ``md5(j || ':' || key)`` mod ``m_bits``), so an
+    oracle can replay membership EXACTLY: a probe key is "present"
+    iff all ``k_hashes`` of its bit positions are set, and the set of
+    set-bits is exactly the union of every build key's positions —
+    SQL-expressible as a position-set semi-join.
+
+    Shape at scale: one explode to (position) rows → distinct →
+    pack into words via one ``bit_or`` agg keyed by word index
+    (≤ m/64 groups) → one ``m/64``-row array collapse. The bitmap is
+    KiBs regardless of corpus size; false-positive rate ≈
+    (1 − e^(−k·n/m))^k, zero false negatives by construction.
+    """
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":", F.lit(str(j)), F.col(key_col)
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(m_bits),
+                    )
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    # shiftleft by a COLUMN is SQL-only (the python helper wants an
+    # int literal)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+    words = pos.groupBy((F.col("p") / 64).cast("long").alias("w")).agg(
+        F.bit_or(bit).alias("bits")
+    )
+    n_words = m_bits // 64
+    # densify to all words (unset words = 0) and collapse to one array
+    spark = df.sparkSession
+    dense = (
+        spark.range(n_words).select(F.col("id").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"],
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
+                m_bits: int = 1 << 16, k_hashes: int = 4,
+                out_col: str = "in_bloom") -> DataFrame:
+    """Probe a :func:`bloom_build` bitmap: appends ``out_col`` = true
+    iff every hash position of the key is set. The 1-row bitmap frame
+    cross-joins in as a broadcast; the probe is a pure codegen map
+    stage over the scan (no shuffle, no Python)."""
+    out = df.crossJoin(F.broadcast(bloom))
+    pcols = []
+    for j in range(k_hashes):
+        pc = f"_p{j}"
+        out = out.withColumn(
+            pc,
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.lit(str(j)), F.col(key_col))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            ),
+        )
+        pcols.append(pc)
+    cond = " AND ".join(
+        f"((shiftright(element_at(bloom, CAST({pc} / 64 AS INT) + 1),"
+        f" CAST(pmod({pc}, 64) AS INT)) & CAST(1 AS BIGINT)) = 1)"
+        for pc in pcols
+    )
+    return out.withColumn(out_col, F.expr(cond)).drop("bloom", *pcols)

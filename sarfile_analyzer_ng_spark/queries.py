@@ -1295,6 +1295,51 @@ FROM t GROUP BY source, decile
 """
 
 
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def q88_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership (Bloom 1970): build the packed bitmap
+    over half the corpus (even doc_ids), probe EVERY document — the
+    broadcastable accelerator for incremental dedup / decontamination
+    when the reference set is too big to ship as an exact set. The
+    md5 hash scheme is engine-portable, so the oracle replays the
+    exact per-document verdict via a position-set join (bloom
+    semantics: a key is 'present' iff all k of its bit positions are
+    set — i.e. each position is in the union of build positions).
+    Zero false negatives by construction; FP odds at this fill
+    (~n·k/m = 3%) are ≈ (0.03)^4 ≈ 1e-6 per probe."""
+    from .operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = SK.bloom_build(ref, "text", m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    return SK.bloom_probe(
+        docs.select("doc_id", "text"), "text", bloom,
+        m_bits=BLOOM_M, k_hashes=BLOOM_K,
+    ).select("doc_id", "in_bloom")
+
+
+_BLOOM_J = ", ".join(f"('{j}')" for j in range(BLOOM_K))
+
+SQL_Q88 = f"""
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+pos AS (
+  SELECT DISTINCT ('0x' || substr(md5(j || ':' || text), 1, 8))::BIGINT
+                  % {BLOOM_M} AS p
+  FROM ref, (VALUES {_BLOOM_J}) t(j)),
+probe AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(j || ':' || text), 1, 8))::BIGINT
+         % {BLOOM_M} AS p
+  FROM documents, (VALUES {_BLOOM_J}) t(j))
+SELECT d.doc_id, (count(s.p) = {BLOOM_K}) AS in_bloom
+FROM probe d LEFT JOIN pos s USING (p)
+GROUP BY d.doc_id
+"""
+
+
 DSIR_BUCKETS = 1024
 
 
@@ -2840,11 +2885,12 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 35 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q35/q37-q40/q42-q49/q53-q55/
-#    q57-q66/q70-q73 — q34/q35/q53/q54/q58/q72 rotated out of the
-#    window to make room for the new q82-q87; q72's kmeans replay
-#    stays pinned through the in-window q82/q86 oracles), UNCHANGED
+#  - the tail carries the 36 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q35/q37-q49/q53-q55/
+#    q57-q66/q70-q73 — q34/q35/q41/q53/q54/q58/q72 rotated out of the
+#    window to make room for the new q82-q88; q72's kmeans replay
+#    stays pinned through the in-window q82/q86 oracles, q41's IVF
+#    path through its pytest recall/nprobe gates), UNCHANGED
 #    since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
@@ -2892,7 +2938,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # gates + closest kin of the changed families
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q50_sketch_stats": (q50_sketch_stats, None),
     # new round-5 operators
@@ -2902,6 +2947,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
+    "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2911,6 +2957,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),

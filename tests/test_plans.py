@@ -266,3 +266,15 @@ def test_perplexity_buckets_window_is_source_partitioned(spark):
     for m in re.finditer(r"Window \[ntile.*?\], \[(.*?)\]", p):
         assert "source" in m.group(0), m.group(0)[:120]
     assert "ntile" in p
+
+
+def test_bloom_probe_is_broadcast_map_stage(spark):
+    """q88's probe side must be a pure map over the scan with the
+    1-row bitmap broadcast in — no shuffle of the probed corpus, no
+    Python stage."""
+    from sarfile_analyzer_ng_spark.queries import q88_bloom_membership
+
+    df = q88_bloom_membership(spark, SF_DIR)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -56,3 +56,35 @@ def test_frequent_items_finds_planted_heavy_hitter(spark):
     )
     out = SK.frequent_items(skewed, "user_id", support=0.2).collect()[0]
     assert 7 in out["user_id_freqItems"]
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"member-key-{i}") for i in range(200)]
+        + [(1000 + i, f"other-key-{i}") for i in range(200)],
+        "id long, key string",
+    )
+    ref = df.where(F.col("id") < 200)
+    bloom = SK.bloom_build(ref, "key", m_bits=1 << 14, k_hashes=4)
+    probed = {r["id"]: r["in_bloom"]
+              for r in SK.bloom_probe(df, "key", bloom,
+                                      m_bits=1 << 14, k_hashes=4).collect()}
+    # zero false negatives — every build key must probe true
+    assert all(probed[i] for i in range(200))
+    # false positives bounded: fill ~200*4/16384 = 4.9% -> fp ~ 6e-6;
+    # allow a generous margin
+    fps = sum(1 for i in range(1000, 1200) if probed[i])
+    assert fps <= 2
+
+
+def test_bloom_bitmap_is_fixed_width_words(spark):
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(1, "x")], "id long, key string")
+    row = SK.bloom_build(df, "key", m_bits=1 << 10, k_hashes=3).collect()[0]
+    assert len(row["bloom"]) == (1 << 10) // 64
+    # exactly <= 3 bits set for one key
+    assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in row["bloom"]) <= 3
