@@ -1295,6 +1295,60 @@ FROM t GROUP BY source, decile
 """
 
 
+def q89_source_diversity(spark, sf_dir):
+    """Per-source lexical diversity report (the self-repetition /
+    mode-collapse check a curator runs per dump before mixing):
+    3-gram occurrence totals, distinct counts, type-token ratio, and
+    the hottest shingle's share. One (source, shingle) agg — the
+    corpus moves once; per-source rollup is over the tiny distinct
+    frame."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs, "text", "doc_id", n=3, distinct=False)
+    j = sh.join(
+        docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    per = j.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nd = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        rnd(F.count(F.lit(1)) / F.sum("c"), 4).alias("uniq_ratio"),
+        rnd(F.max("c") / F.sum("c"), 4).alias("top_share"),
+    )
+    return nd.join(agg, "source").select(
+        "source", "n_docs", "n_shingles", "n_distinct",
+        "uniq_ratio", "top_share",
+    )
+
+
+SQL_Q89 = """
+WITH words AS (
+  SELECT doc_id AS doc, source, string_split_regex(lower(text), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc, source, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc, source, array_to_string(w, ' ') AS shingle
+  FROM words WHERE len(w) < 3),
+per AS (
+  SELECT source, shingle, count(*)::BIGINT AS c
+  FROM sh GROUP BY source, shingle),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+SELECT n.source, n.n_docs,
+       sum(c)::BIGINT AS n_shingles, count(*)::BIGINT AS n_distinct,
+       round(CAST(CAST((count(*)::DOUBLE / sum(c))  AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS uniq_ratio,
+       round(CAST(CAST((max(c)::DOUBLE / sum(c)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS top_share
+FROM per p JOIN nd n USING (source)
+GROUP BY n.source, n.n_docs
+"""
+
+
 BLOOM_M = 1 << 16
 BLOOM_K = 4
 
@@ -2885,12 +2939,13 @@ FROM cov JOIN canon USING (alias)
 #    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
 #    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
 #    q53/q54 …);
-#  - the tail carries the 36 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q35/q37-q49/q53-q55/
-#    q57-q66/q70-q73 — q34/q35/q41/q53/q54/q58/q72 rotated out of the
-#    window to make room for the new q82-q88; q72's kmeans replay
+#  - the tail carries the 37 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q34/q35/q37-q50/q53-q55/
+#    q57-q66/q70-q73 — q34/q35/q41/q50/q53/q54/q58/q72 rotated out of
+#    the window to make room for the new q82-q89; q72's kmeans replay
 #    stays pinned through the in-window q82/q86 oracles, q41's IVF
-#    path through its pytest recall/nprobe gates), UNCHANGED
+#    path through its pytest recall/nprobe gates, q50's sketches
+#    through the tailed-but-digest-pinned q54 bounds gate), UNCHANGED
 #    since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
@@ -2939,7 +2994,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q50_sketch_stats": (q50_sketch_stats, None),
     # new round-5 operators
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
@@ -2948,6 +3002,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
+    "q89_source_diversity": (q89_source_diversity, SQL_Q89),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -2958,6 +3013,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
+    "q50_sketch_stats": (q50_sketch_stats, None),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
