@@ -709,9 +709,22 @@ SELECT doc_id, md5(text) AS md5 FROM (
 _MINHASH_PAIR_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
+def _ensure_cached(df: DataFrame) -> DataFrame:
+    """Re-arm a session-memoized frame whose cache was dropped by an
+    external ``spark.catalog.clearCache()`` (the bench harness clears
+    between reps): without this, every later consumer silently
+    recomputes the shared pipeline per reference."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.cache()
+    return df
+
+
 def _minhash_pairs_shared(spark, sf_dir) -> DataFrame:
     key = (id(spark), sf_dir)
     pairs = _MINHASH_PAIR_MEMO.get(key)
+    if pairs is not None:
+        return _ensure_cached(pairs)
     if pairs is None:
         corpus = _planted_corpus(spark, sf_dir)
         pairs = D.minhash_lsh_pairs(
@@ -746,6 +759,8 @@ _SIMHASH_SIG_MEMO: dict[tuple[int, str], DataFrame] = {}
 def _planted_simhash_sigs(spark, sf_dir) -> DataFrame:
     key = (id(spark), sf_dir)
     sigs = _SIMHASH_SIG_MEMO.get(key)
+    if sigs is not None:
+        return _ensure_cached(sigs)
     if sigs is None:
         corpus = _planted_corpus(spark, sf_dir)
         sigs = D.simhash(corpus, "text", "doc_id").cache()
@@ -805,6 +820,8 @@ def _shingles_shared(spark, sf_dir) -> DataFrame:
     shingle explode is the family's dominant shared cost."""
     key = (id(spark), sf_dir)
     sh = _SHINGLE_MEMO.get(key)
+    if sh is not None:
+        return _ensure_cached(sh)
     if sh is None:
         corpus = _planted_corpus(spark, sf_dir)
         sh = D.shingle_hash_rows(corpus, "text", "doc_id", shingle_n=3).cache()
@@ -815,6 +832,8 @@ def _shingles_shared(spark, sf_dir) -> DataFrame:
 def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
     key = (id(spark), sf_dir)
     pairs = _JACCARD_PAIR_MEMO.get(key)
+    if pairs is not None:
+        return _ensure_cached(pairs)
     if pairs is None:
         corpus = _planted_corpus(spark, sf_dir)
         pairs = D.ngram_jaccard_pairs(
