@@ -714,3 +714,35 @@ def test_cluster_top_terms_hand_checked(spark):
     assert got[(1, 1)] == ("cherry", ln2(1))
     # banana (df=2 -> score 0) ranks below cherry in cluster 1
     assert got[(1, 2)] == ("banana", 0.0)
+
+
+def test_semdedup_composes_with_ivf_assignment(spark):
+    # PRODUCTION path: reuse the IVF training assignment (Arrow
+    # partial-sum Lloyd, no oracle rounding) as semdedup's clustering
+    # via the assigned= hook — planted near-identical twins must be
+    # dropped, bases kept. Proves the pruning stage is clustering-
+    # source-agnostic (paper's configuration: cluster with the same
+    # index you search with).
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twins = emb.selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(embedding, x -> float(x * 0.9f + 0.01f)) AS embedding",
+        "label",
+    )
+    corpus = emb.unionByName(twins).localCheckpoint(eager=True)
+    cents, assigned = S.ivf_train(
+        corpus, "vec_id", "embedding", k_lists=8, iters=2,
+        return_assignment=True,
+    )
+    labels = assigned.select(
+        F.col("vid").alias("vec_id"), F.col("cluster").cast("long")
+    )
+    out = S.semdedup(
+        corpus, "vec_id", "embedding", tau=0.8, assigned=labels
+    )
+    rows = out.collect()
+    dropped = [r["vec_id"] for r in rows if not r["kept"]]
+    n_twins = sum(1 for r in rows if r["vec_id"] >= 1_000_000)
+    assert dropped and all(v >= 1_000_000 for v in dropped)
+    assert len(dropped) >= 0.9 * n_twins
+    assigned.unpersist()
