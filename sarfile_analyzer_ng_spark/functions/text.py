@@ -811,3 +811,141 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
         "avg_logp",
         rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
     )
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[str, str, int]]:
+    """Train a byte-pair-encoding merge table on the corpus (Sennrich
+    et al. 2016) — the tokenizer-induction step of a training-data
+    pipeline, distributed the way industrial BPE trainers actually
+    scale: ONE corpus pass reduces the text to a (word, count) vocab
+    frame, and every merge iteration then runs over the VOCAB (bounded
+    by distinct word types — millions of rows at 100 TB, not the
+    corpus), so the iterative part never rescans the data.
+
+    Per iteration: adjacent symbol pairs explode from the symbol
+    arrays weighted by word count → one (pair) agg → the argmax pair
+    (count DESC, pair ASC — deterministic ties) comes back as ONE row
+    to the driver (the only driver traffic: k rows total) → an Arrow
+    map rewrites the symbol arrays. The vocab frame is
+    ``localCheckpoint``ed each iteration: the rewrite is data-dependent
+    on the merge choice, and an uncut lineage would re-inline k
+    generations of Arrow stages into every later job.
+
+    Symbols start as single characters (no end-of-word marker — the
+    reference twin in the tests makes the same choice). Returns the
+    merge table ``[(left, right, pair_count), ...]`` in rank order.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    vocab = (
+        fan_out(df)
+        .select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split(F.col("w"), "").alias("syms"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        n = F.size("syms")
+        pairs = (
+            vocab.where(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, 2147483647).alias("b"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+
+        def rewrite(it, a=a, b=b):
+            for pdf in it:
+                out = []
+                for syms in pdf["syms"]:
+                    s, i, res = list(syms), 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
+
+        vocab = vocab.mapInPandas(rewrite, schema).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_encode(df: DataFrame, text_col: str, id_col: str,
+               merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize with a :func:`bpe_train` merge table: per document,
+    apply the merges in rank order and count the resulting tokens —
+    the honest token counter once a real tokenizer exists (vs the
+    regex approximation in :func:`token_counts`). The merge table
+    broadcasts (it is ``num_merges`` rows); encoding is one Arrow map
+    stage over the corpus, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranked = [(a, b) for a, b, _ in merges]
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            counts = []
+            for text in pdf["_t"]:
+                total = 0
+                for w in str(text).lower().split():
+                    s = list(w)
+                    for a, b in ranked:
+                        i, res = 0, []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                                res.append(a + b)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        s = res
+                    total += len(s)
+                counts.append(total)
+            yield pd.DataFrame({"_id": pdf["_id"], "n_bpe_tokens": counts})
+
+    src = fan_out(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    return src.mapInPandas(encode, schema).select(
+        F.col("_id").alias(id_col), "n_bpe_tokens"
+    )

@@ -17,10 +17,11 @@ def test_registry_shape(spark):
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
-    # rows-only ops are the documented exceptions; each has an
-    # oracle-checked cross-check twin (q51/q52 recall gates, q53 LSH
-    # parity, q54 sketch bounds) so the driver's CORRECTNESS file still
-    # covers their semantics
+    # rows-only ops are the documented exceptions; each has a strong
+    # cross-check elsewhere (q51/q52 recall gates, q53/q77 LSH parity,
+    # q54 sketch bounds, the exact reference-BPE parity pytest) so
+    # their semantics are still pinned
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash",
-                         "q36_ann_lsh", "q50_sketch_stats"}
+                         "q36_ann_lsh", "q50_sketch_stats",
+                         "q90_bpe_merges"}

@@ -746,3 +746,62 @@ def test_semdedup_composes_with_ivf_assignment(spark):
     assert dropped and all(v >= 1_000_000 for v in dropped)
     assert len(dropped) >= 0.9 * n_twins
     assigned.unpersist()
+
+
+def _ref_bpe(word_counts, num_merges):
+    # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
+    # the distributed trainer: count DESC, pair ASC tie-break
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == mx)
+        out.append((a, b, mx))
+        nv = {}
+        for syms, c in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    rows = [(1, "low lower lowest low low"), (2, "new newer newest new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TX.bpe_train(df, "text", num_merges=6)
+    wc = Counter(w for _, t in rows for w in t.lower().split())
+    assert got == _ref_bpe(wc, 6)
+    # and on the real sf corpus: distributed == reference, exactly
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got2 = TX.bpe_train(docs, "text", num_merges=5)
+    wc2 = Counter(
+        w for r in docs.select("text").collect()
+        for w in r["text"].lower().split() if w
+    )
+    assert got2 == _ref_bpe(wc2, 5)
+
+
+def test_bpe_encode_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "low")], "doc_id long, text string"
+    )
+    merges = TX.bpe_train(df, "text", num_merges=2)  # l+o, lo+w
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in TX.bpe_encode(df, "text", "doc_id", merges).collect()}
+    # "low"->[low]=1; "lower"->[low,e,r]=3
+    assert got == {1: 4, 2: 1}
