@@ -805,3 +805,26 @@ def test_bpe_encode_counts(spark):
            for r in TX.bpe_encode(df, "text", "doc_id", merges).collect()}
     # "low"->[low]=1; "lower"->[low,e,r]=3
     assert got == {1: 4, 2: 1}
+
+
+def test_bpe_train_matches_reference_on_random_corpora(spark):
+    # three seeded random word-soups: the distributed trainer must
+    # equal the reference implementation exactly on each
+    import random
+    from collections import Counter
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        alphabet = "abcdef"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(60)
+        ]
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randint(3, 12))))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = TX.bpe_train(df, "text", num_merges=4)
+        wc = Counter(w for _, t in docs for w in t.split())
+        assert got == _ref_bpe(wc, 4), f"seed {seed}"

@@ -384,3 +384,39 @@ def test_near_dup_candidates_stream_flags_cross_batch_twins(spark, tmp_path):
     }
     stream_bands = {r["band"] for r in got if r["doc"] == 1_000_003}
     assert stream_bands and stream_bands <= batch_bands
+
+
+def test_bloom_probe_runs_unchanged_on_stream(spark, tmp_path):
+    """The bloom bitmap is a static 1-row frame, so probing is a
+    stream-static broadcast join: the EXACT batch operator must run
+    unchanged on a readStream frame and produce the batch verdicts."""
+    import os
+
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+
+    src = str(tmp_path / "bloom_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    docs.toPandas().to_parquet(f"{src}/c0.parquet", index=False)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = SK.bloom_build(ref, "text", m_bits=1 << 14, k_hashes=4)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = SK.bloom_probe(stream, "text", bloom, m_bits=1 << 14, k_hashes=4)
+    q = (
+        out.writeStream.format("memory").queryName("bloom_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["in_bloom"]
+           for r in spark.table("bloom_stream_test").collect()}
+    want = {r["doc_id"]: r["in_bloom"]
+            for r in SK.bloom_probe(docs, "text", bloom,
+                                    m_bits=1 << 14, k_hashes=4).collect()}
+    assert got == want
+    assert all(got[i] for i in got if i % 2 == 0)
