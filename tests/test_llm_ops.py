@@ -828,3 +828,18 @@ def test_bpe_train_matches_reference_on_random_corpora(spark):
         got = TX.bpe_train(df, "text", num_merges=4)
         wc = Counter(w for _, t in docs for w in t.split())
         assert got == _ref_bpe(wc, 4), f"seed {seed}"
+
+
+def test_eval_containment_hand_checked(spark):
+    # eval doc: "a b c d" -> shingles {"a b c", "b c d"}
+    # train 1: "a b c d e" -> {"a b c","b c d","c d e"}: 2/3 hit
+    # train 2: "x y z w"   -> {"x y z","y z w"}: 0 hit
+    ev = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           D.eval_containment(tr, ev, "text", "doc_id").collect()}
+    assert (got[1]["n_shingles"], got[1]["n_hits"]) == (3, 2)
+    assert got[1]["containment"] == round(round(2 / 3, 8), 4)
+    assert (got[2]["n_hits"], got[2]["containment"]) == (0, 0.0)
