@@ -104,3 +104,55 @@ def test_detect_gaps_differential(spark, frame):
                     exp[(row["user"], str(row["ts"]))] = gap
             prev = row["ts"]
     assert got == exp
+
+
+def test_dsir_weights_match_pure_python_mirror(spark):
+    """Third-implementation differential for DSIR (beyond the DuckDB
+    oracle): a pure-python mirror of the hashed-gram model — same md5
+    bucket hash, same Laplace smoothing, same 8-digit pre-rounded
+    per-bucket log-ratios — must reproduce every weight on seeded
+    random documents."""
+    import hashlib
+    import math
+    import random
+
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = df.where("doc_id < 6")
+    B = 128
+    got = {r["doc_id"]: r["logw"] for r in
+           TX.dsir_weights(df, target, "text", "doc_id",
+                           n_buckets=B).collect()}
+
+    def buckets(text):
+        ws = text.lower().split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                for g in grams]
+
+    raw_counts, tgt_counts = {}, {}
+    doc_buckets = {}
+    for i, t in docs:
+        bs = buckets(t)
+        doc_buckets[i] = bs
+        for b in bs:
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+            if i < 6:
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    tr, tt = float(sum(raw_counts.values())), float(sum(tgt_counts.values()))
+    w = {
+        b: round(round(
+            math.log((tgt_counts.get(b, 0) + 1.0) / (tt + B))
+            - math.log((c + 1.0) / (tr + B)), 8), 8)
+        for b, c in raw_counts.items()
+    }
+    for i, _ in docs:
+        expect = round(round(sum(w[b] for b in doc_buckets[i]), 8), 4)
+        assert got[i] == expect, i
