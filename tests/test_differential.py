@@ -156,3 +156,41 @@ def test_dsir_weights_match_pure_python_mirror(spark):
     for i, _ in docs:
         expect = round(round(sum(w[b] for b in doc_buckets[i]), 8), 4)
         assert got[i] == expect, i
+
+
+def test_unigram_logprob_matches_pure_python_mirror(spark):
+    """Third-implementation differential for the unigram LM: a pure-
+    python mirror (same top-V vocabulary with (count DESC, token ASC)
+    ties, same <unk> pooling, same rounding ladder) must reproduce
+    every avg_logp/ppl on seeded random documents."""
+    import math
+    import random
+    from collections import Counter
+
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(4, 20))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    V = 10
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"], r["ppl"])
+           for r in TX.unigram_logprob(df, "text", "doc_id",
+                                       vocab_size=V).collect()}
+
+    cnt = Counter(w for _, t in docs for w in t.lower().split())
+    n = float(sum(cnt.values()))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    in_vocab = dict(top)
+    cu = float(sum(c for w, c in cnt.items() if w not in in_vocab))
+    for i, t in docs:
+        lps = [
+            round(round(math.log(in_vocab.get(w, cu) / n), 8), 8)
+            for w in t.lower().split()
+        ]
+        avg = round(round(sum(lps) / len(lps), 8), 4)
+        ppl = round(round(math.exp(-avg), 8), 4)
+        assert got[i] == (len(lps), avg, ppl), i
