@@ -10,6 +10,13 @@ upload → pick file → pick section/device/time range → data + stats.
 
 Accepts sar ASCII, .xz-compressed ASCII, and sadf -j JSON files mixed
 in one directory.
+
+The curation side of the engine has its own entry point — point it at
+a parquet corpus with (doc_id, text, source) columns and it prints the
+quality → exact-dedup → decontamination funnel per (source, stage):
+
+    python -m sarfile_analyzer_ng_spark curate <docs_parquet>
+        [--eval-parquet P | --eval-mod N] [--json]
 """
 
 from __future__ import annotations
@@ -44,7 +51,9 @@ def _first_file(df, file: str | None) -> str:
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sarfile_analyzer_ng_spark")
-    ap.add_argument("command", choices=["files", "sections", "analyze", "stats"])
+    ap.add_argument(
+        "command", choices=["files", "sections", "analyze", "stats", "curate"]
+    )
     ap.add_argument("path")
     ap.add_argument("--file")
     ap.add_argument("--section")
@@ -52,6 +61,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--start")
     ap.add_argument("--end")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--eval-parquet",
+        help="curate: parquet of held-out eval docs (doc_id, text); "
+        "default derives an eval split via --eval-mod",
+    )
+    ap.add_argument(
+        "--eval-mod", type=int, default=50,
+        help="curate: doc_id %% N == 0 rows play the eval suite when "
+        "no --eval-parquet is given (default 50)",
+    )
     ap.add_argument(
         "--limit", type=int, default=10_000,
         help="max rows printed (default 10000; <=0 means unlimited — "
@@ -64,9 +83,6 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("sar-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    df = _load(spark, args.path)
-    if df.isEmpty():
-        sys.exit(f"no parseable sar data under {args.path}")
 
     def show(out):
         # Bounded output: a CLI pointed at a big query result must not
@@ -82,6 +98,40 @@ def main(argv: list[str] | None = None) -> None:
                     print(line)
         else:
             out.show(args.limit if args.limit > 0 else 100, truncate=False)
+
+    if args.command == "curate":
+        from pyspark.sql import functions as F
+
+        from .functions.pipeline import curate_funnel
+
+        docs = spark.read.parquet(args.path)
+        for col in ("doc_id", "text", "source"):
+            if col not in docs.columns:
+                sys.exit(f"curate needs a ({col}) column in {args.path}")
+        if args.eval_parquet:
+            ev = spark.read.parquet(args.eval_parquet).select("doc_id", "text")
+            train = docs
+        else:
+            ev = docs.where(
+                F.pmod(F.col("doc_id"), F.lit(args.eval_mod)) == 0
+            ).select("doc_id", "text")
+            train = docs.where(
+                F.pmod(F.col("doc_id"), F.lit(args.eval_mod)) != 0
+            )
+        funnel = curate_funnel(train, ev, "text", "doc_id", "source")
+        show(
+            funnel.groupBy("source", "stage")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").cast("bigint").alias("n_words"),
+            )
+            .orderBy("source", "stage")
+        )
+        return
+
+    df = _load(spark, args.path)
+    if df.isEmpty():
+        sys.exit(f"no parseable sar data under {args.path}")
 
     if args.command == "files":
         show(api.list_files(df).orderBy("file"))

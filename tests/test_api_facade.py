@@ -166,3 +166,23 @@ def test_cli_json_output_respects_limit(spark, tmp_path, capsys, monkeypatch):
     main(["analyze", str(d), "--section", "%user %system %idle", "--json"])
     lines_all = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines_all) == 2  # fixture has two devices at one ts
+
+
+def test_cli_curate_prints_funnel(spark, capsys, monkeypatch):
+    """`curate` points the funnel at a documents parquet dir and prints
+    per-(source, stage) rows; --json rows parse and carry the four
+    funnel columns."""
+    import json as _json
+
+    from sarfile_analyzer_ng_spark.__main__ import main
+
+    monkeypatch.setattr(
+        "sarfile_analyzer_ng_spark.session.get_spark", lambda name: spark
+    )
+    main(["curate", "/root/testdata/sf0.001/documents.parquet",
+          "--json", "--limit", "5"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 5
+    row = _json.loads(lines[0])
+    assert set(row) == {"source", "stage", "n_docs", "n_words"}
+    assert row["stage"] in {"quality", "duplicate", "contaminated", "kept"}
