@@ -843,3 +843,19 @@ def test_eval_containment_hand_checked(spark):
     assert (got[1]["n_shingles"], got[1]["n_hits"]) == (3, 2)
     assert got[1]["containment"] == round(round(2 / 3, 8), 4)
     assert (got[2]["n_hits"], got[2]["containment"]) == (0, 0.0)
+
+
+def test_eval_containment_verbatim_copy_scores_one(spark):
+    # a verbatim copy of an eval doc must score exactly 1.0; an
+    # eval-vocabulary REORDERING scores < 1 (different shingles)
+    ev_text = "alpha beta gamma delta epsilon zeta eta theta"
+    ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, ev_text),
+         (2, "theta eta zeta epsilon delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["containment"]
+           for r in D.eval_containment(tr, ev, "text", "doc_id").collect()}
+    assert got[1] == 1.0
+    assert 0.0 <= got[2] < 1.0

@@ -278,3 +278,23 @@ def test_bloom_probe_is_broadcast_map_stage(spark):
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_new_family_scans_prune_unused_columns(spark):
+    """Scale hygiene for the round-5 operators: their documents scans
+    must NOT read the unused n_chars/lang columns — a scan that pulls
+    every column for a 2-3 column pipeline re-reads the corpus at
+    100 TB."""
+    from sarfile_analyzer_ng_spark.queries import (
+        q83_dsir_weights,
+        q84_unigram_logprob,
+        q89_source_diversity,
+        q92_eval_containment,
+    )
+
+    for fn in (q83_dsir_weights, q84_unigram_logprob,
+               q89_source_diversity, q92_eval_containment):
+        f = formatted(fn(spark, SF_DIR))
+        schemas = [l for l in f.splitlines() if "ReadSchema" in l]
+        assert schemas, fn.__name__
+        assert all("n_chars" not in l for l in schemas), fn.__name__
