@@ -692,6 +692,126 @@ def dedup_apply(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def passage_dedup(df: DataFrame, text_col: str, id_col: str,
+                  passage_words: int = 8) -> DataFrame:
+    """Passage-level exact substring dedup: C4's "previously-seen
+    span" rule (Raffel et al. 2020 §2.2 removes any repeated
+    three-sentence span; Lee et al. 2021's ExactSubstr generalizes
+    it). Documents split into consecutive ``passage_words``-word
+    passages; every occurrence of a passage EXCEPT the first (by
+    ``(doc id, position)``) is cut, and the surviving passages are
+    stitched back into ``clean_text``. This is the missing granularity
+    between doc-level dedup (whole doc dropped) and nothing: boilerplate
+    headers/footers repeated across millions of pages get cut while
+    the unique remainder of each page survives.
+
+    First-occurrence selection is ``min(doc·10⁶ + idx)`` per passage
+    hash — a map-side-combinable agg (no per-hash sort, so a passage
+    repeated 10⁹ times costs a partial-agg cell, not a single-task
+    sort). The encoded key preserves (doc, idx) order for documents up
+    to 10⁶ passages (= 8M words at the default width) — far beyond any
+    real web document.
+
+    Reconstruction joins passages with single spaces (the corpus is
+    single-spaced; original runs of whitespace are not preserved).
+
+    Shape at scale: one passage explode (map), one agg keyed by
+    passage hash, one hash-keyed join back, one per-doc agg. All
+    linear, all JVM; the only stateful structure is the first-key agg
+    cell per distinct passage.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_pass = F.greatest(
+        F.lit(1),
+        F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),
+    )
+    passages = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("idx"),
+        )
+        .select(
+            "doc",
+            F.col("idx").cast("long").alias("idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("idx").cast("int") * passage_words + 1,
+                    passage_words,
+                ),
+            ).alias("passage"),
+        )
+        .withColumn("h", F.md5("passage"))
+        .withColumn("k", F.col("doc") * F.lit(1_000_000) + F.col("idx"))
+    )
+    firsts = passages.groupBy("h").agg(F.min("k").alias("first_k"))
+    flagged = passages.join(firsts, "h").withColumn(
+        "dup", F.col("k") != F.col("first_k")
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "dup", "passage"))
+                        ),
+                        lambda s: ~s["dup"],
+                    ),
+                    lambda s: s["passage"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_passages").cast("bigint").alias("n_passages"),
+            "n_dropped",
+            "clean_text",
+        )
+    )
+
+
+def dedup_apply_best(df: DataFrame, clusters: DataFrame, scores: DataFrame,
+                     id_col: str, score_col: str) -> DataFrame:
+    """Keep the BEST document per duplicate cluster instead of
+    :func:`dedup_apply`'s min-id representative — the curator policy
+    of CommonCrawl pipelines ("among near-duplicates keep the longest
+    / highest-quality copy"). ``scores`` maps every cluster member's
+    id to a score; rank is (score DESC, id ASC), so ties stay
+    deterministic and the choice is engine-reproducible.
+
+    Shape at scale: cluster membership joins its scores on the doc id,
+    one window per representative ranks members (near-dup clusters are
+    near-cliques — a handful of rows each), and the resulting drop
+    list anti-joins the corpus scan exactly like :func:`dedup_apply`.
+    """
+    from pyspark.sql import Window
+
+    members = clusters.join(
+        scores.withColumnRenamed(id_col, "doc_id"), "doc_id"
+    )
+    w = Window.partitionBy("rep").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    drop = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return df.join(
+        drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )
+
+
 def eval_containment(train: DataFrame, eval_df: DataFrame, text_col: str,
                      id_col: str, shingle_n: int = 3,
                      round_to: int = 4) -> DataFrame:

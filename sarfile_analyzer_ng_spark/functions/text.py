@@ -400,6 +400,66 @@ def source_mix_weights(df: DataFrame, source_col: str, text_col: str,
     return out
 
 
+def temperature_mix_weights(df: DataFrame, source_col: str, text_col: str,
+                            alpha: float = 0.5,
+                            round_to: int = 6) -> DataFrame:
+    """Temperature-flattened source mixture — the α-sampling scheme of
+    multilingual pretraining (exponentiated-share sampling: mBERT's
+    0.7-power smoothing, XLM-R's α=0.3; Conneau & Lample 2019 §3.1):
+    resample so source ``s`` is drawn with probability
+    ``q_s = p_s^α / Σ_t p_t^α`` where ``p_s`` is its token share.
+    α<1 flattens the mixture (upweights small sources), α=1 leaves it
+    unchanged, α=0 is uniform-across-sources. Unlike
+    :func:`source_mix_weights` the target is DERIVED from the corpus
+    itself — no hand-written target dict to maintain as dumps grow.
+
+    Output per source: token share, temperature share ``temp_share``
+    (= q_s), and ``sample_weight`` = (q_s/p_s) / max_t(q_t/p_t) — the
+    keep-probability to feed :func:`stratified_sample` /
+    :func:`apply_mix_weights`' bucket sampler.
+
+    Cross-engine determinism: shares are pre-rounded at 8 digits
+    before ``pow`` so both engines exponentiate identical inputs (the
+    q84 exp() precedent — pow is ≤1-ulp in both engines, collapsed by
+    the final 6-digit round).
+
+    Shape at scale: identical to :func:`source_mix_weights` — one
+    codegen token-count map stage, one agg to a row per source, then
+    unpartitioned windows over that handful of rows.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError("temperature alpha must be >= 0")
+    toks = fan_out(df).select(
+        F.col(source_col).alias("source"),
+        F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    everything = Window.partitionBy()
+    share = rnd(
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything),
+        8,
+    )
+    powered = F.pow(share, F.lit(float(alpha)))
+    q = powered / F.sum(powered).over(everything)
+    ratio = q / share
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(share, round_to).alias("token_share"),
+        rnd(q, round_to).alias("temp_share"),
+        rnd(ratio / F.max(ratio).over(everything), round_to).alias(
+            "sample_weight"
+        ),
+    )
+
+
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
     """Split documents into fixed-size overlapping token windows — the
@@ -799,6 +859,93 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
         .select(
             "doc",
             rnd(F.log(F.coalesce("c", F.col("cu")) / F.col("n")), 8).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg("lp"), round_to).alias("avg_logp"),
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "avg_logp",
+        rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                   backoff: float = 0.4, min_bigram_count: int = 2,
+                   round_to: int = 4) -> DataFrame:
+    """Bigram-LM fluency scoring with Stupid Backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" §4 — the
+    smoothing designed FOR distributed LMs: no normalization pass, so
+    counts shard freely). Each token is scored
+    ``S(w|prev) = c(prev,w)/c(prev)`` when the bigram survives the
+    count cutoff, else ``backoff · c(w)/N``; a document's first token
+    falls back to its unigram score. Sharper than
+    :func:`unigram_logprob` at separating shuffled/garbled text from
+    fluent text, since it scores word ORDER, not just vocabulary.
+
+    ``min_bigram_count`` is the Brants-style count cutoff: bigrams
+    seen fewer times are PRUNED from the model (at web scale the
+    singleton tail is most of the bigram table) and score through the
+    backoff. It also keeps the backoff path genuinely live when — as
+    here — the model is trained on the very corpus being scored
+    (without a cutoff every scored transition is in the table by
+    construction).
+
+    Determinism: per-token log scores are pre-rounded at 8 digits so
+    both engines aggregate identical values; ``ppl`` derives from the
+    already-rounded mean (the q84 contract).
+
+    Shape at scale: the count model is two aggs (shuffle keyed by
+    token / token pair — the Brants sharding); scoring joins the token
+    stream against those tables ON THE GRAM KEY, so no table ever
+    needs to fit anywhere whole (AQE broadcasts them when small). One
+    per-doc window for `lag`, one per-doc agg. No Python, no driver
+    state.
+    """
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    stream = toks.select(
+        "doc", "pos", "w", F.lag("w").over(win).alias("prev")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("n"))
+    bi = (
+        stream.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+        .where(F.col("cb") >= float(min_bigram_count))
+    )
+    prev_cnt = uni.select(F.col("w").alias("prev"), F.col("cw").alias("cprev"))
+    scored = (
+        stream.join(bi, ["prev", "w"], "left")
+        .join(prev_cnt, "prev", "left")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc",
+            rnd(
+                F.when(
+                    F.col("prev").isNull(), F.log(F.col("cw") / F.col("n"))
+                )
+                .when(
+                    F.col("cb").isNotNull(),
+                    F.log(F.col("cb") / F.col("cprev")),
+                )
+                .otherwise(
+                    F.log(F.lit(float(backoff)) * F.col("cw") / F.col("n"))
+                ),
+                8,
+            ).alias("lp"),
         )
     )
     agg = scored.groupBy("doc").agg(

@@ -3021,6 +3021,188 @@ FROM cov JOIN canon USING (alias)
 """
 
 
+TEMP_ALPHA = 0.5
+
+
+def q93_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixture (the multilingual
+    α-sampling scheme, α=0.5): per-source token shares, the flattened
+    q = p^α / Σp^α target, and the keep-probabilities that steer the
+    corpus there — the self-deriving alternative to q64's hand-written
+    target dict."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.temperature_mix_weights(
+        docs, "source", "text", alpha=TEMP_ALPHA
+    )
+
+
+SQL_Q93 = rf"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         {sql_rnd('n_tokens::DOUBLE / sum(n_tokens) OVER ()', 8)} AS share
+  FROM per),
+q AS (
+  SELECT source, n_docs, n_tokens, share,
+         pow(share, {TEMP_ALPHA}) / sum(pow(share, {TEMP_ALPHA})) OVER ()
+           AS tshare
+  FROM s)
+SELECT source, n_docs, n_tokens,
+       {sql_rnd('share', 6)} AS token_share,
+       {sql_rnd('tshare', 6)} AS temp_share,
+       {sql_rnd('(tshare / share) / max(tshare / share) OVER ()', 6)}
+         AS sample_weight
+FROM q
+"""
+
+
+PASSAGE_WORDS = 8
+
+
+def q94_passage_dedup(spark, sf_dir):
+    """Passage-level exact substring dedup (C4's previously-seen-span
+    rule) on the planted corpus: every repeated 8-word passage is cut
+    except its first (doc, position) occurrence and documents are
+    stitched back together — each planted twin keeps only its unique
+    tail, while both corpora's shared boilerplate survives exactly
+    once. Full clean_text column value-hash oracled."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return D.passage_dedup(
+        corpus, "text", "doc_id", passage_words=PASSAGE_WORDS
+    )
+
+
+SQL_Q94 = rf"""
+WITH corpus AS ({SQL_PLANTED}),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(text, '\s+') AS w FROM corpus),
+p0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM words),
+pass AS (
+  SELECT doc, idx,
+         array_to_string(list_transform(
+           range(idx * {PASSAGE_WORDS} + 1,
+                 least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
+           j -> w[j]), ' ') AS passage
+  FROM p0),
+hashed AS (
+  SELECT doc, idx, passage, md5(passage) AS h,
+         doc * 1000000 + idx AS k
+  FROM pass),
+firsts AS (SELECT h, min(k) AS first_k FROM hashed GROUP BY h),
+flagged AS (
+  SELECT doc, idx, passage, k <> first_k AS dup
+  FROM hashed JOIN firsts USING (h))
+SELECT doc AS doc_id, count(*)::BIGINT AS n_passages,
+       sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(passage, ' ' ORDER BY idx)
+                  FILTER (WHERE NOT dup), '') AS clean_text
+FROM flagged GROUP BY doc
+"""
+
+
+def q95_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency scores with Stupid Backoff (Brants et al.
+    2007 — the distributed-LM smoothing): every document's mean token
+    log-score and perplexity under the corpus-trained bigram model
+    with the Brants count cutoff (singleton bigrams pruned), scoring
+    word ORDER where q84's unigram model scores only vocabulary. Both
+    the kept-bigram and the pruned→backoff path are live in the gate;
+    the full column set is value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_logprob(docs, "text", "doc_id")
+
+
+SQL_Q95 = rf"""
+WITH words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS w
+  FROM documents),
+p0 AS (
+  SELECT doc, w, unnest(range(1, len(w) + 1)) AS pos FROM words),
+tok AS (SELECT doc, pos, w[pos] AS w FROM p0),
+stream AS (
+  SELECT doc, pos, w,
+         lag(w) OVER (PARTITION BY doc ORDER BY pos) AS prev
+  FROM tok),
+uni AS (SELECT w, count(*)::DOUBLE AS cw FROM tok GROUP BY w),
+tot AS (SELECT sum(cw) AS n FROM uni),
+bi AS (
+  SELECT prev, w, count(*)::DOUBLE AS cb FROM stream
+  WHERE prev IS NOT NULL GROUP BY prev, w
+  HAVING count(*) >= 2),
+scored AS (
+  SELECT s.doc,
+         {sql_rnd("CASE WHEN s.prev IS NULL THEN ln(u.cw / tot.n) "
+                  "WHEN b.cb IS NOT NULL THEN ln(b.cb / pu.cw) "
+                  "ELSE ln(0.4 * u.cw / tot.n) END", 8)} AS lp
+  FROM stream s
+  LEFT JOIN bi b ON b.prev = s.prev AND b.w = s.w
+  LEFT JOIN uni pu ON pu.w = s.prev
+  JOIN uni u ON u.w = s.w, tot),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_tokens, {sql_rnd('avg(lp)', 4)} AS avg_logp
+  FROM scored GROUP BY doc)
+SELECT doc AS doc_id, n_tokens, avg_logp,
+       {sql_rnd('exp(-avg_logp)', 4)} AS ppl
+FROM agg
+"""
+
+
+def q96_dedup_keep_best(spark, sf_dir):
+    """Quality-ranked near-dup dedup: same clusters as q69, but each
+    cluster keeps its LONGEST member (word count, ties by id) instead
+    of the min-id one — the 'keep the best copy' curator policy. On
+    the planted corpus this provably flips the choice: every twin is
+    one word longer than its base, so the twin survives where q69
+    keeps the base."""
+    corpus = _planted_corpus(spark, sf_dir)
+    clusters = D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+    scores = corpus.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TX.WS_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_words"),
+    )
+    kept = D.dedup_apply_best(corpus, clusters, scores, "doc_id", "n_words")
+    return kept.select("doc_id", F.md5("text").alias("md5"))
+
+
+SQL_Q96 = rf"""
+WITH RECURSIVE corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.doc, e.d FROM reach w JOIN edges e ON e.s = w.r),
+clusters AS (
+  SELECT doc AS doc_id, min(r) AS rep FROM reach GROUP BY doc),
+scored AS (
+  SELECT c.doc_id, c.rep,
+         len(regexp_extract_all(x.text, '{TX.WS_TOKEN_PATTERN}'))::BIGINT
+           AS n_words
+  FROM clusters c JOIN corpus x USING (doc_id)),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY rep
+                            ORDER BY n_words DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT c.doc_id, md5(c.text) AS md5
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -3035,16 +3217,16 @@ FROM cov JOIN canon USING (alias)
 #    more than 2 rounds without a driver-recorded green;
 #  - anything CHANGED or NEW this round also sits in the window
 #    (q77 new; q74/q76 re-planned; q32/q52 share the new simhash
-#    memo; q33/q56/q67/q68/q69 sit on the touched dedup module), plus
-#    their oracled gates and closest kin (q31/q35/q36/q41/q50/q51/
-#    q53/q54 …);
-#  - the tail carries the 37 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q34/q35/q37-q50/q53-q55/
-#    q57-q66/q70-q73 — q34/q35/q41/q50/q53/q54/q58/q72 rotated out of
-#    the window to make room for the new q82-q89; q72's kmeans replay
-#    stays pinned through the in-window q82/q86 oracles, q41's IVF
-#    path through its pytest recall/nprobe gates, q50's sketches
-#    through the tailed-but-digest-pinned q54 bounds gate), UNCHANGED
+#    memo; q56/q68/q69 compose the touched dedup module; the
+#    second-wave q93-q96 are new), plus their oracled gates and
+#    closest kin;
+#  - the tail carries the 41 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q33-q35/q37-q51/q53-q55/
+#    q57-q67/q70-q73/q75 — q33/q51/q67/q75 rotated out of the window
+#    to make room for the second-wave q93-q96: all four are
+#    r4-recorded greens whose VALUE behavior is unchanged, and
+#    q33/q67's shared shingle pipeline stays live-pinned through the
+#    in-window q56/q68/q69/q96 oracles), UNCHANGED
 #    since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
@@ -3082,15 +3264,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
-    # gates + closest kin of the changed families
-    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    # new round-5 operators
+    # new round-5 operators (second wave: q93-q96)
+    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
+    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    # new round-5 operators (first wave)
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
@@ -3113,6 +3295,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # behavior is pinned by the in-window oracled parity twins q77,
     # q52 and q51 — strictly stronger than their own rows-only
     # records.)
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q36_ann_lsh": (q36_ann_lsh, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q31_dedup_minhash": (q31_dedup_minhash, None),

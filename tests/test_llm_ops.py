@@ -859,3 +859,119 @@ def test_eval_containment_verbatim_copy_scores_one(spark):
            for r in D.eval_containment(tr, ev, "text", "doc_id").collect()}
     assert got[1] == 1.0
     assert 0.0 <= got[2] < 1.0
+
+
+def test_temperature_mix_weights_hand_checked(spark):
+    # 90/10 token split, alpha=0.5: temp shares sqrt(.9)/sqrt(.1)
+    # normalized = .75/.25; weights = (q/p) scaled so max is 1.0
+    import math
+
+    rows = [(i, "big", "w " * 9) for i in range(9)] + [(9, "small", "w " * 9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           TX.temperature_mix_weights(df, "source", "text", alpha=0.5).collect()}
+    s9, s1 = math.sqrt(0.9), math.sqrt(0.1)
+    assert out["big"]["token_share"] == 0.9
+    assert out["small"]["temp_share"] == round(round(s1 / (s9 + s1), 8), 6)
+    # the small source is the most under-sampled one -> weight 1.0;
+    # the big source keeps q/p relative to it
+    assert out["small"]["sample_weight"] == 1.0
+    big_ratio = (s9 / (s9 + s1)) / 0.9
+    small_ratio = (s1 / (s9 + s1)) / 0.1
+    assert abs(out["big"]["sample_weight"] - big_ratio / small_ratio) < 1e-5
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    rows = [(0, "a", "x y z"), (1, "b", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = TX.temperature_mix_weights(df, "source", "text", alpha=1.0).collect()
+    assert all(r["sample_weight"] == 1.0 for r in out)
+    assert all(r["temp_share"] == r["token_share"] for r in out)
+
+
+def test_temperature_mix_alpha_zero_is_uniform(spark):
+    rows = [(0, "a", "x y z"), (1, "b", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = TX.temperature_mix_weights(df, "source", "text", alpha=0.0).collect()
+    assert all(r["temp_share"] == 0.5 for r in out)
+
+
+def test_passage_dedup_hand_checked(spark):
+    # doc 1: within-doc repeat of "x y"; doc 2: cross-doc repeat of the
+    # doc-1 passage. First (doc, position) occurrence survives, every
+    # later copy is cut; unique passages always survive.
+    df = spark.createDataFrame(
+        [(1, "x y x y a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           D.passage_dedup(df, "text", "doc_id", passage_words=2).collect()}
+    assert (out[1]["n_passages"], out[1]["n_dropped"]) == (3, 1)
+    assert out[1]["clean_text"] == "x y a b"
+    assert (out[2]["n_passages"], out[2]["n_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "z w"
+
+
+def test_passage_dedup_short_and_clean_docs(spark):
+    # a doc shorter than one passage is one (short) passage; a doc with
+    # all passages dropped still gets a row with empty clean_text
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           D.passage_dedup(df, "text", "doc_id", passage_words=4).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert (out[2]["n_dropped"], out[2]["clean_text"]) == (1, "")
+    assert (out[3]["n_passages"], out[3]["clean_text"]) == (1, "q")
+
+
+def test_bigram_logprob_hand_checked(spark):
+    # corpus "a b" + "a b" + "b c": a=2 b=3 c=1 N=6.
+    # bigram (a,b)=2 survives the count cutoff; (b,c)=1 is pruned.
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           TX.bigram_logprob(df, "text", "doc_id").collect()}
+    r8 = lambda v: round(round(v, 8), 8)
+    # doc 1: first token ln(c(a)/N)=ln(2/6); kept bigram ln(2/c(a))=ln(1)
+    lp1 = round(round((r8(math.log(2 / 6)) + r8(math.log(1.0))) / 2, 8), 4)
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["avg_logp"] == lp1
+    assert out[1]["ppl"] == round(round(math.exp(-lp1), 8), 4)
+    assert out[2]["avg_logp"] == lp1
+    # doc 3: first ln(3/6); pruned (b,c) -> backoff ln(0.4 * 1/6)
+    lp3 = round(round((r8(math.log(3 / 6))
+                       + r8(math.log(0.4 * 1 / 6))) / 2, 8), 4)
+    assert out[3]["avg_logp"] == lp3
+    # the rare-transition doc is the higher-perplexity one
+    assert out[3]["ppl"] > out[1]["ppl"]
+
+
+def test_bigram_logprob_orders_shuffled_below_fluent(spark):
+    # repeated fluent phrase builds high-count bigrams; the shuffled
+    # copy's transitions are singletons -> pruned -> backoff-scored
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows.append((10, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.bigram_logprob(df, "text", "doc_id").collect()}
+    assert out[10]["ppl"] > out[0]["ppl"]
+
+
+def test_dedup_apply_best_keeps_highest_score(spark):
+    corpus = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3"), (4, "t4")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, rep long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 1)], "doc_id long, n_words long"
+    )
+    kept = D.dedup_apply_best(corpus, clusters, scores, "doc_id", "n_words")
+    # cluster {1,2,3}: max score 99 held by 2 and 3 -> tie broken by id
+    # -> keep 2; singleton 4 untouched
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
