@@ -869,12 +869,30 @@ pairs AS (
 """
 
 
+# One connected-components run serves all cluster consumers (q68 map,
+# q69 keep-min apply, q96 keep-best apply) — identical pair input ⇒
+# identical labels. The iterative label-propagation loop is the
+# family's dominant cost after the pair memo; session-lived like
+# _MINHASH_PAIR_MEMO (two longs per clustered doc).
+_CLUSTER_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _dup_clusters_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cl = _CLUSTER_MEMO.get(key)
+    if cl is not None:
+        return _ensure_cached(cl)
+    cl = D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir)).cache()
+    _CLUSTER_MEMO[key] = cl
+    return cl
+
+
 def q68_dup_clusters(spark, sf_dir):
     """Connected components over the q33 near-dup pairs: each involved
     document mapped to its cluster representative (min doc id) — the
     LSH→CC composition every 100 TB dedup pipeline runs between "pair
     list" and "keep one per cluster"."""
-    return D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+    return _dup_clusters_shared(spark, sf_dir)
 
 
 SQL_Q68 = f"""
@@ -897,7 +915,7 @@ def q69_dedup_apply(spark, sf_dir):
     member except the representative dropped (anti join against the
     bounded drop list)."""
     corpus = _planted_corpus(spark, sf_dir)
-    clusters = D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+    clusters = _dup_clusters_shared(spark, sf_dir)
     kept = D.dedup_apply(corpus, clusters, "doc_id")
     return kept.select("doc_id", F.md5("text").alias("md5"))
 
@@ -3163,7 +3181,7 @@ def q96_dedup_keep_best(spark, sf_dir):
     one word longer than its base, so the twin survives where q69
     keeps the base."""
     corpus = _planted_corpus(spark, sf_dir)
-    clusters = D.dup_clusters(_jaccard_pairs_shared(spark, sf_dir))
+    clusters = _dup_clusters_shared(spark, sf_dir)
     scores = corpus.select(
         "doc_id",
         F.regexp_count("text", F.lit(TX.WS_TOKEN_PATTERN))
@@ -3209,6 +3227,29 @@ PQ_ITERS = 2
 PQ_D = 16  # EMB_DIM // PQ_M
 
 
+# One codebook training + encoding pass serves the whole PQ family
+# (q97 codes, q98 ADC, q99 rerank) — identical config, identical
+# corpus. Codebooks are m·k rows; codes are m small ints per vector.
+# Session-lived like the other family memos.
+_PQ_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq_shared(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    hit = _PQ_MEMO.get(key)
+    if hit is not None:
+        return _ensure_cached(hit[0]), _ensure_cached(hit[1])
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_train_exact(
+        emb, "vec_id", "embedding", EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    ).cache()
+    codes = S.pq_codes(
+        emb, "vec_id", "embedding", books, EMB_DIM, m=PQ_M
+    ).cache()
+    _PQ_MEMO[key] = (books, codes)
+    return books, codes
+
+
 def q97_pq_codes(spark, sf_dir):
     """Product-quantization encoding (Jégou et al. 2011): per-subspace
     rounded-Lloyd codebooks (m=4 subspaces × k=8 codewords over the
@@ -3216,11 +3257,7 @@ def q97_pq_codes(spark, sf_dir):
     subspace — dim floats compressed to m·log2(k)=12 bits. The whole
     train+encode chain is SQL-replayable by the q72 rounding
     discipline, so every code is value-hash oracled."""
-    emb = _t(spark, sf_dir, "embeddings")
-    books = S.pq_train_exact(
-        emb, "vec_id", "embedding", EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
-    )
-    return S.pq_codes(emb, "vec_id", "embedding", books, EMB_DIM, m=PQ_M)
+    return _pq_shared(spark, sf_dir)[1]
 
 
 def _sql_pq_dist(e: str, c: str) -> str:
@@ -3293,9 +3330,10 @@ def q98_pq_adc_topk(spark, sf_dir):
     q97."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    books, codes = _pq_shared(spark, sf_dir)
     return S.ann_topk_pq(
         emb, queries, "vec_id", "embedding", EMB_DIM,
-        m=PQ_M, k=ANN_K, n_codewords=PQ_K, iters=PQ_ITERS,
+        m=PQ_M, k=ANN_K, codebooks=books, codes=codes,
     )
 
 
@@ -3342,9 +3380,10 @@ def q99_pq_rerank(spark, sf_dir):
     final ranking is value-hash oracled."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    books, codes = _pq_shared(spark, sf_dir)
     return S.ann_topk_pq(
         emb, queries, "vec_id", "embedding", EMB_DIM,
-        m=PQ_M, k=ANN_K, n_codewords=PQ_K, iters=PQ_ITERS,
+        m=PQ_M, k=ANN_K, codebooks=books, codes=codes,
         rerank=PQ_RERANK,
     )
 
