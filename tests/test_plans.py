@@ -298,3 +298,69 @@ def test_new_family_scans_prune_unused_columns(spark):
         schemas = [l for l in f.splitlines() if "ReadSchema" in l]
         assert schemas, fn.__name__
         assert all("n_chars" not in l for l in schemas), fn.__name__
+
+
+def test_passage_dedup_has_no_window_or_per_hash_sort(spark):
+    """q94's first-occurrence selection must be a combinable min-key
+    AGGREGATE per passage hash, never a row_number window — a window
+    would sort every occurrence of a hot boilerplate passage inside
+    one task."""
+    from sarfile_analyzer_ng_spark.queries import q94_passage_dedup
+
+    p = plan(q94_passage_dedup(spark, SF_DIR))
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bigram_logprob_lag_window_is_doc_partitioned(spark):
+    """q95's lag window must partition by doc — and the whole scoring
+    path stays JVM-side."""
+    import re
+
+    from sarfile_analyzer_ng_spark.queries import q95_bigram_logprob
+
+    p = plan(q95_bigram_logprob(spark, SF_DIR))
+    lags = re.findall(r"Window \[lag.*", p)
+    assert lags and all("doc" in l for l in lags)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pq_adc_distance_table_broadcasts(spark):
+    """q98: the queries x m x k distance table must broadcast into the
+    code join (only codes stream), and pure-ADC ranking has no Python
+    stage."""
+    from sarfile_analyzer_ng_spark.queries import q98_pq_adc_topk
+
+    p = plan(q98_pq_adc_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_pq_rerank_touches_only_the_shortlist(spark):
+    """q99: the exact re-rank joins the Q x R shortlist back to the
+    vectors - the query-vector side must broadcast."""
+    from sarfile_analyzer_ng_spark.queries import q99_pq_rerank
+
+    p = plan(q99_pq_rerank(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_keep_best_window_partitioned_by_rep(spark):
+    """q96's ranking window must partition by the cluster
+    representative, never run unpartitioned."""
+    import re
+
+    from sarfile_analyzer_ng_spark.queries import q96_dedup_keep_best
+
+    p = plan(q96_dedup_keep_best(spark, SF_DIR))
+    wins = re.findall(r"Window \[row_number.*", p)
+    assert wins and all("rep" in w for w in wins)
+
+
+def test_temperature_mix_scan_prunes_to_source_and_text(spark):
+    from sarfile_analyzer_ng_spark.queries import q93_temperature_mix
+
+    f = formatted(q93_temperature_mix(spark, SF_DIR))
+    schemas = [l for l in f.splitlines() if "ReadSchema" in l]
+    assert schemas
+    assert all("n_chars" not in l and "doc_id" not in l for l in schemas)
