@@ -989,3 +989,110 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, id_col: str,
         refined.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_topk_ivfpq(emb: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, dim: int, centroids, codebooks: DataFrame,
+                   codes: DataFrame, m: int = 4, k: int = 5,
+                   nprobe: int = 4, dist_round: int = 6,
+                   rerank: int = 0, cos_round: int = 4) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV — the architecture behind every
+    billion-vector store): an IVF coarse quantizer routes each query
+    to its ``nprobe`` nearest lists, and ONLY the PQ codes of vectors
+    living in those lists are ADC-scored — candidate work drops to
+    O(n·nprobe/K) lookups of m bytes each, while the centroid matrix
+    and distance table stay broadcast-sized.
+
+    ``nprobe = k_lists`` probes everything and reduces EXACTLY to the
+    plain ADC ranking (:func:`ann_topk_pq`) — the oracle
+    configuration, same trick as the exhaustive-probe IVF gate.
+    ``rerank=R`` refines the shortlist with exact cosine like
+    :func:`ann_topk_pq`.
+
+    Shape at scale: corpus list ids come from one Arrow assignment
+    pass (or the persisted training assignment); the (query, list)
+    probe set and the distance table broadcast; the only shuffled
+    stream is candidate codes keyed by (query, vid).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    assigned = _ivf_assign(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+        centroids,
+    ).select("vid", "cluster")
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    b_cn = spark.sparkContext.broadcast(cn)
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def probes(iterator):
+        cmat = b_cn.value
+        for pdf in iterator:
+            rows = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            order = np.argsort(-(rows @ cmat.T), axis=1)[:, :nprobe]
+            out_q = np.repeat(pdf["vid"].to_numpy(), order.shape[1])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cluster": order.ravel().astype("int32")}
+            )
+
+    q = queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    probed = q.mapInPandas(probes, probe_schema)
+    cand = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    qsub = _subspaces(queries, id_col, vec_col, dim, m).select(
+        F.col("vid").alias("query_id"), "sub", F.col("e").alias("qe")
+    )
+    dtab = qsub.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", F.col("cluster").alias("code"),
+        rnd(l2sq(F.col("qe"), F.col("c")), dist_round).alias("dsub"),
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed(id_col, "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(rnd(F.sum("dsub"), dist_round).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k)
+    shortlist = ranked.where(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    refined = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            rnd(cosine_arrow("qvec", "cvec"), cos_round).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )

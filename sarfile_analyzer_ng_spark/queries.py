@@ -3416,6 +3416,28 @@ WHERE rank <= {ANN_K}
 """
 
 
+IVFPQ_LISTS = 8
+
+
+def q100_ann_ivfpq(spark, sf_dir):
+    """IVFADC (Jégou et al. 2011 §IV): IVF coarse routing over PQ
+    codes — the billion-vector-store architecture. Probing ALL lists
+    reduces exactly to the plain ADC ranking, so SQL_Q98 is this
+    query's oracle and the whole composition (Arrow list assignment,
+    probe routing, code join, distance-table scoring) is hash-checked
+    end to end; the sub-exhaustive nprobe<K configuration is the
+    production path, recall-tested in tests/test_llm_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    centroids = S.ivf_train(emb, "vec_id", "embedding",
+                            k_lists=IVFPQ_LISTS, iters=1)
+    books, codes = _pq_shared(spark, sf_dir)
+    return S.ann_topk_ivfpq(
+        emb, queries_df, "vec_id", "embedding", EMB_DIM,
+        centroids, books, codes, m=PQ_M, k=ANN_K, nprobe=IVFPQ_LISTS,
+    )
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -3509,6 +3531,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # behavior is pinned by the in-window oracled parity twins q77,
     # q52 and q51 — strictly stronger than their own rows-only
     # records.)
+    # q100 lands in the tail (the window is full of never-recorded
+    # keys); its oracle replay runs in the local parity suite and its
+    # exhaustive-probe configuration hash-matches the in-window q98.
+    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),

@@ -300,3 +300,56 @@ def near_dup_candidates_stream(stream: DataFrame, text_col: str,
     return banded.groupBy(F.col("band")).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def passage_novelty_stream(stream: DataFrame, text_col: str, id_col: str,
+                           ts_col: str, watermark: str,
+                           passage_words: int = 8) -> DataFrame:
+    """Streaming passage-level dedup (ST9): the ingest-side twin of
+    ``functions.dedup.passage_dedup``. Documents explode into
+    consecutive ``passage_words``-word passages (a stateless map —
+    same split/sequence/slice chain as the batch operator), then
+    ``dropDuplicatesWithinWatermark`` on the passage md5 keeps only
+    the FIRST arrival of each passage: previously-seen boilerplate is
+    cut at ingest, before it ever lands in storage. State is one
+    digest per distinct passage inside the watermark horizon —
+    bounded, like ST5.
+
+    Batch keeps the min-(doc, position) occurrence; streaming keeps
+    the first arrival. When files arrive in doc order the surviving
+    (doc, idx) set is identical — the parity the test pins.
+    Reconstruction (stitching survivors back into clean_text) stays a
+    batch compaction over the emitted passages, same split as ST7's
+    candidates-vs-verify."""
+    words = F.split(F.col(text_col), r"\s+")
+    n_pass = F.greatest(
+        F.lit(1),
+        F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),
+    )
+    passages = (
+        stream.select(
+            F.col(id_col),
+            F.col(ts_col),
+            words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("idx"),
+        )
+        .select(
+            id_col,
+            ts_col,
+            F.col("idx").cast("long").alias("idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("idx").cast("int") * passage_words + 1,
+                    passage_words,
+                ),
+            ).alias("passage"),
+        )
+        .withColumn("_h", F.md5("passage"))
+    )
+    return (
+        passages.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

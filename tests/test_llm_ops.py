@@ -1016,3 +1016,29 @@ def test_pq_single_codeword_is_centroid_distance(spark):
     books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=1, iters=1)
     codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
     assert all(r["code"] == 0 for r in codes.collect())
+
+
+def test_ivfpq_subexhaustive_candidates_are_adc_subset(spark):
+    # nprobe < K: every returned neighbor must carry the SAME adc
+    # value the full scan assigns (routing only restricts candidates,
+    # never rescores), and recall vs full ADC stays useful
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=2)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    cents = S.ivf_train(emb, "vec_id", "embedding", k_lists=8, iters=1)
+    full = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4,
+                         k=500, codebooks=books, codes=codes)
+    sub = S.ann_topk_ivfpq(emb, queries, "vec_id", "embedding", 64,
+                           cents, books, codes, m=4, k=5, nprobe=2)
+    fd = {(r["query_id"], r["neighbor_id"]): r["adc"] for r in full.collect()}
+    srows = sub.collect()
+    assert srows
+    for r in srows:
+        assert fd[(r["query_id"], r["neighbor_id"])] == r["adc"]
+    # probing 2/8 lists still recovers a useful share of the full-ADC
+    # top-5
+    top5 = {(r["query_id"], r["neighbor_id"])
+            for r in full.collect() if r["rank"] <= 5}
+    got = {(r["query_id"], r["neighbor_id"]) for r in srows}
+    assert len(top5 & got) >= len(top5) // 4

@@ -420,3 +420,57 @@ def test_bloom_probe_runs_unchanged_on_stream(spark, tmp_path):
                                     m_bits=1 << 14, k_hashes=4).collect()}
     assert got == want
     assert all(got[i] for i in got if i % 2 == 0)
+
+
+def test_passage_novelty_stream_matches_batch_firsts(spark, tmp_path):
+    """ST9: streaming passage dedup must keep exactly the batch
+    operator's surviving (doc, idx) passages when files arrive in doc
+    order, with repeats planted across micro-batch boundaries."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "passage_src")
+    os.makedirs(src)
+    rows = [
+        (1, "x y x y a b"),     # within-doc repeat of "x y"
+        (2, "x y z w"),         # cross-doc repeat, same micro-batch
+        (3, "p q r s"),
+        (10, "x y p q c d"),    # repeats from an EARLIER micro-batch
+        (11, "c d e f"),        # repeat of a passage first seen in doc 10
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["ts"] = pd.to_datetime(1_700_000_000 + pdf["doc_id"], unit="s", utc=True)
+    for i, sl in enumerate([pdf.iloc[:3], pdf.iloc[3:]]):
+        path = f"{src}/chunk{i}.parquet"
+        sl.to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.passage_novelty_stream(stream, "text", "doc_id", "ts",
+                                    "1 hour", passage_words=2)
+    q = (
+        out.writeStream.format("memory").queryName("passage_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["idx"], r["passage"])
+           for r in spark.table("passage_stream_test").collect()}
+
+    # python reference of the batch first-occurrence rule
+    seen, expect = set(), set()
+    for doc, text in rows:  # already in (doc, idx) order
+        w = text.split()
+        for idx in range((len(w) + 1) // 2):
+            p = " ".join(w[idx * 2: idx * 2 + 2])
+            if p not in seen:
+                seen.add(p)
+                expect.add((doc, idx, p))
+    assert got == expect
+    # the cross-micro-batch repeats really were cut
+    assert (10, 0, "x y") not in got and (11, 0, "c d") not in got
