@@ -3438,6 +3438,61 @@ def q100_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q101_corpus_card(spark, sf_dir):
+    """Corpus card: the per-(source, language) datasheet a curator
+    publishes with a training set (Gebru et al. 2021 "Datasheets for
+    Datasets" — the summary table variant): doc/token counts, mean
+    quality, mean punctuation ratio per cell, composing the oracled
+    q37 language-id and q38 quality signals into one grouped report.
+    One codegen map stage + one small agg; every cell value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.lang_id(TX.quality_score(docs, "text"), "text")
+    return scored.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        rnd(F.avg("quality"), 4).alias("avg_quality"),
+        rnd(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+    )
+
+
+SQL_Q101 = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop,
+         {_sql_lang_score('en')} AS s_en, {_sql_lang_score('de')} AS s_de,
+         {_sql_lang_score('es')} AS s_es, {_sql_lang_score('fr')} AS s_fr,
+         {_sql_lang_score('zh')} AS s_zh
+  FROM documents),
+per_doc AS (
+  SELECT source,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                   AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang,
+         n_words,
+         {sql_rnd("least(n_words / 50.0, 1.0) * 0.4 "
+                  "+ least(CASE WHEN n_words > 0 THEN n_stop / n_words "
+                  "        ELSE 0.0 END * 5.0, 1.0) * 0.4 "
+                  "+ (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars "
+                  "               ELSE 0.0 END * 10.0, 1.0)) * 0.2", 4)}
+           AS quality,
+         {sql_rnd("CASE WHEN n_chars > 0 THEN n_punct / n_chars "
+                  "ELSE 0.0 END", 4)} AS punct_ratio
+  FROM f)
+SELECT source, pred_lang, count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS n_tokens,
+       {sql_rnd('avg(quality)', 4)} AS avg_quality,
+       {sql_rnd('avg(punct_ratio)', 4)} AS avg_punct_ratio
+FROM per_doc GROUP BY source, pred_lang
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -3531,10 +3586,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # behavior is pinned by the in-window oracled parity twins q77,
     # q52 and q51 — strictly stronger than their own rows-only
     # records.)
-    # q100 lands in the tail (the window is full of never-recorded
-    # keys); its oracle replay runs in the local parity suite and its
-    # exhaustive-probe configuration hash-matches the in-window q98.
+    # q100/q101 land in the tail (the window is full of never-recorded
+    # keys); their oracle replays run in the local parity suite, and
+    # q100's exhaustive-probe configuration hash-matches the in-window
+    # q98.
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
+    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
