@@ -194,3 +194,89 @@ def test_unigram_logprob_matches_pure_python_mirror(spark):
         avg = round(round(sum(lps) / len(lps), 8), 4)
         ppl = round(round(math.exp(-avg), 8), 4)
         assert got[i] == (len(lps), avg, ppl), i
+
+
+def test_bigram_logprob_matches_pure_python_mirror(spark):
+    """Third-implementation differential for the Stupid-Backoff bigram
+    LM: a pure-python mirror (same count cutoff, same backoff branch,
+    same rounding ladder) must reproduce every avg_logp/ppl on seeded
+    random documents — a small vocabulary guarantees both kept and
+    pruned bigrams appear."""
+    import math
+    import random
+    from collections import Counter
+
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 15))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"], r["ppl"])
+           for r in TX.bigram_logprob(df, "text", "doc_id").collect()}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    n = float(sum(uni.values()))
+    bi = Counter(
+        (ws[j], ws[j + 1])
+        for ws in toks.values() for j in range(len(ws) - 1)
+    )
+    bi = {k: float(c) for k, c in bi.items() if c >= 2}  # count cutoff
+    kept = sum(1 for _ in bi)
+    assert kept > 0 and any(
+        (ws[j], ws[j + 1]) not in bi
+        for ws in toks.values() for j in range(len(ws) - 1)
+    ), "need both kept and pruned bigrams for the test to mean anything"
+    r8 = lambda v: round(round(v, 8), 8)
+    for i, ws in toks.items():
+        lps = [r8(math.log(uni[ws[0]] / n))]
+        for j in range(1, len(ws)):
+            key = (ws[j - 1], ws[j])
+            if key in bi:
+                lps.append(r8(math.log(bi[key] / uni[ws[j - 1]])))
+            else:
+                lps.append(r8(math.log(0.4 * uni[ws[j]] / n)))
+        avg = round(round(sum(lps) / len(lps), 8), 4)
+        ppl = round(round(math.exp(-avg), 8), 4)
+        assert got[i] == (len(lps), avg, ppl), i
+
+
+def test_passage_dedup_matches_pure_python_mirror(spark):
+    """Third-implementation differential for passage dedup: a pure-
+    python mirror of the first-(doc, position)-occurrence rule must
+    reproduce every clean_text on seeded random documents with a tiny
+    vocabulary (so cross-doc and within-doc passage collisions are
+    frequent)."""
+    import random
+
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c"]
+    P = 3
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 14))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_passages"], r["n_dropped"], r["clean_text"])
+           for r in D.passage_dedup(df, "text", "doc_id",
+                                    passage_words=P).collect()}
+
+    seen = set()
+    for i, t in docs:  # ascending doc id == ascending encoded key
+        w = t.split()
+        n_pass = max(1, -(-len(w) // P))
+        kept, dropped = [], 0
+        for idx in range(n_pass):
+            p = " ".join(w[idx * P: idx * P + P])
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == (n_pass, dropped, " ".join(kept)), i
