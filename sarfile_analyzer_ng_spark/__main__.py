@@ -17,6 +17,7 @@ quality → exact-dedup → decontamination funnel per (source, stage):
 
     python -m sarfile_analyzer_ng_spark curate <docs_parquet>
         [--eval-parquet P | --eval-mod N] [--json]
+    python -m sarfile_analyzer_ng_spark card <docs_parquet> [--json]
 """
 
 from __future__ import annotations
@@ -52,7 +53,8 @@ def _first_file(df, file: str | None) -> str:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sarfile_analyzer_ng_spark")
     ap.add_argument(
-        "command", choices=["files", "sections", "analyze", "stats", "curate"]
+        "command",
+        choices=["files", "sections", "analyze", "stats", "curate", "card"],
     )
     ap.add_argument("path")
     ap.add_argument("--file")
@@ -126,6 +128,29 @@ def main(argv: list[str] | None = None) -> None:
                 F.sum("n_words").cast("bigint").alias("n_words"),
             )
             .orderBy("source", "stage")
+        )
+        return
+
+    if args.command == "card":
+        from pyspark.sql import functions as F
+
+        from .functions.text import lang_id, quality_score
+        from .util import rnd
+
+        docs = spark.read.parquet(args.path)
+        for col in ("doc_id", "text", "source"):
+            if col not in docs.columns:
+                sys.exit(f"card needs a ({col}) column in {args.path}")
+        scored = lang_id(quality_score(docs, "text"), "text")
+        show(
+            scored.groupBy("source", "pred_lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").cast("bigint").alias("n_tokens"),
+                rnd(F.avg("quality"), 4).alias("avg_quality"),
+                rnd(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            )
+            .orderBy("source", "pred_lang")
         )
         return
 

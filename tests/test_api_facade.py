@@ -186,3 +186,23 @@ def test_cli_curate_prints_funnel(spark, capsys, monkeypatch):
     row = _json.loads(lines[0])
     assert set(row) == {"source", "stage", "n_docs", "n_words"}
     assert row["stage"] in {"quality", "duplicate", "contaminated", "kept"}
+
+
+def test_cli_card_prints_corpus_card(spark, capsys, monkeypatch):
+    """`card` prints the per-(source, language) datasheet; --json rows
+    parse and carry the six card columns."""
+    import json as _json
+
+    from sarfile_analyzer_ng_spark.__main__ import main
+
+    monkeypatch.setattr(
+        "sarfile_analyzer_ng_spark.session.get_spark", lambda name: spark
+    )
+    main(["card", "/root/testdata/sf0.001/documents.parquet",
+          "--json", "--limit", "4"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 4
+    row = _json.loads(lines[0])
+    assert set(row) == {"source", "pred_lang", "n_docs", "n_tokens",
+                        "avg_quality", "avg_punct_ratio"}
+    assert row["n_docs"] > 0
