@@ -1096,3 +1096,119 @@ def ann_topk_ivfpq(emb: DataFrame, queries: DataFrame, id_col: str,
         refined.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_codes_wide(codes: DataFrame, id_col: str, m: int) -> DataFrame:
+    """Pack the long ``(id, sub, code)`` frame into one row per vector
+    ``(id, codes array<int>)`` — the layout the Arrow ADC kernel
+    consumes (and the layout a real code store persists: m small ints
+    per vector). One shuffle keyed by the uniform vector id."""
+    return (
+        codes.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"].cast("int"),
+            ).alias("codes")
+        )
+    )
+
+
+def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, dim: int, codebooks: DataFrame,
+                      codes: DataFrame, m: int = 4, k: int = 5,
+                      dist_round: int = 6,
+                      partial_top: int | None = None) -> DataFrame:
+    """The production-shape ADC scorer: same ranking contract as
+    :func:`ann_topk_pq`, different physical plan. The distance table
+    becomes a dense numpy array broadcast to every task; each Arrow
+    batch of packed codes is scored with pure table lookups
+    (``dtab[q, j, codes[:, j]]`` summed over j) and only the
+    PER-PARTITION top ``partial_top`` rows per query are emitted — so
+    the shuffle carries partitions × Q × R rows instead of the n × Q
+    scored stream the join/agg composition moves. The global top-k
+    re-applies the rounding ladder and ranks (adc asc, id asc),
+    identical to the DataFrame path (ulp-level summation-order
+    differences collapse under the 8-digit pre-round; the partial cut
+    uses a 4k+64 margin so they can never change membership).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    R = partial_top if partial_top is not None else max(4 * k, 64)
+    spark = emb.sparkSession
+    # dense distance table: rows = query order, dtab[qi, j, c]
+    qsub = _subspaces(queries, id_col, vec_col, dim, m).select(
+        F.col("vid").alias("query_id"), "sub", F.col("e").alias("qe")
+    )
+    dtab_rows = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id", "sub", F.col("cluster").alias("code"),
+            rnd(l2sq(F.col("qe"), F.col("c")), dist_round).alias("dsub"),
+        )
+        .collect()
+    )
+    qids = sorted({r["query_id"] for r in dtab_rows})
+    qpos = {q: i for i, q in enumerate(qids)}
+    n_codewords = 1 + max(r["code"] for r in dtab_rows)
+    dtab = np.zeros((len(qids), m, n_codewords))
+    for r in dtab_rows:
+        dtab[qpos[r["query_id"]], r["sub"], r["code"]] = r["dsub"]
+    b_dtab = spark.sparkContext.broadcast(dtab)
+    b_qids = spark.sparkContext.broadcast(np.asarray(qids, dtype=np.int64))
+
+    wide = pq_codes_wide(codes, id_col, m)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("raw", T.DoubleType()),
+        ]
+    )
+
+    def score(iterator):
+        tab = b_dtab.value
+        qv = b_qids.value
+        nq = tab.shape[0]
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf[id_col].to_numpy().astype(np.int64)
+            # dists[qi, row] = sum_j tab[qi, j, cm[row, j]]
+            dists = np.zeros((nq, len(vids)))
+            for j in range(cm.shape[1]):
+                dists += tab[:, j, :][:, cm[:, j]]
+            frames = []
+            for qi in range(nq):
+                d = dists[qi]
+                mask = vids != qv[qi]  # self-match excluded like ann_topk_pq
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                take = idx[np.argsort(d[idx], kind="stable")[:R]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qv[qi],
+                            "neighbor_id": vids[take],
+                            "raw": d[take],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partials = wide.mapInPandas(score, out_schema)
+    scored = partials.select(
+        "query_id", "neighbor_id", rnd(F.col("raw"), dist_round).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1042,3 +1042,22 @@ def test_ivfpq_subexhaustive_candidates_are_adc_subset(spark):
             for r in full.collect() if r["rank"] <= 5}
     got = {(r["query_id"], r["neighbor_id"]) for r in srows}
     assert len(top5 & got) >= len(top5) // 4
+
+
+def test_pq_arrow_kernel_matches_dataframe_adc(spark):
+    # the production-shape Arrow scorer must reproduce the oracled
+    # DataFrame ADC ranking row-for-row (same rounding ladder, same
+    # tie order, same self-exclusion)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=2)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    df_path = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4,
+                            k=5, codebooks=books, codes=codes)
+    kernel = S.ann_topk_pq_arrow(emb, queries, "vec_id", "embedding", 64,
+                                 books, codes, m=4, k=5)
+    a = {(r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+         for r in df_path.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+         for r in kernel.collect()}
+    assert a == b and len(a) > 0
