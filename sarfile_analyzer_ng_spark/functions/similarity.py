@@ -1212,3 +1212,33 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------
+# Vector-index persistence: train once, encode/search forever
+# --------------------------------------------------------------------
+
+def save_pq_index(path: str, codebooks: DataFrame, codes: DataFrame,
+                  id_col: str) -> None:
+    """Persist a PQ index as two parquet tables: ``<path>/codebooks``
+    (m·k rows — the model) and ``<path>/codes`` (m small ints per
+    vector — the compressed corpus). This is the operational split a
+    vector store needs: new batches encode against the SAVED codebooks
+    (:func:`pq_codes`) and append to the codes table without
+    retraining, and search jobs load codes without touching the raw
+    vectors. Codes write id-sorted so parquet row-group min/max stats
+    prune id-range scans."""
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (codes.repartitionByRange(F.col(id_col))
+          .sortWithinPartitions(id_col, "sub")
+          .write.mode("overwrite").parquet(f"{path}/codes"))
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted PQ index → (codebooks, codes). The codebook
+    frame is m·k rows — cache/broadcast it freely; the codes frame
+    streams like any parquet scan."""
+    return (
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )

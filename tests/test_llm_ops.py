@@ -1061,3 +1061,29 @@ def test_pq_arrow_kernel_matches_dataframe_adc(spark):
     b = {(r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
          for r in kernel.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_index_roundtrip_and_incremental_encode(spark, tmp_path):
+    # save -> load -> search must equal the in-memory index; a new
+    # batch encodes against the LOADED codebooks without retraining
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=2)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    path = str(tmp_path / "pq_index")
+    S.save_pq_index(path, books, codes, "vec_id")
+    lb, lc = S.load_pq_index(spark, path)
+    mem = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4, k=5,
+                        codebooks=books, codes=codes)
+    disk = S.ann_topk_pq(emb, queries, "vec_id", "embedding", 64, m=4, k=5,
+                         codebooks=lb, codes=lc)
+    a = {tuple(r) for r in mem.collect()}
+    b = {tuple(r) for r in disk.collect()}
+    assert a == b and len(a) > 0
+    # incremental encode: re-encoding any batch against the loaded
+    # codebooks reproduces the stored codes exactly
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    enc = S.pq_codes(batch, "vec_id", "embedding", lb, 64, m=4)
+    stored = lc.join(batch.select("vec_id"), "vec_id", "left_semi")
+    assert {tuple(r) for r in enc.collect()} == \
+           {tuple(r) for r in stored.collect()}
