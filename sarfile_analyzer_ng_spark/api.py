@@ -94,6 +94,45 @@ def header_details(df: DataFrame, file: str, section: str) -> DataFrame:
     return stats.join(F.broadcast(dim), on="metric", how="left")
 
 
+def device_plan(df: DataFrame, file: str, section: str,
+                show_subheaders_for_all: bool = False) -> DataFrame:
+    """Which device frames the reference's analyze flow renders for a
+    section (dia_compute_pl.py:13 prepare_df_for_pandas): a section
+    without sub-devices yields one frame; CPU and SOFT* sections
+    default to just the 'all' pseudo-device, with ``device_num``
+    reporting how many real devices it summarizes; every other device
+    section enumerates its devices sorted (``device_num`` excludes an
+    'all' pseudo-device when one exists, mirroring the reference's
+    ``len(device_list) - 1``). ``show_subheaders_for_all=True`` forces
+    enumeration for CPU/SOFT too, like the reference flag.
+
+    Returns (device, device_num) rows — the loop the UI pages run;
+    nothing collects.
+    """
+    from pyspark.sql import Window
+
+    sect = df.where((F.col("file") == file) & (F.col("section") == section))
+    devices = sect.select("device").distinct()
+    everything = Window.partitionBy()
+    n_all = F.sum(
+        F.when(F.col("device") == "all", 1).otherwise(0)
+    ).over(everything)
+    n_dev = F.count(F.lit(1)).over(everything)
+    annotated = devices.select(
+        "device",
+        F.when(n_all > 0, n_dev - 1).otherwise(F.lit(1))
+        .cast("long")
+        .alias("device_num"),
+    )
+    alias = alias_of(section)
+    collapse = (
+        alias == "CPU" or alias.upper().startswith("SOFT")
+    ) and not show_subheaders_for_all
+    if collapse:
+        return annotated.where(F.col("device") == "all")
+    return annotated.orderBy(F.col("device").asc_nulls_first())
+
+
 def get_table(df: DataFrame, file: str, section: str, start=None, end=None,
               device: str | None = None) -> DataFrame:
     """Time-filtered wide table for one section/device —

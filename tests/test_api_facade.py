@@ -206,3 +206,22 @@ def test_cli_card_prints_corpus_card(spark, capsys, monkeypatch):
     assert set(row) == {"source", "pred_lang", "n_docs", "n_tokens",
                         "avg_quality", "avg_punct_ratio"}
     assert row["n_docs"] > 0
+
+
+def test_device_plan_mirrors_reference_flow(sar_df):
+    """dia_compute_pl.py:13: CPU sections collapse to the 'all'
+    pseudo-device (device_num = real devices), no-device sections get
+    one frame, device sections enumerate; the flag forces
+    enumeration."""
+    f = file_of(sar_df, "sa1")
+    cpu = "%user %system %idle"
+    rows = A.device_plan(sar_df, f, cpu).collect()
+    assert [(r["device"], r["device_num"]) for r in rows] == [("all", 1)]
+    forced = A.device_plan(sar_df, f, cpu,
+                           show_subheaders_for_all=True).collect()
+    assert [r["device"] for r in forced] == ["0", "all"]
+    assert all(r["device_num"] == 1 for r in forced)
+    nodev = A.device_plan(sar_df, f, "proc/s cswch/s").collect()
+    assert [(r["device"], r["device_num"]) for r in nodev] == [(None, 1)]
+    fs = A.device_plan(sar_df, f, "MBfsfree %fsused").collect()
+    assert [(r["device"], r["device_num"]) for r in fs] == [("/dev/sda1", 1)]
