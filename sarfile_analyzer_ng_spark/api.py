@@ -163,6 +163,55 @@ def statistics(df: DataFrame, file: str, section: str,
     )
 
 
+def analyze_section(df: DataFrame, file: str, section: str,
+                    start=None, end=None,
+                    show_subheaders_for_all: bool = False,
+                    ) -> list[tuple[str | None, DataFrame, DataFrame]]:
+    """The reference's whole Data-tab computation for one section in a
+    single call — prepare_df_for_pandas (dia_compute_pl.py:13) +
+    final_results (:120) composed: follow the device plan, and for
+    each planned device return its time-filtered wide table with
+    duplicate timestamps dropped keep-first (final_results step 1) and
+    restart marker rows appended as zero rows (step 2,
+    dataframe_funcs_pl.py:50), plus its per-metric describe table
+    (step 3). Returns ``[(device, table_df, stats_df), ...]`` — the
+    exact frames the reference page renders, everything lazy.
+
+    The device loop collects only the bounded device-plan rows (a
+    handful per section — the same loop the reference runs); no fact
+    data reaches the driver.
+    """
+    from .operators.timeseries import dedup_keep_first
+
+    plan = device_plan(df, file, section, show_subheaders_for_all)
+    rst = restarts_of(df, file)
+    out: list[tuple[str | None, DataFrame, DataFrame]] = []
+    for row in plan.collect():
+        device = row["device"]
+        wide = get_table(df, file, section, start, end, device)
+        # keep the time axis + metric value columns (the frame is
+        # already scoped to one file/device, like the reference's)
+        metric_cols = [
+            c for c in wide.columns
+            if c not in ("file", "host", "device", "ts")
+        ]
+        deduped = dedup_keep_first(
+            wide.select("ts", *metric_cols), ["ts"], ["ts"]
+        )
+        table = TS.insert_restarts(deduped, rst, "ts", metric_cols)
+        out.append((device, table, statistics(df, file, section, device)))
+    return out
+
+
+def restarts_of(df: DataFrame, file: str) -> DataFrame:
+    """Restart timestamps of one file (`LINUX RESTART` rows)."""
+    return (
+        df.where((F.col("file") == file) & F.col("restart"))
+        .select("ts")
+        .distinct()
+    )
+
+
 def compare_files(df: DataFrame, section: str, metric: str,
                   device: str | None = None, aligned: bool = False,
                   every: str = "hour") -> DataFrame:

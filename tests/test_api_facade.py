@@ -225,3 +225,24 @@ def test_device_plan_mirrors_reference_flow(sar_df):
     assert [(r["device"], r["device_num"]) for r in nodev] == [(None, 1)]
     fs = A.device_plan(sar_df, f, "MBfsfree %fsused").collect()
     assert [(r["device"], r["device_num"]) for r in fs] == [("/dev/sda1", 1)]
+
+
+def test_analyze_section_composes_the_data_tab(sar_df):
+    """analyze_section returns per-planned-device (table, stats)
+    frames: duplicate timestamps deduped keep-first, restart zero rows
+    appended and flagged, stats table per metric."""
+    f = file_of(sar_df, "sa1")
+    out = A.analyze_section(sar_df, f, "%user %system %idle")
+    assert [d for d, _, _ in out] == ["all"]
+    device, table, stats = out[0]
+    rows = table.orderBy("ts").collect()
+    # one restart in the fixture -> exactly one synthetic zero row
+    rst = [r for r in rows if r["is_restart"]]
+    assert len(rst) == 1
+    assert all(rst[0][c] == 0.0 for c in table.columns
+               if c not in ("ts", "is_restart"))
+    # real rows are unique per ts
+    real_ts = [r["ts"] for r in rows if not r["is_restart"]]
+    assert len(real_ts) == len(set(real_ts))
+    metrics = {r["metric"] for r in stats.collect()}
+    assert metrics == {"%user", "%system", "%idle"}
