@@ -460,6 +460,60 @@ def temperature_mix_weights(df: DataFrame, source_col: str, text_col: str,
     )
 
 
+def repeat_schedule(df: DataFrame, source_col: str, text_col: str,
+                    targets: dict[str, float], token_budget: int,
+                    max_epochs: float = 4.0,
+                    round_to: int = 6) -> DataFrame:
+    """Data-constrained repeat schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models", arXiv:2305.16264 —
+    repeating data up to ~4 epochs costs little): given a total token
+    budget and a target mixture, how many EPOCHS of each source to
+    run. ``epochs_s = min(max_epochs, budget·target_s / tokens_s)``
+    (fractional epochs = a partial pass via the deterministic
+    sampler); ``effective_tokens`` is what the schedule actually
+    yields and ``shortfall`` what the epoch cap leaves unfilled — the
+    number a curator reads to know a source is data-constrained.
+
+    Shape at scale: the same one-row-per-source aggregation as
+    :func:`source_mix_weights`; the schedule math runs on that
+    handful of rows.
+    """
+    toks = (
+        fan_out(df)
+        .where(F.col(source_col).isin(list(targets)))
+        .select(
+            F.col(source_col).alias("source"),
+            F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_PATTERN))
+            .cast("long")
+            .alias("n_toks"),
+        )
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tgt = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col("source")]
+    desired = tgt * F.lit(float(token_budget))
+    epochs = F.least(
+        F.lit(float(max_epochs)),
+        rnd(desired / F.col("n_tokens").cast("double"), 8),
+    )
+    effective = rnd(epochs * F.col("n_tokens").cast("double"), 2)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        tgt.alias("target_share"),
+        rnd(desired, 2).alias("desired_tokens"),
+        rnd(epochs, round_to).alias("epochs"),
+        effective.alias("effective_tokens"),
+        rnd(
+            F.greatest(F.lit(0.0), rnd(desired, 2) - effective), 2
+        ).alias("shortfall"),
+    )
+
+
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
     """Split documents into fixed-size overlapping token windows — the

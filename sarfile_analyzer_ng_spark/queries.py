@@ -3493,9 +3493,54 @@ FROM per_doc GROUP BY source, pred_lang
 """
 
 
-# --------------------------------------------------------------------
-# registry
-# --------------------------------------------------------------------
+REPEAT_BUDGET = 20_000
+REPEAT_MAX_EPOCHS = 4.0
+
+
+def q102_repeat_schedule(spark, sf_dir):
+    """Data-constrained repeat schedule (Muennighoff et al. 2023):
+    epochs per source to fill a 20k-token budget at the q64 target
+    mixture, capped at 4 epochs — with the effective tokens actually
+    yielded and the shortfall the cap leaves. On this corpus the
+    small high-target sources hit the cap (shortfall > 0) while the
+    rest run fractional epochs, so both branches are live in the
+    gate."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.repeat_schedule(
+        docs, "source", "text", MIX_TARGETS,
+        token_budget=REPEAT_BUDGET, max_epochs=REPEAT_MAX_EPOCHS,
+    )
+
+
+SQL_Q102 = rf"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}')))::BIGINT
+           AS n_tokens
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+  GROUP BY source),
+tgt(source, target_share) AS (
+  VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+j AS (
+  SELECT p.source, n_docs, n_tokens, target_share,
+         target_share * {REPEAT_BUDGET}.0 AS desired,
+         least({REPEAT_MAX_EPOCHS},
+               {sql_rnd(f'(target_share * {REPEAT_BUDGET}.0)'
+                        ' / n_tokens::DOUBLE', 8)}) AS epochs
+  FROM per p JOIN tgt USING (source)),
+k AS (
+  SELECT source, n_docs, n_tokens, target_share,
+         {sql_rnd('desired', 2)} AS desired_tokens,
+         {sql_rnd('epochs', 6)} AS epochs,
+         {sql_rnd('epochs * n_tokens::DOUBLE', 2)} AS effective_tokens
+  FROM j)
+SELECT source, n_docs, n_tokens, target_share, desired_tokens, epochs,
+       effective_tokens,
+       {sql_rnd('greatest(0.0, desired_tokens - effective_tokens)', 2)}
+         AS shortfall
+FROM k
+"""
 
 # key -> (spark callable, oracle SQL or None for rows-only checks)
 #
@@ -3592,6 +3637,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q98.
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
+    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),

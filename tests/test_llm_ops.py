@@ -1087,3 +1087,17 @@ def test_pq_index_roundtrip_and_incremental_encode(spark, tmp_path):
     stored = lc.join(batch.select("vec_id"), "vec_id", "left_semi")
     assert {tuple(r) for r in enc.collect()} == \
            {tuple(r) for r in stored.collect()}
+
+
+def test_repeat_schedule_caps_and_shortfall(spark):
+    # budget 100 tokens, 50/50 targets: source a (10 tokens) wants 5
+    # epochs -> capped at 4 with shortfall 10; source b (100 tokens)
+    # runs half an epoch with no shortfall
+    rows = [(0, "a", "w " * 10), (1, "b", "w " * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in TX.repeat_schedule(
+        df, "source", "text", {"a": 0.5, "b": 0.5},
+        token_budget=100, max_epochs=4.0).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["epochs"], a["effective_tokens"], a["shortfall"]) == (4.0, 40.0, 10.0)
+    assert (b["epochs"], b["effective_tokens"], b["shortfall"]) == (0.5, 50.0, 0.0)
