@@ -3542,6 +3542,51 @@ SELECT source, n_docs, n_tokens, target_share, desired_tokens, epochs,
 FROM k
 """
 
+
+def q103_tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility report: BPE-style pre-tokens per
+    whitespace word and bytes per pre-token — the efficiency numbers a
+    tokenizer team reads per language/source before committing a vocab
+    (high fertility = the tokenizer fragments that source; bytes/token
+    = compression). Uses the deterministic BPE-ish pre-tokenizer so
+    every cell is value-hash oracled; the trained-BPE variant runs via
+    bpe_encode (rows-only by nature)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.token_counts(docs, "text")
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_pretokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_bytes"),
+        rnd(
+            F.sum("n_bpe_tokens") / F.sum("n_ws_tokens").cast("double"), 4
+        ).alias("fertility"),
+        rnd(
+            F.sum(F.length("text")) / F.sum("n_bpe_tokens").cast("double"),
+            4,
+        ).alias("bytes_per_token"),
+    )
+
+
+SQL_Q103 = rf"""
+WITH f AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}'))::BIGINT
+           AS n_ws,
+         len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}'))::BIGINT
+           AS n_bpe,
+         length(text)::BIGINT AS n_bytes
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_ws)::BIGINT AS n_words,
+       sum(n_bpe)::BIGINT AS n_pretokens,
+       sum(n_bytes)::BIGINT AS n_bytes,
+       {sql_rnd('sum(n_bpe)::DOUBLE / sum(n_ws)', 4)} AS fertility,
+       {sql_rnd('sum(n_bytes)::DOUBLE / sum(n_bpe)', 4)} AS bytes_per_token
+FROM f GROUP BY source
+"""
+
+
 # key -> (spark callable, oracle SQL or None for rows-only checks)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -3638,6 +3683,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
     "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
+    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
