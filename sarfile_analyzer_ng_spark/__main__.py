@@ -132,24 +132,14 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     if args.command == "card":
-        from pyspark.sql import functions as F
-
-        from .functions.text import lang_id, quality_score
-        from .util import rnd
+        from .functions.text import corpus_card
 
         docs = spark.read.parquet(args.path)
         for col in ("doc_id", "text", "source"):
             if col not in docs.columns:
                 sys.exit(f"card needs a ({col}) column in {args.path}")
-        scored = lang_id(quality_score(docs, "text"), "text")
         show(
-            scored.groupBy("source", "pred_lang")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_words").cast("bigint").alias("n_tokens"),
-                rnd(F.avg("quality"), 4).alias("avg_quality"),
-                rnd(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
-            )
+            corpus_card(docs, "text", "source")
             .orderBy("source", "pred_lang")
         )
         return

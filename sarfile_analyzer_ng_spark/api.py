@@ -148,10 +148,15 @@ def get_table(df: DataFrame, file: str, section: str, start=None, end=None,
 
 
 def statistics(df: DataFrame, file: str, section: str,
-               device: str | None = None) -> DataFrame:
+               device: str | None = None, start=None,
+               end=None) -> DataFrame:
     """describe() per metric of one section — the Data tab's statistics
-    table (dia_compute_pl.py:73)."""
+    table (dia_compute_pl.py:73). ``start``/``end`` scope the stats to
+    the same window as the data table (the reference computes describe
+    AFTER get_date_df, dia_compute_pl.py:63-74)."""
     sect = df.where((F.col("file") == file) & (F.col("section") == section))
+    if start is not None and end is not None:
+        sect = TS.time_filter(sect, "ts", start, end)
     if device is not None:
         sect = sect.where(F.col("device") == device)
     return sect.groupBy("metric").agg(
@@ -195,11 +200,19 @@ def analyze_section(df: DataFrame, file: str, section: str,
             c for c in wide.columns
             if c not in ("file", "host", "device", "ts")
         ]
+        # The reference keeps the first duplicate in FRAME order
+        # (df.index.duplicated(keep='first')) — a distributed frame
+        # has no row order, so the deterministic analog orders ties by
+        # the metric values themselves (same surviving row every run,
+        # on every engine).
         deduped = dedup_keep_first(
-            wide.select("ts", *metric_cols), ["ts"], ["ts"]
+            wide.select("ts", *metric_cols), ["ts"], metric_cols
         )
         table = TS.insert_restarts(deduped, rst, "ts", metric_cols)
-        out.append((device, table, statistics(df, file, section, device)))
+        out.append(
+            (device, table,
+             statistics(df, file, section, device, start, end))
+        )
     return out
 
 

@@ -995,7 +995,8 @@ def ann_topk_ivfpq(emb: DataFrame, queries: DataFrame, id_col: str,
                    vec_col: str, dim: int, centroids, codebooks: DataFrame,
                    codes: DataFrame, m: int = 4, k: int = 5,
                    nprobe: int = 4, dist_round: int = 6,
-                   rerank: int = 0, cos_round: int = 4) -> DataFrame:
+                   rerank: int = 0, cos_round: int = 4,
+                   assigned: DataFrame | None = None) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV — the architecture behind every
     billion-vector store): an IVF coarse quantizer routes each query
     to its ``nprobe`` nearest lists, and ONLY the PQ codes of vectors
@@ -1010,19 +1011,26 @@ def ann_topk_ivfpq(emb: DataFrame, queries: DataFrame, id_col: str,
     :func:`ann_topk_pq`.
 
     Shape at scale: corpus list ids come from one Arrow assignment
-    pass (or the persisted training assignment); the (query, list)
-    probe set and the distance table broadcast; the only shuffled
-    stream is candidate codes keyed by (query, vid).
+    pass — or, cheaper, pass ``assigned`` (the persisted (vid, vec,
+    cluster) frame from ``ivf_train(..., return_assignment=True)``)
+    to reuse the training assignment instead of re-scanning the
+    corpus, like :func:`ann_topk_ivf`. The (query, list) probe set
+    and the distance table broadcast; the only shuffled stream is
+    candidate codes keyed by (query, vid).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = emb.sparkSession
-    assigned = _ivf_assign(
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
-        centroids,
-    ).select("vid", "cluster")
+    if assigned is None:
+        assigned = _ivf_assign(
+            emb.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+            ),
+            centroids,
+        )
+    assigned = assigned.select("vid", "cluster")
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     b_cn = spark.sparkContext.broadcast(cn)
     probe_schema = T.StructType(
@@ -1102,14 +1110,28 @@ def pq_codes_wide(codes: DataFrame, id_col: str, m: int) -> DataFrame:
     """Pack the long ``(id, sub, code)`` frame into one row per vector
     ``(id, codes array<int>)`` — the layout the Arrow ADC kernel
     consumes (and the layout a real code store persists: m small ints
-    per vector). One shuffle keyed by the uniform vector id."""
+    per vector). One shuffle keyed by the uniform vector id. A vector
+    with missing/extra subspace rows raises instead of feeding the
+    kernel a ragged matrix."""
+    packed = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub", "code"))),
+        lambda s: s["code"].cast("int"),
+    )
     return (
         codes.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"].cast("int"),
-            ).alias("codes")
+        .agg(packed.alias("codes"))
+        .select(
+            id_col,
+            F.when(F.array_size("codes") == m, F.col("codes"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"pq_codes_wide: expected {m} codes, got "),
+                        F.array_size("codes").cast("string"),
+                    )
+                )
+            )
+            .alias("codes"),
         )
     )
 
@@ -1128,9 +1150,10 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
     the shuffle carries partitions × Q × R rows instead of the n × Q
     scored stream the join/agg composition moves. The global top-k
     re-applies the rounding ladder and ranks (adc asc, id asc),
-    identical to the DataFrame path (ulp-level summation-order
-    differences collapse under the 8-digit pre-round; the partial cut
-    uses a 4k+64 margin so they can never change membership).
+    identical to the DataFrame path: the partial cut orders by
+    (raw distance, id) — the same tie order as the final rank — with a
+    max(4k, 64) margin, so ulp-level reorderings (collapsed later by
+    the 8-digit pre-round) cannot change top-k membership.
     """
     import numpy as np
     import pandas as pd
@@ -1188,7 +1211,11 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
                 idx = np.nonzero(mask)[0]
                 if len(idx) == 0:
                     continue
-                take = idx[np.argsort(d[idx], kind="stable")[:R]]
+                # (distance, id) lexicographic cut — the SAME tie order
+                # as the final rank, so a >R-row ADC tie inside one
+                # partition still surrenders exactly the rows the
+                # global (adc asc, id asc) ranking needs
+                take = idx[np.lexsort((vids[idx], d[idx]))[:R]]
                 frames.append(
                     pd.DataFrame(
                         {

@@ -460,6 +460,24 @@ def temperature_mix_weights(df: DataFrame, source_col: str, text_col: str,
     )
 
 
+def corpus_card(df: DataFrame, text_col: str, source_col: str,
+                round_to: int = 4) -> DataFrame:
+    """Per-(source, language) datasheet summary (Gebru et al. 2021
+    "Datasheets for Datasets", summary-table variant): doc/token
+    counts, mean quality, mean punctuation ratio per cell — ONE
+    definition shared by the q101 oracle gate and the `card` CLI so
+    the two can never drift. One codegen map stage + one small agg."""
+    scored = lang_id(quality_score(df, text_col), text_col)
+    return scored.groupBy(
+        F.col(source_col).alias("source"), F.col("pred_lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        rnd(F.avg("quality"), round_to).alias("avg_quality"),
+        rnd(F.avg("punct_ratio"), round_to).alias("avg_punct_ratio"),
+    )
+
+
 def repeat_schedule(df: DataFrame, source_col: str, text_col: str,
                     targets: dict[str, float], token_budget: int,
                     max_epochs: float = 4.0,

@@ -3429,13 +3429,17 @@ def q100_ann_ivfpq(spark, sf_dir):
     production path, recall-tested in tests/test_llm_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
-    centroids = S.ivf_train(emb, "vec_id", "embedding",
-                            k_lists=IVFPQ_LISTS, iters=1)
+    centroids, assigned = S.ivf_train(emb, "vec_id", "embedding",
+                                      k_lists=IVFPQ_LISTS, iters=1,
+                                      return_assignment=True)
     books, codes = _pq_shared(spark, sf_dir)
-    return S.ann_topk_ivfpq(
+    out = S.ann_topk_ivfpq(
         emb, queries_df, "vec_id", "embedding", EMB_DIM,
         centroids, books, codes, m=PQ_M, k=ANN_K, nprobe=IVFPQ_LISTS,
+        assigned=assigned,
     )
+    out._cached_inputs = [assigned]  # see functions.dedup.release
+    return out
 
 
 def q101_corpus_card(spark, sf_dir):
@@ -3445,15 +3449,10 @@ def q101_corpus_card(spark, sf_dir):
     quality, mean punctuation ratio per cell, composing the oracled
     q37 language-id and q38 quality signals into one grouped report.
     One codegen map stage + one small agg; every cell value-hash
-    oracled."""
+    oracled. The CLI's `card` subcommand prints this same
+    functions.text.corpus_card frame."""
     docs = _t(spark, sf_dir, "documents")
-    scored = TX.lang_id(TX.quality_score(docs, "text"), "text")
-    return scored.groupBy("source", "pred_lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").cast("bigint").alias("n_tokens"),
-        rnd(F.avg("quality"), 4).alias("avg_quality"),
-        rnd(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
-    )
+    return TX.corpus_card(docs, "text", "source")
 
 
 SQL_Q101 = f"""
@@ -3553,16 +3552,17 @@ def q103_tokenizer_fertility(spark, sf_dir):
     bpe_encode (rows-only by nature)."""
     docs = _t(spark, sf_dir, "documents")
     toks = TX.token_counts(docs, "text")
+    n_bytes = F.octet_length("text")  # UTF-8 bytes, not characters
     return toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_ws_tokens").alias("n_words"),
         F.sum("n_bpe_tokens").alias("n_pretokens"),
-        F.sum(F.length("text")).cast("bigint").alias("n_bytes"),
+        F.sum(n_bytes).cast("bigint").alias("n_bytes"),
         rnd(
             F.sum("n_bpe_tokens") / F.sum("n_ws_tokens").cast("double"), 4
         ).alias("fertility"),
         rnd(
-            F.sum(F.length("text")) / F.sum("n_bpe_tokens").cast("double"),
+            F.sum(n_bytes) / F.sum("n_bpe_tokens").cast("double"),
             4,
         ).alias("bytes_per_token"),
     )
@@ -3575,7 +3575,7 @@ WITH f AS (
            AS n_ws,
          len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}'))::BIGINT
            AS n_bpe,
-         length(text)::BIGINT AS n_bytes
+         strlen(text)::BIGINT AS n_bytes
   FROM documents)
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_ws)::BIGINT AS n_words,
