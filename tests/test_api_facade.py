@@ -246,3 +246,19 @@ def test_analyze_section_composes_the_data_tab(sar_df):
     assert len(real_ts) == len(set(real_ts))
     metrics = {r["metric"] for r in stats.collect()}
     assert metrics == {"%user", "%system", "%idle"}
+
+
+def test_statistics_respects_time_window(sar_df):
+    """dia_compute_pl.py:63-74 computes describe AFTER the time
+    filter; statistics(start, end) must scope the same way."""
+    f = file_of(sar_df, "sa1")
+    sect = "proc/s cswch/s"
+    full = {r["metric"]: r["cnt"]
+            for r in A.statistics(sar_df, f, sect).collect()}
+    rows = sorted(r["ts"] for r in sar_df.where(
+        (sar_df.file == f) & (sar_df.section == sect)
+    ).select("ts").distinct().collect())
+    assert len(rows) >= 2
+    windowed = {r["metric"]: r["cnt"] for r in A.statistics(
+        sar_df, f, sect, start=rows[0], end=rows[0]).collect()}
+    assert all(windowed[m] < full[m] for m in windowed)
