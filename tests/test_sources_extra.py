@@ -191,3 +191,29 @@ def test_sample_frames_real_decode_from_concatenated_ppm(spark):
     assert all(abs(c - 1 / 3) < 1e-6 for c in got[2]["feature"])  # float32 storage
     # splitting is exact: round-trips the constructed container
     assert MM.split_ppm_frames(video) == frames
+
+
+def test_split_ppm_frames_randomized_roundtrip():
+    """Property: any concatenation of valid binary netpbm frames
+    (P6/P5, 8- or 16-bit, with or without header comments) splits back
+    into exactly the original frame payloads."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(25):
+        frames = []
+        for _ in range(rng.randint(1, 5)):
+            w, h = rng.randint(1, 9), rng.randint(1, 9)
+            gray = rng.random() < 0.5
+            maxval = rng.choice([255, 65535])
+            channels = 1 if gray else 3
+            bpp = 2 if maxval > 255 else 1
+            comment = b"# synthetic frame\n" if rng.random() < 0.3 else b""
+            header = (
+                (b"P5" if gray else b"P6") + b"\n" + comment
+                + f"{w} {h}\n{maxval}\n".encode()
+            )
+            px = bytes(rng.getrandbits(8) for _ in range(w * h * channels * bpp))
+            frames.append(header + px)
+        video = b"".join(frames)
+        assert MM.split_ppm_frames(video) == frames
