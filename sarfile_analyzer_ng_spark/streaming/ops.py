@@ -353,3 +353,26 @@ def passage_novelty_stream(stream: DataFrame, text_col: str, id_col: str,
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def corpus_stats_stream(stream: DataFrame, ts_col: str, text_col: str,
+                        source_col: str, window: str,
+                        watermark: str) -> DataFrame:
+    """Streaming ingest monitor (ST10): per-(window, source) doc and
+    token counts plus mean quality over a document stream — the live
+    twin of the q101 corpus card, watching a crawl land instead of
+    summarizing it afterwards. Composes the SAME quality_score map
+    stage batch uses (stateless), then one watermarked windowed agg —
+    state is a few numbers per (window, source), closed monotonically.
+    """
+    from ..functions.text import quality_score
+
+    scored = quality_score(stream, text_col)
+    return windowed_agg(
+        scored, ts_col, window, watermark, [source_col],
+        [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.avg("quality").alias("avg_quality"),
+        ],
+    )

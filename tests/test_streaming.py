@@ -474,3 +474,58 @@ def test_passage_novelty_stream_matches_batch_firsts(spark, tmp_path):
     assert got == expect
     # the cross-micro-batch repeats really were cut
     assert (10, 0, "x y") not in got and (11, 0, "c d") not in got
+
+
+def test_corpus_stats_stream_matches_batch_card(spark, tmp_path):
+    """ST10: the streaming ingest monitor's per-(window, source)
+    counts and mean quality must equal the batch computation over the
+    same files."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.text import quality_score
+
+    src = str(tmp_path / "cs_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("ts", F.timestamp_seconds(1_700_000_000 + F.col("doc_id")))
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    n = len(pdf)
+    for i, sl in enumerate([pdf.iloc[: n // 2], pdf.iloc[n // 2:]]):
+        path = f"{src}/chunk{i}.parquet"
+        sl.to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.corpus_stats_stream(stream, "ts", "text", "source",
+                                 "1 minute", "10 minutes")
+    # complete mode: emit every window, not just watermark-closed ones
+    # (the finite test stream never advances past its last window)
+    q = (
+        out.writeStream.format("memory").queryName("cs_stream_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["bucket"], r["source"]): (r["n_docs"], r["n_tokens"],
+                                        round(r["avg_quality"], 6))
+           for r in spark.table("cs_stream_test").collect()}
+
+    batch = (
+        quality_score(spark.read.parquet(src), "text")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").cast("long").alias("n_tokens"),
+             F.avg("quality").alias("avg_quality"))
+    )
+    want = {(r["w"]["start"], r["source"]): (r["n_docs"], r["n_tokens"],
+                                            round(r["avg_quality"], 6))
+            for r in batch.collect()}
+    assert got == want and len(want) > 0
