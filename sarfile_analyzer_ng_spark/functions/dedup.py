@@ -51,7 +51,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string> — built with
     higher-order functions (split/transform/sequence), no UDF."""
-    words = F.split(F.lower(text), r"\s+")
+    words = F.split(F.lower(F.trim(text)), r"\s+")
     k = F.size(words) - (n - 1)
     grams = F.when(
         k > 0,
@@ -66,20 +66,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
-                 distinct: bool = True) -> DataFrame:
+                 distinct: bool = True,
+                 short_fallback: bool = True) -> DataFrame:
     """Word n-gram shingles as a long (doc, shingle) frame.
 
     posexplode + ``lead`` window instead of array higher-order
     functions: the window runs in whole-stage codegen and measures ~4×
     faster than the interpreted transform/element_at chain at 10k docs.
     Documents shorter than ``n`` words fall back to one whole-text
-    shingle (matching :func:`word_shingles`). ``distinct=False`` skips
-    the set-semantics shuffle — safe for MinHash, where duplicate
-    shingles cannot change a minimum.
+    shingle (matching :func:`word_shingles`) so they still participate
+    in dedup; pass ``short_fallback=False`` for consumers that must
+    only ever see TRUE n-grams (the top-n-grams report).
+    ``distinct=False`` skips the set-semantics shuffle — safe for
+    MinHash, where duplicate shingles cannot change a minimum.
     """
     words = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
     )
     win = Window.partitionBy("doc").orderBy("pos")
     grams = words.select(
@@ -89,14 +92,15 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
         ).alias("shingle"),
         F.lead("w", n - 1).over(win).alias("_tail"),
     ).where(F.col("_tail").isNotNull()).select("doc", "shingle")
-    short = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
-    ).where(F.size("_w") < n).select(
-        "doc", F.concat_ws(" ", "_w").alias("shingle")
-    )
-    out = grams.unionByName(short)
-    return out.distinct() if distinct else out
+    if short_fallback:
+        short = df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+        ).where(F.size("_w") < n).select(
+            "doc", F.concat_ws(" ", "_w").alias("shingle")
+        )
+        grams = grams.unionByName(short)
+    return grams.distinct() if distinct else grams
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -263,8 +267,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint: sizes has one row per CORPUS document, far too
+    # big to force to the driver at scale — the planner broadcasts it
+    # when stats allow and shuffles on the uniform doc key otherwise
     jac = (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -427,7 +434,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     toks = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.explode_outer(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     )
     # Pre-project the hash once: 64 aggregates referencing a shared
     # column, not 64 re-inlined xxhash64(w) children.
@@ -539,7 +546,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     """
     words = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
     )
     win = Window.partitionBy("doc").orderBy("pos")
     grams = words.select(
@@ -705,12 +712,12 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
     headers/footers repeated across millions of pages get cut while
     the unique remainder of each page survives.
 
-    First-occurrence selection is ``min(doc·10⁶ + idx)`` per passage
-    hash — a map-side-combinable agg (no per-hash sort, so a passage
-    repeated 10⁹ times costs a partial-agg cell, not a single-task
-    sort). The encoded key preserves (doc, idx) order for documents up
-    to 10⁶ passages (= 8M words at the default width) — far beyond any
-    real web document.
+    First-occurrence selection is ``min(struct(doc, idx))`` per
+    passage hash — lexicographic struct min is a map-side-combinable
+    agg (no per-hash sort, so a passage repeated 10⁹ times costs a
+    partial-agg cell, not a single-task sort) and, unlike an encoded
+    ``doc·C + idx`` key, cannot overflow for hash/snowflake-magnitude
+    document ids.
 
     Reconstruction joins passages with single spaces (the corpus is
     single-spaced; original runs of whitespace are not preserved).
@@ -720,7 +727,7 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
     linear, all JVM; the only stateful structure is the first-key agg
     cell per distinct passage.
     """
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.greatest(
         F.lit(1),
         F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),
@@ -745,11 +752,13 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
             ).alias("passage"),
         )
         .withColumn("h", F.md5("passage"))
-        .withColumn("k", F.col("doc") * F.lit(1_000_000) + F.col("idx"))
+        .withColumn("k", F.struct("doc", "idx"))
     )
     firsts = passages.groupBy("h").agg(F.min("k").alias("first_k"))
     flagged = passages.join(firsts, "h").withColumn(
-        "dup", F.col("k") != F.col("first_k")
+        "dup",
+        (F.col("k.doc") != F.col("first_k.doc"))
+        | (F.col("k.idx") != F.col("first_k.idx")),
     )
     return (
         flagged.groupBy("doc")
@@ -785,9 +794,11 @@ def dedup_apply_best(df: DataFrame, clusters: DataFrame, scores: DataFrame,
     """Keep the BEST document per duplicate cluster instead of
     :func:`dedup_apply`'s min-id representative — the curator policy
     of CommonCrawl pipelines ("among near-duplicates keep the longest
-    / highest-quality copy"). ``scores`` maps every cluster member's
-    id to a score; rank is (score DESC, id ASC), so ties stay
-    deterministic and the choice is engine-reproducible.
+    / highest-quality copy"). ``scores`` maps cluster members' ids to
+    a score; rank is (score DESC NULLS LAST, id ASC), so ties stay
+    deterministic and a member MISSING from ``scores`` still ranks
+    (below every scored sibling) instead of silently escaping the
+    drop list through an inner join.
 
     Shape at scale: cluster membership joins its scores on the doc id,
     one window per representative ranks members (near-dup clusters are
@@ -797,10 +808,10 @@ def dedup_apply_best(df: DataFrame, clusters: DataFrame, scores: DataFrame,
     from pyspark.sql import Window
 
     members = clusters.join(
-        scores.withColumnRenamed(id_col, "doc_id"), "doc_id"
+        scores.withColumnRenamed(id_col, "doc_id"), "doc_id", "left"
     )
     w = Window.partitionBy("rep").orderBy(
-        F.col(score_col).desc(), F.col("doc_id").asc()
+        F.col(score_col).desc_nulls_last(), F.col("doc_id").asc()
     )
     drop = (
         members.withColumn("rn", F.row_number().over(w))

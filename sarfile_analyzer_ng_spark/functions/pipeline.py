@@ -65,9 +65,13 @@ def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
         id_col, "n_words", "keep"
     )
     qf = qf.cache()
+    # the NARROW spine is cached too: it feeds three plan branches
+    # (final attribution, the dedup window, the decon survivor join),
+    # and without the cache each branch re-runs the full-corpus
+    # md5(text) scan + quality join
     base = train.select(
         id_col, source_col, F.md5(F.col(text_col)).alias("_h")
-    ).join(qf, id_col)
+    ).join(qf, id_col).cache()
     w = Window.partitionBy("_h").orderBy(F.col(id_col))
     qpass = base.where(F.col("keep") == 1).withColumn(
         "_rn", F.row_number().over(w)
@@ -92,5 +96,5 @@ def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
             .alias("stage"),
         )
     )
-    out._cached_inputs = [qf]  # see functions.dedup.release
+    out._cached_inputs = [qf, base]  # see functions.dedup.release
     return out

@@ -719,7 +719,7 @@ def cluster_top_terms(labels: DataFrame, docs: DataFrame, id_col: str,
         docs.select(
             F.col(id_col).alias("_id"),
             F.explode(
-                F.split(F.lower(F.col(text_col)), r"\s+")
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("term"),
         ),
         "_id",

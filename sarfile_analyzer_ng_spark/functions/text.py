@@ -77,7 +77,11 @@ def quality_score(df: DataFrame, text_col: str, round_to: int = 4) -> DataFrame:
     n_words = F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("double")
     n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double")
     n_stop = F.regexp_count(F.lower(t), F.lit(LANG_PATTERNS["en"])).cast("double")
-    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    # true mean word length: word characters / words — NOT derived
+    # from n_chars with a single-space assumption, which runs of
+    # whitespace would inflate
+    word_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+    mean_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
     score = (
@@ -245,6 +249,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     to token count, verdict evaluation free. At 100 TB this is the
     cheap pre-filter run before any pairwise dedup.
     """
+    # NULL text normalizes to "" so such documents get a real keep=0
+    # verdict (every signal 0) instead of a NULL verdict
+    df = df.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
     base = quality_score(df.select(id_col, text_col), text_col, round_to)
     base = lang_id(base, text_col)
     t = F.col(text_col)
@@ -256,7 +265,16 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     rep = repetition_signals(
         df.select(id_col, text_col), text_col, id_col, round_to
     ).select(id_col, "dup_word_frac", "top_bigram_frac")
-    j = base.join(rep, id_col)
+    # LEFT join: empty/whitespace-only/null documents emit no
+    # repetition rows (every token filtered) but must still get a
+    # verdict — they fail the min_words rule, they do not vanish.
+    # Coalesce to 0.0 so the repetition rule stays well-defined.
+    j = base.join(rep, id_col, "left").withColumns(
+        {
+            "dup_word_frac": F.coalesce("dup_word_frac", F.lit(0.0)),
+            "top_bigram_frac": F.coalesce("top_bigram_frac", F.lit(0.0)),
+        }
+    )
     ok_words = F.col("n_words").between(min_words, max_words)
     ok_wlen = F.col("mean_word_len").between(
         min_mean_word_len, max_mean_word_len
@@ -311,7 +329,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
         fan_out(df)
         .select(
             F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
         )
         .where(F.col("term") != "")
     )
@@ -707,7 +725,11 @@ def top_ngrams(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
     from .dedup import shingle_rows
 
-    grams = shingle_rows(df, text_col, id_col, n, distinct=False)
+    # short_fallback=False: a report of top n-GRAMS must not surface a
+    # 2-word doc's whole text as a pseudo n-gram (the fallback exists
+    # for dedup participation, not for this report)
+    grams = shingle_rows(df, text_col, id_col, n, distinct=False,
+                         short_fallback=False)
     counts = grams.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct(F.col("doc")).alias("n_docs"),
@@ -807,7 +829,7 @@ def hashed_ngram_buckets(df: DataFrame, text_col: str, id_col: str,
     words = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(
-            F.split(F.lower(F.col(text_col)), r"\s+")
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("pos", "w"),
     )
     win = Window.partitionBy("doc").orderBy("pos")
@@ -915,7 +937,7 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     )
     cnts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
     tot = cnts.agg(F.sum("c").alias("n"))
@@ -982,7 +1004,7 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
     toks = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(
-            F.split(F.lower(F.col(text_col)), r"\s+")
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("pos", "w"),
     )
     win = Window.partitionBy("doc").orderBy("pos")
@@ -1061,7 +1083,7 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[
         fan_out(df)
         .select(
             F.explode(
-                F.split(F.lower(F.col(text_col)), r"\s+")
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("w")
         )
         .where(F.col("w") != "")
@@ -1146,7 +1168,11 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
             counts = []
             for text in pdf["_t"]:
                 total = 0
-                for w in str(text).lower().split():
+                # NULL text arrives as None/NaN — 0 tokens, never the
+                # literal string "None"
+                if not isinstance(text, str):
+                    text = ""
+                for w in text.lower().split():
                     s = list(w)
                     for a, b in ranked:
                         i, res = 0, []

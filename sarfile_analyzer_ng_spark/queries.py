@@ -786,7 +786,7 @@ def q33_ngram_jaccard(spark, sf_dir):
 SQL_Q33 = f"""
 WITH corpus AS ({SQL_PLANTED}),
 words AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
 sh AS (
   SELECT DISTINCT doc, shingle FROM (
     SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -848,7 +848,7 @@ def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
 # by the cluster oracles so Spark memoization and SQL stay in lockstep.
 _SQL_JAC_PAIRS = f"""
 words AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
 sh AS (
   SELECT DISTINCT doc, shingle FROM (
     SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -960,7 +960,7 @@ def q67_jaccard_maxdf(spark, sf_dir):
 SQL_Q67 = f"""
 WITH corpus AS ({SQL_PLANTED}),
 words AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
 sh AS (
   SELECT DISTINCT doc, shingle FROM (
     SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -1100,7 +1100,7 @@ def q79_winnow_fingerprints(spark, sf_dir):
 # windows only — the exact twin of winnow_fingerprints.
 def _sql_winnow(corpus: str, out: str) -> str:
     return f"""{out}_v AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM {corpus}),
 {out}_g AS (
   SELECT doc, i - 1 AS pos,
@@ -1121,7 +1121,7 @@ def _sql_winnow(corpus: str, out: str) -> str:
 SQL_Q79 = f"""
 WITH {_sql_winnow('documents', 'fps')},
 grams AS (
-  SELECT doc_id, (len(string_split_regex(lower(text), '\\s+')) - {WINNOW_K - 1})::BIGINT AS n_grams
+  SELECT doc_id, (len(string_split_regex(lower(trim(text)), '\\s+')) - {WINNOW_K - 1})::BIGINT AS n_grams
   FROM documents),
 agg AS (
   SELECT doc, count(*)::BIGINT AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
@@ -1270,7 +1270,7 @@ def q84_unigram_logprob(spark, sf_dir):
 
 SQL_Q84 = f"""
 WITH toks AS (
-  SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  SELECT doc_id AS doc, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
   FROM documents),
 cnts AS (SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w),
 tot AS (SELECT sum(c) AS n FROM cnts),
@@ -1367,7 +1367,7 @@ def q91_bpe_first_merge(spark, sf_dir):
 SQL_Q91 = """
 WITH wc AS (
   SELECT w, count(*)::BIGINT AS c FROM (
-    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
     FROM documents)
   WHERE w <> '' GROUP BY w),
 p AS (
@@ -1412,7 +1412,7 @@ def q89_source_diversity(spark, sf_dir):
 
 SQL_Q89 = """
 WITH words AS (
-  SELECT doc_id AS doc, source, string_split_regex(lower(text), '\\s+') AS w
+  SELECT doc_id AS doc, source, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM documents),
 sh AS (
   SELECT doc, source, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -1510,10 +1510,10 @@ def _sql_hashed_grams(words: str, out: str) -> str:
 
 SQL_Q83 = f"""
 WITH rw AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM documents),
 tw AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS w
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM documents WHERE source = 'src0'),
 {_sql_hashed_grams('rw', 'rg')},
 {_sql_hashed_grams('tw', 'tg')},
@@ -1732,7 +1732,7 @@ cent0 AS (
 {_sql_kmeans_assign('cent2', 'a3')},
 lab AS (SELECT vec_id AS doc_id, cluster FROM a3),
 toks AS (
-  SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS term
+  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS term
   FROM documents d JOIN lab USING (doc_id)),
 ct AS (
   SELECT l.cluster, t.term, count(*)::DOUBLE AS tf
@@ -2042,12 +2042,13 @@ SQL_Q38 = f"""
 WITH f AS (
   SELECT doc_id,
          length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS word_chars,
          len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
   FROM documents)
 SELECT doc_id, n_words::BIGINT AS n_words,
-       round(CAST(CAST((CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words
+       round(CAST(CAST((CASE WHEN n_words > 0 THEN word_chars / n_words
                   ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS mean_word_len,
        round(CAST(CAST((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE
          AS punct_ratio,
@@ -2463,6 +2464,7 @@ def _sql_quality(corpus: str) -> str:
 WITH f AS (
   SELECT doc_id,
          length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS word_chars,
          len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop,
@@ -2473,7 +2475,7 @@ WITH f AS (
   FROM {corpus}),
 sig AS (
   SELECT doc_id, n_words::BIGINT AS n_words,
-         {sql_rnd('CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END', 4)} AS mean_word_len,
+         {sql_rnd('CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END', 4)} AS mean_word_len,
          {sql_rnd('CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END', 4)} AS punct_ratio,
          {sql_rnd('CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END', 4)} AS stopword_ratio,
          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
@@ -2577,7 +2579,7 @@ def q62_decontaminate(spark, sf_dir):
 
 SQL_Q62 = r"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -2606,7 +2608,7 @@ def q92_eval_containment(spark, sf_dir):
 
 SQL_Q92 = r"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -2636,7 +2638,7 @@ def q63_tfidf_topterms(spark, sf_dir):
 SQL_Q63 = rf"""
 WITH words AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                             x -> x <> '')) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY doc_id, term),
@@ -2743,13 +2745,11 @@ def q65_top_ngrams(spark, sf_dir):
 
 SQL_Q65 = r"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
 grams AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS ngram
-  FROM words WHERE len(w) >= 5
-  UNION ALL
-  SELECT doc_id, array_to_string(w, ' ') AS ngram FROM words WHERE len(w) < 5),
+  FROM words WHERE len(w) >= 5),
 counts AS (
   SELECT ngram, count(*)::BIGINT AS n_occurrences,
          count(DISTINCT doc_id)::BIGINT AS n_docs
@@ -3097,7 +3097,7 @@ def q94_passage_dedup(spark, sf_dir):
 SQL_Q94 = rf"""
 WITH corpus AS ({SQL_PLANTED}),
 words AS (
-  SELECT doc_id AS doc, string_split_regex(text, '\s+') AS w FROM corpus),
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w FROM corpus),
 p0 AS (
   SELECT doc, w,
          unnest(range(0, greatest(
@@ -3112,7 +3112,7 @@ pass AS (
   FROM p0),
 hashed AS (
   SELECT doc, idx, passage, md5(passage) AS h,
-         doc * 1000000 + idx AS k
+         ROW(doc, idx) AS k
   FROM pass),
 firsts AS (SELECT h, min(k) AS first_k FROM hashed GROUP BY h),
 flagged AS (
@@ -3140,7 +3140,7 @@ def q95_bigram_logprob(spark, sf_dir):
 
 SQL_Q95 = rf"""
 WITH words AS (
-  SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS w
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS w
   FROM documents),
 p0 AS (
   SELECT doc, w, unnest(range(1, len(w) + 1)) AS pos FROM words),
@@ -3459,6 +3459,7 @@ SQL_Q101 = f"""
 WITH f AS (
   SELECT doc_id, source,
          length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS word_chars,
          len(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_words,
          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop,

@@ -321,7 +321,7 @@ def passage_novelty_stream(stream: DataFrame, text_col: str, id_col: str,
     Reconstruction (stitching survivors back into clean_text) stays a
     batch compaction over the emitted passages, same split as ST7's
     candidates-vs-verify."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.greatest(
         F.lit(1),
         F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),

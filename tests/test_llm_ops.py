@@ -1101,3 +1101,107 @@ def test_repeat_schedule_caps_and_shortfall(spark):
     a, b = out["a"], out["b"]
     assert (a["epochs"], a["effective_tokens"], a["shortfall"]) == (4.0, 40.0, 10.0)
     assert (b["epochs"], b["effective_tokens"], b["shortfall"]) == (0.5, 50.0, 0.0)
+
+
+def test_quality_filter_attributes_empty_and_null_docs(spark):
+    # empty/whitespace/null text must get keep=0 verdicts, not vanish
+    # through the repetition join
+    df = spark.createDataFrame(
+        [(1, "the and of to in is that for with was more words here now "
+             "so the gate passes this one through fine today"),
+         (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["keep"] for r in
+           TX.quality_filter(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == 0 and out[3] == 0 and out[4] == 0
+
+
+def test_curate_funnel_counts_sum_to_corpus(spark):
+    from sarfile_analyzer_ng_spark.functions.pipeline import curate_funnel
+
+    train = spark.createDataFrame(
+        [(1, "a", "the and of to in is that for with was more words here "
+                  "now so the gate passes this one through fine today"),
+         (2, "a", ""), (3, "b", None)],
+        "doc_id long, source string, text string",
+    )
+    ev = spark.createDataFrame([(9, "held out")], "doc_id long, text string")
+    funnel = curate_funnel(train, ev, "text", "doc_id", "source")
+    rows = funnel.collect()
+    assert len(rows) == 3  # every document attributed, none dropped
+    stages = {r["doc_id"]: r["stage"] for r in rows}
+    assert stages[2] == "quality" and stages[3] == "quality"
+
+
+def test_passage_dedup_handles_hash_magnitude_ids(spark):
+    # hash/snowflake-magnitude ids must not overflow the first-
+    # occurrence key (the old doc*1e6+idx encoding crashed under ANSI)
+    big = 6148914691236517205
+    df = spark.createDataFrame(
+        [(big, "x y a b"), (big + 1, "x y c d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in
+           D.passage_dedup(df, "text", "doc_id", passage_words=2).collect()}
+    assert out[big] == "x y a b"
+    assert out[big + 1] == "c d"  # "x y" first seen in the smaller id
+
+
+def test_tokenization_ignores_leading_trailing_whitespace(spark):
+    # a verbatim copy that differs only by padding must still be
+    # caught by decontamination, and LM scores must not change
+    tr = spark.createDataFrame(
+        [(1, "  foo bar baz  ")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "foo bar baz")], "doc_id long, text string")
+    flagged = D.decontaminate(tr, ev, "text", "doc_id")
+    assert [r["doc_id"] for r in flagged.collect()] == [1]
+    padded = spark.createDataFrame(
+        [(1, " a b"), (2, "a b")], "doc_id long, text string"
+    )
+    lp = {r["doc_id"]: (r["n_tokens"], r["avg_logp"]) for r in
+          TX.unigram_logprob(padded, "text", "doc_id", vocab_size=2).collect()}
+    assert lp[1] == lp[2]
+
+
+def test_mean_word_len_immune_to_whitespace_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ab      cd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["mean_word_len"] for r in
+           TX.quality_score(df, "text").collect()}
+    assert out[1] == out[2] == 2.0
+
+
+def test_dedup_apply_best_drops_unscored_members(spark):
+    corpus = spark.createDataFrame(
+        [(1, "t1"), (2, "t2")], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, rep long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "doc_id long, s long")
+    kept = D.dedup_apply_best(corpus, clusters, scores, "doc_id", "s")
+    # unscored member 1 ranks below scored member 2 and is dropped
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_top_ngrams_excludes_short_doc_pseudo_grams(spark):
+    rows = [(i, "click here") for i in range(10)]
+    rows.append((100, "one genuine five word sequence right here okay"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.top_ngrams(df, "text", "doc_id", n=5, k=5).collect()
+    assert all(len(r["ngram"].split()) == 5 for r in out)
+    assert all(r["ngram"] != "click here" for r in out)
+
+
+def test_bpe_encode_null_text_counts_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, None)], "doc_id long, text string"
+    )
+    merges = TX.bpe_train(df.where(F.col("text").isNotNull()), "text", 1)
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in
+           TX.bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert out[2] == 0
