@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import rnd
+from ..util import rnd, rnd_np
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -132,8 +132,10 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
         ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
         mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
         sims = ml @ mr.T
-        # round exactly like util.rnd: 8 digits then round_to
-        sims = np.round(np.round(sims, 8), round_to)
+        # round exactly like util.rnd — including HALF_UP at decimal
+        # half boundaries, where np.round's half-to-even would flip
+        # threshold membership vs the JVM/oracle path (util.rnd_np)
+        sims = rnd_np(sims, round_to)
         kr, kc = np.where(sims >= threshold)
         a, b = ids_l[kr], ids_r[kc]
         # orient a<b; the diagonal pair (i,i) sees each unordered pair
@@ -429,10 +431,12 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # no dropDuplicates: each neighbor lives in exactly one list and
+    # probes are distinct, so (query, neighbor) is unique by
+    # construction — a dedup here would be a pointless extra shuffle
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
@@ -675,7 +679,7 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
             # rows 0..j1 against columns j0..j1 — only the strict
             # upper triangle (smaller id vs larger id) is consulted
             sims = m[:j1] @ m[j0:j1].T
-            sims = np.round(np.round(sims, 8), round_to)
+            sims = rnd_np(sims, round_to)  # JVM-parity HALF_UP rounding
             for c, j in enumerate(range(j0, j1)):
                 if j:
                     dropped[j] = bool((sims[:j, c] >= tau).any())
@@ -1173,6 +1177,11 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
         )
         .collect()
     )
+    if not dtab_rows:  # empty query set -> empty result, like the
+        #                DataFrame ANN operators
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank long"
+        )
     qids = sorted({r["query_id"] for r in dtab_rows})
     qpos = {q: i for i, q in enumerate(qids)}
     n_codewords = 1 + max(r["code"] for r in dtab_rows)

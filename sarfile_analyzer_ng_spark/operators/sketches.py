@@ -36,7 +36,10 @@ def approx_percentiles(df: DataFrame, value_col: str, by: list[str],
     out = df.groupBy(*by).agg(agg)
     return out.select(
         *by,
-        *[F.col("_q").getItem(i).alias(f"p{int(p * 100)}")
+        # :g collapses float noise (0.29*100 -> "29", not 28.999...)
+        # and keeps fractional probs distinct (0.999 -> p99_9, not p99)
+        *[F.col("_q").getItem(i)
+          .alias("p" + f"{p * 100:g}".replace(".", "_"))
           for i, p in enumerate(probs)],
     )
 
@@ -82,27 +85,7 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     """
     pos = df.select(
         F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        ":", F.lit(str(j)), F.col(key_col)
-                                    )
-                                ),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
-                        F.lit(m_bits),
-                    )
-                    for j in range(k_hashes)
-                ]
-            )
+            F.array(*_bloom_positions(key_col, m_bits, k_hashes))
         ).alias("p")
     ).distinct()
     # shiftleft by a COLUMN is SQL-only (the python helper wants an
@@ -111,7 +94,7 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     words = pos.groupBy((F.col("p") / 64).cast("long").alias("w")).agg(
         F.bit_or(bit).alias("bits")
     )
-    n_words = m_bits // 64
+    n_words = (m_bits + 63) // 64  # ceil: keep the partial final word
     # densify to all words (unset words = 0) and collapse to one array
     spark = df.sparkSession
     dense = (
@@ -127,6 +110,28 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     )
 
 
+def _bloom_positions(key_col: str, m_bits: int,
+                     k_hashes: int) -> list:
+    """The ONE definition of the portable bloom hash family (hash j =
+    first 8 hex chars of md5(j || ':' || key) mod m_bits) — shared by
+    build and probe so the two can never drift apart."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), F.col(key_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+        for j in range(k_hashes)
+    ]
+
+
 def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
                 m_bits: int = 1 << 16, k_hashes: int = 4,
                 out_col: str = "in_bloom") -> DataFrame:
@@ -136,25 +141,9 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
     stage over the scan (no shuffle, no Python)."""
     out = df.crossJoin(F.broadcast(bloom))
     pcols = []
-    for j in range(k_hashes):
+    for j, expr in enumerate(_bloom_positions(key_col, m_bits, k_hashes)):
         pc = f"_p{j}"
-        out = out.withColumn(
-            pc,
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(":", F.lit(str(j)), F.col(key_col))
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(m_bits),
-            ),
-        )
+        out = out.withColumn(pc, expr)
         pcols.append(pc)
     cond = " AND ".join(
         f"((shiftright(element_at(bloom, CAST({pc} / 64 AS INT) + 1),"

@@ -40,13 +40,17 @@ def windowed_agg(stream: DataFrame, ts_col: str, window: str, watermark: str,
 
 
 def run_batch_equivalent(stream_out: DataFrame, query_name: str,
-                         spark: SparkSession) -> DataFrame:
+                         spark: SparkSession,
+                         output_mode: str = "complete") -> DataFrame:
     """Drain a (finite) stream into an in-memory table and return it as
-    a batch DataFrame — the test harness for streaming parity."""
+    a batch DataFrame — the test harness for streaming parity.
+    ``output_mode`` defaults to ``complete`` (right for aggregated
+    streams); pass ``append`` for stateless / watermark-append streams
+    — complete mode is illegal without a streaming aggregation."""
     q = (
         stream_out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_out.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -90,38 +94,36 @@ def rate_stream(stream: DataFrame, ts_col: str, key_col: str,
 
         (series,) = key
         last_s, last_val = state.get if state.exists else (None, None)
-        frames = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            ts = pdf[ts_col]
-            if getattr(ts.dtype, "tz", None) is not None:
-                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-            secs = ts.astype("int64") // 1_000_000_000  # epoch seconds
-            vals = pdf[value_col].astype("float64")
-            prev_s = secs.shift(1).astype("float64")
-            prev_v = vals.shift(1)
-            if last_s is not None and len(pdf):
-                prev_s.iloc[0] = last_s
-                prev_v.iloc[0] = last_val
-            dt = secs - prev_s
-            rate = (vals - prev_v) / dt
-            rate[~(dt > 0)] = float("nan")
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "series": series,
-                        "ts": pdf[ts_col],
-                        "value": vals,
-                        "raw_rate": rate,
-                    }
-                )
-            )
-            if len(pdf):
-                last_s = int(secs.iloc[-1])
-                last_val = float(vals.iloc[-1])
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks in no
+        # guaranteed order — materialize and sort the WHOLE batch, or
+        # deltas straddle chunk boundaries against the wrong sample
+        # (a series is bounded per micro-batch; O(1) state still holds)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        ts = pdf[ts_col]
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        secs = ts.astype("int64") // 1_000_000_000  # epoch seconds
+        vals = pdf[value_col].astype("float64")
+        prev_s = secs.shift(1).astype("float64")
+        prev_v = vals.shift(1)
         if last_s is not None:
-            state.update((last_s, last_val))
-        yield from frames
+            prev_s.iloc[0] = last_s
+            prev_v.iloc[0] = last_val
+        dt = secs - prev_s
+        rate = (vals - prev_v) / dt
+        rate[~(dt > 0)] = float("nan")
+        state.update((int(secs.iloc[-1]), float(vals.iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "series": series,
+                "ts": pdf[ts_col],
+                "value": vals,
+                "raw_rate": rate,
+            }
+        )
 
     out = stream.groupBy(F.col(key_col)).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
@@ -204,7 +206,8 @@ def quality_gate_stream(stream: DataFrame, text_col: str,
 def near_dup_candidates_stream(stream: DataFrame, text_col: str,
                                id_col: str, shingle_n: int = 3,
                                num_hashes: int = 64,
-                               bands: int = 16) -> DataFrame:
+                               bands: int = 16,
+                               state_ttl_ms: int = 3_600_000) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidates (ST7): the
     streaming half of the dedup composition — candidate generation
     runs continuously at ingest; exact-Jaccard re-ranking stays a
@@ -236,7 +239,10 @@ def near_dup_candidates_stream(stream: DataFrame, text_col: str,
     (every near-dup is linked to its bucket representative; the
     batch verifier resolves clusters). Docs are processed in id
     order inside a micro-batch, so replaying the same files yields
-    the same anchors.
+    the same anchors. ``state_ttl_ms`` bounds TOTAL state (one long
+    per band key seen within the horizon): an idle bucket's anchor
+    expires and a later revisit re-anchors — the same horizon trade
+    watermark-bounded dedup makes.
     """
     import pandas as pd
 
@@ -284,21 +290,32 @@ def near_dup_candidates_stream(stream: DataFrame, text_col: str,
 
     def fn(key, pdf_iter, state):
         (band,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         anchor = state.get[0] if state.exists else None
+        # chunks arrive in no guaranteed order — gather the whole
+        # group's micro-batch before picking the id-ordered anchor
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        docs = pd.concat(chunks, ignore_index=True).sort_values("doc")["doc"]
         rows = []
-        for pdf in pdf_iter:
-            for doc in pdf.sort_values("doc")["doc"]:
-                if anchor is None:
-                    anchor = int(doc)
-                elif int(doc) != anchor:
-                    rows.append((int(doc), anchor, band))
-        if anchor is not None:
-            state.update((anchor,))
+        for doc in docs:
+            if anchor is None:
+                anchor = int(doc)
+            elif int(doc) != anchor:
+                rows.append((int(doc), anchor, band))
+        state.update((anchor,))
+        # TTL bounds total state: a band bucket idle past the horizon
+        # forgets its anchor (like dropDuplicatesWithinWatermark's
+        # horizon trade — a later revisit re-anchors)
+        state.setTimeoutDuration(state_ttl_ms)
         if rows:
             yield pd.DataFrame(rows, columns=["doc", "anchor", "band"])
 
     return banded.groupBy(F.col("band")).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
     )
 
 

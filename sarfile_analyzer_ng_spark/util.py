@@ -74,3 +74,39 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def rnd_np(a, digits: int = 4):
+    """Numpy twin of :func:`rnd` for Arrow kernels that must compare a
+    ROUNDED value against a threshold inside the batch (the block-
+    matrix cosine and SemDeDup prune). ``np.round`` is half-to-EVEN on
+    the binary double; Spark's ``round`` is HALF_UP on the shortest
+    decimal repr — they disagree exactly at decimal half boundaries,
+    which is exactly where threshold membership gets decided. Strategy:
+    bulk np.round, then re-round the (rare) boundary-suspect entries
+    through Decimal(repr(x)) — the same shortest-repr + HALF_UP path
+    BigDecimal.valueOf takes — so kernel-side verdicts match the JVM /
+    oracle bit-for-bit. Kernels that can emit raw values and round
+    JVM-side should still prefer that (ann_topk_pq_arrow's pattern);
+    this exists for kernels whose verdict must be computed in-batch.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    r8 = np.round(a, 8)
+    out = np.round(r8, digits)
+    frac1 = np.abs(np.modf(np.abs(a) * 1e8)[0] - 0.5)
+    frac2 = np.abs(np.modf(np.abs(r8) * (10.0 ** digits))[0] - 0.5)
+    suspects = np.nonzero((frac1 < 1e-6) | (frac2 < 1e-6))
+    if len(suspects[0]):
+        q8 = Decimal(1).scaleb(-8)
+        qd = Decimal(1).scaleb(-digits)
+        flat_idx = zip(*suspects)
+        for idx in flat_idx:
+            v = Decimal(repr(float(a[idx]))).quantize(
+                q8, rounding=ROUND_HALF_UP
+            )
+            out[idx] = float(v.quantize(qd, rounding=ROUND_HALF_UP))
+    return out

@@ -85,3 +85,21 @@ def test_registry_outputs_inside_rnd_parity_domain(spark):
             if row[c] is not None and row[c] >= limit:
                 offenders.append((key, c, row[c]))
     assert not offenders, offenders
+
+
+def test_rnd_np_matches_spark_rnd_on_half_boundaries(spark):
+    """The numpy kernel twin of util.rnd must agree with Spark's
+    HALF_UP rounding exactly where np.round's half-to-even differs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sarfile_analyzer_ng_spark.util import rnd, rnd_np
+
+    vals = [0.76545, 2.5675, -0.76545, 0.12345678, 0.123456785,
+            1 / 3, 0.5, 0.99995, -0.99995, 0.00005]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [r["r"] for r in
+            df.select(rnd(F.col("v"), 4).alias("r")).collect()]
+    got = list(rnd_np(np.array(vals), 4))
+    assert got == want

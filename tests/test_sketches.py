@@ -88,3 +88,26 @@ def test_bloom_bitmap_is_fixed_width_words(spark):
     assert len(row["bloom"]) == (1 << 10) // 64
     # exactly <= 3 bits set for one key
     assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in row["bloom"]) <= 3
+
+
+def test_approx_percentile_labels_no_truncation(spark):
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(1, float(i)) for i in range(100)],
+                               "k long, v double")
+    out = SK.approx_percentiles(df, "v", ["k"], probs=(0.29, 0.99, 0.999))
+    assert [c for c in out.columns if c != "k"] == ["p29", "p99", "p99_9"]
+
+
+def test_bloom_partial_final_word_no_false_negatives(spark):
+    # m_bits not a multiple of 64: keys hashing into the partial final
+    # word must still probe present (the documented zero-false-negative
+    # contract)
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    bloom = SK.bloom_build(keys, "key", m_bits=1000, k_hashes=4)
+    probed = SK.bloom_probe(keys, "key", bloom, m_bits=1000, k_hashes=4)
+    rows = probed.collect()
+    assert len(rows) == 200
+    assert all(r["in_bloom"] is True for r in rows)
