@@ -19,9 +19,22 @@ from ..util import rnd
 
 def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
             var_name: str = "metric", value_name: str = "value") -> DataFrame:
-    """Wide→long with a single ``stack`` expression (no shuffle)."""
-    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
-    stack = F.expr(f"stack({len(value_cols)}, {pairs}) as ({var_name}, {value_name})")
+    """Wide→long with a single ``stack`` expression (no shuffle).
+    Column names are escaped into the generated SQL (pivoted metric
+    names are data-derived and may contain quotes/backticks)."""
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def _q(s: str) -> str:  # string literal
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _i(s: str) -> str:  # identifier
+        return "`" + s.replace("`", "``") + "`"
+
+    pairs = ", ".join(f"{_q(c)}, {_i(c)}" for c in value_cols)
+    stack = F.expr(
+        f"stack({len(value_cols)}, {pairs}) as ({_i(var_name)}, {_i(value_name)})"
+    )
     return df.select(*[F.col(c) for c in id_cols], stack)
 
 
@@ -114,8 +127,22 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
         .withColumn("_n", F.sum("_fc").over(w_grp))
         .drop("_fc")
     )
-    ranked = vals.join(F.broadcast(offs), [*by, "_pid"]).withColumn(
-        "_rn", F.col("_mid") - F.col("_fmin") + F.col("_off") + 1
+    # null-SAFE key equality: a NULL group key (sar's no-device
+    # sections) must join its own offsets, not silently vanish
+    o = offs.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(by)],
+        F.col("_pid").alias("_opid"), "_fmin", "_off", "_n",
+    )
+    cond = [vals["_pid"] == o["_opid"]] + [
+        vals[c].eqNullSafe(o[f"_k{i}"]) for i, c in enumerate(by)
+    ]
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    ranked = (
+        vals.join(F.broadcast(o), _reduce(_and, cond))
+        .drop("_opid", *[f"_k{i}" for i in range(len(by))])
+        .withColumn("_rn", F.col("_mid") - F.col("_fmin") + F.col("_off") + 1)
     )
     aggs = []
     for p in probs:
@@ -126,7 +153,10 @@ def percentiles(df: DataFrame, value_col: str, by: list[str],
             F.when(F.col("_rn") == lo, F.col(value_col) * (1 - frac))
             .when(F.col("_rn") == hi, F.col(value_col) * frac)
         )
-        aggs.append(rnd(F.sum(share), round_to).alias(f"p{int(p * 100)}"))
+        aggs.append(
+            rnd(F.sum(share), round_to)
+            .alias("p" + f"{p * 100:g}".replace(".", "_"))
+        )
     out = ranked.groupBy(*by).agg(*aggs)
     out._cached_inputs = [vals]  # unpersist via functions.dedup.release
     return out
@@ -166,10 +196,23 @@ def zscore_outliers(df: DataFrame, value_col: str, by: list[str],
     group. Two-pass as a self-broadcast join: the per-group stats frame
     is tiny (one row per group) and broadcast, so the fact table is
     scanned once with no wide shuffle."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
     stats = df.groupBy(*by).agg(
         F.avg(value_col).alias("_mean"), F.stddev_samp(value_col).alias("_std")
     )
-    joined = df.join(F.broadcast(stats), on=by, how="inner")
+    # null-safe key join: rows whose group key is NULL keep their group
+    s = stats.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(by)],
+        "_mean", "_std",
+    )
+    cond = _reduce(
+        _and, [df[c].eqNullSafe(s[f"_k{i}"]) for i, c in enumerate(by)]
+    )
+    joined = df.join(F.broadcast(s), cond).drop(
+        *[f"_k{i}" for i in range(len(by))]
+    )
     z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
     return (
         joined.where(F.abs(z) > threshold)

@@ -137,8 +137,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str], ts_col: str,
     one sar section to another without a grid.
 
     Implementation: union both sides with a side marker, then a single
-    window pass per key ordered by (ts, side) takes the last non-null
-    right value. One shuffle, no range explosion, scales with the
+    window pass per key ordered by (ts, side) carries the last right
+    ROW forward as one struct — row-atomic, so a right row whose value
+    is genuinely NULL is returned as-is (per-column ignorenulls fills
+    would skip it and stitch together values from DIFFERENT right
+    timestamps). One shuffle, no range explosion, scales with the
     number of rows per key rather than pairs. The right side must be
     unique per (key, ts); pre-aggregate it if not.
     """
@@ -159,17 +162,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str], ts_col: str,
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in right_value_cols],
+        ),
+    )
     filled = unioned.select(
         *lcols, "_side",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
-        ).over(w).alias(f"{ts_col}{suffix}"),
+        F.last(payload, ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[
+                F.col(f"_r.{c}").alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
+            F.col("_r._ts").alias(f"{ts_col}{suffix}"),
+        )
+    )
 
 
 def delta_rate(df: DataFrame, ts_col: str, value_col: str, by: list[str],
@@ -188,7 +202,8 @@ def delta_rate(df: DataFrame, ts_col: str, value_col: str, by: list[str],
 
 def resample_filled(df: DataFrame, ts_col: str, every_seconds: int,
                     by: list[str], value_col: str,
-                    round_to: int = 4) -> DataFrame:
+                    round_to: int = 4,
+                    max_buckets: int = 1_000_000) -> DataFrame:
     """Gap-filled resample: aggregate into fixed buckets AND emit
     zero-count rows for empty buckets, so downstream charts/windows see
     a complete grid (a chart gap is how the reference surfaces
@@ -197,6 +212,10 @@ def resample_filled(df: DataFrame, ts_col: str, every_seconds: int,
     The bucket grid is generated per series key from its own min/max
     (sequence + explode — a few rows per series), then left-joined
     with the real aggregates. No driver-side date math.
+    ``max_buckets`` guards the grid: ONE mis-dated sample (the sources
+    default unknown dates to 2000-01-01) would otherwise explode a
+    multi-decade `sequence` into one task's memory — a group whose
+    span exceeds the cap raises instead of OOMing the executor.
     """
     bucket = (
         F.floor(F.col(ts_col).cast("long") / every_seconds) * every_seconds
@@ -209,11 +228,27 @@ def resample_filled(df: DataFrame, ts_col: str, every_seconds: int,
         F.min(F.col(ts_col).cast("long")).alias("_lo"),
         F.max(F.col(ts_col).cast("long")).alias("_hi"),
     )
+    n_buckets = (F.col("_hi") - F.col("_lo")) / F.lit(every_seconds)
+    guarded_lo = F.when(
+        n_buckets <= max_buckets,
+        F.floor(F.col("_lo") / every_seconds) * every_seconds,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"resample_filled: grid exceeds max_buckets="
+                    f"{max_buckets} ("
+                ),
+                n_buckets.cast("long").cast("string"),
+                F.lit(" buckets) — check for mis-dated samples"),
+            )
+        )
+    )
     grid = spans.select(
         *by,
         F.explode(
             F.sequence(
-                (F.floor(F.col("_lo") / every_seconds) * every_seconds),
+                guarded_lo,
                 (F.floor(F.col("_hi") / every_seconds) * every_seconds),
                 F.lit(every_seconds),
             )
@@ -258,11 +293,23 @@ def overlay_align(df: DataFrame, ts_col: str, by: list[str],
     so the fact table is scanned once with no wide shuffle; the
     arithmetic is pure JVM timestamp math.
     """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
     anchors = df.groupBy(*by).agg(
         F.unix_micros(F.date_trunc("DAY", F.min(ts_col))).alias("_day0_us")
     )
+    # null-safe key join: groups keyed by NULL (sar's no-device
+    # sections) must still align instead of dropping out
+    a = anchors.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(by)], "_day0_us"
+    )
+    cond = _reduce(
+        _and, [df[c].eqNullSafe(a[f"_k{i}"]) for i, c in enumerate(by)]
+    )
     return (
-        df.join(F.broadcast(anchors), on=by)
+        df.join(F.broadcast(a), cond)
+        .drop(*[f"_k{i}" for i in range(len(by))])
         .withColumn(
             out_col,
             F.timestamp_micros(F.unix_micros(F.col(ts_col)) - F.col("_day0_us")),

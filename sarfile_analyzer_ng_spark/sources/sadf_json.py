@@ -146,18 +146,25 @@ def read_sadf_json(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", "*")
         .load(path)
         .select(F.col("path").alias("file"), F.col("content"))
-        .repartition("file")
     )
+    # One file per partition, same rationale as the text source
+    # (sar_text.py): hashing into spark.sql.shuffle.partitions packs
+    # many whole files (gigabytes of raw bytes) into one Arrow batch
+    # at big corpora; the count job reads file names only.
+    n_files = raw.select("file").count()
+    raw = raw.repartition(max(int(n_files), 1), "file")
+    field_names = [f.name for f in SAR_SCHEMA.fields]
 
     def batches(iterator):
         for pdf in iterator:
-            rows: list[dict] = []
+            # one Arrow batch per FILE — never accumulate a whole
+            # multi-file partition's rows in one python list
             for file_name, content in zip(pdf["file"], pdf["content"]):
                 try:
-                    rows.extend(parse_sadf_json(file_name, bytes(content)))
+                    rows = parse_sadf_json(file_name, bytes(content))
                 except (json.JSONDecodeError, lzma.LZMAError, ValueError):
                     continue  # skip broken uploads, like the reference UI
-            yield pd.DataFrame(rows, columns=[f.name for f in SAR_SCHEMA.fields])
+                yield pd.DataFrame(rows, columns=field_names)
 
     return raw.mapInPandas(batches, SAR_SCHEMA)
 

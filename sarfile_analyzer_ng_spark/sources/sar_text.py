@@ -185,8 +185,18 @@ def parse_sar_columns(file_name: str, content: str,
         if not rest:
             continue
         if _RE_RESTART.search(line):
+            # a restart line rides the rollover state of the ENCLOSING
+            # section block (read-only — it must not advance the
+            # block's own tracker): under its own key it would never
+            # see the block's midnight rollover and a post-midnight
+            # reboot would be stamped a day early
+            key = section_key or ""
+            off = day_offset.get(key, 0)
+            prev = prev_clock.get(key)
+            if prev is not None and clock < prev:
+                off += 1
             c_section.append("LINUX RESTART")
-            c_ts.append(section_ts("LINUX RESTART", clock))
+            c_ts.append(base_us + (clock + off * 86400) * 1_000_000)
             c_device.append(None)
             c_metric.append("restart")
             c_value.append(1.0)

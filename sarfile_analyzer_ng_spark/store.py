@@ -123,7 +123,16 @@ class SarStore:
             ).first()
             if head["host"] is None or head["day"] is None:
                 raise StoreError(f"{filename}: no sar samples found")
-            name = f"{head['host']}_{head['day']}"
+            # the hostname comes from FILE CONTENT — sanitize it before
+            # it becomes a path segment, or a crafted OS line
+            # ('Linux 5.x (../../../etc/x) ...') writes outside the
+            # store root; _check_name then re-validates the result
+            import re as _re
+
+            safe_host = _re.sub(
+                r"[^A-Za-z0-9._-]", "_", str(head["host"])
+            ).lstrip(".") or "host"
+            name = self._check_name(f"{safe_host}_{head['day']}")
             d = self._user_dir(user)
             if (d / f"{name}.parquet").exists():
                 warnings.append(f"{name}: existing parquet was overwritten")
@@ -177,8 +186,12 @@ class SarStore:
         except Exception:  # empty/unlistable root → driver fallback
             return self._list_files_walk(user)
         rootstr = str(self.root.resolve())
-        rel = F.expr(
-            f"substring(path, instr(path, '{rootstr}') + {len(rootstr) + 1})"
+        # no SQL-string interpolation of the root (quotes/injection) and
+        # URI-decode first so percent-encoded names still parse
+        decoded = F.url_decode(F.col("path"))
+        rel = decoded.substr(
+            F.instr(decoded, rootstr) + F.lit(len(rootstr) + 1),
+            F.lit(1 << 20),
         )
         parts = F.split(rel, "/")
         per = files.select(

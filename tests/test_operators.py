@@ -142,3 +142,72 @@ def test_overlay_align_rebases_to_common_day(spark):
     assert out[("fa", 1.0)] == out[("fb", 3.0)] == ts("1970-01-01T08:30:00")
     assert out[("fa", 2.0)] == ts("1970-01-02T02:00:00")
     assert out[("fb", 4.0)] == ts("1970-01-01T23:15:00")
+
+
+def test_asof_join_returns_null_right_value_atomically(spark):
+    from sarfile_analyzer_ng_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 12)], "k string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [("u", 5, 3.0), ("u", 10, None)], "k string, ts long, v double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    # the as-of row is ts=10 whose v is genuinely NULL: it must come
+    # back as NULL with ts_right=10, never v=3.0 stitched from ts=5
+    assert len(out) == 1
+    assert out[0]["v_right"] is None
+    assert str(out[0]["ts_right"]).endswith("00:00:10")
+
+
+def test_percentiles_and_zscore_keep_null_group_keys(spark):
+    from sarfile_analyzer_ng_spark.operators.stats import (
+        percentiles, zscore_outliers,
+    )
+
+    rows = [(None, float(i)) for i in range(1, 5)] + [("d", 10.0), ("d", 20.0)]
+    df = spark.createDataFrame(rows, "device string, value double")
+    p = {r["device"]: r["p50"] for r in
+         percentiles(df, "value", ["device"], probs=(0.5,)).collect()}
+    assert set(p) == {None, "d"}
+    assert p[None] == 2.5 and p["d"] == 15.0
+    # zscore: null-key rows participate (none outly here, but the
+    # group must be scanned, not dropped — use a tight threshold)
+    z = zscore_outliers(df, "value", ["device"], threshold=1.0)
+    assert z.where(F.col("device").isNull()).count() >= 1
+
+
+def test_overlay_align_keeps_null_group_keys(spark):
+    from sarfile_analyzer_ng_spark.operators.timeseries import overlay_align
+
+    df = spark.createDataFrame(
+        [(None, 86400 + 3600), ("f", 7200)], "file string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = overlay_align(df, "ts", ["file"])
+    assert out.count() == 2
+
+
+def test_unpivot_escapes_hostile_column_names(spark):
+    from sarfile_analyzer_ng_spark.operators.stats import unpivot
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["disk'dev", "ok"])
+    out = {r["metric"]: r["value"]
+           for r in unpivot(df, [], ["disk'dev", "ok"]).collect()}
+    assert out == {"disk'dev": 1.0, "ok": 2.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unpivot(df, [], [])
+
+
+def test_resample_filled_guards_runaway_grid(spark):
+    from sarfile_analyzer_ng_spark.operators.timeseries import resample_filled
+
+    df = spark.createDataFrame(
+        [("s", 0), ("s", 10**9)], "k string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts")).withColumn(
+        "v", F.lit(1.0)
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_buckets"):
+        resample_filled(df, "ts", 60, ["k"], "v", max_buckets=1000).collect()

@@ -64,10 +64,27 @@ def test_midnight_rollover_is_per_section():
 
 
 def test_restart_marker():
+    # the restart line follows the proc/s block, which rolled past
+    # midnight (23:50 -> 00:05); riding the enclosing block's rollover
+    # state places the reboot on the 16th — under the old per-key
+    # tracker a post-midnight restart was stamped a day early
     rows = rows_for(SAR_24H, restart=True)
     assert len(rows) == 1
-    assert str(rows[0]["ts"]) == "2024-01-15 05:30:01"
+    assert str(rows[0]["ts"]) == "2024-01-16 05:30:01"
     assert rows[0]["section"] == "LINUX RESTART"
+
+
+def test_restart_marker_before_any_rollover():
+    # a restart before midnight in a fresh file keeps the base date
+    sar = (
+        "Linux 5.x (h9) \t2024-03-01 \t_x86_64_\t(2 CPU)\n\n"
+        "00:00:01        CPU     %user\n"
+        "00:10:01        all      1.00\n\n"
+        "05:30:01 LINUX RESTART\t(2 CPU)\n"
+    )
+    rows = rows_for(sar, restart=True)
+    assert len(rows) == 1
+    assert str(rows[0]["ts"]) == "2024-03-01 05:30:01"
 
 
 def test_device_last_filesystem():

@@ -164,3 +164,23 @@ def test_sadf_upload_no_warnings_on_clean_file(store):
 
     info = store.upload("alice", "doc2.json", _json.dumps(doc).encode())
     assert not any("unknown field" in w for w in info["warnings"])
+
+
+def test_upload_sanitizes_hostile_hostname(spark, tmp_path):
+    """A crafted OS line must not become a path-traversal write."""
+    from sarfile_analyzer_ng_spark.store import SarStore
+
+    sar = (
+        "Linux 5.x (../../../escape) \t2024-03-01 \t_x86_64_\t(2 CPU)\n\n"
+        "00:00:01        CPU     %user\n"
+        "00:10:01        all      1.00\n"
+    )
+    store = SarStore(spark, str(tmp_path / "root"))
+    info = store.upload("alice", "up.txt", sar.encode())
+    # the property that matters: one path segment, no traversal —
+    # ".." as a SUBSTRING of a single filename is harmless
+    assert "/" not in info["name"] and not info["name"].startswith(".")
+    # nothing escaped the user dir
+    outside = [p for p in tmp_path.rglob("*")
+               if p.is_file() and "root" not in p.parts]
+    assert outside == []
