@@ -40,13 +40,12 @@ def alias_of(section: str) -> str:
     exact = MD.header_to_alias(section)
     if exact:
         return exact
-    want = set(section.split())
-    best, best_n = None, 0
-    for header, alias, _, _ in MD._headings_rows():
-        n = len(want & set(header.split()))
-        if n > best_n:
-            best, best_n = alias, n
-    return best if best_n > 0 else section
+    # ONE fuzzy-matching rule for the whole codebase: delegate to the
+    # metadata helper instead of re-implementing the overlap loop
+    best = MD.best_header_match(
+        [h for h, _, _, _ in MD._headings_rows()], section
+    )
+    return (MD.header_to_alias(best) or section) if best else section
 
 
 def header_of(alias: str, observed_headers: list[str]) -> str:
@@ -94,6 +93,19 @@ def header_details(df: DataFrame, file: str, section: str) -> DataFrame:
     return stats.join(F.broadcast(dim), on="metric", how="left")
 
 
+def _window(df: DataFrame, start, end) -> DataFrame:
+    """Inclusive time slice supporting OPEN-ENDED bounds: start-only
+    and end-only windows filter too (the old both-or-nothing check
+    silently returned the full table for one-sided requests)."""
+    if start is not None and end is not None:
+        return TS.time_filter(df, "ts", start, end)
+    if start is not None:
+        return df.where(F.col("ts") >= F.lit(start))
+    if end is not None:
+        return df.where(F.col("ts") <= F.lit(end))
+    return df
+
+
 def device_plan(df: DataFrame, file: str, section: str,
                 show_subheaders_for_all: bool = False) -> DataFrame:
     """Which device frames the reference's analyze flow renders for a
@@ -103,7 +115,9 @@ def device_plan(df: DataFrame, file: str, section: str,
     reporting how many real devices it summarizes; every other device
     section enumerates its devices sorted (``device_num`` excludes an
     'all' pseudo-device when one exists, mirroring the reference's
-    ``len(device_list) - 1``). ``show_subheaders_for_all=True`` forces
+    ``len(device_list) - 1``; with NO 'all' device the reference keeps
+    its device_num default of 1 — dia_compute_pl.py:35/49 — and so
+    does this plan). ``show_subheaders_for_all=True`` forces
     enumeration for CPU/SOFT too, like the reference flag.
 
     Returns (device, device_num) rows — the loop the UI pages run;
@@ -140,8 +154,7 @@ def get_table(df: DataFrame, file: str, section: str, start=None, end=None,
     applied on the long frame first so they push into the scan before
     the pivot shuffle."""
     sect = df.where((F.col("file") == file) & (F.col("section") == section))
-    if start is not None and end is not None:
-        sect = TS.time_filter(sect, "ts", start, end)
+    sect = _window(sect, start, end)
     if device is not None:
         sect = sect.where(F.col("device") == device)
     return section_wide(sect, section)
@@ -155,8 +168,7 @@ def statistics(df: DataFrame, file: str, section: str,
     the same window as the data table (the reference computes describe
     AFTER get_date_df, dia_compute_pl.py:63-74)."""
     sect = df.where((F.col("file") == file) & (F.col("section") == section))
-    if start is not None and end is not None:
-        sect = TS.time_filter(sect, "ts", start, end)
+    sect = _window(sect, start, end)
     if device is not None:
         sect = sect.where(F.col("device") == device)
     return sect.groupBy("metric").agg(
@@ -189,7 +201,11 @@ def analyze_section(df: DataFrame, file: str, section: str,
     from .operators.timeseries import dedup_keep_first
 
     plan = device_plan(df, file, section, show_subheaders_for_all)
-    rst = restarts_of(df, file)
+    # restart markers respect the same window as the data (the
+    # reference inserts its full restart list even into a filtered
+    # frame — a zero-marker far outside the viewed slice is a bug,
+    # not parity worth keeping)
+    rst = _window(restarts_of(df, file), start, end)
     out: list[tuple[str | None, DataFrame, DataFrame]] = []
     for row in plan.collect():
         device = row["device"]
@@ -237,11 +253,15 @@ def compare_files(df: DataFrame, section: str, metric: str,
     preserved — the reference's replace_ymt, dataframe_funcs_pl.py:81)
     and the metric is averaged per (file, rebased ``every`` bucket),
     so files recorded on different days compare point-for-point."""
-    n_files = df.select("file").distinct().count()
+    # lazy merge_headers: sections whose distinct-file count equals the
+    # GLOBAL distinct-file count (computed as a 1-row frame cross-
+    # joined in — no driver-side action, per the module contract)
+    total = df.agg(F.countDistinct("file").alias("_nf_all"))
     common = (
         df.groupBy("section")
         .agg(F.countDistinct("file").alias("nf"))
-        .where(F.col("nf") == n_files)
+        .crossJoin(F.broadcast(total))
+        .where(F.col("nf") == F.col("_nf_all"))
         .select("section")
     )
     scoped = df.join(F.broadcast(common), "section").where(

@@ -108,9 +108,10 @@ def translate_aliases(aliases: list[str], sar_headers: list[str]) -> dict[str, s
     helpers_pl.py:81): exact table lookup first, then fuzzy word
     overlap against the observed headers for cross-version drift."""
     out: dict[str, str] = {}
+    observed = {_norm(h) for h in sar_headers}  # hoisted: O(H), not O(A*H)
     for alias in aliases:
         header = alias_to_header(alias) or alias
-        if header not in {_norm(h) for h in sar_headers}:
+        if header not in observed:
             header = best_header_match(sar_headers, header) or header
         out[alias] = _norm(header)
     return out

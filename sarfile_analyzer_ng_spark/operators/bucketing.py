@@ -25,9 +25,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
-    orphan = os.path.join(warehouse, table.split(".")[-1])
-    if warehouse and os.path.isdir(orphan):
-        shutil.rmtree(orphan, ignore_errors=True)
+    # the managed location is <warehouse>[/<db>.db]/<table>, with the
+    # identifier lowercased; cover both the qualified and the
+    # current-database form
+    parts = [p.strip("`").lower() for p in table.split(".")]
+    candidates = [os.path.join(warehouse, parts[-1])]
+    if len(parts) == 2:
+        candidates.append(
+            os.path.join(warehouse, f"{parts[0]}.db", parts[1])
+        )
+    else:
+        curdb = spark.catalog.currentDatabase()
+        if curdb and curdb != "default":
+            candidates.append(
+                os.path.join(warehouse, f"{curdb}.db", parts[-1])
+            )
+    for orphan in candidates:
+        if warehouse and os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -45,7 +60,7 @@ def has_shuffle(df: DataFrame) -> bool:
     """True if the executed plan contains a SHUFFLE exchange
     (``Exchange hashpartitioning``/range/rr). BroadcastExchange doesn't
     count — a broadcast moves the small side, not the data set."""
-    df.collect()  # finalize AQE
+    df.count()  # finalize AQE without pulling rows to the driver
     text = df._jdf.queryExecution().executedPlan().toString()
     return any(
         marker in text

@@ -43,7 +43,15 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: list[SaltedAgg],
     shards (default: all non-key columns). Stage 1 groups by
     (keys, salt) — each shard small; stage 2 merges shards per key.
     """
-    salt_cols = salt_on or [c for c in df.columns if c not in keys]
+    salt_cols = (
+        salt_on if salt_on is not None
+        else [c for c in df.columns if c not in keys]
+    )
+    if not salt_cols:
+        raise ValueError(
+            "salted_agg: no non-key columns to derive a salt from — "
+            "pass salt_on explicitly"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[_PARTIAL[kind](col).alias(alias) for kind, col, alias in aggs]
@@ -54,7 +62,7 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: list[SaltedAgg],
 
 
 def salted_avg(df: DataFrame, keys: list[str], value_col: str,
-               out_col: str = "avg_value", num_salts: int = 16) -> Column | DataFrame:
+               out_col: str = "avg_value", num_salts: int = 16) -> DataFrame:
     """Average via salted sum+count (avg itself isn't shard-mergeable)."""
     merged = salted_agg(
         df, keys,
@@ -73,6 +81,11 @@ def replicated_salt_join(big: DataFrame, small: DataFrame, on: list[str],
     a 0..N-1 array — N× its size, still tiny); the join key becomes
     (on, salt) so one hot key lands on N reducers."""
     salt_src = [c for c in big.columns if c not in on]
+    if not salt_src:
+        raise ValueError(
+            "replicated_salt_join: the big side has no non-join columns "
+            "to derive a salt from"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(num_salts))
     )

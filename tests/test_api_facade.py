@@ -262,3 +262,34 @@ def test_statistics_respects_time_window(sar_df):
     windowed = {r["metric"]: r["cnt"] for r in A.statistics(
         sar_df, f, sect, start=rows[0], end=rows[0]).collect()}
     assert all(windowed[m] < full[m] for m in windowed)
+
+
+def test_open_ended_time_windows_filter(sar_df):
+    """A start-only (or end-only) window must filter — the old
+    both-or-nothing check silently returned everything."""
+    f = file_of(sar_df, "sa1")
+    sect = "proc/s cswch/s"
+    all_rows = A.get_table(sar_df, f, sect).count()
+    ts = sorted(r["ts"] for r in sar_df.where(
+        (sar_df.file == f) & (sar_df.section == sect)
+    ).select("ts").distinct().collect())
+    tail = A.get_table(sar_df, f, sect, start=ts[1]).count()
+    head = A.get_table(sar_df, f, sect, end=ts[0]).count()
+    assert tail < all_rows and head < all_rows
+    assert tail + head == all_rows
+    s = {r["metric"]: r["cnt"]
+         for r in A.statistics(sar_df, f, sect, start=ts[1]).collect()}
+    assert all(v < all_rows for v in s.values())
+
+
+def test_analyze_section_windows_restart_markers(sar_df):
+    """A restart outside the requested slice must not inject a zero
+    row into the windowed table."""
+    f = file_of(sar_df, "sa1")
+    sect = "MBfsfree %fsused"
+    # the file's restart is at 05:30 on the 16th; window the 15th only
+    out = A.analyze_section(sar_df, f, sect,
+                            start="2024-01-15 00:00:00",
+                            end="2024-01-15 23:59:59")
+    _, table, _ = out[0]
+    assert table.where(F.col("is_restart")).count() == 0

@@ -193,3 +193,13 @@ def test_ivf_recall_improves_with_nprobe(spark):
                             centroids, nprobe=2).collect()}
     assert len(got_1 & brute) >= len(brute) // 3
     assigned.unpersist()
+
+
+def test_salted_agg_requires_salt_source(spark):
+    import pytest as _pytest
+
+    from sarfile_analyzer_ng_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_agg(df, ["k", "v"], [("count", "v", "c")])
