@@ -27,8 +27,6 @@ import sys
 
 
 def _load(spark, path: str):
-    from pyspark.sql import functions as F
-
     from .sources.sadf_json import read_sadf_json
     from .sources.sar_text import read_sar
 
@@ -79,6 +77,9 @@ def main(argv: list[str] | None = None) -> None:
         "streams batches through the driver instead of collecting)",
     )
     args = ap.parse_args(argv)
+    if args.command == "curate" and not args.eval_parquet \
+            and args.eval_mod < 2:
+        sys.exit("--eval-mod must be >= 2 (doc_id % N == 0 plays eval)")
 
     from . import api
     from .session import get_spark
@@ -99,7 +100,10 @@ def main(argv: list[str] | None = None) -> None:
                 for line in out.toJSON().toLocalIterator():
                     print(line)
         else:
-            out.show(args.limit if args.limit > 0 else 100, truncate=False)
+            # table mode materializes what it prints; "unlimited" here
+            # means the int32 cap (use --json for true row streaming)
+            out.show(args.limit if args.limit > 0 else (1 << 31) - 1,
+                     truncate=False)
 
     if args.command == "curate":
         from pyspark.sql import functions as F

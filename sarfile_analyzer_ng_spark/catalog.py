@@ -48,11 +48,31 @@ def _nanos_ts_cols(path: str) -> list[str]:
             schema = pq.read_schema(path)
     except Exception:
         return []
-    return [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    def _nested_nanos(t) -> bool:
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            return True
+        if pa.types.is_struct(t):
+            return any(_nested_nanos(f.type) for f in t)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return _nested_nanos(t.value_type)
+        if pa.types.is_map(t):
+            return _nested_nanos(t.key_type) or _nested_nanos(t.item_type)
+        return False
+
+    out = []
+    for f in schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            out.append(f.name)
+        elif _nested_nanos(f.type):
+            # a nested nanos leaf cannot be rewritten column-wise after
+            # the legacy long read — fail loudly instead of letting
+            # spark.read throw its opaque 'Illegal Parquet type' later
+            raise NotImplementedError(
+                f"{path}: column {f.name!r} nests a TIMESTAMP(NANOS) "
+                "leaf inside a struct/array/map — flatten it or "
+                "rewrite the file with microsecond timestamps"
+            )
+    return out
 
 
 def _contains_ntz(dt) -> bool:
@@ -148,9 +168,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Scope the legacy-nanos conf to this read: the plan captures the
     # conf at analysis time, so restoring it afterwards keeps later
     # parquet reads in the same session on normal timestamp behavior.
+    # The NTZ-inference conf is scoped too — a table can hold BOTH a
+    # nanos column and a tz-less micros column, and the latter would
+    # otherwise fall into the pushdown-blocking cast fallback.
     key = "spark.sql.legacy.parquet.nanosAsLong"
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
     prev = spark.conf.get(key, None)
+    prev_ntz = spark.conf.get(ntz_key, None)
     spark.conf.set(key, "true")
+    spark.conf.set(ntz_key, "false")
     try:
         df = spark.read.parquet(path)
         # pyarrow reports INT96 timestamps as ns too, but Spark reads
@@ -159,7 +185,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
         for c in nanos:
             if c in long_cols:
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+                # FLOOR division, not `div` (truncate-toward-zero):
+                # pre-1970 nanos would otherwise shift up to 999 ns
+                # late; subtracting pmod first makes the quotient exact
+                # at full integer precision
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros(
+                        F.expr(
+                            f"(`{c}` - pmod(`{c}`, 1000)) div 1000"
+                        )
+                    ),
+                )
         df = _normalize_ntz(df)
         # Force analysis while the conf is set so the scan is resolved
         # against the legacy read path before we restore the conf.
@@ -169,6 +206,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+        if prev_ntz is None:
+            spark.conf.unset(ntz_key)
+        else:
+            spark.conf.set(ntz_key, prev_ntz)
     return df
 
 

@@ -73,16 +73,14 @@ def real_decode(payload: bytes, kind: str):
     )
 
 
-def decode_ppm(payload: bytes, kind: str):
-    """Real image decode for binary netpbm (P6 RGB / P5 gray) — header
-    parse + ``numpy.frombuffer``, no codec library involved. Returns
-    (width, height, 0, feature) where the 8-dim feature is the
-    mean-pooled 2×4 luminance grid in [0, 1] — deterministic, so the
-    downstream similarity ops are testable on real pixels."""
-    import numpy as np
-
+def _ppm_header(payload: bytes, start: int = 0):
+    """Parse one binary netpbm header starting at ``start`` — the ONE
+    token scanner (magic, comments, width/height/maxval) shared by the
+    decoder and the frame splitter so the two can never drift.
+    Returns (magic, width, height, maxval, pixel_offset)."""
+    magic = payload[start:start + 2]
     tokens: list[bytes] = []
-    i = 2  # past magic
+    i = start + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -96,15 +94,35 @@ def decode_ppm(payload: bytes, kind: str):
         i = j
     i += 1  # single whitespace after maxval, then raw pixel data
     width, height, maxval = (int(t) for t in tokens)
-    channels = 3 if payload[:2] == b"P6" else 1
+    return magic, width, height, maxval, i
+
+
+def decode_ppm(payload: bytes, kind: str):
+    """Real image decode for binary netpbm (P6 RGB / P5 gray) — header
+    parse + ``numpy.frombuffer``, no codec library involved. Returns
+    (width, height, 0, feature) where the 8-dim feature is the
+    mean-pooled 2×4 luminance grid in [0, 1] — deterministic, so the
+    downstream similarity ops are testable on real pixels. Images
+    smaller than the grid pool over the splits that exist and pad the
+    feature with the overall mean (never NaN)."""
+    import numpy as np
+
+    magic, width, height, maxval, i = _ppm_header(payload)
+    channels = 3 if magic == b"P6" else 1
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     px = np.frombuffer(
         payload, dtype=dtype, count=width * height * channels, offset=i
     ).reshape(height, width, channels)
     lum = px.astype(np.float64).mean(axis=2) / maxval
-    rows = np.array_split(lum, 2, axis=0)
-    cells = [c.mean() for r in rows for c in np.array_split(r, 4, axis=1)]
-    return width, height, 0, [float(c) for c in cells]
+    rows = np.array_split(lum, min(2, lum.shape[0]), axis=0)
+    cells = [
+        float(c.mean())
+        for r in rows
+        for c in np.array_split(r, min(4, r.shape[1]), axis=1)
+    ]
+    overall = float(lum.mean())
+    cells += [overall] * (8 - len(cells))
+    return width, height, 0, cells[:8]
 
 
 def fake_decode(payload: bytes, kind: str):
@@ -131,6 +149,23 @@ def extract_features(media: DataFrame, decode_fn=real_decode) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload) if payload is not None else b""
+                if not data:
+                    # a null/zero-byte payload is a per-row data
+                    # problem, not a missing-codec problem — emit an
+                    # empty-feature row instead of failing the job
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "kind": kind,
+                            "n_bytes": 0,
+                            "sha256": hashlib.sha256(b"").hexdigest(),
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
                 width, height, duration, feature = decode_fn(data, kind)
                 out.append(
                     {
@@ -166,25 +201,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int) -> DataFrame:
 
 def _ppm_extent(payload: bytes, start: int) -> int:
     """Byte offset one past the binary netpbm frame starting at
-    ``start`` (header token scan + computed pixel-block size)."""
-    import numpy as np
-
-    magic = payload[start:start + 2]
-    tokens: list[bytes] = []
-    i = start + 2
-    while len(tokens) < 3:
-        while i < len(payload) and payload[i:i + 1].isspace():
-            i += 1
-        if payload[i:i + 1] == b"#":
-            i = payload.index(b"\n", i) + 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j:j + 1].isspace():
-            j += 1
-        tokens.append(payload[i:j])
-        i = j
-    i += 1
-    width, height, maxval = (int(t) for t in tokens)
+    ``start`` (shared header scan + computed pixel-block size)."""
+    magic, width, height, maxval, i = _ppm_header(payload, start)
     channels = 3 if magic == b"P6" else 1
     bpp = 2 if maxval > 255 else 1
     return i + width * height * channels * bpp

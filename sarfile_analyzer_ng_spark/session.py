@@ -50,4 +50,13 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently IGNORES builder configs when a session
+    # already exists (a test fixture, another library) — re-assert the
+    # runtime-settable correctness confs so the UTC/parity guarantees
+    # hold on any session this factory hands out. Static confs
+    # (master, memory) legitimately keep the first session's values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

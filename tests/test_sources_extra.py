@@ -217,3 +217,27 @@ def test_split_ppm_frames_randomized_roundtrip():
             frames.append(header + px)
         video = b"".join(frames)
         assert MM.split_ppm_frames(video) == frames
+
+
+def test_decode_ppm_tiny_images_never_nan(spark):
+    import math
+
+    for w, h in [(1, 1), (4, 1), (1, 4), (2, 2)]:
+        payload = f"P6\n{w} {h}\n255\n".encode() + bytes((10, 20, 30)) * (w * h)
+        width, height, _, feat = MM.decode_ppm(payload, "image")
+        assert (width, height) == (w, h)
+        assert len(feat) == 8
+        assert all(not math.isnan(c) for c in feat)
+
+
+def test_extract_features_skips_empty_payload_rows(spark):
+    rows = [
+        (1, "image", None, b"", {}),
+        (2, "image", None, None, {}),
+        (3, "image", None, _ppm(4, 4, (9, 9, 9)), {}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_bytes"] == 0 and got[1]["feature"] is None
+    assert got[3]["width"] == 4 and got[3]["feature"] is not None
