@@ -409,7 +409,9 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         for pdf in iterator:
             rows = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
             rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
-            order = np.argsort(-(rows @ cmat.T), axis=1)[:, :nprobe]
+            # stable sort: exact similarity ties at the nprobe cut resolve
+            # to the lower centroid index on every run/platform
+            order = np.argsort(-(rows @ cmat.T), axis=1, kind="stable")[:, :nprobe]
             out_q, out_v, out_c = [], [], []
             for i, vid in enumerate(pdf["vid"]):
                 for c in order[i]:
@@ -1051,7 +1053,9 @@ def ann_topk_ivfpq(emb: DataFrame, queries: DataFrame, id_col: str,
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
             rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
-            order = np.argsort(-(rows @ cmat.T), axis=1)[:, :nprobe]
+            # stable sort: exact similarity ties at the nprobe cut resolve
+            # to the lower centroid index on every run/platform
+            order = np.argsort(-(rows @ cmat.T), axis=1, kind="stable")[:, :nprobe]
             out_q = np.repeat(pdf["vid"].to_numpy(), order.shape[1])
             yield pd.DataFrame(
                 {"query_id": out_q, "cluster": order.ravel().astype("int32")}

@@ -60,8 +60,19 @@ def has_shuffle(df: DataFrame) -> bool:
     """True if the executed plan contains a SHUFFLE exchange
     (``Exchange hashpartitioning``/range/rr). BroadcastExchange doesn't
     count — a broadcast moves the small side, not the data set."""
-    df.count()  # finalize AQE without pulling rows to the driver
+    # Drain df's OWN QueryExecution so AQE finalizes THIS plan —
+    # df.count() would execute a derived groupBy().count() plan and
+    # leave df.executedPlan() at the initial adaptive guess, hiding
+    # runtime sort-merge→broadcast conversions. toLocalIterator pulls
+    # one partition at a time, so driver memory stays bounded.
+    for _ in df.toLocalIterator():
+        pass
     text = df._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in text and "isFinalPlan=true" not in text:
+        # belt-and-braces: a partially-consumed iterator can leave the
+        # adaptive plan unfinalized; force full materialization once.
+        df.collect()
+        text = df._jdf.queryExecution().executedPlan().toString()
     return any(
         marker in text
         for marker in (

@@ -1075,7 +1075,7 @@ def q79_winnow_fingerprints(spark, sf_dir):
     grams = (
         docs.select(
             "doc_id",
-            (F.size(F.split(F.lower(F.col("text")), r"\s+")) - (WINNOW_K - 1))
+            (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) - (WINNOW_K - 1))
             .cast("long")
             .alias("n_grams"),
         )

@@ -147,12 +147,12 @@ def read_sadf_json(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select(F.col("path").alias("file"), F.col("content"))
     )
-    # One file per partition, same rationale as the text source
-    # (sar_text.py): hashing into spark.sql.shuffle.partitions packs
-    # many whole files (gigabytes of raw bytes) into one Arrow batch
-    # at big corpora; the count job reads file names only.
-    n_files = raw.select("file").count()
-    raw = raw.repartition(max(int(n_files), 1), "file")
+    # No repartition: the binaryFile source already packs whole files
+    # into scan partitions bounded by spark.sql.files.maxPartitionBytes
+    # (byte-aware, unlike a hash repartition on file name, which can
+    # collide two large files into one partition). Per-file pandas
+    # yields below bound python memory within a partition, and keeping
+    # the plan lazy avoids an eager listing job at construction time.
     field_names = [f.name for f in SAR_SCHEMA.fields]
 
     def batches(iterator):
