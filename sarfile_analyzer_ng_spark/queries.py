@@ -3591,100 +3591,33 @@ FROM f GROUP BY source
 # key -> (spark callable, oracle SQL or None for rows-only checks)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
-# FIRST 50 entries (insertion order). Rotation policy (round 5):
-#  - entries last driver-recorded in an OLDER round rotate back into
-#    the window first — here the 24 keys whose last driver recording
-#    was round 3 (q01-q03, q06, q09-q27, q30), so no key ever goes
-#    more than 2 rounds without a driver-recorded green;
-#  - anything CHANGED or NEW this round also sits in the window
-#    (q77 new; q74/q76 re-planned; q32/q52 share the new simhash
-#    memo; q96 replays the touched dup_clusters path; the second-wave
-#    q93-q99 are new), plus their oracled gates and closest kin;
-#  - the tail carries the 45 entries most recently recorded green
-#    (round 4: q04/q05/q07/q08/q33-q35/q37-q51/q53-q75 — q33/q51/
-#    q56/q67/q68/q69/q75 rotated out of the window to make room for
-#    the second-wave q93-q99: all seven are r4-recorded greens whose
-#    VALUE behavior is unchanged, and the shared shingle/cluster
-#    pipeline under q33/q56/q67/q68/q69 stays live-pinned through the
-#    in-window q96 recursive-CTE oracle), UNCHANGED
-#    since that pass — enforced by
+# FIRST 50 entries (insertion order). Rotation policy (round 6):
+#  - entries with NO driver recording ever lead the window — q100-q103
+#    were added in r5 after the window filled, so they go first;
+#  - then every key whose last driver recording is the OLDEST round —
+#    here the 43 oracled keys last recorded in round 4 (q04/q05/q07/
+#    q08/q33-q35/q37-q49/q51/q53-q75 minus the r5-recorded ones) —
+#    so no key ever goes more than 2 rounds without a driver-recorded
+#    green;
+#  - the remaining slots take the rows-only r4 keys whose value
+#    behavior is pinned by an oracled twin (q31↔q51, q32↔q52,
+#    q36↔q77) — the twins rode the r5 window, so the rows-only
+#    originals take their own turn now;
+#  - the tail carries the 50 entries recorded green in round 5 plus
+#    q50_sketch_stats (rows-only, gated by the in-window q54 bounds
+#    check), UNCHANGED since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
 #    fails if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r3-tail cohort, due for a driver-recorded green
-    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
-    "q03_percentiles": (q03_percentiles, SQL_Q03),
-    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
-    "q09_device_filter": (q09_device_filter, SQL_Q09),
-    "q10_resample": (q10_resample, SQL_Q10),
-    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
-    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
-    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
-    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
-    "q15_global_range": (q15_global_range, SQL_Q15),
-    "q16_alias_join": (q16_alias_join, SQL_Q16),
-    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
-    "q18_topk": (q18_topk, SQL_Q18),
-    "q19_correlation": (q19_correlation, SQL_Q19),
-    "q20_outliers": (q20_outliers, SQL_Q20),
-    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
-    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
-    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
-    "q24_running_sum": (q24_running_sum, SQL_Q24),
-    "q25_asof_join": (q25_asof_join, SQL_Q25),
-    "q26_sessionize": (q26_sessionize, SQL_Q26),
-    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
-    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
-    # changed / new this round
-    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
-    "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
-    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
-    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    # new round-5 operators (second wave: q93-q99; q96's recursive-CTE
-    # oracle replays the r5-touched dup_clusters path that q68 pins,
-    # so q68 itself rides the tail this round)
-    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
-    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
-    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
-    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
-    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    # new round-5 operators (first wave)
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
-    "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
-    "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
-    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
-    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
-    "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
-    "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
-    "q89_source_diversity": (q89_source_diversity, SQL_Q89),
-    "q90_bpe_merges": (q90_bpe_merges, None),
-    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
-    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
-    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
-    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
-    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
-    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
-    # ---- tail: beyond the driver's 50-entry recording window ----
-    # (all recorded green in round 4; staleness-guarded, see above.
-    # q36, q32 and q31 are the exceptions: their code paths changed in
-    # r5 (lsh planes / the shared sig + pair memos), and their VALUE
-    # behavior is pinned by the in-window oracled parity twins q77,
-    # q52 and q51 — strictly stronger than their own rows-only
-    # records.)
-    # q100/q101 land in the tail (the window is full of never-recorded
-    # keys); their oracle replays run in the local parity suite, and
-    # q100's exhaustive-probe configuration hash-matches the in-window
-    # q98.
+    # never driver-recorded (added r5 after the window filled)
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
     "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
     "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
+    # r4-tail cohort, due for a driver-recorded green (oracled)
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
@@ -3692,14 +3625,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q36_ann_lsh": (q36_ann_lsh, None),
-    "q32_dedup_simhash": (q32_dedup_simhash, None),
-    "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
-    "q50_sketch_stats": (q50_sketch_stats, None),
     "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
@@ -3732,6 +3661,67 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q66_mix_apply": (q66_mix_apply, SQL_Q66),
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
+    # rows-only r4 keys taking their window turn (each value-pinned by
+    # an oracled twin: q31↔q51, q32↔q52, q36↔q77)
+    "q31_dedup_minhash": (q31_dedup_minhash, None),
+    "q32_dedup_simhash": (q32_dedup_simhash, None),
+    "q36_ann_lsh": (q36_ann_lsh, None),
+    # ---- tail: beyond the driver's 50-entry recording window ----
+    # (all recorded green in round 5; staleness-guarded, see above.
+    # q90 is the exception: rows-only in r5, gated by the oracled q91
+    # first-merge twin and the exact reference-implementation parity
+    # test. q50 rides one more round, gated by the in-window q54.)
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    "q03_percentiles": (q03_percentiles, SQL_Q03),
+    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
+    "q09_device_filter": (q09_device_filter, SQL_Q09),
+    "q10_resample": (q10_resample, SQL_Q10),
+    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
+    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
+    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
+    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
+    "q15_global_range": (q15_global_range, SQL_Q15),
+    "q16_alias_join": (q16_alias_join, SQL_Q16),
+    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
+    "q18_topk": (q18_topk, SQL_Q18),
+    "q19_correlation": (q19_correlation, SQL_Q19),
+    "q20_outliers": (q20_outliers, SQL_Q20),
+    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
+    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
+    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
+    "q24_running_sum": (q24_running_sum, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
+    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
+    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
+    "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
+    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
+    "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
+    "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
+    "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
+    "q89_source_diversity": (q89_source_diversity, SQL_Q89),
+    "q90_bpe_merges": (q90_bpe_merges, None),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
+    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
+    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
+    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
+    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
+    "q50_sketch_stats": (q50_sketch_stats, None),
 }
 
 
