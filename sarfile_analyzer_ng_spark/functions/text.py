@@ -1054,7 +1054,8 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[str, str, int]]:
+def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10,
+              batch: int = 1) -> list[tuple[str, str, int]]:
     """Train a byte-pair-encoding merge table on the corpus (Sennrich
     et al. 2016) — the tokenizer-induction step of a training-data
     pipeline, distributed the way industrial BPE trainers actually
@@ -1064,13 +1065,31 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[
     corpus), so the iterative part never rescans the data.
 
     Per iteration: adjacent symbol pairs explode from the symbol
-    arrays weighted by word count → one (pair) agg → the argmax pair
-    (count DESC, pair ASC — deterministic ties) comes back as ONE row
-    to the driver (the only driver traffic: k rows total) → an Arrow
-    map rewrites the symbol arrays. The vocab frame is
-    ``localCheckpoint``ed each iteration: the rewrite is data-dependent
-    on the merge choice, and an uncut lineage would re-inline k
-    generations of Arrow stages into every later job.
+    arrays weighted by word count → one (pair) agg → the top ``batch``
+    pairs (count DESC, pair ASC — deterministic ties) come back to the
+    driver → an Arrow map rewrites the symbol arrays. The vocab frame
+    is ``localCheckpoint``ed each iteration: the rewrite is
+    data-dependent on the merge choice, and an uncut lineage would
+    re-inline the Arrow stages of every earlier generation into every
+    later job.
+
+    ``batch`` > 1 is the standard distributed-BPE optimization for a
+    real 32k-merge vocabulary: of the top ``batch`` candidate pairs,
+    the ranked PREFIX up to the first conflict (a pair sharing a
+    symbol — or colliding with a produced token string — of any
+    higher-ranked keeper) is applied in rank order within ONE vocab
+    rewrite, cutting driver round-trips and vocab-frame rewrites from
+    ``num_merges`` toward ``num_merges / batch`` Spark jobs. The
+    prefix-cut (not skip-and-continue) rule is what preserves the
+    sequential semantics: kept pairs are mutually disjoint, so each
+    one's count is invariant under the merges before it, while every
+    deferred pair — whose count can only shrink — and every pair a
+    kept merge creates (bounded by a conflicting parent) ranks below
+    the entire kept prefix. ``batch=1`` is EXACTLY the sequential
+    Sennrich procedure (the reference-parity test pins it); batched
+    runs reproduce the sequential table up to exotic equal-count
+    tie-break races (none on the gate corpus, pinned by
+    tests/test_llm_ops.py::test_bpe_train_batched_matches_sequential).
 
     Symbols start as single characters (no end-of-word marker — the
     reference twin in the tests makes the same choice). Returns the
@@ -1098,8 +1117,10 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[
             T.StructField("cnt", T.LongType()),
         ]
     )
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
         n = F.size("syms")
         pairs = (
             vocab.where(n >= 2)
@@ -1117,25 +1138,42 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 10) -> list[tuple[
         )
         top = pairs.orderBy(
             F.col("c").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).collect()
+        ).limit(min(batch, num_merges - len(merges))).collect()
         if not top:
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-        merges.append((a, b, c))
+        # ranked prefix up to the first conflict: the top pair always
+        # survives, so batch=1 degenerates to the exact sequential
+        # procedure; see the docstring for why cutting (not skipping)
+        # preserves sequential merge order
+        used: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        for row in top:
+            a, b = row["a"], row["b"]
+            if a in used or b in used or (a + b) in used:
+                break
+            chosen.append((a, b, int(row["c"])))
+            used.update((a, b, a + b))
+        merges.extend(chosen)
 
-        def rewrite(it, a=a, b=b):
+        def rewrite(it, table=tuple((a, b) for a, b, _ in chosen)):
             for pdf in it:
                 out = []
                 for syms in pdf["syms"]:
-                    s, i, res = list(syms), 0, []
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
+                    s = list(syms)
+                    # each merge is its own full left-to-right pass, in
+                    # rank order — identical semantics to applying the
+                    # batch members as separate sequential rewrites
+                    for a, b in table:
+                        i, res = 0, []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                                res.append(a + b)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        s = res
+                    out.append(s)
                 yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
 
         vocab = vocab.mapInPandas(rewrite, schema).localCheckpoint(

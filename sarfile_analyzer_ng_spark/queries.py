@@ -1341,7 +1341,10 @@ def q90_bpe_merges(spark, sf_dir):
     replays the same corpus through a 20-line single-machine reference
     implementation and asserts list equality."""
     docs = _t(spark, sf_dir, "documents")
-    merges = TX.bpe_train(docs, "text", num_merges=10)
+    # batched merge selection (prefix-cut, see bpe_train): same merge
+    # table as batch=1 — pinned by the batched-parity pytest — in a
+    # fraction of the driver round-trips
+    merges = TX.bpe_train(docs, "text", num_merges=10, batch=16)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",

@@ -796,6 +796,24 @@ def test_bpe_train_matches_reference(spark):
     assert got2 == _ref_bpe(wc2, 5)
 
 
+def test_bpe_train_batched_matches_sequential(spark):
+    # batched merge selection (the V/B-round-trip scale path) must
+    # reproduce the exact sequential (batch=1) merge table on the gate
+    # corpus — the disjointness rule defers every stale-count pair to
+    # the next recount
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = TX.bpe_train(docs, "text", num_merges=12)
+    for b in (4, 8, 64):
+        assert TX.bpe_train(docs, "text", num_merges=12, batch=b) == seq, b
+    # batch larger than num_merges caps cleanly
+    small = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    assert TX.bpe_train(small, "text", num_merges=3, batch=16) == \
+        TX.bpe_train(small, "text", num_merges=3)
+
+
 def test_bpe_encode_counts(spark):
     df = spark.createDataFrame(
         [(1, "low lower"), (2, "low")], "doc_id long, text string"
