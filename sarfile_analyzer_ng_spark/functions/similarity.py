@@ -1148,7 +1148,8 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
                       vec_col: str, dim: int, codebooks: DataFrame,
                       codes: DataFrame, m: int = 4, k: int = 5,
                       dist_round: int = 6,
-                      partial_top: int | None = None) -> DataFrame:
+                      partial_top: int | None = None,
+                      max_dtab_cells: int = 8_000_000) -> DataFrame:
     """The production-shape ADC scorer: same ranking contract as
     :func:`ann_topk_pq`, different physical plan. The distance table
     becomes a dense numpy array broadcast to every task; each Arrow
@@ -1169,6 +1170,22 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
 
     R = partial_top if partial_top is not None else max(4 * k, 64)
     spark = emb.sparkSession
+    # CONTRACT: the query set is broadcast-sized — the Q × m × K
+    # distance table is collected to the driver and broadcast to every
+    # task (same contract the brute-force ANN documents for its query
+    # broadcast). Enforce it BEFORE the collect: two cheap scalar
+    # counts (the query frame and the ≤ m·K codebook frame) bound the
+    # table at Q·m·K float64 cells. Oversized query sets must shard
+    # (score in Q-chunks) rather than silently OOM the driver.
+    n_q = queries.count()
+    n_cb = codebooks.count()
+    if n_q * n_cb > max_dtab_cells:
+        raise ValueError(
+            f"ann_topk_pq_arrow: distance table would hold "
+            f"{n_q * n_cb} cells ({n_q} queries x {n_cb} codebook "
+            f"entries) > max_dtab_cells={max_dtab_cells}; shard the "
+            "query set and union the per-shard top-k instead"
+        )
     # dense distance table: rows = query order, dtab[qi, j, c]
     qsub = _subspaces(queries, id_col, vec_col, dim, m).select(
         F.col("vid").alias("query_id"), "sub", F.col("e").alias("qe")

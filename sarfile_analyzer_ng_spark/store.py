@@ -18,7 +18,10 @@ DataFrames so they compose with the rest of the engine.
 from __future__ import annotations
 
 import lzma
+import os
 import shutil
+import subprocess
+import tempfile
 import time
 from pathlib import Path
 
@@ -31,6 +34,44 @@ from .sources.sar_text import XZ_MAGIC, read_sar
 
 class StoreError(ValueError):
     """User-facing store failure (bad upload, missing file, ...)."""
+
+
+def convert_binary_sa(content: bytes, filename: str) -> tuple[bytes, str]:
+    """Convert a binary sysstat ``sa`` datafile to sar ASCII by
+    shelling out to the host's ``sar`` binary (reference
+    code/mng_sar.py:82 ``convert_openpgp_sar_file``: ``unset LANG;
+    sar -A -t -f <file>``, rename ``saYYYYMMDD`` → ``sarYYYYMMDD``).
+    One driver-side subprocess per UPLOADED file — never part of a
+    distributed plan. Raises :class:`StoreError` when no ``sar``
+    binary exists or the conversion fails (old-format datafiles,
+    version skew)."""
+    sar_bin = shutil.which("sar")
+    if sar_bin is None:
+        raise StoreError(
+            f"{filename}: binary SAR datafile and no sysstat 'sar' "
+            "binary available to convert it"
+        )
+    if filename.startswith("sa") and len(filename) >= 10:
+        new_name = "sar" + filename[2:]
+    else:
+        new_name = f"sar_{filename}"
+    env = {k: v for k, v in os.environ.items() if k != "LANG"}
+    env["LC_TIME"] = "C"  # 24h timestamps, like the reference's unset LANG
+    tmp = tempfile.NamedTemporaryFile(delete=False, suffix="_input")
+    try:
+        tmp.write(content)
+        tmp.close()
+        result = subprocess.run(
+            [sar_bin, "-A", "-t", "-f", tmp.name],
+            capture_output=True,
+            env=env,
+        )
+    finally:
+        os.unlink(tmp.name)
+    if result.returncode != 0 or not result.stdout.strip():
+        detail = result.stderr.decode(errors="replace").strip()
+        raise StoreError(f"{filename}: sar conversion failed: {detail}")
+    return result.stdout, new_name
 
 
 class SarStore:
@@ -64,9 +105,10 @@ class SarStore:
         long frame), rename to ``<host>_<date>`` (reference
         mng_sar rename flow), store raw + parquet eagerly.
 
-        Binary ``sa`` datafiles would need the sysstat ``sar`` binary
-        to convert (reference shells out to ``sar -A``); without it the
-        upload is rejected with a clear error rather than guessed at.
+        Binary ``sa`` datafiles convert through the host's ``sar``
+        binary when one is on PATH (:func:`convert_binary_sa`); without
+        one the upload is rejected with a clear error rather than
+        guessed at.
         """
         self._check_name(filename)
         warnings: list[str] = []
@@ -84,14 +126,11 @@ class SarStore:
             try:
                 content.decode("utf-8")
             except UnicodeDecodeError:
-                if shutil.which("sar"):
-                    raise StoreError(
-                        f"{filename}: binary SAR datafile conversion not wired up"
-                    )
-                raise StoreError(
-                    f"{filename}: binary SAR datafile and no sysstat 'sar' "
-                    "binary available to convert it"
-                )
+                # binary sa datafile: convert via the host sar binary
+                # when one exists (reference mng_sar.py:82), reject
+                # with a clear error otherwise
+                content, filename = convert_binary_sa(content, filename)
+                warnings.append(f"{filename}: binary sa datafile converted")
 
         # Parse through the same distributed readers every other query
         # uses (sources.sar_text / sources.sadf_json) via a staging dir;

@@ -4,6 +4,7 @@ hand-computed values."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sarfile_analyzer_ng_spark.functions import dedup as D
@@ -1079,6 +1080,19 @@ def test_pq_arrow_kernel_matches_dataframe_adc(spark):
     b = {(r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
          for r in kernel.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_arrow_oversized_query_set_raises(spark):
+    # the Q x m x K distance table is driver-collected + broadcast; an
+    # oversized query set must fail loudly BEFORE the collect, with
+    # sharding guidance, not OOM the driver
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=1)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    with pytest.raises(ValueError, match="shard the query set"):
+        S.ann_topk_pq_arrow(emb, queries, "vec_id", "embedding", 64,
+                            books, codes, m=4, k=5, max_dtab_cells=8)
 
 
 def test_pq_index_roundtrip_and_incremental_encode(spark, tmp_path):

@@ -47,13 +47,58 @@ def test_upload_xz_and_overwrite_warns(store):
     assert any("overwritten" in w for w in info2["warnings"])
 
 
-def test_upload_rejects_binary_and_bad_names(store):
+def test_upload_rejects_binary_and_bad_names(store, monkeypatch):
+    monkeypatch.setenv("PATH", "/nonexistent")  # ensure no sar binary
     with pytest.raises(StoreError, match="binary SAR"):
         store.upload("alice", "sa20", bytes([0x93, 0x21, 0x00, 0xFF]) * 16)
     with pytest.raises(StoreError, match="invalid"):
         store.upload("../evil", "f.txt", SAR_24H.encode())
     with pytest.raises(StoreError, match="invalid"):
         store.upload("alice", "../../etc/passwd", SAR_24H.encode())
+
+
+def _stub_sar(tmp_path, monkeypatch, script_body):
+    """Put a fake ``sar`` executable on PATH (the container has no
+    sysstat), exercising the real subprocess conversion path."""
+    bindir = tmp_path / "fakebin"
+    bindir.mkdir(exist_ok=True)
+    sar = bindir / "sar"
+    sar.write_text(script_body)
+    sar.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ.get('PATH', '')}")
+
+
+def test_upload_converts_binary_sa_via_host_sar(store, tmp_path, monkeypatch):
+    # the stub validates the reference CLI contract (sar -A -t -f <in>)
+    # and emits a real sar ASCII report on stdout
+    out_fixture = tmp_path / "converted.txt"
+    out_fixture.write_text(SAR_24H)
+    _stub_sar(
+        tmp_path, monkeypatch,
+        "#!/bin/sh\n"
+        '[ "$1" = "-A" ] && [ "$2" = "-t" ] && [ "$3" = "-f" ] '
+        "&& [ -s \"$4\" ] || exit 64\n"
+        f"cat {out_fixture}\n",
+    )
+    info = store.upload(
+        "alice", "sa20250101", bytes([0x93, 0x21, 0x00, 0xFF]) * 16
+    )
+    assert info["rows"] > 0
+    assert info["name"].startswith("host1_")
+    # the sa→sar rename happened before the host_date rename
+    assert any("sar20250101: binary sa datafile converted" in w
+               for w in info["warnings"])
+
+
+def test_upload_binary_sa_conversion_failure_is_clear(
+    store, tmp_path, monkeypatch
+):
+    _stub_sar(
+        tmp_path, monkeypatch,
+        "#!/bin/sh\necho 'invalid system activity file' >&2\nexit 2\n",
+    )
+    with pytest.raises(StoreError, match="sar conversion failed"):
+        store.upload("alice", "sa20250101", bytes([0x93, 0x21, 0x00]) * 16)
 
 
 def test_disk_usage_report(store):
