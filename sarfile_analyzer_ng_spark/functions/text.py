@@ -79,8 +79,10 @@ def quality_score(df: DataFrame, text_col: str, round_to: int = 4) -> DataFrame:
     n_stop = F.regexp_count(F.lower(t), F.lit(LANG_PATTERNS["en"])).cast("double")
     # true mean word length: word characters / words — NOT derived
     # from n_chars with a single-space assumption, which runs of
-    # whitespace would inflate
-    word_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+    # whitespace would inflate. Counted as n_chars − whitespace chars:
+    # value-identical to length(regexp_replace(t, '\s+', '')) but a
+    # pure counting scan, no rewritten-string allocation per row.
+    word_chars = n_chars - F.regexp_count(t, F.lit(r"\s")).cast("double")
     mean_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
