@@ -479,29 +479,14 @@ def knn_classify(emb: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
-def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
-                       k: int = 8, iters: int = 2,
-                       round_to: int = 4, cent_round: int = 6) -> DataFrame:
-    """Engine-reproducible Lloyd k-means — the oracled correctness
-    twin of :func:`ivf_train` (same deterministic smallest-id init,
-    same cosine-argmax assignment), built entirely from DataFrame ops
-    so DuckDB SQL replays it bit-for-bit:
-
-    - assignments rank by the ROUNDED cosine (ties → smaller cluster
-      id), so an ulp near a decision boundary cannot flip engines;
-    - updated centroids are ROUNDED per component after averaging, so
-      iteration ``i+1`` starts from identical inputs in both engines
-      (partial-agg vs sequential summation differences collapse).
-
-    Shape at scale: the centroid frame (k rows) broadcasts into the
-    assignment cross join; the mean update per-dimension explodes
-    (rows × dim) into a uniform-key agg. That explode is this twin's
-    deliberate cost — the production path (ivf_train) does the same
-    update as Arrow partial sums in one corpus pass; this operator is
-    the gate that pins its geometry, not its replacement.
-
-    Returns the final assignment ``(id, cluster, cos)``.
-    """
+def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
+                     k: int = 8, iters: int = 2,
+                     round_to: int = 4, cent_round: int = 6) -> DataFrame:
+    """The centroid frame ``(cluster, c)`` after ``iters`` Lloyd
+    updates — the model half of :func:`kmeans_lloyd_exact`, exposed so
+    consumers that assign OUTSIDE the batch plan (the ST11 streaming
+    SemDeDup twin, index builders) rank against the exact centroids
+    the batch assignment uses."""
     from pyspark.sql import Window
 
     from ..util import rnd
@@ -519,22 +504,18 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
             F.col("e").alias("c"),
         )
     )
-
-    def assign(cent_df):
+    for _ in range(iters):
         cos = rnd(cosine(F.col("e"), F.col("c")), round_to)
         w = Window.partitionBy(id_col).orderBy(
             F.col("cos").desc(), F.col("cluster").asc()
         )
-        return (
-            v.crossJoin(F.broadcast(cent_df))
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
             .withColumn("cos", cos)
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select(id_col, "cluster", "cos", "e")
         )
-
-    for _ in range(iters):
-        assigned = assign(cent)
         means = (
             assigned.select(
                 "cluster", F.posexplode(F.col("e")).alias("d", "val")
@@ -557,10 +538,60 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
                 "cluster", F.coalesce(F.col("c"), F.col("c_prev")).alias("c")
             )
         )
-    return assign(cent).select(
+    return cent
+
+
+def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
+                       k: int = 8, iters: int = 2,
+                       round_to: int = 4, cent_round: int = 6) -> DataFrame:
+    """Engine-reproducible Lloyd k-means — the oracled correctness
+    twin of :func:`ivf_train` (same deterministic smallest-id init,
+    same cosine-argmax assignment), built entirely from DataFrame ops
+    so DuckDB SQL replays it bit-for-bit:
+
+    - assignments rank by the ROUNDED cosine (ties → smaller cluster
+      id), so an ulp near a decision boundary cannot flip engines;
+    - updated centroids are ROUNDED per component after averaging, so
+      iteration ``i+1`` starts from identical inputs in both engines
+      (partial-agg vs sequential summation differences collapse).
+
+    Shape at scale: the centroid frame (k rows) broadcasts into the
+    assignment cross join; the mean update per-dimension explodes
+    (rows × dim) into a uniform-key agg. That explode is this twin's
+    deliberate cost — the production path (ivf_train) does the same
+    update as Arrow partial sums in one corpus pass; this operator is
+    the gate that pins its geometry, not its replacement.
+
+    Returns the final assignment ``(id, cluster, cos)`` — ranked
+    against the :func:`kmeans_centroids` frame after ``iters``
+    updates, so model and assignment stay one code path.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    v = emb.select(
         F.col(id_col),
-        F.col("cluster").cast("long").alias("cluster"),
-        "cos",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    cent = kmeans_centroids(
+        emb, id_col, vec_col, k=k, iters=iters,
+        round_to=round_to, cent_round=cent_round,
+    )
+    cos = rnd(cosine(F.col("e"), F.col("c")), round_to)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("cluster").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            "cos",
+        )
     )
 
 

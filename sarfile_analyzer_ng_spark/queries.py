@@ -3602,13 +3602,12 @@ FROM f GROUP BY source
 #    q08/q33-q35/q37-q49/q51/q53-q75 minus the r5-recorded ones) —
 #    so no key ever goes more than 2 rounds without a driver-recorded
 #    green;
-#  - the remaining slots take the rows-only r4 keys whose value
-#    behavior is pinned by an oracled twin (q31↔q51, q32↔q52,
-#    q36↔q77) — the twins rode the r5 window, so the rows-only
-#    originals take their own turn now;
-#  - the tail carries the 50 entries recorded green in round 5 plus
-#    q50_sketch_stats (rows-only, gated by the in-window q54 bounds
-#    check), UNCHANGED since that pass — enforced by
+#  - the remaining slots take q82/q85/q86, whose analyzed plans moved
+#    with the r6 kmeans_centroids extraction (changed ⇒ window);
+#  - the tail carries the other 47 entries recorded green in round 5
+#    plus q50/q31/q32/q36 (rows-only; q50 gated by the in-window q54
+#    bounds check, the dedup trio value-pinned by the oracled twins
+#    q51/q52/q77), UNCHANGED since that pass — enforced by
 #    tests/test_tail_staleness.py, which digests each tail entry's
 #    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
 #    the optimized plan) against tests/data/tail_snapshots.json and
@@ -3664,11 +3663,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q66_mix_apply": (q66_mix_apply, SQL_Q66),
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
-    # rows-only r4 keys taking their window turn (each value-pinned by
-    # an oracled twin: q31↔q51, q32↔q52, q36↔q77)
-    "q31_dedup_minhash": (q31_dedup_minhash, None),
-    "q32_dedup_simhash": (q32_dedup_simhash, None),
-    "q36_ann_lsh": (q36_ann_lsh, None),
+    # changed this round: the kmeans_centroids extraction (shared with
+    # the ST11 streaming SemDeDup twin) moved these three analyzed
+    # plans, so they re-enter the window for a fresh recording
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     # ---- tail: beyond the driver's 50-entry recording window ----
     # (all recorded green in round 5; staleness-guarded, see above.
     # q90 is the exception: rows-only in r5, gated by the oracled q91
@@ -3709,11 +3709,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q97_pq_codes": (q97_pq_codes, SQL_Q97),
     "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
     "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
-    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
-    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
@@ -3725,6 +3722,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     "q50_sketch_stats": (q50_sketch_stats, None),
+    # rows-only r4 keys, value-pinned by oracled twins (q31↔q51,
+    # q32↔q52, q36↔q77); they ceded their window slots to the three
+    # kmeans-refactor re-records and rotate in next round
+    "q31_dedup_minhash": (q31_dedup_minhash, None),
+    "q32_dedup_simhash": (q32_dedup_simhash, None),
+    "q36_ann_lsh": (q36_ann_lsh, None),
 }
 
 

@@ -393,3 +393,128 @@ def corpus_stats_stream(stream: DataFrame, ts_col: str, text_col: str,
             F.avg("quality").alias("avg_quality"),
         ],
     )
+
+
+def semdedup_verdicts_stream(stream: DataFrame, id_col: str, vec_col: str,
+                             centroids: list[tuple[int, list[float]]],
+                             tau: float = 0.8, round_to: int = 4,
+                             max_anchors: int = 256,
+                             state_ttl_ms: int = 3_600_000) -> DataFrame:
+    """Streaming SemDeDup (ST11): the ingest-side twin of
+    ``functions.similarity.semdedup`` — the one batch dedup family
+    that had no streaming stage until round 6.
+
+    Per-row CLUSTER ASSIGNMENT runs stateless against the broadcast
+    centroid list with the exact ``kmeans_lloyd_exact`` rule (rounded
+    cosine DESC, cluster ASC on ties), so stream assignments equal the
+    batch assignment frame value-for-value. Then one
+    ``applyInPandasWithState`` keyed by cluster holds up to
+    ``max_anchors`` KEPT representative vectors per cluster (the
+    anchored-star bound, like ST7: state is capped no matter how hot a
+    cluster runs). Each arriving vector, in id order within the
+    micro-batch, is scored against the stored anchors with the same
+    normalized-matmul + ``rnd_np`` ladder the batch pruner uses:
+    cosine ≥ ``tau`` to any anchor → ``kept=false`` with the smallest
+    matching anchor id; otherwise ``kept=true`` and the vector joins
+    the anchor set while capacity remains (beyond capacity it is kept
+    but unremembered — later duplicates of IT are missed, the explicit
+    price of bounded state, same horizon trade as ``state_ttl_ms``).
+
+    Semantics note vs batch: batch SemDeDup drops a vector similar to
+    ANY smaller-id cluster member (kept or dropped); the stream
+    compares against KEPT members only — on transitive-chain corpora
+    (a~b, b~c, a!~c) the stream keeps c where batch drops it. For
+    twin-planted and threshold-tight corpora the verdicts coincide
+    (pinned by tests/test_streaming.py batch-parity).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..util import rnd_np
+
+    order = sorted(centroids)
+    cmat = np.array([np.asarray(c, dtype=np.float64) for _, c in order])
+    cnrm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnrm[cnrm == 0.0] = 1.0
+    cmat_n = cmat / cnrm
+    cids = np.asarray([cid for cid, _ in order], dtype=np.int64)
+
+    def _assign_batch(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        cos = rnd_np((m / nrm) @ cmat_n.T, round_to)
+        # argmax returns the FIRST max — with centroids sorted by
+        # cluster id that is exactly the (cos DESC, cluster ASC) rule
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    # explicit returnType (no type-hint inference): pd is module-local
+    assign = F.pandas_udf(_assign_batch, T.LongType())
+
+    assigned = stream.select(
+        F.col(id_col).alias("doc"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("anchor", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("anchor_ids", T.ArrayType(T.LongType())),
+            T.StructField("anchor_vecs",
+                          T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids_list = list(state.get[0])
+            vec_list = [list(v) for v in state.get[1]]
+        else:
+            ids_list, vec_list = [], []
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc")
+        rows = []
+        for doc, vec in zip(pdf["doc"], pdf["e"]):
+            v = np.asarray(vec, dtype=np.float64)
+            n = np.linalg.norm(v)
+            vn = v / (n if n else 1.0)
+            anchor = None
+            if ids_list:
+                amat = np.array(vec_list)
+                anrm = np.linalg.norm(amat, axis=1, keepdims=True)
+                anrm[anrm == 0.0] = 1.0
+                sims = rnd_np((amat / anrm) @ vn, round_to)
+                hits = np.flatnonzero(sims >= tau)
+                if hits.size:
+                    anchor = int(min(ids_list[h] for h in hits))
+            if anchor is None:
+                if len(ids_list) < max_anchors:
+                    ids_list.append(int(doc))
+                    vec_list.append([float(x) for x in v])
+                rows.append((int(doc), int(key[0]), True, None))
+            else:
+                rows.append((int(doc), int(key[0]), False, anchor))
+        state.update((ids_list, vec_list))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            rows, columns=["doc", "cluster", "kept", "anchor"]
+        )
+
+    return assigned.groupBy(F.col("cluster")).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
+    )

@@ -529,3 +529,75 @@ def test_corpus_stats_stream_matches_batch_card(spark, tmp_path):
                                             round(r["avg_quality"], 6))
             for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_semdedup_stream_matches_batch_verdicts(spark, tmp_path):
+    """ST11: streaming SemDeDup must reproduce the batch pruner's
+    (cluster, kept) verdicts on a twin-planted corpus, with twins
+    arriving in a LATER micro-batch than their bases (anchor state
+    carries across batches). Assignment uses the same centroids as
+    the batch kmeans_lloyd_exact(iters=1) run: its smallest-id init."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions import similarity as S
+
+    src = str(tmp_path / "semdedup_src")
+    os.makedirs(src)
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.col("vec_id") < 60)
+        .select("vec_id", "embedding")
+    )
+    twins = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base_pdf = base.toPandas().sort_values("vec_id")
+    twin_pdf = twins.toPandas().sort_values("vec_id")
+    for i, sl in enumerate([base_pdf, twin_pdf]):
+        p = f"{src}/chunk{i}.parquet"
+        sl.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = base.unionByName(twins)
+    assigned = S.kmeans_lloyd_exact(
+        corpus, "vec_id", "embedding", k=4, iters=1
+    )
+    batch = {
+        r["vec_id"]: (int(r["cluster"]), bool(r["kept"]))
+        for r in S.semdedup(
+            corpus, "vec_id", "embedding", tau=0.8, assigned=assigned
+        ).collect()
+    }
+
+    # the stream assigns against the SAME centroid frame the batch
+    # assignment ranked with (kmeans_centroids is the shared model)
+    cents = [
+        (int(r["cluster"]), [float(x) for x in r["c"]])
+        for r in S.kmeans_centroids(
+            corpus, "vec_id", "embedding", k=4, iters=1
+        ).collect()
+    ]
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.semdedup_verdicts_stream(
+        stream, "vec_id", "embedding", cents, tau=0.8
+    )
+    q = (
+        out.writeStream.format("memory").queryName("semdedup_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("semdedup_stream_test").collect()
+
+    stream_verdicts = {
+        r["doc"]: (int(r["cluster"]), bool(r["kept"])) for r in got
+    }
+    assert stream_verdicts == batch
+    # every twin is dropped against its own base, which arrived in the
+    # EARLIER micro-batch — anchor state crossed the batch boundary
+    twin_rows = [r for r in got if r["doc"] >= 1_000_000]
+    assert twin_rows and all(not r["kept"] for r in twin_rows)
+    assert all(r["anchor"] == r["doc"] - 1_000_000 for r in twin_rows)
