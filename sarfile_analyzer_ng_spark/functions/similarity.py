@@ -1306,6 +1306,54 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
 # Vector-index persistence: train once, encode/search forever
 # --------------------------------------------------------------------
 
+def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
+                              id_col: str, vec_col: str, dim: int,
+                              codebooks: DataFrame, codes: DataFrame,
+                              m: int = 4, k: int = 5, dist_round: int = 6,
+                              partial_top: int | None = None,
+                              max_dtab_cells: int = 8_000_000) -> DataFrame:
+    """Query-set sharding for :func:`ann_topk_pq_arrow` — the path its
+    oversized-query-set error points at. Per-query top-k is
+    independent across queries, so slicing the query set into chunks
+    that each respect the Q·m·K distance-table broadcast bound and
+    unioning the per-shard results is EXACTLY the unsharded ranking
+    (no cross-shard interaction to reconcile).
+
+    Shards are contiguous id ranges (row_number over id — one window
+    over the query frame, deterministic), never hash buckets, so no
+    shard can skew past the bound. The honest cost: the packed-codes
+    frame streams once PER SHARD — at Q beyond the broadcast bound
+    that is the price of exact ADC scoring; if the query set is a
+    whole second corpus, flip the roles or use the IVF-probed
+    :func:`ann_topk_ivfpq` instead.
+    """
+    from pyspark.sql import Window
+
+    n_cb = codebooks.count()  # m × K rows
+    q_per_shard = max(1, int(max_dtab_cells // max(n_cb, 1)))
+    rn = F.row_number().over(Window.orderBy(F.col(id_col)))
+    sharded = queries.select(
+        queries["*"], ((rn - 1) / q_per_shard).cast("int").alias("_shard")
+    )
+    n_shards = sharded.agg(F.max("_shard")).first()[0]
+    if n_shards is None:  # empty query set
+        return ann_topk_pq_arrow(
+            emb, queries, id_col, vec_col, dim, codebooks, codes, m=m,
+            k=k, dist_round=dist_round, partial_top=partial_top,
+            max_dtab_cells=max_dtab_cells,
+        )
+    out = None
+    for shard in range(int(n_shards) + 1):
+        part = sharded.where(F.col("_shard") == shard).drop("_shard")
+        res = ann_topk_pq_arrow(
+            emb, part, id_col, vec_col, dim, codebooks, codes, m=m, k=k,
+            dist_round=dist_round, partial_top=partial_top,
+            max_dtab_cells=max_dtab_cells,
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def save_pq_index(path: str, codebooks: DataFrame, codes: DataFrame,
                   id_col: str) -> None:
     """Persist a PQ index as two parquet tables: ``<path>/codebooks``

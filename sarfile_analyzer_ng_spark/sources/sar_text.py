@@ -320,14 +320,13 @@ def read_sar(spark: SparkSession, path: str,
                 # one Arrow batch per file, built column-wise
                 yield pd.DataFrame(cols, columns=field_names)
 
-    # One file per partition: a 4 GB executor shouldn't hold many whole
-    # sar reports at once, and per-file tasks give linear fan-out. The
-    # partition count must track the file count — hashing into only
-    # spark.sql.shuffle.partitions would pack many files (gigabytes of
-    # raw bytes) into one partition/Arrow batch when the corpus is big.
-    # The count job is column-pruned (file names only, content unread).
-    n_files = raw.select("file").count()
-    raw = raw.repartition(max(int(n_files), 1), "file")
+    # No repartition (matches the sadf source): the binaryFile scan
+    # already packs whole files into partitions bounded by
+    # spark.sql.files.maxPartitionBytes — byte-aware, unlike a hash
+    # repartition on file name, which can collide two gigabyte files
+    # into one partition. parse_batches yields one Arrow frame per
+    # file, bounding python memory within a partition, and the plan
+    # stays lazy (no eager listing job at construction time).
     return raw.mapInPandas(parse_batches, SAR_SCHEMA)
 
 

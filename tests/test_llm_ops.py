@@ -1095,6 +1095,25 @@ def test_pq_arrow_oversized_query_set_raises(spark):
                             books, codes, m=4, k=5, max_dtab_cells=8)
 
 
+def test_pq_arrow_sharded_equals_unsharded(spark):
+    # contiguous-id query shards each within the broadcast bound must
+    # union to EXACTLY the unsharded ranking (per-query independence)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=1)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    whole = S.ann_topk_pq_arrow(emb, queries, "vec_id", "embedding", 64,
+                                books, codes, m=4, k=5)
+    # m*K = 32 codebook rows; 96 cells -> 3 queries per shard -> 4 shards
+    sharded = S.ann_topk_pq_arrow_sharded(
+        emb, queries, "vec_id", "embedding", 64, books, codes, m=4, k=5,
+        max_dtab_cells=96,
+    )
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in sharded.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_pq_index_roundtrip_and_incremental_encode(spark, tmp_path):
     # save -> load -> search must equal the in-memory index; a new
     # batch encodes against the LOADED codebooks without retraining
