@@ -1,0 +1,98 @@
+"""Pseudo-labeled quality classification — distributed logistic
+regression over the quality-feature columns.
+
+The production pattern (GPT-3's quality filter, CCNet's fasttext
+gate): label a slice of the corpus by PROVENANCE (curated reference
+domains = positive, raw crawl = negative), train a cheap linear
+classifier on per-document features, then score every document and
+keep/downsample by predicted quality. No reference-engine twin exists
+(the sar reference has no ML surface); the design follows the repo's
+iterative-operator contract (kmeans_lloyd_exact, bpe_train):
+
+- the MODEL is bounded driver state (one weight per feature — here 5
+  floats), broadcast into each pass as literals;
+- each iteration is ONE whole-corpus aggregation (full-batch gradient:
+  ``g_j = Σ (σ(w·x) − y)·x_j / n``), so k iterations cost k linear
+  scans and k tiny driver round-trips — nothing per-row ever collects;
+- every cross-engine-visible number goes through the ``rnd`` ladder:
+  per-row margins and sigmoids pre-round at 8 digits (collapsing JVM
+  vs DuckDB ``exp`` ulp skew), gradients and weight updates round at 6
+  — so the DuckDB oracle replays training bit-for-bit with an
+  unrolled CTE chain (one gradient CTE + one weight CTE per
+  iteration; see queries.SQL_Q104).
+
+At 100 TB: the gradient agg is a map-side-combinable sum keyed by
+nothing (partial aggregation does all the work); feature extraction
+is the quality_score codegen map stage. Wall per iteration ≈ one
+corpus scan; 4 iterations of a 5-feature model is the whole training
+budget — the classifier is deliberately in the cheap-filter class,
+not an LLM judge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import rnd, rnd_np
+
+
+def logreg_margin(xs: list[Column], weights: list[float],
+                  sig_round: int = 8) -> Column:
+    """``rnd(w·x, sig_round)`` with the dot product evaluated strictly
+    left-to-right — the summand order is part of the cross-engine
+    contract (the oracle writes the same literal order)."""
+    z: Column = F.lit(0.0)
+    for w_j, x_j in zip(weights, xs):
+        z = z + F.lit(w_j) * x_j
+    return rnd(z, sig_round)
+
+
+def logreg_sigmoid(z: Column, sig_round: int = 8) -> Column:
+    return rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), sig_round)
+
+
+def logreg_train(df: DataFrame, feature_cols: list[str], label_col: str,
+                 iters: int = 4, lr: float = 0.5,
+                 round_to: int = 6, sig_round: int = 8) -> list[float]:
+    """Full-batch gradient descent from ``w = 0``; returns the weight
+    vector ``[bias, w_1, ...]`` after exactly ``iters`` updates (fixed
+    iteration count, not convergence — determinism is the contract,
+    like ``kmeans_lloyd_exact``'s fixed Lloyd rounds)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("logreg_train: empty training frame")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * len(xs)
+    for _ in range(iters):
+        resid = logreg_sigmoid(logreg_margin(xs, w, sig_round), sig_round) - y
+        grads = df.agg(
+            *[
+                rnd(F.sum(resid * x_j) / F.lit(float(n)), round_to)
+                .alias(f"g{j}")
+                for j, x_j in enumerate(xs)
+            ]
+        ).first()
+        # rnd_np expects an array (its half-boundary repair indexes)
+        w = [
+            float(rnd_np([w_j - lr * float(grads[f"g{j}"])], round_to)[0])
+            for j, w_j in enumerate(w)
+        ]
+    return w
+
+
+def logreg_score(df: DataFrame, feature_cols: list[str],
+                 weights: list[float], out_col: str = "p_good",
+                 round_to: int = 4, sig_round: int = 8) -> DataFrame:
+    """Score every row with a trained weight vector: ``p = σ(w·x)``
+    (rounded for the verdict) plus the 0.5-threshold class. One
+    codegen map stage, model as literals — no join, no shuffle."""
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    p = logreg_sigmoid(logreg_margin(xs, weights, sig_round), sig_round)
+    return df.withColumns(
+        {
+            out_col: rnd(p, round_to),
+            "pred": (rnd(p, round_to) >= 0.5).cast("int"),
+        }
+    )

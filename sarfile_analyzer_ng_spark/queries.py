@@ -3591,6 +3591,113 @@ FROM f GROUP BY source
 """
 
 
+
+QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+QC_FEATURES = ["x1", "x2", "x3", "x4"]
+QC_ITERS, QC_LR = 4, 0.5
+
+
+def _qc_features(spark, sf_dir):
+    """Pseudo-labeled quality features: provenance label (curated
+    reference sources positive, like GPT-3's quality filter) + the
+    quality_score statistics scaled into comparable ranges, every
+    value on the rnd ladder so training replays cross-engine."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    qs = TX.quality_score(docs, "text")
+    return qs.select(
+        "doc_id",
+        F.when(F.col("source").isin(*QC_POS_SOURCES), 1)
+        .otherwise(0).alias("label"),
+        rnd(F.least(F.col("n_words"), F.lit(400)).cast("double")
+            / F.lit(400.0), 6).alias("x1"),
+        rnd(F.col("mean_word_len") / F.lit(10.0), 6).alias("x2"),
+        F.col("punct_ratio").alias("x3"),
+        F.col("stopword_ratio").alias("x4"),
+    )
+
+
+def q104_quality_classifier(spark, sf_dir):
+    """Pseudo-labeled quality classifier (functions/classify.py):
+    4 full-batch logistic-regression steps over the quality features
+    with curated-source provenance labels, then a corpus-wide score —
+    the CCNet/GPT-3 quality-filter shape as a distributed, ORACLED
+    iterative algorithm (the DuckDB twin unrolls the gradient loop
+    into one CTE chain and reproduces the weights bit-for-bit)."""
+    from .functions import classify as C
+
+    feats = _qc_features(spark, sf_dir)
+    w = C.logreg_train(feats, QC_FEATURES, "label",
+                       iters=QC_ITERS, lr=QC_LR)
+    return C.logreg_score(feats, QC_FEATURES, w).select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        "p_good",
+        "pred",
+    )
+
+
+def _sql_logreg(iters: int = QC_ITERS, lr: float = QC_LR) -> str:
+    """The training loop as one CTE chain: w0 = 0; per iteration a
+    sigmoid CTE (per-row, 8-digit rnd — collapsing JVM/DuckDB exp ulp
+    skew), a gradient CTE (5 sums / n, 6-digit rnd) and a weight CTE
+    (w − lr·g, 6-digit rnd) — the exact arithmetic logreg_train runs,
+    including the strict left-to-right dot-product order."""
+    pos = ", ".join(f"'{s}'" for s in QC_POS_SOURCES)
+    parts = [f"""qstats AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+           AS word_chars,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({pos}) THEN 1.0 ELSE 0.0 END AS y,
+         {sql_rnd('least(n_words, 400) / 400.0', 6)} AS x1,
+         {sql_rnd(sql_rnd('CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END', 4) + ' / 10.0', 6)} AS x2,
+         {sql_rnd('CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END', 4)} AS x3,
+         {sql_rnd('CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END', 4)} AS x4
+  FROM qstats),
+cnt AS (SELECT count(*)::DOUBLE AS n FROM feat),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""]
+    def zexpr(prefix_w: str, prefix_x: str) -> str:
+        return (f"{prefix_w}.w0 * 1.0 + {prefix_w}.w1 * {prefix_x}.x1 + "
+                f"{prefix_w}.w2 * {prefix_x}.x2 + {prefix_w}.w3 * {prefix_x}.x3 + "
+                f"{prefix_w}.w4 * {prefix_x}.x4")
+    for i in range(1, iters + 1):
+        sig = sql_rnd(f"1.0 / (1.0 + exp(-({sql_rnd(zexpr('w', 'f'), 8)})))", 8)
+        parts.append(f"""s{i} AS (
+  SELECT f.y, f.x1, f.x2, f.x3, f.x4, {sig} AS sig
+  FROM feat f, w{i - 1} w)""")
+        parts.append(f"""g{i} AS (
+  SELECT {sql_rnd('sum((sig - y) * 1.0) / any_value(c.n)', 6)} AS g0,
+         {sql_rnd('sum((sig - y) * x1) / any_value(c.n)', 6)} AS g1,
+         {sql_rnd('sum((sig - y) * x2) / any_value(c.n)', 6)} AS g2,
+         {sql_rnd('sum((sig - y) * x3) / any_value(c.n)', 6)} AS g3,
+         {sql_rnd('sum((sig - y) * x4) / any_value(c.n)', 6)} AS g4
+  FROM s{i}, cnt c)""")
+        parts.append(f"""w{i} AS (
+  SELECT {sql_rnd(f'w.w0 - {lr} * g.g0', 6)} AS w0,
+         {sql_rnd(f'w.w1 - {lr} * g.g1', 6)} AS w1,
+         {sql_rnd(f'w.w2 - {lr} * g.g2', 6)} AS w2,
+         {sql_rnd(f'w.w3 - {lr} * g.g3', 6)} AS w3,
+         {sql_rnd(f'w.w4 - {lr} * g.g4', 6)} AS w4
+  FROM w{i - 1} w, g{i} g)""")
+    final_sig = sql_rnd(
+        f"1.0 / (1.0 + exp(-({sql_rnd(zexpr('w', 'f'), 8)})))", 8
+    )
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT f.doc_id, f.y::BIGINT AS label,
+       {sql_rnd(final_sig, 4)} AS p_good,
+       (CASE WHEN {sql_rnd(final_sig, 4)} >= 0.5 THEN 1 ELSE 0 END)::INTEGER
+         AS pred
+FROM feat f, w{iters} w""")
+
+
+SQL_Q104 = _sql_logreg()
+
 # key -> (spark callable, oracle SQL or None for rows-only checks)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -3728,6 +3835,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q36_ann_lsh": (q36_ann_lsh, None),
+    # new in r6 (the window is full of never/oldest-recorded keys, the
+    # q100-q103 precedent): oracle replays run in the local parity
+    # suite; leads the r7 window as a never-recorded key
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
 }
 
 

@@ -749,6 +749,43 @@ def test_semdedup_composes_with_ivf_assignment(spark):
     assigned.unpersist()
 
 
+def test_logreg_learns_separable_features(spark):
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    # deterministically separable: label 1 iff x1 > 0.5 (x2 is noise)
+    rows = [
+        (i, 1 if (i % 10) >= 5 else 0,
+         0.8 if (i % 10) >= 5 else 0.2,
+         ((i * 37) % 100) / 100.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, x1 double, x2 double"
+    )
+    w = C.logreg_train(df, ["x1", "x2"], "label", iters=25, lr=2.0)
+    scored = C.logreg_score(df, ["x1", "x2"], w)
+    acc = scored.where(F.col("pred") == F.col("label")).count() / 200
+    assert acc == 1.0
+    # determinism: retraining yields the identical weight vector
+    assert w == C.logreg_train(df, ["x1", "x2"], "label", iters=25, lr=2.0)
+    # empty frame fails loudly
+    with pytest.raises(ValueError, match="empty"):
+        C.logreg_train(df.where(F.lit(False)), ["x1"], "label")
+
+
+def test_q104_scores_are_probabilities_and_plan_is_scan_bound(spark):
+    from sarfile_analyzer_ng_spark import queries as Q
+
+    out = Q.q104_quality_classifier(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r["p_good"] <= 1.0 for r in rows)
+    assert all(r["pred"] == (1 if r["p_good"] >= 0.5 else 0) for r in rows)
+    # scoring is a pure map stage: no shuffle in the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
 def _ref_bpe(word_counts, num_merges):
     # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
     # the distributed trainer: count DESC, pair ASC tie-break
