@@ -601,3 +601,54 @@ def test_semdedup_stream_matches_batch_verdicts(spark, tmp_path):
     twin_rows = [r for r in got if r["doc"] >= 1_000_000]
     assert twin_rows and all(not r["kept"] for r in twin_rows)
     assert all(r["anchor"] == r["doc"] - 1_000_000 for r in twin_rows)
+
+
+def test_logreg_scoring_runs_unchanged_on_stream(spark, tmp_path):
+    """The trained quality classifier applies at ingest with ZERO
+    streaming-specific code (the ST6/ST8 stream-static pattern):
+    logreg_score is a stateless codegen map stage, so the EXACT batch
+    operator runs on a readStream frame and emits the batch verdicts."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions import classify as C
+    from sarfile_analyzer_ng_spark.functions.text import quality_score
+
+    src = str(tmp_path / "logreg_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", "source", "text")
+    )
+    docs.toPandas().to_parquet(f"{src}/c0.parquet", index=False)
+
+    def features(df):
+        qs = quality_score(df, "text")
+        return qs.select(
+            "doc_id",
+            F.when(F.col("source").isin("src0", "src1"), 1)
+            .otherwise(0).alias("label"),
+            (F.col("punct_ratio")).alias("x1"),
+            (F.col("stopword_ratio")).alias("x2"),
+        )
+
+    batch_feats = features(docs)
+    w = C.logreg_train(batch_feats, ["x1", "x2"], "label", iters=3)
+    want = {
+        r["doc_id"]: (r["p_good"], r["pred"])
+        for r in C.logreg_score(batch_feats, ["x1", "x2"], w).collect()
+    }
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = C.logreg_score(features(stream), ["x1", "x2"], w)
+    q = (
+        out.writeStream.format("memory").queryName("logreg_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["p_good"], r["pred"])
+        for r in spark.table("logreg_stream_test").collect()
+    }
+    assert got == want and len(got) == 80
