@@ -1234,3 +1234,42 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
     return src.mapInPandas(encode, schema).select(
         F.col("_id").alias(id_col), "n_bpe_tokens"
     )
+
+
+def budget_select(df: DataFrame, text_col: str, id_col: str,
+                  source_col: str, budget_tokens: int) -> DataFrame:
+    """Quality-ordered token-budget trimming — the complement of
+    :func:`repeat_schedule`: that operator plans EPOCHS when a source
+    is too small for its mixture share; this one trims a source that
+    is too LARGE, keeping its best documents until the per-source
+    token budget fills (greedy prefix in (quality DESC, id ASC)
+    order — deterministic under the 4-digit quality ties).
+
+    Shape at scale: ONE shuffle keyed by source, then a running sum
+    inside each source partition (explicit ROWS frame, never the
+    tie-merging RANGE default). A pathologically hot source makes a
+    hot partition — at that size, swap the exact prefix for a quality
+    threshold from ``percentile_approx`` (sketch pass, no sort); the
+    exact window IS the oracled gate here.
+
+    Emits every document with its running total and verdict so the
+    trim is auditable: ``(id, source, n_tokens, quality, cum_tokens,
+    kept)``.
+    """
+    from pyspark.sql import Window
+
+    qs = quality_score(df.select(id_col, source_col, text_col), text_col)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return qs.select(
+        id_col,
+        source_col,
+        F.col("n_words").alias("n_tokens"),
+        "quality",
+        F.sum("n_words").over(w).cast("long").alias("cum_tokens"),
+    ).withColumn(
+        "kept", (F.col("cum_tokens") <= F.lit(int(budget_tokens))).cast("int")
+    )

@@ -3592,6 +3592,52 @@ FROM f GROUP BY source
 
 
 
+
+QB_BUDGET = 1500  # per-source token budget; binding at every gate SF
+
+
+def q105_budget_trim(spark, sf_dir):
+    """Per-source token-budget trimming (functions/text.py:
+    budget_select): keep each source's best documents — greedy in
+    (quality DESC, doc_id ASC) order — until the token budget fills.
+    The complement of q102's repeat schedule: q102 plans epochs for
+    sources too SMALL for their mixture share; this trims sources too
+    LARGE. One source-keyed shuffle + an explicit-ROWS running sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.budget_select(docs, "text", "doc_id", "source", QB_BUDGET)
+
+
+SQL_Q105 = rf"""
+WITH f AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
+  FROM documents),
+q AS (
+  SELECT doc_id, source, n_words::BIGINT AS n_tokens,
+         round(CAST(CAST((least(n_words / 50.0, 1.0) * 0.4
+               + least(CASE WHEN n_words > 0 THEN n_stop / n_words
+                       ELSE 0.0 END * 5.0, 1.0) * 0.4
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                              ELSE 0.0 END * 10.0, 1.0)) * 0.2)
+           AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS quality
+  FROM f)
+SELECT doc_id, source, n_tokens, quality,
+       sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY quality DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS cum_tokens,
+       (CASE WHEN sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) <= {QB_BUDGET}
+             THEN 1 ELSE 0 END)::INTEGER AS kept
+FROM q
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -3839,6 +3885,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q100-q103 precedent): oracle replays run in the local parity
     # suite; leads the r7 window as a never-recorded key
     "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
 }
 
 

@@ -786,6 +786,25 @@ def test_q104_scores_are_probabilities_and_plan_is_scan_bound(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_budget_select_greedy_prefix(spark):
+    rows = [
+        # (doc_id, source, text) — word counts 4/3/2; quality order is
+        # driven by n_words here (longer => higher under the formula)
+        (1, "a", "w w w w"),
+        (2, "a", "w w w"),
+        (3, "a", "w w"),
+        (4, "b", "x x x x x x x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           TX.budget_select(df, "text", "doc_id", "source", 7).collect()}
+    # source a: quality asc with words 4 > 3 > 2 -> cum 4, 7, 9
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3)] == [4, 7, 9]
+    assert [out[i]["kept"] for i in (1, 2, 3)] == [1, 1, 0]
+    # source b: a single over-budget doc is trimmed, budgets are per source
+    assert out[4]["kept"] == 0 and out[4]["cum_tokens"] == 8
+
+
 def _ref_bpe(word_counts, num_merges):
     # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
     # the distributed trainer: count DESC, pair ASC tie-break
