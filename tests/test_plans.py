@@ -364,3 +364,43 @@ def test_temperature_mix_scan_prunes_to_source_and_text(spark):
     schemas = [l for l in f.splitlines() if "ReadSchema" in l]
     assert schemas
     assert all("n_chars" not in l and "doc_id" not in l for l in schemas)
+
+
+def test_budget_trim_single_source_shuffle_and_rows_frame(spark):
+    """q105's running sum must cost exactly ONE data shuffle (the
+    source-keyed window exchange) and use an explicit ROWS frame —
+    the RANGE default would merge quality ties into one cum value
+    and over-keep at the budget edge."""
+    from sarfile_analyzer_ng_spark.queries import q105_budget_trim
+
+    df = q105_budget_trim(spark, SF_DIR)
+    p = plan(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    # Catalyst prints the frame kind: RowFrame (wanted) vs RangeFrame
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "RowFrame" in analyzed and "RangeFrame" not in analyzed
+    # quality features stay JVM-side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_classifier_training_agg_is_map_side_combinable(spark):
+    """Z47's gradient aggregate must be a partial-then-final
+    HashAggregate pair over the scan (map-side combine carries the
+    reduction; the shuffle moves 5 numbers per task, not rows)."""
+    from pyspark.sql import functions as F
+
+    from sarfile_analyzer_ng_spark.functions import classify as C
+    from sarfile_analyzer_ng_spark.queries import _qc_features, QC_FEATURES
+
+    feats = _qc_features(spark, SF_DIR)
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in QC_FEATURES]
+    resid = C.logreg_sigmoid(C.logreg_margin(xs, [0.0] * 5)) - F.col(
+        "label"
+    ).cast("double")
+    grad = feats.agg(
+        *[F.sum(resid * x).alias(f"g{j}") for j, x in enumerate(xs)]
+    )
+    p = plan(grad)
+    assert p.count("HashAggregate") == 2  # partial + final
+    assert "Exchange SinglePartition" in p  # 5 numbers per task move
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
