@@ -18,6 +18,8 @@ quality → exact-dedup → decontamination funnel per (source, stage):
     python -m sarfile_analyzer_ng_spark curate <docs_parquet>
         [--eval-parquet P | --eval-mod N] [--json]
     python -m sarfile_analyzer_ng_spark card <docs_parquet> [--json]
+    python -m sarfile_analyzer_ng_spark classify <docs_parquet>
+        [--pos-sources S1,S2,...] [--json]
 """
 
 from __future__ import annotations
@@ -52,7 +54,8 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sarfile_analyzer_ng_spark")
     ap.add_argument(
         "command",
-        choices=["files", "sections", "analyze", "stats", "curate", "card"],
+        choices=["files", "sections", "analyze", "stats", "curate", "card",
+                 "classify"],
     )
     ap.add_argument("path")
     ap.add_argument("--file")
@@ -75,6 +78,12 @@ def main(argv: list[str] | None = None) -> None:
         "--limit", type=int, default=10_000,
         help="max rows printed (default 10000; <=0 means unlimited — "
         "streams batches through the driver instead of collecting)",
+    )
+    ap.add_argument(
+        "--pos-sources",
+        default=None,
+        help="classify: comma-separated source names that play the "
+        "curated positive class (default: the registry's QC_POS_SOURCES)",
     )
     args = ap.parse_args(argv)
     if args.command == "curate" and not args.eval_parquet \
@@ -132,6 +141,45 @@ def main(argv: list[str] | None = None) -> None:
                 F.sum("n_words").cast("bigint").alias("n_words"),
             )
             .orderBy("source", "stage")
+        )
+        return
+
+    if args.command == "classify":
+        from pyspark.sql import functions as F
+
+        from .functions import classify as C
+        from .functions.text import quality_score
+
+        docs = spark.read.parquet(args.path)
+        for col in ("doc_id", "text", "source"):
+            if col not in docs.columns:
+                sys.exit(f"classify needs a ({col}) column in {args.path}")
+        if args.pos_sources:
+            pos = tuple(p.strip() for p in args.pos_sources.split(",") if p.strip())
+        else:
+            from .queries import QC_POS_SOURCES as pos
+        qs = quality_score(docs.select("doc_id", "source", "text"), "text")
+        feats = qs.select(
+            "doc_id", "source",
+            F.when(F.col("source").isin(*pos), 1).otherwise(0).alias("label"),
+            (F.least(F.col("n_words"), F.lit(400)).cast("double") / 400.0)
+            .alias("x1"),
+            (F.col("mean_word_len") / 10.0).alias("x2"),
+            F.col("punct_ratio").alias("x3"),
+            F.col("stopword_ratio").alias("x4"),
+        )
+        cols = ["x1", "x2", "x3", "x4"]
+        w = C.logreg_train(feats, cols, "label")
+        print(f"weights (bias, {', '.join(cols)}): "
+              + ", ".join(f"{x:.6f}" for x in w), file=sys.stderr)
+        show(
+            C.logreg_score(feats, cols, w)
+            .groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("p_good"), 4).alias("avg_p_good"),
+                F.sum("pred").cast("long").alias("n_pred_good"),
+            )
+            .orderBy("source")
         )
         return
 

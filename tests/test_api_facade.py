@@ -293,3 +293,23 @@ def test_analyze_section_windows_restart_markers(sar_df):
                             end="2024-01-15 23:59:59")
     _, table, _ = out[0]
     assert table.where(F.col("is_restart")).count() == 0
+
+
+def test_cli_classify_prints_per_source_report(spark, capsys, monkeypatch):
+    """`classify` trains the pseudo-labeled quality classifier and
+    prints one row per source with probability aggregates; a custom
+    --pos-sources set changes the labels it trains against."""
+    import json as _json
+
+    from sarfile_analyzer_ng_spark.__main__ import main
+
+    monkeypatch.setattr(
+        "sarfile_analyzer_ng_spark.session.get_spark", lambda name: spark
+    )
+    main(["classify", "/root/testdata/sf0.001/documents.parquet",
+          "--pos-sources", "src0,src1", "--json", "--limit", "3"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    row = _json.loads(lines[0])
+    assert set(row) == {"source", "n_docs", "avg_p_good", "n_pred_good"}
+    assert 0.0 <= row["avg_p_good"] <= 1.0
