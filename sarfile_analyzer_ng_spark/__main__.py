@@ -148,7 +148,6 @@ def main(argv: list[str] | None = None) -> None:
         from pyspark.sql import functions as F
 
         from .functions import classify as C
-        from .functions.text import quality_score
 
         docs = spark.read.parquet(args.path)
         for col in ("doc_id", "text", "source"):
@@ -158,16 +157,8 @@ def main(argv: list[str] | None = None) -> None:
             pos = tuple(p.strip() for p in args.pos_sources.split(",") if p.strip())
         else:
             from .queries import QC_POS_SOURCES as pos
-        qs = quality_score(docs.select("doc_id", "source", "text"), "text")
-        feats = qs.select(
-            "doc_id", "source",
-            F.when(F.col("source").isin(*pos), 1).otherwise(0).alias("label"),
-            (F.least(F.col("n_words"), F.lit(400)).cast("double") / 400.0)
-            .alias("x1"),
-            (F.col("mean_word_len") / 10.0).alias("x2"),
-            F.col("punct_ratio").alias("x3"),
-            F.col("stopword_ratio").alias("x4"),
-        )
+        # the SAME feature definition the oracled q104 trains on
+        feats = C.quality_features(docs, "text", "doc_id", "source", pos)
         cols = ["x1", "x2", "x3", "x4"]
         w = C.logreg_train(feats, cols, "label")
         print(f"weights (bias, {', '.join(cols)}): "

@@ -37,6 +37,31 @@ from pyspark.sql import functions as F
 from ..util import rnd, rnd_np
 
 
+def quality_features(docs: DataFrame, text_col: str, id_col: str,
+                     source_col: str,
+                     pos_sources: tuple[str, ...]) -> DataFrame:
+    """Labeled quality features — THE single definition shared by the
+    oracled q104 registry query, its SQL twin (queries.SQL_Q104 writes
+    the same arithmetic), and the classify CLI, so the feature scaling
+    cannot drift between surfaces. Positive label = curated provenance
+    (``pos_sources``); features ride the rnd ladder (6 digits) so
+    training replays cross-engine."""
+    from .text import quality_score
+
+    qs = quality_score(docs.select(id_col, source_col, text_col), text_col)
+    return qs.select(
+        id_col,
+        source_col,
+        F.when(F.col(source_col).isin(*pos_sources), 1)
+        .otherwise(0).alias("label"),
+        rnd(F.least(F.col("n_words"), F.lit(400)).cast("double")
+            / F.lit(400.0), 6).alias("x1"),
+        rnd(F.col("mean_word_len") / F.lit(10.0), 6).alias("x2"),
+        F.col("punct_ratio").alias("x3"),
+        F.col("stopword_ratio").alias("x4"),
+    )
+
+
 def logreg_margin(xs: list[Column], weights: list[float],
                   sig_round: int = 8) -> Column:
     """``rnd(w·x, sig_round)`` with the dot product evaluated strictly

@@ -1319,32 +1319,49 @@ def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
     unioning the per-shard results is EXACTLY the unsharded ranking
     (no cross-shard interaction to reconcile).
 
-    Shards are contiguous id ranges (row_number over id — one window
-    over the query frame, deterministic), never hash buckets, so no
-    shard can skew past the bound. The honest cost: the packed-codes
-    frame streams once PER SHARD — at Q beyond the broadcast bound
-    that is the price of exact ADC scoring; if the query set is a
-    whole second corpus, flip the roles or use the IVF-probed
-    :func:`ann_topk_ivfpq` instead.
+    Shards are contiguous id ranges, never hash buckets, so no shard
+    can skew past the bound. The range BOUNDARIES are computed ONCE —
+    one ordered id pass collecting every ``q_per_shard``-th id (shard
+    count longs to the driver, not the query rows) — and each shard
+    is then a pushdown-friendly id-range filter on the ORIGINAL query
+    frame: no global sort is re-executed per shard. The honest cost
+    that remains: the packed-codes frame streams once PER SHARD — at
+    Q beyond the broadcast bound that is the price of exact ADC
+    scoring; if the query set is a whole second corpus, flip the
+    roles or use the IVF-probed :func:`ann_topk_ivfpq` instead.
     """
     from pyspark.sql import Window
 
     n_cb = codebooks.count()  # m × K rows
-    q_per_shard = max(1, int(max_dtab_cells // max(n_cb, 1)))
-    rn = F.row_number().over(Window.orderBy(F.col(id_col)))
-    sharded = queries.select(
-        queries["*"], ((rn - 1) / q_per_shard).cast("int").alias("_shard")
-    )
-    n_shards = sharded.agg(F.max("_shard")).first()[0]
-    if n_shards is None:  # empty query set
+    if max_dtab_cells < n_cb:
+        raise ValueError(
+            f"ann_topk_pq_arrow_sharded: max_dtab_cells={max_dtab_cells} "
+            f"is smaller than ONE query's distance-table rows ({n_cb} "
+            "codebook entries) — no sharding can satisfy the bound; "
+            "raise max_dtab_cells or shrink m/k"
+        )
+    q_per_shard = max(1, int(max_dtab_cells // n_cb))
+    rn = F.row_number().over(Window.orderBy(F.col("_qid")))
+    # shard-opening ids: rows 1, q+1, 2q+1, ... of the ordered id pass
+    openers = [
+        r[0]
+        for r in queries.select(F.col(id_col).alias("_qid"))
+        .select("_qid", rn.alias("_rn"))
+        .where((F.col("_rn") - 1) % q_per_shard == 0)
+        .orderBy("_rn")
+        .collect()
+    ]
+    if not openers:  # empty query set
         return ann_topk_pq_arrow(
             emb, queries, id_col, vec_col, dim, codebooks, codes, m=m,
             k=k, dist_round=dist_round, partial_top=partial_top,
             max_dtab_cells=max_dtab_cells,
         )
     out = None
-    for shard in range(int(n_shards) + 1):
-        part = sharded.where(F.col("_shard") == shard).drop("_shard")
+    for i, lo in enumerate(openers):
+        part = queries.where(F.col(id_col) >= F.lit(lo))
+        if i + 1 < len(openers):
+            part = part.where(F.col(id_col) < F.lit(openers[i + 1]))
         res = ann_topk_pq_arrow(
             emb, part, id_col, vec_col, dim, codebooks, codes, m=m, k=k,
             dist_round=dist_round, partial_top=partial_top,

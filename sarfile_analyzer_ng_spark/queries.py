@@ -3646,20 +3646,16 @@ QC_ITERS, QC_LR = 4, 0.5
 def _qc_features(spark, sf_dir):
     """Pseudo-labeled quality features: provenance label (curated
     reference sources positive, like GPT-3's quality filter) + the
-    quality_score statistics scaled into comparable ranges, every
-    value on the rnd ladder so training replays cross-engine."""
+    quality_score statistics scaled into comparable ranges — the
+    shared functions/classify.py:quality_features definition, so the
+    registry query, its SQL twin, and the CLI train on identical
+    features."""
+    from .functions import classify as C
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    qs = TX.quality_score(docs, "text")
-    return qs.select(
-        "doc_id",
-        F.when(F.col("source").isin(*QC_POS_SOURCES), 1)
-        .otherwise(0).alias("label"),
-        rnd(F.least(F.col("n_words"), F.lit(400)).cast("double")
-            / F.lit(400.0), 6).alias("x1"),
-        rnd(F.col("mean_word_len") / F.lit(10.0), 6).alias("x2"),
-        F.col("punct_ratio").alias("x3"),
-        F.col("stopword_ratio").alias("x4"),
-    )
+    return C.quality_features(
+        docs, "text", "doc_id", "source", QC_POS_SOURCES
+    ).drop("source")
 
 
 def q104_quality_classifier(spark, sf_dir):
@@ -3689,7 +3685,7 @@ def _sql_logreg(iters: int = QC_ITERS, lr: float = QC_LR) -> str:
     (w − lr·g, 6-digit rnd) — the exact arithmetic logreg_train runs,
     including the strict left-to-right dot-product order."""
     pos = ", ".join(f"'{s}'" for s in QC_POS_SOURCES)
-    parts = [f"""qstats AS (
+    parts = [rf"""qstats AS (
   SELECT doc_id, source,
          length(text)::DOUBLE AS n_chars,
          (length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE

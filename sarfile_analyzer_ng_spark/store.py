@@ -51,21 +51,34 @@ def convert_binary_sa(content: bytes, filename: str) -> tuple[bytes, str]:
             f"{filename}: binary SAR datafile and no sysstat 'sar' "
             "binary available to convert it"
         )
-    if filename.startswith("sa") and len(filename) >= 10:
+    if (filename.startswith("sa") and not filename.startswith("sar")
+            and len(filename) >= 10):
         new_name = "sar" + filename[2:]
+    elif filename.startswith("sar"):
+        new_name = filename  # already sar-named; don't double the r
     else:
         new_name = f"sar_{filename}"
-    env = {k: v for k, v in os.environ.items() if k != "LANG"}
-    env["LC_TIME"] = "C"  # 24h timestamps, like the reference's unset LANG
+    # strip every locale variable and pin LC_ALL (which would override
+    # any LC_TIME we set): 24h timestamps + dot decimals regardless of
+    # the host shell's locale
+    env = {
+        k: v for k, v in os.environ.items()
+        if k != "LANG" and not k.startswith("LC_")
+    }
+    env["LC_ALL"] = "C"
     tmp = tempfile.NamedTemporaryFile(delete=False, suffix="_input")
     try:
         tmp.write(content)
         tmp.close()
-        result = subprocess.run(
-            [sar_bin, "-A", "-t", "-f", tmp.name],
-            capture_output=True,
-            env=env,
-        )
+        try:
+            result = subprocess.run(
+                [sar_bin, "-A", "-t", "-f", tmp.name],
+                capture_output=True,
+                env=env,
+                timeout=120,  # a corrupt upload must not hang the store
+            )
+        except subprocess.TimeoutExpired:
+            raise StoreError(f"{filename}: sar conversion timed out")
     finally:
         os.unlink(tmp.name)
     if result.returncode != 0 or not result.stdout.strip():

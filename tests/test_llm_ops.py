@@ -862,6 +862,12 @@ def test_bpe_train_batched_matches_sequential(spark):
     seq = TX.bpe_train(docs, "text", num_merges=12)
     for b in (4, 8, 64):
         assert TX.bpe_train(docs, "text", num_merges=12, batch=b) == seq, b
+    # q90's EXACT configuration (batch=16, num_merges=10) at the
+    # driver's correctness scale — q90 is rows-only, so this is the
+    # check that its batched table equals the sequential one
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert TX.bpe_train(docs01, "text", num_merges=10, batch=16) == \
+        TX.bpe_train(docs01, "text", num_merges=10)
     # batch larger than num_merges caps cleanly
     small = spark.createDataFrame(
         [(1, "low lower lowest low low"), (2, "new newer newest new")],
@@ -1149,6 +1155,20 @@ def test_pq_arrow_oversized_query_set_raises(spark):
     with pytest.raises(ValueError, match="shard the query set"):
         S.ann_topk_pq_arrow(emb, queries, "vec_id", "embedding", 64,
                             books, codes, m=4, k=5, max_dtab_cells=8)
+
+
+def test_pq_arrow_sharded_rejects_impossible_bound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 3)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=1)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    # m*K = 32 codebook rows > 16-cell bound: even one query per shard
+    # cannot satisfy it -> a clear error, not self-referential advice
+    with pytest.raises(ValueError, match="smaller than ONE query"):
+        S.ann_topk_pq_arrow_sharded(
+            emb, queries, "vec_id", "embedding", 64, books, codes,
+            m=4, k=5, max_dtab_cells=16,
+        )
 
 
 def test_pq_arrow_sharded_equals_unsharded(spark):
