@@ -241,3 +241,121 @@ def test_extract_features_skips_empty_payload_rows(spark):
     assert set(got) == {1, 2, 3}
     assert got[1]["n_bytes"] == 0 and got[1]["feature"] is None
     assert got[3]["width"] == 4 and got[3]["feature"] is not None
+
+
+def _png_encode(px, color_type, filters):
+    """Minimal stdlib PNG encoder for the decoder tests: one row per
+    filter type in `filters`, forward-filtered per RFC 2083 so the
+    decoder's unfilter path is genuinely exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        ftype = filters[y % len(filters)]
+        line = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([ftype]) + bytes(line.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_png_decode_matches_ppm(spark):
+    """PNG is now a REAL decoder (stdlib zlib + the five unfilters):
+    the same pixel array encoded as P6 netpbm and as RGB PNG — with
+    every filter type 0-4 exercised across rows — must produce the
+    IDENTICAL luminance feature."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    ppm = b"P6\n8 10\n255\n" + px.tobytes()
+    png = _png_encode(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(1, "image", None, ppm, {}), (2, "image", None, png, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert (got[2]["width"], got[2]["height"]) == (8, 10)
+    assert got[1]["feature"] == got[2]["feature"]
+
+
+def test_multimodal_png_rgba_and_gray(spark):
+    import numpy as np
+
+    gray = np.tile(np.array([0, 255], dtype=np.uint8), (4, 2))[..., None]
+    rgba = np.dstack([gray.repeat(3, axis=2),
+                      np.full(gray.shape[:2], 9, dtype=np.uint8)])
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, _png_encode(gray, 0, [0, 1, 2, 3, 4]), {}),
+            (2, "image", None, _png_encode(rgba, 6, [4, 3, 2, 1, 0]), {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    # alpha is ignored for luminance: gray and RGBA features agree
+    assert got[1]["feature"] == got[2]["feature"]
+
+
+def test_multimodal_real_wav_decode(spark):
+    """WAV/PCM decodes through the stdlib wave module: duration and
+    the 8-bin amplitude envelope come from real samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate, n = 8000, 4000  # half a second
+    t = np.arange(n)
+    # quiet first half, loud second half
+    amp = np.where(t < n // 2, 2000, 16000)
+    samples = (amp * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio", None, buf.getvalue(), {})], MM.MEDIA_SCHEMA
+    )
+    got = MM.extract_features(media).collect()[0]
+    assert got["duration_ms"] == 500
+    feat = got["feature"]
+    assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+    # envelope tracks the amplitude step: loud half well above quiet half
+    assert min(feat[4:]) > 4 * max(feat[:4])
