@@ -309,7 +309,29 @@ def extract_features(media: DataFrame, decode_fn=real_decode) -> DataFrame:
                         }
                     )
                     continue
-                width, height, duration, feature = decode_fn(data, kind)
+                try:
+                    width, height, duration, feature = decode_fn(data, kind)
+                except NotImplementedError:
+                    # missing codec is a CONFIG problem: fail loudly
+                    raise
+                except Exception:
+                    # corrupt payload is a DATA problem: one bad file
+                    # in a 100 TB media scan must not kill the job —
+                    # emit the null-feature row (same policy as empty
+                    # payloads; count them with feature IS NULL)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "kind": kind,
+                            "n_bytes": len(data),
+                            "sha256": hashlib.sha256(data).hexdigest(),
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
                 out.append(
                     {
                         "media_id": mid,

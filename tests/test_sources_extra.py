@@ -359,3 +359,19 @@ def test_multimodal_real_wav_decode(spark):
     assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
     # envelope tracks the amplitude step: loud half well above quiet half
     assert min(feat[4:]) > 4 * max(feat[:4])
+
+
+def test_multimodal_corrupt_payload_yields_null_row_not_job_failure(spark):
+    """A payload with a valid magic but corrupt body is a DATA
+    problem: the scan survives and emits a null-feature row (audit
+    with feature IS NULL); only a genuinely missing codec
+    (NotImplementedError) still fails loudly."""
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"garbage" * 4
+    good = b"P5\n2 2\n255\n\x00\x40\x80\xff"
+    media = spark.createDataFrame(
+        [(1, "image", None, corrupt_png, {}), (2, "image", None, good, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert got[1]["feature"] is None and got[1]["n_bytes"] > 0
+    assert got[2]["feature"] is not None  # the good row still decodes
