@@ -375,3 +375,67 @@ def test_multimodal_corrupt_payload_yields_null_row_not_job_failure(spark):
     got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
     assert got[1]["feature"] is None and got[1]["n_bytes"] > 0
     assert got[2]["feature"] is not None  # the good row still decodes
+
+
+def test_multimodal_real_bmp_decode_matches_ppm(spark):
+    """BMP (uncompressed 24-bit) is a real decoder: the same pixels as
+    netpbm and as a bottom-up padded BMP give identical features."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # h=5 w=3
+    ppm = b"P6\n3 5\n255\n" + px.tobytes()
+    stride = (3 * 3 + 3) & ~3  # 12
+    body = b"".join(
+        px[y][:, ::-1].tobytes() + b"\x00" * (stride - 9)  # RGB->BGR + pad
+        for y in range(4, -1, -1)  # bottom-up
+    )
+    header = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 5, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    media = spark.createDataFrame(
+        [(1, "image", None, ppm, {}), (2, "image", None, header + body, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert (got[2]["width"], got[2]["height"]) == (3, 5)
+    assert got[1]["feature"] == got[2]["feature"]
+
+
+def test_multimodal_audio_spectral_features(spark):
+    """Spectral features come from a real FFT: a pure 440 Hz tone
+    concentrates its energy in the band containing 440 Hz, and a
+    non-WAV payload yields a null row, not a job failure."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate, n = 8000, 8192
+    t = np.arange(n)
+    tone = (12000 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(tone.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio", None, buf.getvalue(), {}),
+         (2, "audio", None, b"not audio", {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.audio_spectral_features(media).collect()}
+    spec = got[1]["spectral"]
+    assert got[1]["sample_rate"] == rate and got[1]["n_samples"] == n
+    assert len(spec) == 8 and max(spec) == 1.0
+    # 440 Hz in a 512-pt rfft at 8 kHz -> bin ~28 of 257; the peak band
+    # must dominate every other band decisively
+    peak = spec.index(max(spec))
+    assert sum(1 for v in spec if v > 0.5) == 1
+    assert 0 < peak < 7  # not the DC band, not the top band
+    assert got[2]["spectral"] is None  # non-WAV -> null row
