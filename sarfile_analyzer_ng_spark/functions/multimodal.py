@@ -197,9 +197,13 @@ def decode_png(payload: bytes, kind: str):
             "gray/RGB/gray+alpha/RGBA only)"
         )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: a corrupt/hostile IDAT that would blow up to
+    # gigabytes must not OOM the executor before the size check runs —
+    # cap the output at exactly the pixel bytes the IHDR promises
+    raw = zlib.decompressobj().decompress(idat, expected)
+    if len(raw) < expected:
         raise ValueError("decode_png: truncated pixel data")
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
@@ -272,13 +276,13 @@ def decode_bmp(payload: bytes, kind: str):
     return width, height, 0, _lum_feature(lum)
 
 
-def decode_wav(payload: bytes, kind: str):
-    """Real WAV/PCM audio decode via the stdlib ``wave`` module:
-    returns (0, 0, duration_ms, feature) where the feature is the
-    8-bin mean-absolute-amplitude envelope in [0, 1] — the audio twin
-    of the image luminance grid (deterministic, so downstream
-    similarity ops are testable on real samples). 8/16/32-bit PCM;
-    multi-channel averages to mono."""
+def _wav_pcm_samples(payload: bytes):
+    """The ONE WAV→mono-float decode (stdlib ``wave`` + numpy), shared
+    by :func:`decode_wav` and :func:`audio_spectral_features` so their
+    format support and error policy cannot drift. Returns
+    ``(samples in [-1, 1], rate, duration_ms)``. 8/16/32-bit PCM;
+    24-bit and compressed WAVs raise ValueError (undecodable DATA for
+    this decoder — the callers' null-row policy applies)."""
     import io
     import wave
 
@@ -292,8 +296,8 @@ def decode_wav(payload: bytes, kind: str):
     duration_ms = int(n_frames * 1000 // rate) if rate else 0
     dtypes = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
     if sampwidth not in dtypes:
-        raise NotImplementedError(
-            f"decode_wav: sample width {sampwidth} not supported (1/2/4)"
+        raise ValueError(
+            f"wav: sample width {sampwidth} undecodable here (1/2/4 only)"
         )
     a = np.frombuffer(frames, dtype=dtypes[sampwidth]).astype(np.float64)
     if sampwidth == 1:
@@ -302,6 +306,17 @@ def decode_wav(payload: bytes, kind: str):
         a = a / float(2 ** (8 * sampwidth - 1))
     if n_ch > 1 and len(a) >= n_ch:
         a = a[: len(a) - len(a) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return a, rate, duration_ms
+
+
+def decode_wav(payload: bytes, kind: str):
+    """Real WAV/PCM audio decode: returns (0, 0, duration_ms, feature)
+    where the feature is the 8-bin mean-absolute-amplitude envelope in
+    [0, 1] — the audio twin of the image luminance grid (deterministic,
+    so downstream similarity ops are testable on real samples)."""
+    import numpy as np
+
+    a, _rate, duration_ms = _wav_pcm_samples(payload)
     if len(a) == 0:
         return 0, 0, duration_ms, [0.0] * 8
     env = [float(np.abs(b).mean()) for b in np.array_split(a, min(8, len(a)))]
@@ -321,10 +336,40 @@ def fake_decode(payload: bytes, kind: str):
     return width, height, duration, feature
 
 
-def extract_features(media: DataFrame, decode_fn=real_decode) -> DataFrame:
+def _null_row(mid, kind, data: bytes) -> dict:
+    """The undecodable-payload verdict row (audit with
+    ``feature IS NULL``) — one definition for the empty-payload and
+    decode-failure branches."""
+    return {
+        "media_id": mid,
+        "kind": kind,
+        "n_bytes": len(data),
+        "sha256": hashlib.sha256(data).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "feature": None,
+    }
+
+
+def extract_features(media: DataFrame, decode_fn=real_decode,
+                     on_undecodable: str = "null") -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas``,
     partition-parallel, nothing collected. Swap ``decode_fn`` for a
-    real decoder in a container that ships one."""
+    richer decoder in a container that ships codec libraries.
+
+    Error policy: with the default ``on_undecodable="null"``, EVERY
+    payload the decoder cannot handle — corrupt bytes, damaged magic,
+    an unsupported sub-format variant (palette PNG, 24-bit WAV), or a
+    format with no decoder at all — yields the null-feature row
+    instead of failing the scan: at corpus scale undecodable files are
+    data to audit (``feature IS NULL``), not a reason to kill the job.
+    ``on_undecodable="raise"`` is the strict mode for small curated
+    sets where an undecodable file IS a bug worth stopping for.
+    """
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError(f"on_undecodable must be null|raise, got "
+                         f"{on_undecodable!r}")
 
     def batches(iterator):
         for pdf in iterator:
@@ -334,44 +379,14 @@ def extract_features(media: DataFrame, decode_fn=real_decode) -> DataFrame:
             ):
                 data = bytes(payload) if payload is not None else b""
                 if not data:
-                    # a null/zero-byte payload is a per-row data
-                    # problem, not a missing-codec problem — emit an
-                    # empty-feature row instead of failing the job
-                    out.append(
-                        {
-                            "media_id": mid,
-                            "kind": kind,
-                            "n_bytes": 0,
-                            "sha256": hashlib.sha256(b"").hexdigest(),
-                            "width": None,
-                            "height": None,
-                            "duration_ms": None,
-                            "feature": None,
-                        }
-                    )
+                    out.append(_null_row(mid, kind, data))
                     continue
                 try:
                     width, height, duration, feature = decode_fn(data, kind)
-                except NotImplementedError:
-                    # missing codec is a CONFIG problem: fail loudly
-                    raise
                 except Exception:
-                    # corrupt payload is a DATA problem: one bad file
-                    # in a 100 TB media scan must not kill the job —
-                    # emit the null-feature row (same policy as empty
-                    # payloads; count them with feature IS NULL)
-                    out.append(
-                        {
-                            "media_id": mid,
-                            "kind": kind,
-                            "n_bytes": len(data),
-                            "sha256": hashlib.sha256(data).hexdigest(),
-                            "width": None,
-                            "height": None,
-                            "duration_ms": None,
-                            "feature": None,
-                        }
-                    )
+                    if on_undecodable == "raise":
+                        raise
+                    out.append(_null_row(mid, kind, data))
                     continue
                 out.append(
                     {
@@ -494,18 +509,24 @@ SPECTRAL_SCHEMA = T.StructType(
 def audio_spectral_features(media: DataFrame, n_bands: int = 8,
                             frame: int = 512) -> DataFrame:
     """REAL spectral audio features with numpy's FFT — no codec or DSP
-    library: WAV payloads are PCM-decoded, framed (hann window), run
-    through ``rfft``, and the mean power spectrum is pooled into
-    ``n_bands`` log-spaced bands (log1p-compressed, unit-max
-    normalized). The audio twin of the image luminance grid one level
-    deeper than the envelope — enough signal for dedup/similarity over
-    an audio corpus. One Arrow ``mapInPandas`` stage, partition-
-    parallel; corrupt/non-WAV payloads emit a null row (same policy as
-    extract_features)."""
-    import io
-    import wave
-
+    library: WAV payloads are PCM-decoded (the shared
+    :func:`_wav_pcm_samples`, so format support cannot drift from
+    ``decode_wav``), framed (hann window), run through ``rfft``, and
+    the mean power spectrum is pooled into ``n_bands`` log-spaced
+    bands (log1p-compressed, unit-max normalized). The audio twin of
+    the image luminance grid one level deeper than the envelope —
+    enough signal for dedup/similarity over an audio corpus. One Arrow
+    ``mapInPandas`` stage, partition-parallel; corrupt/non-WAV
+    payloads emit a null row (the extract_features policy)."""
     import numpy as np
+
+    # constants of the (frame, n_bands) configuration — computed once,
+    # not per row: the hann window and the log-spaced band edges over
+    # the frame//2 + 1 rfft bins
+    win = np.hanning(frame)
+    edges = np.unique(
+        np.geomspace(1, frame // 2, n_bands + 1).astype(int)
+    )
 
     def batches(iterator):
         for pdf in iterator:
@@ -515,28 +536,12 @@ def audio_spectral_features(media: DataFrame, n_bands: int = 8,
                 row = {"media_id": mid, "n_samples": None,
                        "sample_rate": None, "spectral": None}
                 try:
-                    with wave.open(io.BytesIO(data), "rb") as w:
-                        n_ch, sw, rate, n_fr = (
-                            w.getnchannels(), w.getsampwidth(),
-                            w.getframerate(), w.getnframes(),
-                        )
-                        frames = w.readframes(n_fr)
-                    dt = {1: np.uint8, 2: np.dtype("<i2"),
-                          4: np.dtype("<i4")}[sw]
-                    a = np.frombuffer(frames, dtype=dt).astype(np.float64)
-                    a = (a - 128.0) / 128.0 if sw == 1 else a / 2 ** (8 * sw - 1)
-                    if n_ch > 1 and len(a) >= n_ch:
-                        a = a[: len(a) - len(a) % n_ch].reshape(-1, n_ch).mean(1)
+                    a, rate, _dur = _wav_pcm_samples(data)
                     if len(a) >= frame:
                         n_frames = len(a) // frame
                         m = a[: n_frames * frame].reshape(n_frames, frame)
-                        win = np.hanning(frame)
                         spec = np.abs(np.fft.rfft(m * win, axis=1)) ** 2
                         power = spec.mean(axis=0)  # mean over time frames
-                        edges = np.unique(
-                            np.geomspace(1, len(power) - 1,
-                                         n_bands + 1).astype(int)
-                        )
                         bands = [
                             float(np.log1p(power[lo:hi].mean()))
                             for lo, hi in zip(edges[:-1], edges[1:])

@@ -81,12 +81,19 @@ def test_multimodal_fake_decode(spark):
     assert again[1]["feature"] == got[1]["feature"]
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
+def test_multimodal_undecodable_policy(spark):
+    """Default policy: a payload no decoder handles (unknown magic,
+    damaged magic, unsupported sub-format) becomes a null-feature row;
+    strict mode surfaces the documented NotImplementedError."""
     media = spark.createDataFrame(
         [(1, "image", None, b"x", {})], MM.MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        MM.extract_features(media).collect()
+    got = MM.extract_features(media).collect()[0]
+    assert got["feature"] is None and got["n_bytes"] == 1
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        MM.extract_features(media, on_undecodable="raise").collect()
+    with pytest.raises(ValueError, match="null|raise"):
+        MM.extract_features(media, on_undecodable="bogus")
 
 
 def test_frame_sample_plan(spark):
@@ -439,3 +446,31 @@ def test_multimodal_audio_spectral_features(spark):
     assert sum(1 for v in spec if v > 0.5) == 1
     assert 0 < peak < 7  # not the DC band, not the top band
     assert got[2]["spectral"] is None  # non-WAV -> null row
+
+
+def test_multimodal_png_decompression_bomb_is_bounded(spark):
+    """A hostile IDAT that inflates to ~100 MB behind a 2x2 IHDR must
+    not balloon memory: the inflate is capped at the pixel bytes the
+    header promises, so the row decodes (bounded) instead of OOMing."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB
+    bomb = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)  # ~100 KB IDAT
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(1, "image", None, payload, {})], MM.MEDIA_SCHEMA
+    )
+    got = MM.extract_features(media).collect()[0]
+    # zero-filled "pixels" decode to a black 2x2 image, memory bounded
+    assert (got["width"], got["height"]) == (2, 2)
+    assert got["feature"] is not None and max(got["feature"]) == 0.0
