@@ -73,6 +73,7 @@ def real_decode(payload: bytes, kind: str):
     - binary PPM/PGM (header parse + numpy),
     - PNG (stdlib zlib inflate + the five scanline unfilters),
     - uncompressed 24-bit BMP (struct + numpy),
+    - GIF (pure-python LZW + palette map, incl. Adam-style interlace),
     - WAV/PCM audio (stdlib ``wave`` + numpy envelope).
 
     JPEG / lossy audio / compressed video remain a documented
@@ -87,6 +88,8 @@ def real_decode(payload: bytes, kind: str):
         return decode_wav(payload, kind)
     if payload[:2] == b"BM":
         return decode_bmp(payload, kind)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload, kind)
     raise NotImplementedError(
         "JPEG/lossy-audio/compressed-video decoding requires codec "
         "libraries not present in this environment; PPM/PGM, PNG, and "
@@ -274,6 +277,114 @@ def decode_bmp(payload: bytes, kind: str):
     # BGR order; channel order is irrelevant to mean luminance
     lum = rows.astype(np.float64).mean(axis=2) / 255.0
     return width, height, 0, _lum_feature(lum)
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytes:
+    """GIF's variable-width LSB-first LZW (GIF89a spec appendix F) in
+    pure python — bounded: decoding stops once ``expected`` pixels are
+    produced, so a hostile stream cannot balloon output."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}, min_code + 1, clear + 2
+
+    table, width_bits, next_code = fresh()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + width_bits <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width_bits) - 1)
+        bitpos += width_bits
+        if code == clear:
+            table, width_bits, next_code = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("decode_gif: corrupt LZW stream")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("decode_gif: truncated pixel data")
+    return bytes(out[:expected])
+
+
+def decode_gif(payload: bytes, kind: str):
+    """Real GIF decode in pure python + numpy: logical screen
+    descriptor → color table → first image's LZW-compressed index
+    stream → palette-mapped RGB → luminance feature. Handles the
+    interlaced row order; animation beyond the first frame is ignored
+    (the still-image semantics every thumbnail pipeline wants)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13:
+        raise ValueError("decode_gif: truncated header")
+    _sw, _sh, packed = struct.unpack("<HHB", payload[6:11])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(payload):
+        block = payload[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i]:
+                i += payload[i] + 1
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", payload[i + 1:i + 10])
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                table = np.frombuffer(payload, np.uint8, 3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if table is None:
+                raise ValueError("decode_gif: no color table")
+            min_code = payload[i]
+            i += 1
+            lzw = b""
+            while i < len(payload) and payload[i]:
+                ln = payload[i]
+                lzw += payload[i + 1:i + 1 + ln]
+                i += ln + 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, lzw, w * h), np.uint8
+            ).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("decode_gif: palette index out of range")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                         + list(range(2, h, 4)) + list(range(1, h, 2)))
+                deinterlaced = np.empty_like(rows)
+                deinterlaced[order] = rows
+                rows = deinterlaced
+            rgb = table[rows]
+            lum = rgb.astype(np.float64).mean(axis=2) / 255.0
+            return w, h, 0, _lum_feature(lum)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"decode_gif: unexpected block 0x{block:02x}")
+    raise ValueError("decode_gif: no image descriptor")
 
 
 def _wav_pcm_samples(payload: bytes):

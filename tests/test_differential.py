@@ -280,3 +280,29 @@ def test_passage_dedup_matches_pure_python_mirror(spark):
                 seen.add(p)
                 kept.append(p)
         assert got[i] == (n_pass, dropped, " ".join(kept)), i
+
+
+def test_png_unfilter_differential_vs_ppm():
+    """Differential fuzz for the PNG decoder (no Spark needed): many
+    random geometries × color types × per-row filter choices, each
+    encoded as netpbm and as PNG — decoded luminance features must be
+    identical. Catches unfilter recurrence bugs a single fixture
+    would miss."""
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    from .test_sources_extra import _png_encode
+
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        color_type = int(rng.choice([0, 2]))
+        ch = 3 if color_type == 2 else 1
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = [int(f) for f in rng.integers(0, 5, size=h)]
+        magic = b"P6" if ch == 3 else b"P5"
+        ppm = magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+        png = _png_encode(px, color_type, filters)
+        a = MM.decode_ppm(ppm, "image")
+        b = MM.decode_png(png, "image")
+        assert a == b, (trial, h, w, color_type, filters)

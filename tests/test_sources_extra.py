@@ -474,3 +474,157 @@ def test_multimodal_png_decompression_bomb_is_bounded(spark):
     # zero-filled "pixels" decode to a black 2x2 image, memory bounded
     assert (got["width"], got["height"]) == (2, 2)
     assert got["feature"] is not None and max(got["feature"]) == 0.0
+
+
+def _gif_encode(idx, palette, interlace=False):
+    """Minimal GIF89a encoder for the decoder tests: 8-bit global
+    palette, 'uncompressed' LZW (every pixel a literal 9-bit code,
+    clear codes keeping the table small) — valid per the spec and
+    decodable by any conformant reader."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        idx = idx[order]
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * 256 - len(pal))
+
+    clear, eoi = 256, 257
+    bits, acc, nbits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for n, v in enumerate(idx.reshape(-1)):
+        if n and n % 250 == 0:
+            emit(clear)  # keep the decoder's table below width growth
+        emit(int(v))
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    sub = b"".join(
+        bytes([len(bits[i:i + 255])]) + bytes(bits[i:i + 255])
+        for i in range(0, len(bits), 255)
+    ) + b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+        + bytes(pal)
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                0x40 if interlace else 0)
+        + bytes([8])  # LZW min code size
+        + sub
+        + b"\x3B"
+    )
+
+
+def test_multimodal_real_gif_decode_matches_ppm(spark):
+    """GIF is a real decoder (pure-python LZW + palette): the same
+    pixels as palette-mapped GIF — plain and interlaced — and as P6
+    netpbm give identical features."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    rgb = palette[idx]
+    ppm = b"P6\n7 9\n255\n" + rgb.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, ppm, {}),
+            (2, "image", None, _gif_encode(idx, palette), {}),
+            (3, "image", None, _gif_encode(idx, palette, interlace=True), {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert (got[2]["width"], got[2]["height"]) == (7, 9)
+    assert got[1]["feature"] == got[2]["feature"] == got[3]["feature"]
+
+
+def test_multimodal_gif_corrupt_lzw_is_null_row(spark):
+    bad = _gif_encode(
+        __import__("numpy").zeros((2, 2), dtype="uint8"),
+        [(0, 0, 0)] * 256,
+    )[:-6]  # chop the stream mid-data
+    media = spark.createDataFrame(
+        [(1, "image", None, bad, {})], MM.MEDIA_SCHEMA
+    )
+    got = MM.extract_features(media).collect()[0]
+    assert got["feature"] is None
+
+
+def test_gif_lzw_roundtrip_real_compression():
+    """Unit-level LZW roundtrip with a REAL compressor (growing code
+    widths, table up to 4096, the KwKwK self-reference case): random
+    and adversarial index streams compress and decode back exactly —
+    the paths the 'uncompressed' encoder above never exercises."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    def lzw_encode(data, min_code=8):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = clear + 2, min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(code, w):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        run = b""
+        for byte in data:
+            cand = run + bytes([byte])
+            if cand in table:
+                run = cand
+                continue
+            emit(table[run], width)
+            if next_code < 4096:
+                table[cand] = next_code
+                # GIF: the encoder bumps width when next_code EXCEEDS
+                # the current range (decoder bumps after adding the
+                # same entry — they stay in lockstep)
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            run = bytes([byte])
+        if run:
+            emit(table[run], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(29)
+    cases = [
+        b"\x00" * 5000,                       # KwKwK immediately, long runs
+        bytes(rng.integers(0, 4, 3000)),      # small alphabet, deep table
+        bytes(rng.integers(0, 256, 6000)),    # width growth past 9/10 bits
+        b"abababababab" * 300,
+    ]
+    for data in cases:
+        assert _gif_lzw_decode(8, lzw_encode(data), len(data)) == data
