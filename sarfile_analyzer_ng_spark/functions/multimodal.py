@@ -5,13 +5,15 @@ stages.
 The Spark-side mechanics (schema, batching, partitioning, UDF
 signatures) are real and tested, and so are the decoders for every
 format expressible without external codec libraries: binary netpbm,
-PNG (stdlib zlib + scanline unfilters), uncompressed 24-bit BMP, and
-WAV/PCM (stdlib wave; envelope features in the decode path, real
-FFT spectral bands via :func:`audio_spectral_features`).
-Only JPEG / lossy audio / compressed video remain a documented
-``NotImplementedError`` — plug a PIL/libav decoder into ``decode_fn``
-and nothing else changes. A deterministic fake decoder exists for
-pipeline tests that don't care about pixels.
+PNG (stdlib zlib + scanline unfilters), uncompressed 24-bit BMP, GIF
+(pure-python LZW), baseline JPEG (pure-python huffman + numpy
+dequant/IDCT), and WAV/PCM (stdlib wave; envelope features in the
+decode path, real FFT spectral bands via
+:func:`audio_spectral_features`). Only progressive JPEG, lossy audio,
+and compressed video remain a documented ``NotImplementedError`` —
+plug a PIL/libav decoder into ``decode_fn`` and nothing else changes.
+A deterministic fake decoder exists for pipeline tests that don't
+care about pixels.
 """
 
 from __future__ import annotations
@@ -74,12 +76,13 @@ def real_decode(payload: bytes, kind: str):
     - PNG (stdlib zlib inflate + the five scanline unfilters),
     - uncompressed 24-bit BMP (struct + numpy),
     - GIF (pure-python LZW + palette map, incl. Adam-style interlace),
+    - baseline JPEG (pure-python huffman + numpy dequant/IDCT),
     - WAV/PCM audio (stdlib ``wave`` + numpy envelope).
 
-    JPEG / lossy audio / compressed video remain a documented
-    ``NotImplementedError`` (their codecs genuinely do not ship in
-    this container) — plug a PIL/libav decoder in here and nothing
-    else changes."""
+    Progressive/arithmetic JPEG, lossy audio, and compressed video
+    remain a documented ``NotImplementedError`` (their codecs
+    genuinely do not ship in this container) — plug a PIL/libav
+    decoder in here and nothing else changes."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload, kind)
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
@@ -90,6 +93,8 @@ def real_decode(payload: bytes, kind: str):
         return decode_bmp(payload, kind)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload, kind)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload, kind)
     raise NotImplementedError(
         "JPEG/lossy-audio/compressed-video decoding requires codec "
         "libraries not present in this environment; PPM/PGM, PNG, and "
@@ -277,6 +282,312 @@ def decode_bmp(payload: bytes, kind: str):
     # BGR order; channel order is irrelevant to mean luminance
     lum = rows.astype(np.float64).mean(axis=2) / 255.0
     return width, height, 0, _lum_feature(lum)
+
+
+def _dct_matrix():
+    """The orthonormal 8×8 DCT-II basis (C @ block @ C.T = forward,
+    C.T @ coef @ C = inverse) — shared by the JPEG decoder and the
+    test encoder."""
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+def _zigzag_order():
+    # canonical JPEG order: odd diagonals run top-right → bottom-left
+    # (row ascending), even diagonals the reverse
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1],
+                        rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+    return order
+
+
+ZIGZAG = _zigzag_order()
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded JPEG data with 0xFF00
+    unstuffing and restart-marker awareness."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.i = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d, i = self.data, self.i
+        if i >= len(d):
+            raise ValueError("decode_jpeg: truncated entropy data")
+        b = d[i]
+        if b == 0xFF:
+            nxt = d[i + 1] if i + 1 < len(d) else None
+            if nxt == 0x00:
+                self.i = i + 2          # stuffed 0xFF
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker()  # caller realigns + resets DC
+            else:
+                raise ValueError("decode_jpeg: truncated entropy data")
+        else:
+            self.i = i + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def peek16(self) -> tuple[int, int]:
+        """Up to 16 lookahead bits (left-aligned) without consuming;
+        returns (bits, available). Stops at markers/stream end."""
+        while self.n < 16:
+            try:
+                self._fill()
+            except (ValueError, _RestartMarker):
+                break
+        have = min(self.n, 16)
+        return ((self.acc >> (self.n - have)) & ((1 << have) - 1),
+                have)
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+
+    def sync_restart(self):
+        """Skip to just past the next RSTn marker, byte-aligned."""
+        self.acc = self.n = 0
+        d = self.data
+        while self.i + 1 < len(d):
+            if d[self.i] == 0xFF and 0xD0 <= d[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+        raise ValueError("decode_jpeg: lost restart marker")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _huff_fast(table: dict) -> dict:
+    """16-bit-peek lookup: every (length, code) expands to its 2^(16-l)
+    left-aligned prefixes → (symbol, length). Built lazily once per
+    table (cached under the reserved key) — turns the per-bit python
+    loop into one dict hit per symbol, a ~20× hot-path win on real
+    multi-thousand-block images."""
+    fast = {}
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        for fill in range(1 << (16 - length)):
+            fast[base | fill] = (sym, length)
+    return fast
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    fast = table.get("fast")
+    if fast is None:
+        fast = table["fast"] = _huff_fast(
+            {k: v for k, v in table.items() if isinstance(k, tuple)}
+        )
+    bits, have = reader.peek16()
+    if have == 16:
+        hit = fast.get(bits)
+        if hit is not None:
+            reader.skip(hit[1])
+            return hit[0]
+        raise ValueError("decode_jpeg: invalid huffman code")
+    # tail of the stream: fall back to the per-bit walk
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("decode_jpeg: invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG magnitude decode: t-bit value v → signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes, kind: str):
+    """REAL baseline JPEG decode in pure python + numpy — huffman
+    entropy decode (tables from the file's own DHT segments), dequant
+    (DQT), dezigzag, orthonormal 8×8 IDCT, restart markers, arbitrary
+    per-component sampling factors (4:4:4, 4:2:0, grayscale, ...).
+    Only the luminance plane is inverse-transformed (the feature is
+    the luminance grid; chroma blocks are entropy-decoded solely to
+    advance the stream). Progressive (SOF2) and arithmetic-coded
+    JPEGs raise NotImplementedError; corrupt streams raise ValueError
+    (the extract_features null-row policy applies to both)."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class 0=DC/1=AC, id)
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("decode_jpeg: bad marker alignment")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before scan
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+        seg = payload[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg, ">u2", 64, j).astype(np.float64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, j).astype(np.float64)
+                    j += 64
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(ZIGZAG):
+                    q[r, c] = vals[k]
+                qt[tq] = q
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1:j + 17])
+                j += 17
+                table, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[j]
+                        j += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+            precision, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("decode_jpeg: 8-bit only")
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "decode_jpeg: only baseline (SOF0/SOF1) huffman JPEG"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("decode_jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _jpeg_scan(
+                payload, i + 2 + seglen, frame, scan, qt, huff,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise ValueError("decode_jpeg: no scan data")
+
+
+def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    w, h, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dctm = _dct_matrix()
+
+    y_comp = scan[0][0]  # first scan component is luminance
+    yc = by_id[y_comp]
+    yw, yh = mcux * yc["h"] * 8, mcuy * yc["v"] * 8
+    yplane = np.zeros((yh, yw))
+
+    reader = _BitReader(payload, start)
+    dc_pred = {cs: 0 for cs, _, _ in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and                     mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                dc_pred = {cs: 0 for cs in dc_pred}
+            mcu_count += 1
+            try:
+                for cs, td, ta in scan:
+                    comp = by_id[cs]
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            coef = np.zeros(64)
+                            t = _huff_decode(reader, huff[(0, td)])
+                            dc_pred[cs] += _extend(reader.bits(t), t)
+                            coef[0] = dc_pred[cs]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, huff[(1, ta)])
+                                r, sz = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "decode_jpeg: AC index overflow"
+                                    )
+                                coef[k] = _extend(reader.bits(sz), sz)
+                                k += 1
+                            if cs != y_comp:
+                                continue  # chroma: stream advance only
+                            block = np.zeros((8, 8))
+                            for kk, (r_, c_) in enumerate(ZIGZAG):
+                                block[r_, c_] = coef[kk]
+                            block *= qt[comp["tq"]]
+                            px = dctm.T @ block @ dctm + 128.0
+                            y0 = (my * comp["v"] + bv) * 8
+                            x0 = (mx * comp["h"] + bh) * 8
+                            yplane[y0:y0 + 8, x0:x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError(
+                    "decode_jpeg: unexpected restart marker"
+                )
+    # crop the luminance plane to the image geometry (component
+    # resolution is w·h_i/hmax × h·v_i/vmax, rounded up)
+    cw = -(-w * yc["h"] // hmax)
+    ch = -(-h * yc["v"] // vmax)
+    lum = np.clip(yplane[:ch, :cw], 0, 255) / 255.0
+    return w, h, 0, _lum_feature(lum)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytes:

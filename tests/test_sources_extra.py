@@ -628,3 +628,214 @@ def test_gif_lzw_roundtrip_real_compression():
     ]
     for data in cases:
         assert _gif_lzw_decode(8, lzw_encode(data), len(data)) == data
+
+
+def _jpeg_encode(planes, w, h, sampling, quant_flat=1):
+    """Minimal baseline JPEG encoder for the decoder tests: per-plane
+    FDCT + flat quantization + canonical fixed-length huffman tables
+    written into DHT (the decoder reads tables from the FILE, so any
+    valid canonical table exercises the real path). `planes` is a
+    list of (h_pixels, w_pixels) uint8 arrays already at component
+    resolution; `sampling` the (h_i, v_i) factors."""
+    import struct
+
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import (
+        ZIGZAG, _dct_matrix,
+    )
+
+    dctm = _dct_matrix()
+    q = float(quant_flat)
+
+    # fixed-length canonical tables: 12 DC symbols at 4 bits,
+    # 162 AC symbols at 8 bits — prefix-free by construction
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | sz for r in range(16) for sz in range(1, 11)
+    ]
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, len(ac_syms)] + [0] * 8
+
+    def canonical(bits, syms):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[syms[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canonical(dc_bits, dc_syms), canonical(ac_bits, ac_syms)
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(length, code):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+
+    def magnitude(v):
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << t) - 1
+        return t, bits
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for plane, (hi, vi) in zip(planes, sampling):
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        p = np.zeros((ph, pw))
+        p[: plane.shape[0], : plane.shape[1]] = plane
+        # replicate edges into the pad so DCT energy stays local
+        p[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        p[:, plane.shape[1]:] = p[:, plane.shape[1] - 1:plane.shape[1]]
+        padded.append(p)
+
+    dc_pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, (hi, vi)) in enumerate(zip(padded, sampling)):
+                for bv in range(vi):
+                    for bh in range(hi):
+                        y0 = (my * vi + bv) * 8
+                        x0 = (mx * hi + bh) * 8
+                        block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = dctm @ block @ dctm.T
+                        zz = np.array(
+                            [coef[r, c] for r, c in ZIGZAG]
+                        )
+                        zz = np.round(zz / q).astype(int)
+                        diff = int(zz[0]) - dc_pred[ci]
+                        dc_pred[ci] = int(zz[0])
+                        t, bits = magnitude(diff) if diff else (0, 0)
+                        ln, code = dc_codes[t]
+                        emit(ln, code)
+                        if t:
+                            emit(t, bits)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                ln, code = ac_codes[0xF0]
+                                emit(ln, code)
+                                run -= 16
+                            t, bits = magnitude(v)
+                            ln, code = ac_codes[(run << 4) | t]
+                            emit(ln, code)
+                            emit(t, bits)
+                            run = 0
+                        if run:
+                            ln, code = ac_codes[0x00]
+                            emit(ln, code)
+    if nbits:
+        emit(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = bytes([0]) + bytes([quant_flat] * 64)
+    dht = (bytes([0x00]) + bytes(dc_bits[:16]) + bytes(dc_syms)
+           + bytes([0x10]) + bytes(ac_bits[:16]) + bytes(ac_syms))
+    n = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci, (hi, vi) in enumerate(sampling):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    sos = bytes([n]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(n)) \
+        + bytes([0, 63, 0])
+    return (b"\xff\xd8" + seg(0xDB, zz_q) + seg(0xC4, dht)
+            + seg(0xC0, sof) + seg(0xDA, sos) + bytes(out) + b"\xff\xd9")
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    """Baseline JPEG is a real decoder: grayscale, 4:4:4 color, and
+    4:2:0 chroma-subsampled encodings of the same luminance decode to
+    features matching the netpbm ground truth within the flat-quant
+    loss bound; a flat-gray image roundtrips EXACTLY (DC-only path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    h, w = 18, 13  # exercises MCU padding (not multiples of 8/16)
+    # smooth luminance: low-frequency so quant=1 loss stays tiny
+    yy, xx = np.mgrid[0:h, 0:w]
+    lum = (128 + 90 * np.sin(yy / 5.0) * np.cos(xx / 4.0)).astype(np.uint8)
+    ppm = b"P5\n" + f"{w} {h}\n255\n".encode() + lum.tobytes()
+
+    gray = _jpeg_encode([lum], w, h, [(1, 1)])
+    flat_cr = np.full(lum.shape, 128, dtype=np.uint8)
+    color444 = _jpeg_encode([lum, flat_cr, flat_cr], w, h,
+                            [(1, 1), (1, 1), (1, 1)])
+    sub = np.full((-(-h // 2), -(-w // 2)), 128, dtype=np.uint8)
+    color420 = _jpeg_encode([lum, sub, sub], w, h,
+                            [(2, 2), (1, 1), (1, 1)])
+
+    media = spark.createDataFrame(
+        [(1, "image", None, ppm, {}), (2, "image", None, gray, {}),
+         (3, "image", None, color444, {}), (4, "image", None, color420, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    ref = got[1]["feature"]
+    for mid in (2, 3, 4):
+        assert (got[mid]["width"], got[mid]["height"]) == (w, h), mid
+        assert got[mid]["feature"] is not None, mid
+        for a, b in zip(ref, got[mid]["feature"]):
+            assert abs(a - b) < 0.02, (mid, ref, got[mid]["feature"])
+
+    # DC-only exactness: a flat 100-gray image decodes to exactly 100
+    flat = np.full((8, 8), 100, dtype=np.uint8)
+    jf = _jpeg_encode([flat], 8, 8, [(1, 1)])
+    wd, hd, _, feat = MM.decode_jpeg(jf, "image")
+    assert (wd, hd) == (8, 8)
+    assert all(abs(v - 100 / 255) < 1e-9 for v in feat)
+
+    # progressive JPEGs refuse clearly (SOF2 marker)
+    prog = bytearray(gray)
+    sof_at = prog.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        MM.decode_jpeg(bytes(prog), "image")
+
+
+def test_multimodal_jpeg_decodes_real_world_files():
+    """Independent validation against JPEGs produced by REAL encoders
+    (shipped with system packages — skipped when absent): a
+    radially-symmetric mandala must decode to a left/right symmetric
+    luminance grid, and a documentation diagram must read mostly
+    white. Catches any convention bug the self-roundtrip pair could
+    share (zigzag, byte stuffing, huffman canonicalization)."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import decode_jpeg
+
+    mandala = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+               "requests/ext/flower-of-life.jpg")
+    diagram = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+               "pyparsing/docs/_static/pyparsingClassDiagram_1.5.2.jpg")
+    if not (os.path.exists(mandala) and os.path.exists(diagram)):
+        pytest.skip("system sample JPEGs not present")
+
+    w, h, _, feat = decode_jpeg(open(mandala, "rb").read(), "image")
+    assert (w, h) == (161, 161)
+    # radial symmetry: each grid row reads the same left-to-right as
+    # right-to-left (within JPEG loss), and the image is bright
+    for row in (feat[:4], feat[4:]):
+        assert abs(row[0] - row[3]) < 0.02 and abs(row[1] - row[2]) < 0.02
+    assert min(feat) > 0.7
+
+    w, h, _, feat = decode_jpeg(open(diagram, "rb").read(), "image")
+    assert (w, h) == (1155, 1659)
+    assert min(feat) > 0.9  # a documentation page is mostly white
