@@ -556,6 +556,32 @@ def test_multimodal_real_gif_decode_matches_ppm(spark):
     assert got[1]["feature"] == got[2]["feature"] == got[3]["feature"]
 
 
+def test_gif_interlace_order_is_the_spec_order():
+    """Convention-independence check for interlacing: the file's row
+    sequence for an 8-row interlaced image is HAND-DERIVED from the
+    spec here (pass 1: row 0; pass 2: row 4; pass 3: rows 2,6;
+    pass 4: rows 1,3,5,7) — NOT the decoder's order list — so a
+    shared-but-wrong order in encoder+decoder cannot cancel out. Top
+    half black, bottom half white survives deinterlacing exactly."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import decode_gif
+
+    # image rows 0-3 are palette index 0 (black), 4-7 index 1 (white)
+    file_row_values = [0, 1, 0, 1, 0, 0, 1, 1]  # rows 0,4,2,6,1,3,5,7
+    idx = np.array([[v] * 8 for v in file_row_values], dtype=np.uint8)
+    palette = [(0, 0, 0), (255, 255, 255)] + [(0, 0, 0)] * 254
+    gif = _gif_encode(idx, palette)  # rows already in FILE order
+    # flip the interlace bit on the image descriptor by rebuilding:
+    # _gif_encode(interlace=True) would re-permute, so patch the flag
+    desc_at = gif.index(b"\x2C")
+    gif = gif[:desc_at + 9] + bytes([gif[desc_at + 9] | 0x40]) \
+        + gif[desc_at + 10:]
+    w, h, _, feat = decode_gif(gif, "image")
+    assert (w, h) == (8, 8)
+    assert feat[:4] == [0.0] * 4 and feat[4:] == [1.0] * 4
+
+
 def test_multimodal_gif_corrupt_lzw_is_null_row(spark):
     bad = _gif_encode(
         __import__("numpy").zeros((2, 2), dtype="uint8"),
@@ -690,9 +716,17 @@ def _jpeg_encode(planes, w, h, sampling, quant_flat=1):
 
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    if len(planes) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved —
+        # one block per MCU in the component's own raster, whatever
+        # the SOF sampling factors declare
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        blocks = [(1, 1)]
+    else:
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        blocks = sampling
     padded = []
-    for plane, (hi, vi) in zip(planes, sampling):
+    for plane, (hi, vi) in zip(planes, blocks):
         ph, pw = mcuy * vi * 8, mcux * hi * 8
         p = np.zeros((ph, pw))
         p[: plane.shape[0], : plane.shape[1]] = plane
@@ -704,7 +738,7 @@ def _jpeg_encode(planes, w, h, sampling, quant_flat=1):
     dc_pred = [0] * len(planes)
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (plane, (hi, vi)) in enumerate(zip(padded, sampling)):
+            for ci, (plane, (hi, vi)) in enumerate(zip(padded, blocks)):
                 for bv in range(vi):
                     for bh in range(hi):
                         y0 = (my * vi + bv) * 8
@@ -800,6 +834,15 @@ def test_multimodal_real_jpeg_decode(spark):
     wd, hd, _, feat = MM.decode_jpeg(jf, "image")
     assert (wd, hd) == (8, 8)
     assert all(abs(v - 100 / 255) < 1e-9 for v in feat)
+
+    # a grayscale file DECLARING 2x2 sampling still scans
+    # non-interleaved (T.81 A.2.2) — the sampling factors must not
+    # shape a single-component scan
+    g22 = _jpeg_encode([lum], w, h, [(2, 2)])
+    wd, hd, _, feat22 = MM.decode_jpeg(g22, "image")
+    assert (wd, hd) == (w, h)
+    for a, b in zip(ref, feat22):
+        assert abs(a - b) < 0.02
 
     # progressive JPEGs refuse clearly (SOF2 marker)
     prog = bytearray(gray)
