@@ -6,12 +6,13 @@ The Spark-side mechanics (schema, batching, partitioning, UDF
 signatures) are real and tested, and so are the decoders for every
 format expressible without external codec libraries: binary netpbm,
 PNG (stdlib zlib + scanline unfilters), uncompressed 24-bit BMP, GIF
-(pure-python LZW), baseline JPEG (pure-python huffman + numpy
-dequant/IDCT), and WAV/PCM (stdlib wave; envelope features in the
-decode path, real FFT spectral bands via
-:func:`audio_spectral_features`). Only progressive JPEG, lossy audio,
-and compressed video remain a documented ``NotImplementedError`` —
-plug a PIL/libav decoder into ``decode_fn`` and nothing else changes.
+(pure-python LZW), baseline AND progressive JPEG (pure-python huffman
++ numpy dequant/IDCT; spectral selection, successive approximation,
+EOB runs), and WAV/PCM (stdlib wave; envelope features in the decode
+path, real FFT spectral bands via :func:`audio_spectral_features`).
+Only arithmetic-coded JPEG, lossy audio, and compressed video remain
+a documented ``NotImplementedError`` — plug a PIL/libav decoder into
+``decode_fn`` and nothing else changes.
 A deterministic fake decoder exists for pipeline tests that don't
 care about pixels.
 """
@@ -76,13 +77,14 @@ def real_decode(payload: bytes, kind: str):
     - PNG (stdlib zlib inflate + the five scanline unfilters),
     - uncompressed 24-bit BMP (struct + numpy),
     - GIF (pure-python LZW + palette map, incl. Adam-style interlace),
-    - baseline JPEG (pure-python huffman + numpy dequant/IDCT),
+    - baseline + progressive JPEG (pure-python huffman + numpy
+      dequant/IDCT),
     - WAV/PCM audio (stdlib ``wave`` + numpy envelope).
 
-    Progressive/arithmetic JPEG, lossy audio, and compressed video
-    remain a documented ``NotImplementedError`` (their codecs
-    genuinely do not ship in this container) — plug a PIL/libav
-    decoder in here and nothing else changes."""
+    Arithmetic-coded JPEG, lossy audio, and compressed video remain a
+    documented ``NotImplementedError`` (their codecs genuinely do not
+    ship in this container) — plug a PIL/libav decoder in here and
+    nothing else changes."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload, kind)
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
@@ -96,9 +98,9 @@ def real_decode(payload: bytes, kind: str):
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload, kind)
     raise NotImplementedError(
-        "progressive-JPEG/lossy-audio/compressed-video decoding "
-        "requires codec libraries not present in this environment; "
-        "PPM/PGM, PNG, BMP, GIF, baseline JPEG, and WAV decode "
+        "lossy-audio/compressed-video decoding requires codec "
+        "libraries not present in this environment; PPM/PGM, PNG, "
+        "BMP, GIF, JPEG (baseline + progressive), and WAV decode "
         "natively, or pass fake_decode for the stub"
     )
 
@@ -456,6 +458,8 @@ def decode_jpeg(payload: bytes, kind: str):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}   # (class 0=DC/1=AC, id)
     frame = None
+    progressive = False
+    prog = None  # progressive luminance coefficient store
     restart_interval = 0
     i = 2
     while i + 4 <= len(payload):
@@ -501,7 +505,8 @@ def decode_jpeg(payload: bytes, kind: str):
                         code += 1
                     code <<= 1
                 huff[(tc, th)] = table
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive DCT
+            progressive = marker == 0xC2
             precision, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("decode_jpeg: 8-bit only")
@@ -511,10 +516,10 @@ def decode_jpeg(payload: bytes, kind: str):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "decode_jpeg: only baseline (SOF0/SOF1) huffman JPEG"
+                "decode_jpeg: only huffman DCT JPEG (SOF0/1/2)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -526,11 +531,22 @@ def decode_jpeg(payload: bytes, kind: str):
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            return _jpeg_scan(
-                payload, i + 2 + seglen, frame, scan, qt, huff,
-                restart_interval,
+            if not progressive:
+                return _jpeg_scan(
+                    payload, i + 2 + seglen, frame, scan, qt, huff,
+                    restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            i = prog.scan(
+                payload, i + 2 + seglen, scan, huff,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
             )
+            continue
         i += 2 + seglen
+    if progressive and prog is not None:
+        return prog.finish(qt)
     raise ValueError("decode_jpeg: no scan data")
 
 
@@ -613,6 +629,219 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
     # crop the luminance plane to the component geometry
     lum = np.clip(yplane[:ch, :cw], 0, 255) / 255.0
     return w, h, 0, _lum_feature(lum)
+
+
+def _next_marker(payload: bytes, j: int) -> int:
+    """Position of the next real marker (skips stuffed 0xFF00 and
+    RSTn) — how a progressive decoder finds the end of entropy data
+    for scans it skips or finishes."""
+    while j + 1 < len(payload):
+        if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                and not (0xD0 <= payload[j + 1] <= 0xD7):
+            return j
+        j += 1
+    return len(payload)
+
+
+class _ProgressiveState:
+    """Progressive-JPEG (SOF2) coefficient accumulator for the
+    LUMINANCE component: DC/AC first scans (spectral selection, point
+    transform) and DC/AC refinement scans (successive approximation,
+    EOB runs, correction bits — T.81 G.1.2). Scans that carry no
+    luminance are skipped wholesale (each ns=1 scan's entropy data is
+    self-contained), which is also why only the luminance store
+    exists. ``finish`` dequantizes + IDCTs once, after all scans."""
+
+    def __init__(self, frame):
+        import numpy as np
+
+        w, h, comps = frame
+        self.frame = frame
+        self.by_id = {c["id"]: c for c in comps}
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.y_id = comps[0]["id"]
+        yc = comps[0]
+        self.cw = -(-w * yc["h"] // self.hmax)
+        self.ch = -(-h * yc["v"] // self.vmax)
+        # padded-to-MCU block grid covers both interleaved DC scans
+        # and non-interleaved rasters
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.bw = self.mcux * yc["h"]
+        self.bh = self.mcuy * yc["v"]
+        self.coef = np.zeros((self.bh, self.bw, 64), dtype=np.int64)
+
+    def scan(self, payload, start, scan, huff, ss, se, ah, al, ri):
+        y_in_scan = any(cs == self.y_id for cs, _, _ in scan)
+        if not y_in_scan:
+            return _next_marker(payload, start)
+        if (ss == 0) != (se == 0) or se > 63 or ss > 63:
+            # T.81 G.1.1.1: a DC scan is exactly Ss=Se=0 — a baseline
+            # scan header (Ss=0, Se=63) behind an SOF2 marker is
+            # corrupt, not progressive
+            raise ValueError("decode_jpeg: invalid progressive scan script")
+        reader = _BitReader(payload, start)
+        if ss == 0:
+            self._dc_scan(reader, scan, huff, ah, al, ri)
+        else:
+            cs, _, ta = scan[0]
+            if len(scan) != 1:
+                raise ValueError("decode_jpeg: interleaved AC scan")
+            if ah == 0:
+                self._ac_first(reader, huff[(1, ta)], ss, se, al, ri)
+            else:
+                self._ac_refine(reader, huff[(1, ta)], ss, se, al, ri)
+        return _next_marker(payload, reader.i)
+
+    # -- DC scans ------------------------------------------------------
+    def _dc_scan(self, reader, scan, huff, ah, al, ri):
+        interleaved = len(scan) > 1
+        dc_pred = {cs: 0 for cs, _, _ in scan}
+        mcu_count = 0
+        if interleaved:
+            grid = [(my, mx) for my in range(self.mcuy)
+                    for mx in range(self.mcux)]
+        else:
+            # non-interleaved: one block per MCU over the component's
+            # own raster (T.81 A.2.2)
+            bx = -(-self.cw // 8)
+            by = -(-self.ch // 8)
+            grid = [(my, mx) for my in range(by) for mx in range(bx)]
+        for my, mx in grid:
+            if ri and mcu_count and mcu_count % ri == 0:
+                reader.sync_restart()
+                dc_pred = {cs: 0 for cs in dc_pred}
+            mcu_count += 1
+            for cs, td, _ in scan:
+                comp = self.by_id[cs]
+                reps = (comp["v"], comp["h"]) if interleaved else (1, 1)
+                for bv in range(reps[0]):
+                    for bh_ in range(reps[1]):
+                        if ah == 0:
+                            t = _huff_decode(reader, huff[(0, td)])
+                            dc_pred[cs] += _extend(reader.bits(t), t)
+                            val = dc_pred[cs] << al
+                            write = val
+                        else:
+                            bit = reader.bit()
+                            write = None if not bit else (1 << al)
+                        if cs != self.y_id:
+                            continue
+                        if interleaved:
+                            row = my * comp["v"] + bv
+                            col = mx * comp["h"] + bh_
+                        else:
+                            row, col = my, mx
+                        if ah == 0:
+                            self.coef[row, col, 0] = write
+                        elif write:
+                            self.coef[row, col, 0] |= write
+
+    # -- AC scans (always single-component) ----------------------------
+    def _blocks(self):
+        bx = -(-self.cw // 8)
+        by = -(-self.ch // 8)
+        return [(my, mx) for my in range(by) for mx in range(bx)]
+
+    def _ac_first(self, reader, table, ss, se, al, ri):
+        eobrun = 0
+        count = 0
+        for my, mx in self._blocks():
+            if ri and count and count % ri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            count += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            coef = self.coef[my, mx]
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, table)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) + reader.bits(r) - 1
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("decode_jpeg: AC index overflow")
+                coef[k] = _extend(reader.bits(sz), sz) << al
+                k += 1
+
+    def _ac_refine(self, reader, table, ss, se, al, ri):
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        count = 0
+
+        def correct(coef, k, stop, zeros_to_skip, newval):
+            """Advance k, emitting correction bits at nonzero-history
+            coefficients and counting down zero-history skips; place
+            ``newval`` (if any) at the stopping zero slot."""
+            while k <= stop:
+                if coef[k]:
+                    if reader.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if zeros_to_skip == 0:
+                        break
+                    zeros_to_skip -= 1
+                k += 1
+            if newval and k <= stop:
+                coef[k] = newval
+                k += 1
+            return k
+
+        for my, mx in self._blocks():
+            if ri and count and count % ri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            count += 1
+            coef = self.coef[my, mx]
+            if eobrun > 0:
+                eobrun -= 1
+                correct(coef, ss, se, 64, 0)  # only correction bits
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, table)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + reader.bits(r) - 1
+                        correct(coef, k, se, 64, 0)
+                        break
+                    k = correct(coef, k, se, 16, 0)  # ZRL: 16 zero slots
+                else:
+                    if sz != 1:
+                        raise ValueError(
+                            "decode_jpeg: bad refinement magnitude"
+                        )
+                    newval = p1 if reader.bit() else m1
+                    k = correct(coef, k, se, r, newval)
+
+    def finish(self, qt):
+        import numpy as np
+
+        w, h, comps = self.frame
+        yc = comps[0]
+        q = qt[yc["tq"]]
+        dctm = _dct_matrix()
+        zr, zc = _zigzag_idx()
+        plane = np.zeros((self.bh * 8, self.bw * 8))
+        for my in range(self.bh):
+            for mx in range(self.bw):
+                block = np.zeros((8, 8))
+                block[zr, zc] = self.coef[my, mx]
+                block *= q
+                plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
+                    dctm.T @ block @ dctm + 128.0
+                )
+        lum = np.clip(plane[: self.ch, : self.cw], 0, 255) / 255.0
+        return w, h, 0, _lum_feature(lum)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytes:

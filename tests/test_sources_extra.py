@@ -844,13 +844,19 @@ def test_multimodal_real_jpeg_decode(spark):
     for a, b in zip(ref, feat22):
         assert abs(a - b) < 0.02
 
-    # progressive JPEGs refuse clearly (SOF2 marker)
-    prog = bytearray(gray)
-    sof_at = prog.index(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2
+    # arithmetic-coded JPEG refuses clearly (SOF9); a baseline scan
+    # script behind an SOF2 marker is flagged as corrupt
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="baseline"):
-        MM.decode_jpeg(bytes(prog), "image")
+
+    arith = bytearray(gray)
+    sof_at = arith.index(b"\xff\xc0")
+    arith[sof_at + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="huffman"):
+        MM.decode_jpeg(bytes(arith), "image")
+    fake_prog = bytearray(gray)
+    fake_prog[sof_at + 1] = 0xC2
+    with _pytest.raises(ValueError, match="scan script"):
+        MM.decode_jpeg(bytes(fake_prog), "image")
 
 
 def test_multimodal_jpeg_decodes_real_world_files():
@@ -882,3 +888,231 @@ def test_multimodal_jpeg_decodes_real_world_files():
     w, h, _, feat = decode_jpeg(open(diagram, "rb").read(), "image")
     assert (w, h) == (1155, 1659)
     assert min(feat) > 0.9  # a documentation page is mostly white
+
+
+def _jpeg_encode_progressive(lum, w, h, refine=False):
+    """Progressive (SOF2) grayscale encoder for the decoder tests:
+    spectral-selection scans, and with ``refine=True`` a successive-
+    approximation script (Al=1 first passes + Ah=1 refinement for DC
+    and AC) whose correction-bit stream mirrors the decoder walk.
+    Quant=1 everywhere, so a full progression reconstructs EXACTLY the
+    coefficients the baseline encoder writes — features must match
+    bit-for-bit."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import (
+        ZIGZAG, _dct_matrix,
+    )
+
+    dctm = _dct_matrix()
+    bx, by = -(-w // 8), -(-h // 8)
+    p = np.zeros((by * 8, bx * 8))
+    p[:h, :w] = lum
+    p[h:, :w] = lum[-1:, :]
+    p[:, w:] = p[:, w - 1:w]
+    blocks = []
+    for myy in range(by):
+        for mxx in range(bx):
+            blk = p[myy * 8:myy * 8 + 8, mxx * 8:mxx * 8 + 8] - 128.0
+            coefm = dctm @ blk @ dctm.T
+            blocks.append(
+                np.round([coefm[r, c] for r, c in ZIGZAG]).astype(int)
+            )
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | sz for r in range(16) for sz in range(1, 11)
+    ]
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, len(ac_syms)] + [0] * 8
+
+    def canonical(bits, syms):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[syms[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canonical(dc_bits, dc_syms), canonical(ac_bits, ac_syms)
+
+    def magnitude(v):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def entropy(emitters):
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(length, code):
+            nonlocal acc, nbits
+            acc = (acc << length) | code
+            nbits += length
+            while nbits >= 8:
+                b = (acc >> (nbits - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                nbits -= 8
+
+        for kind, a, b_ in emitters:
+            if kind == "sym_dc":
+                emit(*dc_codes[a])
+                if a:
+                    emit(a, b_)
+            elif kind == "sym_ac":
+                emit(*ac_codes[a])
+                if b_ is not None:
+                    emit(*b_)
+            elif kind == "bit":
+                emit(1, a)
+        if nbits:
+            emit(8 - nbits, (1 << (8 - nbits)) - 1)
+        return bytes(out)
+
+    def dc_first(al):
+        ops, pred = [], 0
+        for zz in blocks:
+            v = int(zz[0]) >> al  # DC point transform: arithmetic shift
+            t, bits_ = magnitude(v - pred)
+            pred = v
+            ops.append(("sym_dc", t, bits_))
+        return ops
+
+    def dc_refine(al):
+        return [("bit", (int(zz[0]) >> al) & 1, None) for zz in blocks]
+
+    def ac_first(ss, se, al):
+        ops = []
+        for zz in blocks:
+            vals = [
+                (1 if v > 0 else -1) * (abs(int(v)) >> al)
+                for v in zz[ss:se + 1]
+            ]
+            run = 0
+            for v in vals:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ops.append(("sym_ac", 0xF0, None))
+                    run -= 16
+                t, bits_ = magnitude(v)
+                ops.append(("sym_ac", (run << 4) | t, (t, bits_)))
+                run = 0
+            if run:
+                ops.append(("sym_ac", 0x00, None))  # EOB0
+        return ops
+
+    def ac_refine(ss, se, al):
+        ops = []
+        for zz in blocks:
+            true = [int(v) for v in zz]
+            hist = [(1 if v > 0 else -1) * (abs(v) >> (al + 1))
+                    for v in true]
+            k = ss
+
+            def advance(zeros, unbounded=False):
+                nonlocal k
+                while k <= se:
+                    if hist[k]:
+                        ops.append(("bit", abs(true[k]) & 1, None))
+                    else:
+                        if not unbounded and zeros == 0:
+                            break
+                        zeros -= 1
+                    k += 1
+
+            while True:
+                kk, r, nxt = k, 0, None
+                while kk <= se:
+                    if not hist[kk]:
+                        if true[kk] != 0:
+                            nxt = kk
+                            break
+                        r += 1
+                    kk += 1
+                if nxt is None:
+                    ops.append(("sym_ac", 0x00, None))
+                    advance(0, unbounded=True)
+                    break
+                while r >= 16:
+                    ops.append(("sym_ac", 0xF0, None))
+                    advance(16)
+                    r -= 16
+                ops.append(("sym_ac", (r << 4) | 1, None))
+                ops.append(("bit", 1 if true[nxt] > 0 else 0, None))
+                advance(r)
+                k += 1  # past the newly placed coefficient
+        return ops
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    if refine:
+        scans = (
+            sos(0, 0, 0, 1) + entropy(dc_first(1))
+            + sos(0, 0, 1, 0) + entropy(dc_refine(0))
+            + sos(1, 63, 0, 1) + entropy(ac_first(1, 63, 1))
+            + sos(1, 63, 1, 0) + entropy(ac_refine(1, 63, 0))
+        )
+    else:
+        scans = (
+            sos(0, 0, 0, 0) + entropy(dc_first(0))
+            + sos(1, 20, 0, 0) + entropy(ac_first(1, 20, 0))
+            + sos(21, 63, 0, 0) + entropy(ac_first(21, 63, 0))
+        )
+    dht = (bytes([0x00]) + bytes(dc_bits[:16]) + bytes(dc_syms)
+           + bytes([0x10]) + bytes(ac_bits[:16]) + bytes(ac_syms))
+    sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    return (b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64))
+            + seg(0xC4, dht) + seg(0xC2, sof) + scans + b"\xff\xd9")
+
+
+def test_multimodal_progressive_jpeg_matches_baseline():
+    """A full progression reconstructs the EXACT coefficients the
+    baseline encoding carries, so the decoded features must be
+    identical — for plain spectral selection AND for a successive-
+    approximation script exercising DC/AC refinement, EOB, ZRL, and
+    correction bits."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(31)
+    h, w = 21, 19
+    yy, xx = np.mgrid[0:h, 0:w]
+    lum = np.clip(
+        128 + 70 * np.sin(yy / 3.0) + 50 * np.cos(xx / 2.0)
+        + rng.normal(0, 12, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    base = decode_jpeg(_jpeg_encode([lum], w, h, [(1, 1)]), "image")
+    spectral = decode_jpeg(_jpeg_encode_progressive(lum, w, h), "image")
+    refined = decode_jpeg(
+        _jpeg_encode_progressive(lum, w, h, refine=True), "image"
+    )
+    assert spectral == base
+    assert refined == base
+
+
+def test_multimodal_real_progressive_jpegs():
+    """Real libjpeg-progression files (system docs — skipped when
+    absent) decode with correct geometry and near-white luminance."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.multimodal import decode_jpeg
+
+    thin = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    full = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not (os.path.exists(thin) and os.path.exists(full)):
+        pytest.skip("system progressive JPEGs not present")
+    w, h, _, feat = decode_jpeg(open(thin, "rb").read(), "image")
+    assert (w, h) == (493, 58) and min(feat) > 0.7
+    w, h, _, feat = decode_jpeg(open(full, "rb").read(), "image")
+    assert (w, h) == (493, 312) and min(feat) > 0.9
