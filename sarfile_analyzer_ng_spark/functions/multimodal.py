@@ -1120,6 +1120,47 @@ def split_ppm_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def split_jpeg_frames(payload: bytes) -> list[bytes]:
+    """Split a Motion-JPEG elementary stream (concatenated JPEG
+    images — what MJPEG-over-HTTP cameras and ``ffmpeg -f mjpeg``
+    emit) into its frame payloads. A real marker/segment walk, not a
+    byte search: 0xFFD8 can legitimately appear inside APPn payloads
+    (EXIF thumbnails), so frame boundaries come from the EOI of each
+    properly parsed frame."""
+    import struct
+
+    frames = []
+    i = 0
+    n = len(payload)
+    while i + 4 <= n and payload[i:i + 2] == b"\xff\xd8":
+        start = i
+        j = i + 2
+        while j + 2 <= n:
+            if payload[j] != 0xFF:
+                raise ValueError("split_jpeg_frames: bad marker walk")
+            m = payload[j + 1]
+            if m == 0xFF:  # fill byte
+                j += 1
+                continue
+            if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                j += 2
+                continue
+            if m == 0xD9:  # EOI: frame complete
+                j += 2
+                break
+            if m == 0xDA:  # SOS: skip entropy data to next real marker
+                (ln,) = struct.unpack(">H", payload[j + 2:j + 4])
+                j = _next_marker(payload, j + 2 + ln)
+                continue
+            (ln,) = struct.unpack(">H", payload[j + 2:j + 4])
+            j += 2 + ln
+        else:
+            raise ValueError("split_jpeg_frames: truncated frame")
+        frames.append(payload[start:j])
+        i = j
+    return frames
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -1134,10 +1175,10 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL end-to-end video frame sampling — no codec library: video
-    rows carry concatenated-netpbm payloads (``split_ppm_frames``),
-    every ``every_n``-th frame is sliced out and decoded with the real
-    PPM decoder (:func:`decode_ppm`), one feature row per sampled
-    frame. Arrow-batched ``mapInPandas``; a task holds one payload at
+    rows carry concatenated-netpbm payloads (``split_ppm_frames``) or
+    Motion-JPEG elementary streams (``split_jpeg_frames``); every
+    ``every_n``-th frame is sliced out and decoded with the matching
+    real decoder, one feature row per sampled frame. Arrow-batched ``mapInPandas``; a task holds one payload at
     a time, frames fan out as rows.
 
     This is the working instance of the frame-sample contract;
@@ -1153,9 +1194,15 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             ):
                 if kind != "video" or payload is None:
                     continue
-                frames = split_ppm_frames(bytes(payload))
+                data = bytes(payload)
+                if data[:2] == b"\xff\xd8":  # Motion-JPEG stream
+                    frames = split_jpeg_frames(data)
+                    frame_decode = decode_jpeg
+                else:
+                    frames = split_ppm_frames(data)
+                    frame_decode = decode_ppm
                 for idx in range(0, len(frames), every_n):
-                    w, h, _, feat = decode_ppm(frames[idx], "image")
+                    w, h, _, feat = frame_decode(frames[idx], "image")
                     out.append(
                         {
                             "media_id": mid,

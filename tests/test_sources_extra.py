@@ -1116,3 +1116,39 @@ def test_multimodal_real_progressive_jpegs():
     assert (w, h) == (493, 58) and min(feat) > 0.7
     w, h, _, feat = decode_jpeg(open(full, "rb").read(), "image")
     assert (w, h) == (493, 312) and min(feat) > 0.9
+
+
+def test_multimodal_mjpeg_frame_sampling(spark):
+    """Motion-JPEG video (concatenated JPEG frames) samples through
+    the SAME frame pipeline as netpbm video, with the real JPEG
+    decoder per frame — per-frame features must match the PPM-encoded
+    twin of the same frame pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames_px = [
+        np.clip(128 + 80 * np.sin(yy / 3.0 + t) * np.cos(xx / 4.0 - t),
+                0, 255).astype(np.uint8)
+        for t in range(5)
+    ]
+    mjpeg = b"".join(_jpeg_encode([f], w, h, [(1, 1)]) for f in frames_px)
+    ppm_video = b"".join(
+        b"P5\n16 16\n255\n" + f.tobytes() for f in frames_px
+    )
+    media = spark.createDataFrame(
+        [(1, "video", None, mjpeg, {}), (2, "video", None, ppm_video, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.sample_frames(media, every_n=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert set(by[1]) == set(by[2]) == {0, 2, 4}
+    for idx in (0, 2, 4):
+        a, b = by[1][idx], by[2][idx]
+        assert (a["width"], a["height"], a["n_frames"]) == (16, 16, 5)
+        # JPEG at quant=1 is near-lossless: features match within 0.01
+        for x, y in zip(a["feature"], b["feature"]):
+            assert abs(x - y) < 0.01
