@@ -1173,7 +1173,8 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+def sample_frames(media: DataFrame, every_n: int = 2,
+                  on_undecodable: str = "null") -> DataFrame:
     """REAL end-to-end video frame sampling — no codec library: video
     rows carry concatenated-netpbm payloads (``split_ppm_frames``) or
     Motion-JPEG elementary streams (``split_jpeg_frames``); every
@@ -1183,8 +1184,15 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     This is the working instance of the frame-sample contract;
     :func:`frame_sample_plan` remains the JVM-side planning twin for
-    containers that need an external decoder.
+    containers that need an external decoder. Error policy matches
+    :func:`extract_features`: with the default ``"null"`` a corrupt
+    container or frame yields ONE null-feature marker row for the
+    payload (frame_idx −1, audit with ``feature IS NULL``) instead of
+    failing the scan.
     """
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError(f"on_undecodable must be null|raise, got "
+                         f"{on_undecodable!r}")
 
     def batches(iterator):
         for pdf in iterator:
@@ -1195,24 +1203,41 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if kind != "video" or payload is None:
                     continue
                 data = bytes(payload)
-                if data[:2] == b"\xff\xd8":  # Motion-JPEG stream
-                    frames = split_jpeg_frames(data)
-                    frame_decode = decode_jpeg
-                else:
-                    frames = split_ppm_frames(data)
-                    frame_decode = decode_ppm
-                for idx in range(0, len(frames), every_n):
-                    w, h, _, feat = frame_decode(frames[idx], "image")
+                try:
+                    if data[:2] == b"\xff\xd8":  # Motion-JPEG stream
+                        frames = split_jpeg_frames(data)
+                        frame_decode = decode_jpeg
+                    else:
+                        frames = split_ppm_frames(data)
+                        frame_decode = decode_ppm
+                    rows = []
+                    for idx in range(0, len(frames), every_n):
+                        w, h, _, feat = frame_decode(frames[idx], "image")
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "n_frames": len(frames),
+                                "width": w,
+                                "height": h,
+                                "feature": feat,
+                            }
+                        )
+                except Exception:
+                    if on_undecodable == "raise":
+                        raise
                     out.append(
                         {
                             "media_id": mid,
-                            "frame_idx": idx,
-                            "n_frames": len(frames),
-                            "width": w,
-                            "height": h,
-                            "feature": feat,
+                            "frame_idx": -1,
+                            "n_frames": None,
+                            "width": None,
+                            "height": None,
+                            "feature": None,
                         }
                     )
+                    continue
+                out.extend(rows)
             yield pd.DataFrame(
                 out, columns=[f.name for f in FRAME_SCHEMA.fields]
             )

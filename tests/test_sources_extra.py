@@ -1152,3 +1152,22 @@ def test_multimodal_mjpeg_frame_sampling(spark):
         # JPEG at quant=1 is near-lossless: features match within 0.01
         for x, y in zip(a["feature"], b["feature"]):
             assert abs(x - y) < 0.01
+
+
+def test_multimodal_corrupt_video_yields_marker_row(spark):
+    good = b"P5\n2 2\n255\n\x00\x40\x80\xff" * 2
+    bad = b"\xff\xd8\xff\xee"  # truncated MJPEG
+    media = spark.createDataFrame(
+        [(1, "video", None, bad, {}), (2, "video", None, good, {})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.sample_frames(media, every_n=1).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r)
+    assert len(got[1]) == 1 and got[1][0]["frame_idx"] == -1
+    assert got[1][0]["feature"] is None
+    assert len(got[2]) == 2 and all(r["feature"] for r in got[2])
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        MM.sample_frames(media, every_n=1, on_undecodable="raise").collect()
