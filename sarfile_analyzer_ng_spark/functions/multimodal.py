@@ -323,6 +323,18 @@ def _zigzag_idx():
     return r, c
 
 
+def _render_block(coef64, q, dctm, zr, zc):
+    """Dequantize + dezigzag + IDCT one 8×8 block — the ONE pixel
+    renderer shared by the baseline scan and the progressive finish,
+    so level shift/crop conventions cannot drift."""
+    import numpy as np
+
+    block = np.zeros((8, 8))
+    block[zr, zc] = coef64
+    block *= q
+    return dctm.T @ block @ dctm + 128.0
+
+
 class _BitReader:
     """MSB-first reader over entropy-coded JPEG data with 0xFF00
     unstuffing and restart-marker awareness."""
@@ -615,10 +627,9 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
                                 k += 1
                             if cs != y_comp:
                                 continue  # chroma: stream advance only
-                            block = np.zeros((8, 8))
-                            block[zr, zc] = coef  # vectorized dezigzag
-                            block *= qt[comp["tq"]]
-                            px = dctm.T @ block @ dctm + 128.0
+                            px = _render_block(
+                                coef, qt[comp["tq"]], dctm, zr, zc
+                            )
                             y0 = (my * e_v + bv) * 8
                             x0 = (mx * e_h + bh) * 8
                             yplane[y0:y0 + 8, x0:x0 + 8] = px
@@ -682,16 +693,21 @@ class _ProgressiveState:
             # corrupt, not progressive
             raise ValueError("decode_jpeg: invalid progressive scan script")
         reader = _BitReader(payload, start)
-        if ss == 0:
-            self._dc_scan(reader, scan, huff, ah, al, ri)
-        else:
-            cs, _, ta = scan[0]
-            if len(scan) != 1:
-                raise ValueError("decode_jpeg: interleaved AC scan")
-            if ah == 0:
-                self._ac_first(reader, huff[(1, ta)], ss, se, al, ri)
+        try:
+            if ss == 0:
+                self._dc_scan(reader, scan, huff, ah, al, ri)
             else:
-                self._ac_refine(reader, huff[(1, ta)], ss, se, al, ri)
+                cs, _, ta = scan[0]
+                if len(scan) != 1:
+                    raise ValueError("decode_jpeg: interleaved AC scan")
+                if ah == 0:
+                    self._ac_first(reader, huff[(1, ta)], ss, se, al, ri)
+                else:
+                    self._ac_refine(reader, huff[(1, ta)], ss, se, al, ri)
+        except _RestartMarker:
+            # a mid-symbol RSTn means the stream is desynced — surface
+            # the documented corrupt-stream error type
+            raise ValueError("decode_jpeg: unexpected restart marker")
         return _next_marker(payload, reader.i)
 
     # -- DC scans ------------------------------------------------------
@@ -777,18 +793,23 @@ class _ProgressiveState:
         eobrun = 0
         count = 0
 
-        def correct(coef, k, stop, zeros_to_skip, newval):
+        def correct(coef, k, stop, zeros, newval, consume_stop):
             """Advance k, emitting correction bits at nonzero-history
-            coefficients and counting down zero-history skips; place
-            ``newval`` (if any) at the stopping zero slot."""
+            coefficients and counting down ``zeros`` zero-history
+            skips. T.81/libjpeg bit order: a ZRL segment CONSUMES its
+            stopping zero (``consume_stop=True``, 15 skips + stop
+            after the 16th), while a new-coefficient segment stops AT
+            its zero slot and places the value there."""
             while k <= stop:
                 if coef[k]:
                     if reader.bit() and (coef[k] & p1) == 0:
                         coef[k] += p1 if coef[k] > 0 else m1
                 else:
-                    if zeros_to_skip == 0:
+                    if zeros == 0:
+                        if consume_stop:
+                            k += 1
                         break
-                    zeros_to_skip -= 1
+                    zeros -= 1
                 k += 1
             if newval and k <= stop:
                 coef[k] = newval
@@ -803,7 +824,7 @@ class _ProgressiveState:
             coef = self.coef[my, mx]
             if eobrun > 0:
                 eobrun -= 1
-                correct(coef, ss, se, 64, 0)  # only correction bits
+                correct(coef, ss, se, 64, 0, False)  # correction only
                 continue
             k = ss
             while k <= se:
@@ -812,16 +833,17 @@ class _ProgressiveState:
                 if sz == 0:
                     if r < 15:
                         eobrun = (1 << r) + reader.bits(r) - 1
-                        correct(coef, k, se, 64, 0)
+                        correct(coef, k, se, 64, 0, False)
                         break
-                    k = correct(coef, k, se, 16, 0)  # ZRL: 16 zero slots
+                    # ZRL: skip 15 zeros, consume the 16th
+                    k = correct(coef, k, se, 15, 0, True)
                 else:
                     if sz != 1:
                         raise ValueError(
                             "decode_jpeg: bad refinement magnitude"
                         )
                     newval = p1 if reader.bit() else m1
-                    k = correct(coef, k, se, r, newval)
+                    k = correct(coef, k, se, r, newval, False)
 
     def finish(self, qt):
         import numpy as np
@@ -834,11 +856,8 @@ class _ProgressiveState:
         plane = np.zeros((self.bh * 8, self.bw * 8))
         for my in range(self.bh):
             for mx in range(self.bw):
-                block = np.zeros((8, 8))
-                block[zr, zc] = self.coef[my, mx]
-                block *= q
                 plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
-                    dctm.T @ block @ dctm + 128.0
+                    _render_block(self.coef[my, mx], q, dctm, zr, zc)
                 )
         lum = np.clip(plane[: self.ch, : self.cw], 0, 255) / 255.0
         return w, h, 0, _lum_feature(lum)
@@ -1148,6 +1167,8 @@ def split_jpeg_frames(payload: bytes) -> list[bytes]:
             if m == 0xD9:  # EOI: frame complete
                 j += 2
                 break
+            if j + 4 > n:
+                raise ValueError("split_jpeg_frames: truncated frame")
             if m == 0xDA:  # SOS: skip entropy data to next real marker
                 (ln,) = struct.unpack(">H", payload[j + 2:j + 4])
                 j = _next_marker(payload, j + 2 + ln)
@@ -1193,6 +1214,10 @@ def sample_frames(media: DataFrame, every_n: int = 2,
     if on_undecodable not in ("null", "raise"):
         raise ValueError(f"on_undecodable must be null|raise, got "
                          f"{on_undecodable!r}")
+    if every_n < 1:
+        # a caller bug, not an undecodable payload — fail loudly here
+        # rather than letting the per-payload catch null-row every row
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def batches(iterator):
         for pdf in iterator:

@@ -1013,13 +1013,15 @@ def _jpeg_encode_progressive(lum, w, h, refine=False):
                     for v in true]
             k = ss
 
-            def advance(zeros, unbounded=False):
+            def advance(zeros, unbounded=False, consume_stop=False):
                 nonlocal k
                 while k <= se:
                     if hist[k]:
                         ops.append(("bit", abs(true[k]) & 1, None))
                     else:
                         if not unbounded and zeros == 0:
+                            if consume_stop:
+                                k += 1
                             break
                         zeros -= 1
                     k += 1
@@ -1038,8 +1040,10 @@ def _jpeg_encode_progressive(lum, w, h, refine=False):
                     advance(0, unbounded=True)
                     break
                 while r >= 16:
+                    # T.81 bit order: ZRL skips 15 zeros and CONSUMES
+                    # its 16th (mirrors the decoder)
                     ops.append(("sym_ac", 0xF0, None))
-                    advance(16)
+                    advance(15, consume_stop=True)
                     r -= 16
                 ops.append(("sym_ac", (r << 4) | 1, None))
                 ops.append(("bit", 1 if true[nxt] > 0 else 0, None))
@@ -1099,6 +1103,30 @@ def test_multimodal_progressive_jpeg_matches_baseline():
     )
     assert spectral == base
     assert refined == base
+
+
+def test_ac_refine_zrl_bit_order_matches_libjpeg():
+    """The verified divergence case: a refinement stream in
+    T.81/libjpeg order — [ZRL][sym(0,1)][sign][correction][EOB0] with
+    16 leading zero-history slots and a nonzero-history coefficient
+    right after them. ZRL must skip 15 zeros and consume the 16th
+    WITHOUT touching the following nonzero coefficient, whose
+    correction bit belongs to the NEXT symbol's walk."""
+    from sarfile_analyzer_ng_spark.functions.multimodal import (
+        _BitReader, _ProgressiveState,
+    )
+
+    frame = (8, 8, [{"id": 1, "h": 1, "v": 1, "tq": 0}])
+    st = _ProgressiveState(frame)
+    st.coef[0, 0, 17] = 2  # nonzero history right after 16 zeros
+    # 2-bit canonical toy table: EOB0=00, ZRL=01, (r=0,s=1)=10
+    table = {(2, 0): 0x00, (2, 1): 0xF0, (2, 2): 0x01}
+    # bits: ZRL(01) sym01(10) sign(1) corr(1) EOB0(00) -> 0110 1100
+    reader = _BitReader(bytes([0b01101100]), 0)
+    st._ac_refine(reader, table, 1, 63, 0, 0)
+    assert st.coef[0, 0, 17] == 3   # correction bit applied
+    assert st.coef[0, 0, 18] == 1   # new coefficient lands at 18
+    assert st.coef[0, 0, 16] == 0   # the consumed zero stays zero
 
 
 def test_multimodal_real_progressive_jpegs():
