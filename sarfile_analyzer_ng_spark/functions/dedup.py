@@ -520,6 +520,94 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
+                     k: int) -> DataFrame:
+    """``(doc, pos, h)``: the md5-derived hash of every positional
+    word ``k``-gram — the shared front half of winnowing and the
+    repeated-span detector (identical expressions, identical analyzed
+    plan, identical DuckDB twin)."""
+    words = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    grams = words.select(
+        "doc",
+        "pos",
+        F.concat_ws(
+            " ", "w", *[F.lead("w", j).over(win) for j in range(1, k)]
+        ).alias("gram"),
+        F.lead("w", k - 1).over(win).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    return grams.select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def repeated_spans(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 8, min_tokens: int = 16) -> DataFrame:
+    """Maximal repeated-substring spans — the ExactSubstr dedup
+    semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) as a Spark plan: that
+    paper builds a suffix array to find every substring of ≥ N tokens
+    that occurs more than once in the corpus; here the same spans
+    emerge from stride-1 ``k``-gram hashing — a substring repeat of
+    length L ≥ k repeats ALL of its L−k+1 consecutive grams, so
+    merging consecutive duplicated-gram positions per document
+    recovers the maximal repeated span (detection is exact for spans
+    ≥ k up to md5 collisions; span EXTENT can over-merge when two
+    repeats abut within k tokens — the suffix array's only edge over
+    this formulation).
+
+    Unlike q94's ALIGNED fixed passages, these spans are unaligned
+    and variable-length: boilerplate that starts mid-passage is still
+    caught. Shape at scale: grams ≈ one row per corpus token — one
+    map-combinable count agg keyed by gram hash, one hash-keyed join
+    back, then doc-keyed windows (lag + running sum, the sessionize
+    pattern). Everything linear in corpus tokens; no suffix array,
+    no global sort.
+
+    Returns ``(id, span_start, span_tokens, max_occ)`` — start token
+    position, span length in tokens, and the hottest gram's occurrence
+    count (how widely the boilerplate spreads).
+    """
+    hashed = _pos_gram_hashes(df, text_col, id_col, k)
+    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = hashed.join(occ.where(F.col("n_occ") > 1), "h")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = dup.select(
+        "doc", "pos", "n_occ",
+        F.when(F.col("pos") == F.lag("pos").over(w) + 1, 0)
+        .otherwise(1)
+        .alias("new_run"),
+    ).withColumn(
+        "run",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long")
+            .alias("span_tokens"),
+            F.max("n_occ").cast("long").alias("max_occ"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("span_start").cast("long"),
+            "span_tokens",
+            "max_occ",
+        )
+    )
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, window: int = 4) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
@@ -544,26 +632,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     no complete window and produce no fingerprints (callers needing
     every doc can left-join).
     """
-    words = _fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    grams = words.select(
-        "doc",
-        "pos",
-        F.concat_ws(
-            " ", "w", *[F.lead("w", j).over(win) for j in range(1, k)]
-        ).alias("gram"),
-        F.lead("w", k - 1).over(win).alias("_tail"),
-    ).where(F.col("_tail").isNotNull())
-    hashed = grams.select(
-        "doc",
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    hashed = _pos_gram_hashes(df, text_col, id_col, k)
+    owin = Window.partitionBy("doc").orderBy("pos")
     fwin = (
         Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
     )
@@ -571,7 +641,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
         hashed.select(
             "doc",
             F.min("h").over(fwin).alias("fp"),
-            F.row_number().over(win).alias("_rk"),
+            F.row_number().over(owin).alias("_rk"),
             F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("_n"),
         )
         # only COMPLETE windows fingerprint (the guarantee is stated

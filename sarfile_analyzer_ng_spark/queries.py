@@ -3638,6 +3638,51 @@ FROM q
 """
 
 
+
+RS_K, RS_MIN_TOKENS = 8, 16
+
+
+def q106_repeated_spans(spark, sf_dir):
+    """Maximal repeated-substring spans (functions/dedup.py:
+    repeated_spans — the ExactSubstr dedup semantics of Lee et al.
+    2022 via stride-1 gram-hash run merging): every unaligned
+    boilerplate span of ≥ 16 tokens that occurs more than once in the
+    corpus, per document, with its start position and spread."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.repeated_spans(docs, "text", "doc_id",
+                            k=RS_K, min_tokens=RS_MIN_TOKENS)
+
+
+SQL_Q106 = rf"""
+WITH v AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{RS_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, w, unnest(range(1, len(w) - {RS_K - 2})) AS i FROM v)),
+occ AS (SELECT h, count(*)::BIGINT AS n_occ FROM g GROUP BY h),
+dup AS (SELECT g.doc, g.pos, occ.n_occ
+        FROM g JOIN occ USING (h) WHERE occ.n_occ > 1),
+runs AS (
+  SELECT doc, pos, n_occ,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS new_run
+  FROM dup),
+spans AS (
+  SELECT doc, pos, n_occ,
+         sum(new_run) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+  FROM runs)
+SELECT doc AS doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) - min(pos) + {RS_K})::BIGINT AS span_tokens,
+       max(n_occ)::BIGINT AS max_occ
+FROM spans GROUP BY doc, run
+HAVING max(pos) - min(pos) + {RS_K} >= {RS_MIN_TOKENS}
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -3882,6 +3927,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # suite; leads the r7 window as a never-recorded key
     "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
     "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
 }
 
 

@@ -805,6 +805,31 @@ def test_budget_select_greedy_prefix(spark):
     assert out[4]["kept"] == 0 and out[4]["cum_tokens"] == 8
 
 
+def test_repeated_spans_unaligned_detection(spark):
+    boiler = " ".join(f"b{i}" for i in range(30))  # 30-token boilerplate
+    rows = [
+        (1, "u1 u2 u3 " + boiler + " t1 t2"),          # span at offset 3
+        (2, "v1 " + boiler + " w1 w2 w3 w4"),          # same span, offset 1
+        (3, "x1 x2 " + " ".join(f"s{i}" for i in range(10)) + " x3"),
+        (4, "y1 y2 " + " ".join(f"s{i}" for i in range(10)) + " y3"),
+        (5, "plain unique text with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in D.repeated_spans(df, "text", "doc_id",
+                              k=8, min_tokens=16).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # the 30-token boilerplate is found in both docs at its true
+    # UNALIGNED offsets — q94's aligned passages could miss this
+    assert [ (r["span_start"], r["span_tokens"]) for r in got[1] ] == [(3, 30)]
+    assert [ (r["span_start"], r["span_tokens"]) for r in got[2] ] == [(1, 30)]
+    # the 10-token repeat stays below min_tokens=16; doc 5 is clean
+    assert 3 not in got and 4 not in got and 5 not in got
+    # lowering the threshold surfaces the 10-token repeat too
+    low = D.repeated_spans(df, "text", "doc_id", k=8, min_tokens=10)
+    assert {r["doc_id"] for r in low.collect()} == {1, 2, 3, 4}
+
+
 def _ref_bpe(word_counts, num_merges):
     # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
     # the distributed trainer: count DESC, pair ASC tie-break
