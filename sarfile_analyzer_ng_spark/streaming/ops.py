@@ -518,3 +518,79 @@ def semdedup_verdicts_stream(stream: DataFrame, id_col: str, vec_col: str,
     return assigned.groupBy(F.col("cluster")).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
     )
+
+
+def duplicated_grams_stream(stream: DataFrame, text_col: str, id_col: str,
+                            k: int = 8,
+                            state_ttl_ms: int = 3_600_000) -> DataFrame:
+    """Streaming duplicated-gram detection (ST13): the ingest-side
+    half of the q106 repeated-span detector, completing the streaming
+    dedup family (ST5 exact doc, ST9 exact passage, ST7 lexical
+    near-dup, ST11 semantic). Each document's stride-1 word ``k``-gram
+    hashes — the exact ``_pos_gram_hashes`` md5 family, so stream
+    hashes equal batch hashes value-for-value — key a counter state;
+    every arrival of a gram already seen emits ``(doc, pos, h,
+    n_occ)``. Span MERGING stays a batch job over the emitted hits
+    (the q106 lag/running-sum pattern), mirroring the ST7 split:
+    candidates at ingest, verification offline.
+
+    State is ONE small count per distinct gram inside the TTL horizon
+    — the ST9 trade (state ∝ distinct grams in the window; an idle
+    gram expires and a later repeat re-counts from one).
+    """
+    import pandas as pd
+
+    # per-row gram hashing with array ops (a stream cannot pay the
+    # batch explode+window shuffle per micro-batch): same md5-substr
+    # family as _pos_gram_hashes, value-identical
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    exploded = stream.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(grams).alias("pos", "h"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("n_occ", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def fn(key, pdf_iter, state):
+        (h,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count = state.get[0] if state.exists else 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["doc", "pos"]
+        )
+        rows = []
+        for doc, pos in zip(pdf["doc"], pdf["pos"]):
+            count += 1
+            if count >= 2:
+                rows.append((int(doc), int(pos), int(h), int(count)))
+        state.update((int(count),))
+        state.setTimeoutDuration(state_ttl_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc", "pos", "h", "n_occ"])
+
+    return exploded.groupBy(F.col("h")).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
+    )

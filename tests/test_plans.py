@@ -404,3 +404,14 @@ def test_quality_classifier_training_agg_is_map_side_combinable(spark):
     assert p.count("HashAggregate") == 2  # partial + final
     assert "Exchange SinglePartition" in p  # 5 numbers per task move
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repeated_spans_is_jvm_side_and_combinable(spark):
+    """q106's gram counting must be a partial/final HashAggregate pair
+    (map-side combine carries the per-hash reduction) with no Python
+    in the row path — the whole detector is JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q106_repeated_spans
+
+    p = plan(q106_repeated_spans(spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final gram count

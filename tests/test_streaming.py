@@ -652,3 +652,62 @@ def test_logreg_scoring_runs_unchanged_on_stream(spark, tmp_path):
         for r in spark.table("logreg_stream_test").collect()
     }
     assert got == want and len(got) == 80
+
+
+def test_duplicated_grams_stream_matches_batch_occurrences(spark, tmp_path):
+    """ST13: the streaming duplicated-gram detector must flag exactly
+    the (doc, pos) gram occurrences whose hash the BATCH q106 front
+    half counts more than once — with the duplicate arriving in a
+    LATER micro-batch than the original (counter state crosses the
+    boundary), and hash values identical between engines."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions.dedup import _pos_gram_hashes
+
+    src = str(tmp_path / "dupgram_src")
+    os.makedirs(src)
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    twins = base.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    for i, frame in enumerate([base, twins]):
+        pth = f"{src}/chunk{i}.parquet"
+        frame.toPandas().to_parquet(pth, index=False)
+        os.utime(pth, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.duplicated_grams_stream(stream, "text", "doc_id", k=8)
+    q = (
+        out.writeStream.format("memory").queryName("dupgram_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dupgram_stream_test").collect()
+
+    corpus = base.unionByName(twins)
+    hashed = _pos_gram_hashes(corpus, "text", "doc_id", 8)
+    occ = hashed.groupBy("h").count()
+    batch_dup_hashes = {
+        r["h"] for r in occ.where(F.col("count") > 1).collect()
+    }
+    # every emitted hit is a batch-duplicated gram hash (value parity)
+    assert got and all(r["h"] in batch_dup_hashes for r in got)
+    # and each duplicated hash's occurrences beyond the first are all
+    # emitted: total emissions = total occurrences - distinct hashes
+    batch_occ = {
+        r["h"]: r["count"]
+        for r in occ.where(F.col("count") > 1).collect()
+    }
+    assert len(got) == sum(c - 1 for c in batch_occ.values())
+    # twins arrived in the LATER micro-batch: every twin doc has hits
+    # (its grams were first seen in the earlier batch)
+    twin_docs = {r["doc"] for r in got if r["doc"] >= 1_000_000}
+    assert twin_docs == {1_000_000 + i for i in range(10)}
