@@ -520,6 +520,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def tokens_expr(text: Column) -> Column:
+    """The ONE whitespace tokenization every gram family uses
+    (lower + trim + split) — shared by the batch gram builders and the
+    ST13 stream so the contract cannot drift."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def gram_hash_expr(gram: Column) -> Column:
+    """The md5-substr-conv gram hash (first 8 hex chars as a long) —
+    the cross-engine family of winnowing/q106, shared batch + stream."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+
 def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
                      k: int) -> DataFrame:
     """``(doc, pos, h)``: the md5-derived hash of every positional
@@ -528,7 +541,7 @@ def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
     plan, identical DuckDB twin)."""
     words = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "w"),
     )
     win = Window.partitionBy("doc").orderBy("pos")
     grams = words.select(
@@ -539,13 +552,7 @@ def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
         ).alias("gram"),
         F.lead("w", k - 1).over(win).alias("_tail"),
     ).where(F.col("_tail").isNotNull())
-    return grams.select(
-        "doc",
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    return grams.select("doc", "pos", gram_hash_expr(F.col("gram")).alias("h"))
 
 
 def repeated_spans(df: DataFrame, text_col: str, id_col: str,

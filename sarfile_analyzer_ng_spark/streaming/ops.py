@@ -540,20 +540,25 @@ def duplicated_grams_stream(stream: DataFrame, text_col: str, id_col: str,
     """
     import pandas as pd
 
+    from ..functions.dedup import gram_hash_expr, tokens_expr
+
     # per-row gram hashing with array ops (a stream cannot pay the
-    # batch explode+window shuffle per micro-batch): same md5-substr
-    # family as _pos_gram_hashes, value-identical
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # batch explode+window shuffle per micro-batch): the SHARED
+    # tokenize + hash expressions of _pos_gram_hashes, value-identical.
+    # Guarded sequence: sequence(0, -1) is NOT empty in Spark (the
+    # default step turns descending), so short/null documents take the
+    # explicit empty branch — like the batch builder, they emit nothing
+    toks = tokens_expr(F.col(text_col))
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: gram_hash_expr(
+                F.concat_ws(" ", F.slice(toks, i + 1, k))
             ),
-            16, 10,
-        ).cast("long"),
-    )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     exploded = stream.select(
         F.col(id_col).alias("doc"),
         F.posexplode(grams).alias("pos", "h"),

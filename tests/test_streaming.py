@@ -694,20 +694,44 @@ def test_duplicated_grams_stream_matches_batch_occurrences(spark, tmp_path):
 
     corpus = base.unionByName(twins)
     hashed = _pos_gram_hashes(corpus, "text", "doc_id", 8)
-    occ = hashed.groupBy("h").count()
-    batch_dup_hashes = {
-        r["h"] for r in occ.where(F.col("count") > 1).collect()
-    }
-    # every emitted hit is a batch-duplicated gram hash (value parity)
-    assert got and all(r["h"] in batch_dup_hashes for r in got)
-    # and each duplicated hash's occurrences beyond the first are all
-    # emitted: total emissions = total occurrences - distinct hashes
     batch_occ = {
         r["h"]: r["count"]
-        for r in occ.where(F.col("count") > 1).collect()
+        for r in hashed.groupBy("h").count()
+        .where(F.col("count") > 1).collect()
     }
+    # every emitted hit is a batch-duplicated gram hash (value parity)
+    assert got and all(r["h"] in batch_occ for r in got)
+    # and each duplicated hash's occurrences beyond the first are all
+    # emitted: total emissions = total occurrences - distinct hashes
     assert len(got) == sum(c - 1 for c in batch_occ.values())
     # twins arrived in the LATER micro-batch: every twin doc has hits
     # (its grams were first seen in the earlier batch)
     twin_docs = {r["doc"] for r in got if r["doc"] >= 1_000_000}
     assert twin_docs == {1_000_000 + i for i in range(10)}
+
+
+def test_duplicated_grams_stream_short_and_null_docs(spark, tmp_path):
+    """Short (< k tokens) and null-text documents emit NOTHING — like
+    the batch gram builder — instead of crashing the query or hashing
+    phantom empty grams that falsely link unrelated documents."""
+    import os
+    import pandas as pd
+
+    src = str(tmp_path / "shortdoc_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["one two three", "", None,
+                  " ".join(f"w{i}" for i in range(12))]}
+    ).to_parquet(f"{src}/c0.parquet", index=False)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = SO.duplicated_grams_stream(stream, "text", "doc_id", k=8)
+    q = (
+        out.writeStream.format("memory").queryName("shortdoc_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("shortdoc_stream_test").collect()
+    # doc 4 has 5 distinct grams, none repeated; docs 1-3 emit nothing
+    assert got == []
