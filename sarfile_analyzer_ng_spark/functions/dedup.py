@@ -615,6 +615,111 @@ def repeated_spans(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 8, min_tokens: int = 16) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022 cut the
+    duplicated bytes, not the documents): every repeated span found by
+    :func:`repeated_spans` survives only at its globally FIRST
+    occurrence — the (doc, pos) argmin over the span's opening gram
+    hash, a combinable min-struct like passage dedup's — and every
+    later occurrence's tokens are cut from the text.
+
+    Output: ``(id, text_clean, n_tokens_kept, n_cut_tokens,
+    n_spans_cut)``. ``text_clean`` is rebuilt from the ORIGINAL-case
+    tokens (positions align with the lowered gram positions because
+    the split pattern is identical); whitespace runs collapse to
+    single spaces — the same normalization every tokenizing operator
+    here applies.
+
+    Shape at scale: the detector's linear plan, plus one doc-keyed
+    anti-join of tokens against the (few) cut ranges and one doc-keyed
+    rebuild agg. Nothing quadratic, nothing driver-side.
+    """
+    hashed = _pos_gram_hashes(df, text_col, id_col, k)
+    occ = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc", "pos")).alias("first_occ"),
+    )
+    dup = hashed.join(occ.where(F.col("n_occ") > 1), "h")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = dup.select(
+        "doc", "pos", "h",
+        F.when(F.col("pos") == F.lag("pos").over(w) + 1, 0)
+        .otherwise(1)
+        .alias("new_run"),
+    ).withColumn(
+        "run",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        runs.groupBy("doc", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.min_by("h", "pos").alias("h_start"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+    )
+    cut = (
+        spans.join(
+            occ.select(F.col("h").alias("h_start"), "first_occ"), "h_start"
+        )
+        .where(
+            (F.col("first_occ.doc") != F.col("doc"))
+            | (F.col("first_occ.pos") != F.col("span_start"))
+        )
+        .select(
+            "doc",
+            F.col("span_start").alias("cut_start"),
+            (F.col("span_start") + F.col("span_tokens")).alias("cut_end"),
+        )
+    )
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    kept = toks.join(
+        cut,
+        (toks["doc"] == cut["doc"])
+        & (toks["pos"] >= cut["cut_start"])
+        & (toks["pos"] < cut["cut_end"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    totals = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_cut_spans = cut.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_cut")
+    )
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .join(n_cut_spans, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+            .alias("n_tokens_kept"),
+            (F.col("n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_cut_tokens"),
+            F.coalesce("n_spans_cut", F.lit(0)).cast("long")
+            .alias("n_spans_cut"),
+        )
+    )
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, window: int = 4) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,

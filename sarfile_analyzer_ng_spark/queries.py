@@ -3683,6 +3683,79 @@ HAVING max(pos) - min(pos) + {RS_K} >= {RS_MIN_TOKENS}
 """
 
 
+
+def q107_span_dedup_apply(spark, sf_dir):
+    """The ExactSubstr APPLY (functions/dedup.py:repeated_spans_cut):
+    cut every repeated ≥16-token span except its globally first
+    occurrence, returning the rewritten text with audit counts — the
+    Lee et al. 2022 "cut the duplicated bytes" semantics, value-hash
+    oracled on the rewritten text itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.repeated_spans_cut(docs, "text", "doc_id",
+                                k=RS_K, min_tokens=RS_MIN_TOKENS)
+
+
+SQL_Q107 = rf"""
+WITH v AS (
+  SELECT doc_id AS doc,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         string_split_regex(trim(text), '\s+') AS wo
+  FROM documents),
+g AS (
+  SELECT doc, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{RS_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, w, unnest(range(1, len(w) - {RS_K - 2})) AS i FROM v)),
+occ AS (
+  SELECT h, count(*)::BIGINT AS n_occ,
+         min(struct_pack(doc := doc, pos := pos)) AS first_occ
+  FROM g GROUP BY h),
+dup AS (SELECT g.doc, g.pos, g.h
+        FROM g JOIN occ USING (h) WHERE occ.n_occ > 1),
+runs AS (
+  SELECT doc, pos, h,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS new_run
+  FROM dup),
+srows AS (
+  SELECT doc, pos, h,
+         sum(new_run) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+  FROM runs),
+spans AS (
+  SELECT doc, min(pos) AS span_start,
+         max(pos) - min(pos) + {RS_K} AS span_tokens,
+         min_by(h, pos) AS h_start
+  FROM srows GROUP BY doc, run
+  HAVING max(pos) - min(pos) + {RS_K} >= {RS_MIN_TOKENS}),
+cut AS (
+  SELECT s.doc, s.span_start AS cut_start,
+         s.span_start + s.span_tokens AS cut_end
+  FROM spans s JOIN occ o ON o.h = s.h_start
+  WHERE o.first_occ.doc != s.doc OR o.first_occ.pos != s.span_start),
+toks AS (
+  SELECT doc, i - 1 AS pos, wo[i] AS w
+  FROM (SELECT doc, wo, unnest(range(1, len(wo) + 1)) AS i FROM v)),
+kept AS (
+  SELECT t.doc, t.pos, t.w FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM cut c
+                    WHERE c.doc = t.doc AND t.pos >= c.cut_start
+                      AND t.pos < c.cut_end)),
+reb AS (
+  SELECT doc, array_to_string(list(w ORDER BY pos), ' ') AS text_clean,
+         count(*)::BIGINT AS n_tokens_kept
+  FROM kept GROUP BY doc),
+tot AS (SELECT doc, count(*)::BIGINT AS n_total FROM toks GROUP BY doc),
+ncs AS (SELECT doc, count(*)::BIGINT AS n_spans_cut FROM cut GROUP BY doc)
+SELECT tot.doc AS doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       coalesce(reb.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+       (tot.n_total - coalesce(reb.n_tokens_kept, 0))::BIGINT AS n_cut_tokens,
+       coalesce(ncs.n_spans_cut, 0)::BIGINT AS n_spans_cut
+FROM tot LEFT JOIN reb USING (doc) LEFT JOIN ncs USING (doc)
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -3928,6 +4001,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
     "q105_budget_trim": (q105_budget_trim, SQL_Q105),
     "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
 }
 
 

@@ -830,6 +830,29 @@ def test_repeated_spans_unaligned_detection(spark):
     assert {r["doc_id"] for r in low.collect()} == {1, 2, 3, 4}
 
 
+def test_repeated_spans_cut_keeps_first_occurrence(spark):
+    boiler = " ".join(f"B{i}" for i in range(20))  # preserves CASE
+    rows = [
+        (1, "u1 u2 " + boiler),                  # first occurrence
+        (2, "v1 " + boiler + " v2"),             # cut here
+        (3, boiler + " z1 z2 z3"),               # cut here too
+        (4, "clean text that repeats nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.repeated_spans_cut(
+        df, "text", "doc_id", k=8, min_tokens=16).collect()}
+    # the smallest (doc, pos) occurrence survives with original case
+    assert out[1]["text_clean"] == "u1 u2 " + boiler
+    assert out[1]["n_cut_tokens"] == 0
+    # later occurrences are cut, surrounding text survives
+    assert out[2]["text_clean"] == "v1 v2"
+    assert out[2]["n_cut_tokens"] == 20 and out[2]["n_spans_cut"] == 1
+    assert out[3]["text_clean"] == "z1 z2 z3"
+    assert out[4]["text_clean"] == rows[3][1]
+    # global token accounting: exactly 2 copies x 20 tokens removed
+    assert sum(r["n_cut_tokens"] for r in out.values()) == 40
+
+
 def _ref_bpe(word_counts, num_merges):
     # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
     # the distributed trainer: count DESC, pair ASC tie-break
