@@ -619,10 +619,19 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
                        k: int = 8, min_tokens: int = 16) -> DataFrame:
     """The APPLY step of ExactSubstr dedup (Lee et al. 2022 cut the
     duplicated bytes, not the documents): every repeated span found by
-    :func:`repeated_spans` survives only at its globally FIRST
-    occurrence — the (doc, pos) argmin over the span's opening gram
-    hash, a combinable min-struct like passage dedup's — and every
-    later occurrence's tokens are cut from the text.
+    :func:`repeated_spans` survives only at its FIRST occurrence —
+    the min ``(doc, span_start)`` over the EMITTED SPANS that share
+    the same opening gram hash (a combinable min-struct like passage
+    dedup's) — and every later occurrence's tokens are cut.
+
+    The keeper is chosen from the spans frame itself, NOT from the
+    opening gram's global first occurrence: that raw-gram argmin can
+    land mid-run in another document (adjacent repeats merged into one
+    longer run) or in a document whose duplicated run is below
+    ``min_tokens`` (a partial copy emits no span at all), in which
+    case no span would match it and EVERY occurrence of the
+    boilerplate would be cut — including the first. Grouping over the
+    emitted spans guarantees exactly one survivor per span family.
 
     Output: ``(id, text_clean, n_tokens_kept, n_cut_tokens,
     n_spans_cut)``. ``text_clean`` is rebuilt from the ORIGINAL-case
@@ -636,10 +645,7 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
     rebuild agg. Nothing quadratic, nothing driver-side.
     """
     hashed = _pos_gram_hashes(df, text_col, id_col, k)
-    occ = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct("doc", "pos")).alias("first_occ"),
-    )
+    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     dup = hashed.join(occ.where(F.col("n_occ") > 1), "h")
     w = Window.partitionBy("doc").orderBy("pos")
     runs = dup.select(
@@ -662,13 +668,14 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
         )
         .where(F.col("span_tokens") >= min_tokens)
     )
+    keepers = spans.groupBy("h_start").agg(
+        F.min(F.struct("doc", "span_start")).alias("keep")
+    )
     cut = (
-        spans.join(
-            occ.select(F.col("h").alias("h_start"), "first_occ"), "h_start"
-        )
+        spans.join(keepers, "h_start")
         .where(
-            (F.col("first_occ.doc") != F.col("doc"))
-            | (F.col("first_occ.pos") != F.col("span_start"))
+            (F.col("keep.doc") != F.col("doc"))
+            | (F.col("keep.span_start") != F.col("span_start"))
         )
         .select(
             "doc",

@@ -3686,10 +3686,12 @@ HAVING max(pos) - min(pos) + {RS_K} >= {RS_MIN_TOKENS}
 
 def q107_span_dedup_apply(spark, sf_dir):
     """The ExactSubstr APPLY (functions/dedup.py:repeated_spans_cut):
-    cut every repeated ≥16-token span except its globally first
-    occurrence, returning the rewritten text with audit counts — the
-    Lee et al. 2022 "cut the duplicated bytes" semantics, value-hash
-    oracled on the rewritten text itself."""
+    cut every repeated ≥16-token span except the first emitted span of
+    its family — min (doc, span_start) over the spans sharing the
+    opening gram, guaranteeing one survivor even when the raw gram's
+    first occurrence is mid-run or in a below-threshold partial copy —
+    returning the rewritten text with audit counts (Lee et al. 2022
+    "cut the duplicated bytes"), value-hash oracled on the text."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.repeated_spans_cut(docs, "text", "doc_id",
                                 k=RS_K, min_tokens=RS_MIN_TOKENS)
@@ -3705,10 +3707,7 @@ g AS (
   SELECT doc, i - 1 AS pos,
          CAST(('0x' || substr(md5(array_to_string(w[i:i+{RS_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
   FROM (SELECT doc, w, unnest(range(1, len(w) - {RS_K - 2})) AS i FROM v)),
-occ AS (
-  SELECT h, count(*)::BIGINT AS n_occ,
-         min(struct_pack(doc := doc, pos := pos)) AS first_occ
-  FROM g GROUP BY h),
+occ AS (SELECT h, count(*)::BIGINT AS n_occ FROM g GROUP BY h),
 dup AS (SELECT g.doc, g.pos, g.h
         FROM g JOIN occ USING (h) WHERE occ.n_occ > 1),
 runs AS (
@@ -3728,11 +3727,15 @@ spans AS (
          min_by(h, pos) AS h_start
   FROM srows GROUP BY doc, run
   HAVING max(pos) - min(pos) + {RS_K} >= {RS_MIN_TOKENS}),
+keep AS (
+  SELECT h_start,
+         min(struct_pack(doc := doc, span_start := span_start)) AS kp
+  FROM spans GROUP BY h_start),
 cut AS (
   SELECT s.doc, s.span_start AS cut_start,
          s.span_start + s.span_tokens AS cut_end
-  FROM spans s JOIN occ o ON o.h = s.h_start
-  WHERE o.first_occ.doc != s.doc OR o.first_occ.pos != s.span_start),
+  FROM spans s JOIN keep k USING (h_start)
+  WHERE k.kp.doc != s.doc OR k.kp.span_start != s.span_start),
 toks AS (
   SELECT doc, i - 1 AS pos, wo[i] AS w
   FROM (SELECT doc, wo, unnest(range(1, len(wo) + 1)) AS i FROM v)),

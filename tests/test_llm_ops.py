@@ -853,6 +853,57 @@ def test_repeated_spans_cut_keeps_first_occurrence(spark):
     assert sum(r["n_cut_tokens"] for r in out.values()) == 40
 
 
+def test_repeated_spans_cut_partial_copy_still_keeps_one(spark):
+    # Regression (round-7 ADVICE): the opening gram's GLOBAL first
+    # occurrence lies in doc 1, whose duplicated run (15 tokens) is
+    # below min_tokens and so emits NO span. The old keeper test
+    # compared spans against that raw-gram argmin and matched nothing,
+    # cutting EVERY full occurrence of the boilerplate — data loss.
+    # The keeper must come from the emitted spans themselves.
+    boiler = " ".join(f"B{i}" for i in range(20))
+    partial = " ".join(f"B{i}" for i in range(15))  # < min_tokens=16
+    rows = [
+        (1, "p1 p2 " + partial),      # earliest gram occurrence, no span
+        (2, "q1 " + boiler + " q2"),  # min (doc, span_start) emitted span
+        (3, boiler + " r1"),          # later family member -> cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.repeated_spans_cut(
+        df, "text", "doc_id", k=8, min_tokens=16).collect()}
+    # the below-threshold partial copy is untouched
+    assert out[1]["n_cut_tokens"] == 0
+    # exactly one FULL span survives: doc 2's (the family's min span)
+    assert out[2]["text_clean"] == "q1 " + boiler + " q2"
+    assert out[2]["n_cut_tokens"] == 0
+    assert out[3]["text_clean"] == "r1"
+    assert out[3]["n_cut_tokens"] == 20 and out[3]["n_spans_cut"] == 1
+
+
+def test_repeated_spans_cut_midrun_first_occurrence_keeps_one(spark):
+    # Regression (round-7 ADVICE, second failure shape): docs 1/2
+    # share a LONGER merged run (prefix + boilerplate) while doc 3 has
+    # only the boilerplate. Doc 3's opening gram first occurs MID-RUN
+    # in doc 1 — no span starts there, so the old logic cut doc 3's
+    # span but kept none of its family. New contract: doc 3's family
+    # (keyed by ITS opening gram) keeps its own min emitted span.
+    pre = " ".join(f"C{i}" for i in range(10))
+    boiler = " ".join(f"B{i}" for i in range(20))
+    rows = [
+        (1, "z1 z2 " + pre + " " + boiler),  # merged 30-token run at 2
+        (2, pre + " " + boiler + " z3"),     # same run at 0 -> cut
+        (3, boiler + " z4"),                 # separate family, kept
+        (4, "w1 " + boiler + " w2"),         # doc 3's family -> cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.repeated_spans_cut(
+        df, "text", "doc_id", k=8, min_tokens=16).collect()}
+    assert out[1]["n_cut_tokens"] == 0           # family keeper (1, 2)
+    assert out[2]["text_clean"] == "z3"
+    assert out[3]["n_cut_tokens"] == 0           # family keeper (3, 0)
+    assert out[3]["text_clean"] == boiler + " z4"
+    assert out[4]["text_clean"] == "w1 w2"
+
+
 def _ref_bpe(word_counts, num_merges):
     # 20-line reference BPE (Sennrich et al. 2016) — ground truth for
     # the distributed trainer: count DESC, pair ASC tie-break
