@@ -3884,7 +3884,15 @@ SQL_Q104 = _sql_logreg()
 #    fails if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # never driver-recorded (added r5 after the window filled)
+    # never driver-recorded (added r6; lead the r7 window per the
+    # staleness guard's rule — new keys belong in the window until
+    # recorded green). q107's plan ALSO changed this round (keep-first
+    # keeper fix), so its fresh recording is doubly due.
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
     "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
@@ -3908,10 +3916,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
@@ -3940,10 +3944,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     # ---- tail: beyond the driver's 50-entry recording window ----
-    # (all recorded green in round 5; staleness-guarded, see above.
+    # (recorded green in round 5 or 6; staleness-guarded, see above.
     # q90 is the exception: rows-only in r5, gated by the oracled q91
     # first-merge twin and the exact reference-implementation parity
-    # test. q50 rides one more round, gated by the in-window q54.)
+    # test. q50 rides one more round, gated by the in-window q54.
+    # q04/q05/q07/q08 ceded their window slots to q104-q107 this
+    # round: core ops stable since r1, freshly recorded green in r6.)
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
@@ -3998,13 +4008,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q36_ann_lsh": (q36_ann_lsh, None),
-    # new in r6 (the window is full of never/oldest-recorded keys, the
-    # q100-q103 precedent): oracle replays run in the local parity
-    # suite; leads the r7 window as a never-recorded key
-    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
-    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
 }
 
 
