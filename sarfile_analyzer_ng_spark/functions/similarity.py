@@ -1180,7 +1180,10 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
                       codes: DataFrame, m: int = 4, k: int = 5,
                       dist_round: int = 6,
                       partial_top: int | None = None,
-                      max_dtab_cells: int = 8_000_000) -> DataFrame:
+                      max_dtab_cells: int = 8_000_000,
+                      codes_wide: DataFrame | None = None,
+                      n_queries_hint: int | None = None,
+                      n_codebooks_hint: int | None = None) -> DataFrame:
     """The production-shape ADC scorer: same ranking contract as
     :func:`ann_topk_pq`, different physical plan. The distance table
     becomes a dense numpy array broadcast to every task; each Arrow
@@ -1194,6 +1197,13 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
     (raw distance, id) — the same tie order as the final rank — with a
     max(4k, 64) margin, so ulp-level reorderings (collapsed later by
     the 8-digit pre-round) cannot change top-k membership.
+
+    ``codes_wide`` (pre-packed ``(id, codes array<int>)`` from
+    :func:`pq_codes_wide`) skips the packing agg — the sharded wrapper
+    packs once and reuses it across shards. ``n_queries_hint`` /
+    ``n_codebooks_hint`` are caller-known (upper-bound) sizes that
+    skip the guard's two eager count() actions; the dtab shape itself
+    always comes from the collected rows, never the hints.
     """
     import numpy as np
     import pandas as pd
@@ -1208,8 +1218,9 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
     # counts (the query frame and the ≤ m·K codebook frame) bound the
     # table at Q·m·K float64 cells. Oversized query sets must shard
     # (score in Q-chunks) rather than silently OOM the driver.
-    n_q = queries.count()
-    n_cb = codebooks.count()
+    n_q = n_queries_hint if n_queries_hint is not None else queries.count()
+    n_cb = (n_codebooks_hint if n_codebooks_hint is not None
+            else codebooks.count())
     if n_q * n_cb > max_dtab_cells:
         raise ValueError(
             f"ann_topk_pq_arrow: distance table would hold "
@@ -1243,7 +1254,8 @@ def ann_topk_pq_arrow(emb: DataFrame, queries: DataFrame, id_col: str,
     b_dtab = spark.sparkContext.broadcast(dtab)
     b_qids = spark.sparkContext.broadcast(np.asarray(qids, dtype=np.int64))
 
-    wide = pq_codes_wide(codes, id_col, m)
+    wide = codes_wide if codes_wide is not None \
+        else pq_codes_wide(codes, id_col, m)
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -1324,8 +1336,14 @@ def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
     one ordered id pass collecting every ``q_per_shard``-th id (shard
     count longs to the driver, not the query rows) — and each shard
     is then a pushdown-friendly id-range filter on the ORIGINAL query
-    frame: no global sort is re-executed per shard. The honest cost
-    that remains: the packed-codes frame streams once PER SHARD — at
+    frame: no global sort is re-executed per shard. The packing agg
+    (:func:`pq_codes_wide`, a groupBy shuffle over the whole codes
+    frame) runs ONCE: the wide frame is persisted, materialized, and
+    handed to every shard call, so S shards pay one packing shuffle +
+    S cached scans, not S shuffles. The per-shard guard counts are
+    skipped too — shard sizes are ≤ ``q_per_shard`` by construction
+    and the codebook count is already known here. The honest cost
+    that remains: the packed-codes CACHE streams once per shard — at
     Q beyond the broadcast bound that is the price of exact ADC
     scoring; if the query set is a whole second corpus, flip the
     roles or use the IVF-probed :func:`ann_topk_ivfpq` instead.
@@ -1355,8 +1373,15 @@ def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
         return ann_topk_pq_arrow(
             emb, queries, id_col, vec_col, dim, codebooks, codes, m=m,
             k=k, dist_round=dist_round, partial_top=partial_top,
-            max_dtab_cells=max_dtab_cells,
+            max_dtab_cells=max_dtab_cells, n_codebooks_hint=n_cb,
         )
+    # pack once, reuse across every shard: persist + eager count so
+    # each shard's scan hits the cache instead of re-running the
+    # groupBy packing shuffle (S shards = 1 shuffle, not S)
+    wide = pq_codes_wide(codes, id_col, m)
+    if len(openers) > 1:
+        wide = wide.persist()
+        wide.count()
     out = None
     for i, lo in enumerate(openers):
         part = queries.where(F.col(id_col) >= F.lit(lo))
@@ -1365,7 +1390,8 @@ def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
         res = ann_topk_pq_arrow(
             emb, part, id_col, vec_col, dim, codebooks, codes, m=m, k=k,
             dist_round=dist_round, partial_top=partial_top,
-            max_dtab_cells=max_dtab_cells,
+            max_dtab_cells=max_dtab_cells, codes_wide=wide,
+            n_queries_hint=q_per_shard, n_codebooks_hint=n_cb,
         )
         out = res if out is None else out.unionByName(res)
     return out

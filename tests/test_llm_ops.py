@@ -1289,6 +1289,31 @@ def test_pq_arrow_sharded_equals_unsharded(spark):
     assert a == b and len(a) > 0
 
 
+def test_pq_arrow_sharded_packs_codes_once(spark, monkeypatch):
+    # round-7 directive: S shards must execute the pq_codes_wide
+    # packing agg ONCE (persisted + reused), not once per shard, and
+    # must not re-count the codebook frame per shard
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 10)
+    books = S.pq_train_exact(emb, "vec_id", "embedding", 64, m=4, k=8, iters=1)
+    codes = S.pq_codes(emb, "vec_id", "embedding", books, 64, m=4)
+    calls = {"pack": 0}
+    real_pack = S.pq_codes_wide
+
+    def counting_pack(*a, **kw):
+        calls["pack"] += 1
+        return real_pack(*a, **kw)
+
+    monkeypatch.setattr(S, "pq_codes_wide", counting_pack)
+    out = S.ann_topk_pq_arrow_sharded(
+        emb, queries, "vec_id", "embedding", 64, books, codes, m=4, k=5,
+        max_dtab_cells=96,  # 3 queries/shard -> 4 shards
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert calls["pack"] == 1
+
+
 def test_pq_index_roundtrip_and_incremental_encode(spark, tmp_path):
     # save -> load -> search must equal the in-memory index; a new
     # batch encodes against the LOADED codebooks without retraining
