@@ -1191,7 +1191,15 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
     the honest token counter once a real tokenizer exists (vs the
     regex approximation in :func:`token_counts`). The merge table
     broadcasts (it is ``num_merges`` rows); encoding is one Arrow map
-    stage over the corpus, no shuffle."""
+    stage over the corpus, no shuffle.
+
+    The per-merge rewrite runs once per WORD TYPE, not per word
+    occurrence: a task-local memo caches word → token count, so the
+    Python-loop cost is O(word-types × merges) per task — word types
+    repeat heavily in natural text (the vocab-frame trainer exploits
+    the same skew), which keeps a real 32k-merge table tractable. The
+    memo is capped (cleared at 2M entries) so an adversarial
+    all-unique-words partition cannot grow task memory unboundedly."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1204,28 +1212,38 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
     )
 
     def encode(it):
+        memo: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = memo.get(w)
+            if n is not None:
+                return n
+            s = list(w)
+            for a, b in ranked:
+                i, res = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            n = len(s)
+            if len(memo) >= 2_000_000:
+                memo.clear()
+            memo[w] = n
+            return n
+
         for pdf in it:
             counts = []
             for text in pdf["_t"]:
-                total = 0
                 # NULL text arrives as None/NaN — 0 tokens, never the
                 # literal string "None"
                 if not isinstance(text, str):
                     text = ""
-                for w in text.lower().split():
-                    s = list(w)
-                    for a, b in ranked:
-                        i, res = 0, []
-                        while i < len(s):
-                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                                res.append(a + b)
-                                i += 2
-                            else:
-                                res.append(s[i])
-                                i += 1
-                        s = res
-                    total += len(s)
-                counts.append(total)
+                counts.append(sum(word_tokens(w)
+                                  for w in text.lower().split()))
             yield pd.DataFrame({"_id": pdf["_id"], "n_bpe_tokens": counts})
 
     src = fan_out(df).select(
