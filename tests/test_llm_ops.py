@@ -830,6 +830,108 @@ def test_repeated_spans_unaligned_detection(spark):
     assert {r["doc_id"] for r in low.collect()} == {1, 2, 3, 4}
 
 
+def _brute_gram_spans(docs: dict[int, list[str]], k: int,
+                      min_tokens: int) -> set[tuple[int, int, int]]:
+    # 20-line reference for the operator's OWN semantics: positions
+    # whose k-gram occurs >1 time globally, merged into consecutive
+    # runs, extent [min_pos, max_pos + k), filtered to >= min_tokens
+    from collections import Counter
+
+    occ: Counter = Counter()
+    grams: dict[int, list[tuple[str, ...]]] = {}
+    for d, toks in docs.items():
+        gs = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        grams[d] = gs
+        occ.update(gs)
+    out = set()
+    for d, gs in grams.items():
+        runs: list[list[int]] = []
+        for p, g in enumerate(gs):
+            if occ[g] > 1:
+                if runs and runs[-1][1] == p - 1:
+                    runs[-1][1] = p
+                else:
+                    runs.append([p, p])
+        for s, e in runs:
+            if e - s + k >= min_tokens:
+                out.add((d, s, e - s + k))
+    return out
+
+
+def _occurs_at_least(docs: dict[int, list[str]],
+                     needle: list[str], n: int) -> bool:
+    found = 0
+    for toks in docs.values():
+        for i in range(len(toks) - len(needle) + 1):
+            if toks[i:i + len(needle)] == needle:
+                found += 1
+                if found >= n:
+                    return True
+    return False
+
+
+def test_repeated_spans_property_vs_brute_force(spark):
+    # round-7 directive: differential-test the Spark plan against a
+    # brute-force reference AND quantify the documented extent
+    # over-merge (the one semantic gap vs Lee et al.'s suffix array).
+    import random
+
+    rng = random.Random(1234)
+    k, min_tokens = 8, 16
+    vocab = [f"w{i}" for i in range(60)]
+    docs: dict[int, list[str]] = {}
+    # 40 random-filler docs; 8-gram collisions across 60-symbol random
+    # text are essentially impossible, so repeats are the planted ones
+    for d in range(1, 41):
+        docs[d] = [rng.choice(vocab) for _ in range(rng.randint(25, 60))]
+    boiler = [f"b{i}" for i in range(20)]          # 20-token boilerplate
+    for d in (3, 11, 27):                          # planted at random offsets
+        off = rng.randint(0, 10)
+        docs[d] = docs[d][:off] + boiler + docs[d][off:]
+    short = [f"s{i}" for i in range(12)]           # below min_tokens: runs
+    for d in (5, 19):                              # exist but are filtered
+        docs[d] = short + docs[d]
+    # the over-merge chain: doc 50 holds t0..t15; partners each hold a
+    # 10-token window (t0-9, t3-12, t6-15) so every gram start 0..8 in
+    # doc 50 is duplicated (with DIFFERENT partners) -> one merged
+    # 16-token span whose full extent occurs only once in the corpus
+    chain = [f"t{i}" for i in range(16)]
+    docs[50] = chain + [rng.choice(vocab) for _ in range(20)]
+    docs[51] = chain[0:10] + [rng.choice(vocab) for _ in range(20)]
+    docs[52] = chain[3:13] + [rng.choice(vocab) for _ in range(20)]
+    docs[53] = chain[6:16] + [rng.choice(vocab) for _ in range(20)]
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["span_start"], r["span_tokens"])
+           for r in D.repeated_spans(df, "text", "doc_id",
+                                     k=k, min_tokens=min_tokens).collect()}
+    # 1) the Spark plan IS the brute-force gram-run semantics
+    assert got == _brute_gram_spans(docs, k, min_tokens)
+    # 2) detection completeness: every planted >= min_tokens repeat is
+    # fully covered by an emitted span
+    for d in (3, 11, 27):
+        start = docs[d].index("b0")
+        cover = [s for dd, s, L in got
+                 if dd == d and s <= start and s + L >= start + len(boiler)]
+        assert cover, f"planted boilerplate uncovered in doc {d}"
+    # 3) below-threshold repeats emit nothing
+    assert not any(dd in (5, 19) for dd, _, _ in got)
+    # 4) extent exactness: quantify the over-merge rate — every span
+    # must repeat in full EXCEPT doc 50's chain (grams duplicated with
+    # different partners), which is exactly the documented over-merge
+    overmerged = [
+        (dd, s, L) for dd, s, L in got
+        if not _occurs_at_least(docs, docs[dd][s:s + L], 2)
+    ]
+    assert overmerged == [(50, 0, 16)]
+    # 5) the partners' own 10-token runs stay below min_tokens: the
+    # over-merge inflates EXTENT only, never invents detections
+    assert not any(dd in (51, 52, 53) for dd, _, _ in got)
+
+
 def test_repeated_spans_cut_keeps_first_occurrence(spark):
     boiler = " ".join(f"B{i}" for i in range(20))  # preserves CASE
     rows = [
