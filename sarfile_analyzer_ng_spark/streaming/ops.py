@@ -409,9 +409,10 @@ def semdedup_verdicts_stream(stream: DataFrame, id_col: str, vec_col: str,
     cosine DESC, cluster ASC on ties), so stream assignments equal the
     batch assignment frame value-for-value. Then one
     ``applyInPandasWithState`` keyed by cluster holds up to
-    ``max_anchors`` KEPT representative vectors per cluster (the
-    anchored-star bound, like ST7: state is capped no matter how hot a
-    cluster runs). Each arriving vector, in id order within the
+    ``max_anchors`` KEPT representative vectors per cluster, stored
+    pre-normalized so each batch rebuilds the anchor matrix once and
+    appends incrementally (the anchored-star bound, like ST7: state is
+    capped no matter how hot a cluster runs). Each arriving vector, in id order within the
     micro-batch, is scored against the stored anchors with the same
     normalized-matmul + ``rnd_np`` ladder the batch pruner uses:
     cosine ≥ ``tau`` to any anchor → ``kept=false`` with the smallest
@@ -486,26 +487,36 @@ def semdedup_verdicts_stream(stream: DataFrame, id_col: str, vec_col: str,
             ids_list, vec_list = [], []
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
+            # re-arm the TTL even when the batch delivered no rows for
+            # this key, so live state never expires mid-stream
+            if state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc")
+        # anchors are stored PRE-NORMALIZED (v/||v|| at append time —
+        # the same floats the old per-row renormalization produced);
+        # build the matrix once per batch, append rows incrementally:
+        # O(rows x anchors x dim) multiply only, not per-row array
+        # construction
+        amat_n = (np.asarray(vec_list, dtype=np.float64)
+                  if vec_list else None)
         rows = []
         for doc, vec in zip(pdf["doc"], pdf["e"]):
             v = np.asarray(vec, dtype=np.float64)
             n = np.linalg.norm(v)
             vn = v / (n if n else 1.0)
             anchor = None
-            if ids_list:
-                amat = np.array(vec_list)
-                anrm = np.linalg.norm(amat, axis=1, keepdims=True)
-                anrm[anrm == 0.0] = 1.0
-                sims = rnd_np((amat / anrm) @ vn, round_to)
+            if amat_n is not None:
+                sims = rnd_np(amat_n @ vn, round_to)
                 hits = np.flatnonzero(sims >= tau)
                 if hits.size:
                     anchor = int(min(ids_list[h] for h in hits))
             if anchor is None:
                 if len(ids_list) < max_anchors:
                     ids_list.append(int(doc))
-                    vec_list.append([float(x) for x in v])
+                    vec_list.append([float(x) for x in vn])
+                    amat_n = (vn[None, :] if amat_n is None
+                              else np.vstack([amat_n, vn]))
                 rows.append((int(doc), int(key[0]), True, None))
             else:
                 rows.append((int(doc), int(key[0]), False, anchor))

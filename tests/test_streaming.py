@@ -603,6 +603,69 @@ def test_semdedup_stream_matches_batch_verdicts(spark, tmp_path):
     assert all(r["anchor"] == r["doc"] - 1_000_000 for r in twin_rows)
 
 
+def test_semdedup_stream_kept_only_divergence_on_chain(spark, tmp_path):
+    """ST11 contract pin (round-7 directive): on a transitive chain
+    a~b, b~c, a!~c the stream and batch verdicts MUST diverge — batch
+    compares against any smaller-id member, so c is dropped against
+    the already-dropped b; the stream compares against KEPT anchors
+    only, so c survives (b never joined the anchor set). This is the
+    documented kept-only trade, pinned by a failing-case example
+    instead of prose."""
+    import math
+    import os
+
+    from sarfile_analyzer_ng_spark.functions import similarity as S
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # cos(35deg) ~ 0.819 >= tau=0.8; cos(70deg) ~ 0.342 < tau
+    rows = [(1, at(0.0)), (2, at(35.0)), (3, at(70.0))]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    assigned = S.kmeans_lloyd_exact(corpus, "vec_id", "embedding",
+                                    k=1, iters=1)
+    batch = {
+        r["vec_id"]: bool(r["kept"])
+        for r in S.semdedup(
+            corpus, "vec_id", "embedding", tau=0.8, assigned=assigned
+        ).collect()
+    }
+    # batch: a kept; b ~ a dropped; c ~ b (a smaller-id MEMBER) dropped
+    assert batch == {1: True, 2: False, 3: False}
+
+    src = str(tmp_path / "chain_src")
+    os.makedirs(src)
+    corpus.toPandas().to_parquet(f"{src}/c0.parquet", index=False)
+    cents = [
+        (int(r["cluster"]), [float(x) for x in r["c"]])
+        for r in S.kmeans_centroids(
+            corpus, "vec_id", "embedding", k=1, iters=1
+        ).collect()
+    ]
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.semdedup_verdicts_stream(
+        stream, "vec_id", "embedding", cents, tau=0.8
+    )
+    q = (
+        out.writeStream.format("memory").queryName("semdedup_chain_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc"]: (bool(r["kept"]), r["anchor"])
+           for r in spark.table("semdedup_chain_test").collect()}
+    # stream: a kept anchor; b ~ a dropped (never an anchor); c finds
+    # no KEPT anchor within tau -> kept. The divergence on doc 3 is
+    # the contract.
+    assert got == {1: (True, None), 2: (False, 1), 3: (True, None)}
+
+
 def test_logreg_scoring_runs_unchanged_on_stream(spark, tmp_path):
     """The trained quality classifier applies at ingest with ZERO
     streaming-specific code (the ST6/ST8 stream-static pattern):
