@@ -1255,7 +1255,9 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
 
 
 def budget_select(df: DataFrame, text_col: str, id_col: str,
-                  source_col: str, budget_tokens: int) -> DataFrame:
+                  source_col: str, budget_tokens: int,
+                  approx: bool = False,
+                  approx_accuracy: int = 10_000) -> DataFrame:
     """Quality-ordered token-budget trimming — the complement of
     :func:`repeat_schedule`: that operator plans EPOCHS when a source
     is too small for its mixture share; this one trims a source that
@@ -1266,17 +1268,60 @@ def budget_select(df: DataFrame, text_col: str, id_col: str,
     Shape at scale: ONE shuffle keyed by source, then a running sum
     inside each source partition (explicit ROWS frame, never the
     tie-merging RANGE default). A pathologically hot source makes a
-    hot partition — at that size, swap the exact prefix for a quality
-    threshold from ``percentile_approx`` (sketch pass, no sort); the
-    exact window IS the oracled gate here.
+    hot partition — ``approx=True`` is the escape hatch: one
+    map-combinable agg computes each source's token total and a
+    ``percentile_approx`` quality sketch, the per-source KEEP
+    threshold (the doc-count quantile at the budget's token fraction)
+    broadcasts back, and the verdict is a codegen filter map — no
+    source-keyed sort, no hot partition. The approximation is
+    doc-quantile-as-token-quantile: exact when doc sizes are uniform,
+    and quality ties keep the whole tied level (never a mid-tie cut),
+    so the budget can overshoot by one tie class. The exact window IS
+    the oracled gate (q105); the approx path returns
+    ``(id, source, n_tokens, quality, q_threshold, kept)``.
 
-    Emits every document with its running total and verdict so the
-    trim is auditable: ``(id, source, n_tokens, quality, cum_tokens,
-    kept)``.
+    Exact mode emits every document with its running total and
+    verdict so the trim is auditable: ``(id, source, n_tokens,
+    quality, cum_tokens, kept)``.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     qs = quality_score(df.select(id_col, source_col, text_col), text_col)
+    if approx:
+        grid = [i / 1000.0 for i in range(1, 1000)]
+        sk = qs.groupBy(source_col).agg(
+            F.sum("n_words").alias("_tot"),
+            F.percentile_approx("quality", grid, approx_accuracy)
+            .alias("_qgrid"),
+        ).collect()  # one row per SOURCE — bounded like the mixture ops
+        thr_rows = []
+        for r in sk:
+            tot = r["_tot"] or 0
+            if tot <= budget_tokens:
+                thr_rows.append((r[source_col], None))  # keep everything
+                continue
+            p_keep = budget_tokens / tot
+            idx = min(len(grid) - 1,
+                      max(0, int(round((1.0 - p_keep) * 1000)) - 1))
+            thr_rows.append((r[source_col], float(r["_qgrid"][idx])))
+        thr_schema = T.StructType(
+            [qs.schema[source_col],
+             T.StructField("q_threshold", T.DoubleType())]
+        )
+        thr = df.sparkSession.createDataFrame(thr_rows, thr_schema)
+        return qs.join(F.broadcast(thr), source_col).select(
+            id_col,
+            source_col,
+            F.col("n_words").alias("n_tokens"),
+            "quality",
+            "q_threshold",
+            F.when(
+                F.col("q_threshold").isNull()
+                | (F.col("quality") >= F.col("q_threshold")),
+                1,
+            ).otherwise(0).cast("int").alias("kept"),
+        )
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col("quality").desc(), F.col(id_col).asc())

@@ -805,6 +805,44 @@ def test_budget_select_greedy_prefix(spark):
     assert out[4]["kept"] == 0 and out[4]["cum_tokens"] == 8
 
 
+def test_budget_select_approx_matches_exact_on_uniform_docs(spark):
+    # round-7 directive: the documented percentile_approx escape hatch
+    # for pathological source sizes — sketch agg + broadcast threshold
+    # + codegen filter, no source-keyed sort. On uniform doc sizes the
+    # verdicts must match the exact window within one quality-tie
+    # class (the approx path never cuts mid-tie).
+    rows = []
+    did = 0
+    for s in range(11):          # 11 quality levels via stopword count
+        for _ in range(20):      # 20 docs per level, 50 words each
+            did += 1
+            words = ["the"] * s + [f"w{did}x{i}" for i in range(50 - s)]
+            rows.append((did, "big", " ".join(words)))
+    rows.append((9001, "small", "tiny doc with few words"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 110 * 50            # half of big's 220x50 tokens
+    exact = {r["doc_id"]: r["kept"] for r in TX.budget_select(
+        df, "text", "doc_id", "source", budget).collect()}
+    ap = TX.budget_select(df, "text", "doc_id", "source", budget,
+                          approx=True).collect()
+    approx = {r["doc_id"]: r["kept"] for r in ap}
+    # an under-budget source keeps everything, with a NULL threshold
+    small = next(r for r in ap if r["source"] == "small")
+    assert small["kept"] == 1 and small["q_threshold"] is None
+    big = [r for r in ap if r["source"] == "big"]
+    # verdicts agree within one 20-doc tie class
+    diff = sum(1 for r in big if approx[r["doc_id"]] != exact[r["doc_id"]])
+    assert diff <= 20
+    # kept token mass lands within one tie class of the budget
+    kept_tokens = sum(r["n_tokens"] for r in big if r["kept"] == 1)
+    assert abs(kept_tokens - budget) <= 20 * 50
+    # threshold semantics: kept iff quality >= per-source threshold
+    thr = {r["q_threshold"] for r in big}
+    assert len(thr) == 1
+    t = thr.pop()
+    assert all((r["quality"] >= t) == (r["kept"] == 1) for r in big)
+
+
 def test_repeated_spans_unaligned_detection(spark):
     boiler = " ".join(f"b{i}" for i in range(30))  # 30-token boilerplate
     rows = [
