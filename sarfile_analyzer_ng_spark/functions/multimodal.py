@@ -167,57 +167,23 @@ def _lum_feature(lum) -> list[float]:
     return cells[:8]
 
 
-def decode_png(payload: bytes, kind: str):
-    """Real PNG decode with NOTHING beyond the standard library +
-    numpy: chunk walk → concatenated-IDAT ``zlib.decompress`` → the
-    five scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
-    → luminance grid feature via :func:`_lum_feature`. Supports the
-    ubiquitous non-interlaced 8-bit color types (gray 0, RGB 2,
-    gray+alpha 4, RGBA 6 — alpha ignored for luminance); palette /
-    16-bit / Adam7 raise a clear NotImplementedError. Per-row python
-    loop in the sequential filters (Sub/Average/Paeth are defined
-    recurrences) — fine for feature extraction; bulk pixel pipelines
-    should land uncompressed formats."""
-    import struct
-    import zlib
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(raw: bytes, pos: int, height: int, stride: int,
+                  channels: int):
+    """Undo the five RFC 2083 §6 scanline filters for one (sub-)image
+    of ``height`` rows × ``stride`` bytes starting at ``pos`` in the
+    inflated stream. Returns ``(rows uint8[height, stride], new_pos)``.
+    Per-row python loop for the sequential filters (Sub/Average/Paeth
+    are defined recurrences) — fine for feature extraction."""
     import numpy as np
 
-    i = len(PNG_MAGIC)
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat = b""
-    while i + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[i:i + 4]), payload[i + 4:i + 8]
-        data = payload[i + 8:i + 8 + length]
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        i += 12 + length  # length + type + data + crc
-    if width is None or not idat:
-        raise ValueError("decode_png: missing IHDR or IDAT")
-    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"decode_png: bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} not supported (8-bit non-interlaced "
-            "gray/RGB/gray+alpha/RGBA only)"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    stride = width * channels
-    expected = height * (stride + 1)
-    # bounded inflate: a corrupt/hostile IDAT that would blow up to
-    # gigabytes must not OOM the executor before the size check runs —
-    # cap the output at exactly the pixel bytes the IHDR promises
-    raw = zlib.decompressobj().decompress(idat, expected)
-    if len(raw) < expected:
-        raise ValueError("decode_png: truncated pixel data")
     out = np.zeros((height, stride), dtype=np.uint8)
-    pos = 0
     for y in range(height):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
@@ -245,7 +211,81 @@ def decode_png(payload: bytes, kind: str):
         else:
             raise ValueError(f"decode_png: bad filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-    px = out.reshape(height, width, channels)
+    return out, pos
+
+
+def decode_png(payload: bytes, kind: str):
+    """Real PNG decode with NOTHING beyond the standard library +
+    numpy: chunk walk → concatenated-IDAT ``zlib.decompress`` → the
+    five scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
+    → luminance grid feature via :func:`_lum_feature`. Supports the
+    8-bit color types (gray 0, RGB 2, gray+alpha 4, RGBA 6 — alpha
+    ignored for luminance), sequential AND Adam7-interlaced (the
+    seven sub-images unfilter independently, each against its own
+    scanline neighbors, then scatter back to the full grid — common
+    in old screenshots); palette / 16-bit raise a clear
+    NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    i = len(PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    while i + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[i:i + 4]), payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("decode_png: missing IHDR or IDAT")
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"decode_png: bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} not supported (8-bit "
+            "gray/RGB/gray+alpha/RGBA, sequential or Adam7 only)"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if interlace == 0:
+        stride = width * channels
+        expected = height * (stride + 1)
+        # bounded inflate: a corrupt/hostile IDAT that would blow up to
+        # gigabytes must not OOM the executor before the size check
+        # runs — cap the output at exactly the promised pixel bytes
+        raw = zlib.decompressobj().decompress(idat, expected)
+        if len(raw) < expected:
+            raise ValueError("decode_png: truncated pixel data")
+        out, _ = _png_unfilter(raw, 0, height, stride, channels)
+        px = out.reshape(height, width, channels)
+    else:  # Adam7: seven independently-filtered reduced images
+        dims = []
+        expected = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = max(0, -(-(width - xs) // xst)) if width > xs else 0
+            ph = max(0, -(-(height - ys) // yst)) if height > ys else 0
+            if pw == 0 or ph == 0:
+                pw = ph = 0  # empty pass emits no scanlines at all
+            dims.append((pw, ph))
+            expected += ph * (pw * channels + 1)
+        raw = zlib.decompressobj().decompress(idat, expected)
+        if len(raw) < expected:
+            raise ValueError("decode_png: truncated pixel data")
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for (xs, ys, xst, yst), (pw, ph) in zip(_ADAM7, dims):
+            if pw == 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, ph, pw * channels, channels)
+            px[ys::yst, xs::xst, :] = sub.reshape(ph, pw, channels)
     color = px[:, :, :3] if color_type in (2, 6) else px[:, :, :1]
     lum = color.astype(np.float64).mean(axis=2) / 255.0
     return width, height, 0, _lum_feature(lum)

@@ -250,23 +250,12 @@ def test_extract_features_skips_empty_payload_rows(spark):
     assert got[3]["width"] == 4 and got[3]["feature"] is not None
 
 
-def _png_encode(px, color_type, filters):
-    """Minimal stdlib PNG encoder for the decoder tests: one row per
-    filter type in `filters`, forward-filtered per RFC 2083 so the
-    decoder's unfilter path is genuinely exercised."""
-    import struct
-    import zlib
-
+def _png_filter_rows(px, filters):
+    """Forward-filter one (sub-)image per RFC 2083 — the encoder half
+    of the decoder's unfilter recurrences."""
     import numpy as np
 
     h, w, ch = px.shape
-
-    def chunk(ctype, data):
-        body = ctype + data
-        return struct.pack(">I", len(data)) + body + struct.pack(
-            ">I", zlib.crc32(body) & 0xFFFFFFFF
-        )
-
     raw = b""
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
@@ -291,7 +280,37 @@ def _png_encode(px, color_type, filters):
             line[x] = (int(cur[x]) - pred) % 256
         raw += bytes([ftype]) + bytes(line.astype(np.uint8))
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def _png_encode(px, color_type, filters, interlace=0):
+    """Minimal stdlib PNG encoder for the decoder tests: one row per
+    filter type in `filters`, forward-filtered per RFC 2083 so the
+    decoder's unfilter path is genuinely exercised. interlace=1 emits
+    the seven Adam7 reduced images, each filtered independently."""
+    import struct
+    import zlib
+
+    h, w, _ch = px.shape
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    if interlace:
+        raw = b""
+        for xs, ys, xst, yst in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)]:
+            sub = px[ys::yst, xs::xst, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass emits nothing
+            raw += _png_filter_rows(sub, filters)
+    else:
+        raw = _png_filter_rows(px, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -318,6 +337,30 @@ def test_multimodal_real_png_decode_matches_ppm(spark):
     got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
     assert (got[2]["width"], got[2]["height"]) == (8, 10)
     assert got[1]["feature"] == got[2]["feature"]
+
+
+def test_multimodal_png_adam7_interlace_pixel_identity(spark):
+    """Adam7-interlaced PNGs (round-7 directive — common in old
+    screenshots) decode to the SAME pixels as their sequential twin:
+    the seven reduced images unfilter independently (every filter
+    type exercised inside the sub-images) and scatter back to the
+    full grid. Sizes chosen so several passes are non-trivial and one
+    dimension is not a multiple of 8."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in [(13, 9), (8, 8), (3, 2), (1, 1)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        plain = _png_encode(px, 2, [0, 1, 2, 3, 4], interlace=0)
+        adam7 = _png_encode(px, 2, [4, 3, 2, 1, 0], interlace=1)
+        media = spark.createDataFrame(
+            [(1, "image", None, plain, {}), (2, "image", None, adam7, {})],
+            MM.MEDIA_SCHEMA,
+        )
+        got = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+        assert (got[2]["width"], got[2]["height"]) == (w, h)
+        assert got[1]["feature"] == got[2]["feature"], (h, w)
+        assert got[2]["feature"] is not None
 
 
 def test_multimodal_png_rgba_and_gray(spark):
