@@ -63,15 +63,15 @@ def has_shuffle(df: DataFrame) -> bool:
     # Drain df's OWN QueryExecution so AQE finalizes THIS plan —
     # df.count() would execute a derived groupBy().count() plan and
     # leave df.executedPlan() at the initial adaptive guess, hiding
-    # runtime sort-merge→broadcast conversions. toLocalIterator pulls
-    # one partition at a time, so driver memory stays bounded.
-    for _ in df.toLocalIterator():
-        pass
+    # runtime sort-merge→broadcast conversions. A no-op foreach runs
+    # the whole plan on the executors with NOTHING materialized to the
+    # driver (verified: it finalizes this QueryExecution's adaptive
+    # plan), so the helper is safe to point at a large frame.
+    df.foreach(lambda _: None)
     text = df._jdf.queryExecution().executedPlan().toString()
     if "AdaptiveSparkPlan" in text and "isFinalPlan=true" not in text:
-        # belt-and-braces: a partially-consumed iterator can leave the
-        # adaptive plan unfinalized; force full materialization once.
-        df.collect()
+        # belt-and-braces: drive it once more before reading the plan
+        df.foreach(lambda _: None)
         text = df._jdf.queryExecution().executedPlan().toString()
     return any(
         marker in text
