@@ -154,6 +154,46 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     return both.groupBy("pi", "pj").applyInPandas(block_pair, out_schema)
 
 
+def decontaminate_semantic(train: DataFrame, eval_df: DataFrame,
+                           id_col: str, vec_col: str, tau: float,
+                           round_to: int = 4) -> DataFrame:
+    """Embedding-level train/eval decontamination — the semantic
+    complement of the n-gram (dedup.decontaminate) and winnowing
+    (dedup.decontaminate_winnow) passes: an eval item paraphrased into
+    training data shares no shingles but still sits next to it in
+    embedding space (the leakage SemDeDup-style audits look for).
+
+    Every training vector is scored against EVERY eval vector (eval
+    suites are bounded — they broadcast like the ANN query sets) and
+    reduced to its max cosine + nearest eval id; ``contaminated``
+    flags max-sim ≥ ``tau``. Ties break to the smallest eval id via a
+    lexicographic (sim, −eval_id) struct max — one map-combinable agg,
+    so the shuffle carries |train| rows, not |train|·|eval|.
+
+    Scale shape: broadcast join + Arrow cosine + partial-agg groupBy;
+    the corpus streams once, nothing collects."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("evec")
+    )
+    tr = train.select(F.col(id_col), F.col(vec_col).alias("tvec"))
+    scored = tr.join(F.broadcast(ev)).select(
+        id_col,
+        "eval_id",
+        rnd(cosine_arrow("tvec", "evec"), round_to).alias("sim"),
+    )
+    m = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_eval"))
+        ).alias("m")
+    )
+    return m.select(
+        id_col,
+        F.col("m.sim").alias("max_eval_sim"),
+        (-F.col("m.neg_eval")).cast("long").alias("nearest_eval_id"),
+        (F.col("m.sim") >= tau).cast("long").alias("contaminated"),
+    )
+
+
 def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, k: int, round_to: int = 4) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -637,6 +677,95 @@ def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
         q.alias("q"),
         rnd(scale, 8).alias("scale"),
         rnd(vmin, 8).alias("zero"),
+    )
+
+
+def pca_power_top1(emb: DataFrame, id_col: str, vec_col: str,
+                   dim: int, iters: int = 3,
+                   round_to: int = 6) -> tuple[DataFrame, list[float]]:
+    """Top principal component of an embedding corpus by distributed
+    POWER ITERATION — the whitening/compression front-end a vector
+    pipeline runs before IVF/PQ (dominant-direction removal is also
+    the standard post-processing for text embeddings, Mu & Viswanath
+    2018). No covariance matrix is ever materialized: each iteration
+    computes scores s_i = (x_i − μ)·v as a codegen map with the
+    current v/μ as LITERAL arrays (the model broadcasts in the plan
+    itself), then u = Σ s_i (x_i − μ) as ONE map-combinable agg keyed
+    by the ``dim`` dimension indices — per iteration: one corpus scan,
+    a 64-key shuffle, ``dim`` floats to the driver (bounded model
+    state, the logreg/kmeans pattern).
+
+    Deterministic cross-engine contract (the q104 rounding-ladder
+    scheme): μ and each u_d round at ``round_to``; dot products and
+    the norm pre-round at 8; v re-normalizes and rounds each
+    iteration, sign-fixed so v[0] ≥ 0 — the DuckDB twin unrolls the
+    same chain and reproduces v and every projection bit-for-bit.
+
+    Returns ``(proj_frame(id, pc1_proj), v)``. Raises on a degenerate
+    (all-identical) corpus where the centered norm collapses to 0.
+    """
+    import numpy as np
+
+    from ..util import rnd_np
+
+    v0 = float(rnd_np(np.float64(1.0 / np.sqrt(dim)), 8))
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = emb.select(F.col(id_col).alias("vid"), e.alias("e"))
+
+    mu_rows = (
+        src.select(F.posexplode("e").alias("d", "x"))
+        .groupBy("d")
+        .agg(rnd(F.avg("x"), round_to).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["d"]] = r["mu"]
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    v = np.full(dim, v0)
+    for _ in range(iters):
+        centered = F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y)
+        s = rnd(
+            F.aggregate(
+                F.zip_with(centered, lit_arr(v), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        )
+        u_rows = (
+            src.select(s.alias("s"), F.posexplode(centered).alias("d", "c"))
+            .groupBy("d")
+            .agg(rnd(F.sum(F.col("s") * F.col("c")), round_to).alias("u"))
+            .collect()
+        )
+        u = np.zeros(dim)
+        for r in u_rows:
+            u[r["d"]] = r["u"]
+        nrm = float(rnd_np(np.sqrt(np.sum(u * u)), 8))
+        if nrm == 0.0:
+            raise ValueError(
+                "pca_power_top1: centered corpus has zero variance along "
+                "the iterate — degenerate input"
+            )
+        v = rnd_np(u / nrm, round_to)
+        if v[0] < 0:
+            v = -v
+    centered = F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y)
+    proj = rnd(
+        F.aggregate(
+            F.zip_with(centered, lit_arr(v), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+    return (
+        src.select(F.col("vid").alias(id_col), proj.alias("pc1_proj")),
+        [float(x) for x in v],
     )
 
 

@@ -1336,3 +1336,98 @@ def budget_select(df: DataFrame, text_col: str, id_col: str,
     ).withColumn(
         "kept", (F.col("cum_tokens") <= F.lit(int(budget_tokens))).cast("int")
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, id_col: str,
+                   vocab_size: int = 1000,
+                   round_to: int = 4) -> DataFrame:
+    """Vocabulary-coverage / OOV audit: build the corpus top-``V``
+    word vocabulary (count DESC, word ASC on ties) and measure, per
+    document, how much of it falls outside that vocabulary — the
+    pre-tokenizer health check that catches encoding mojibake, wrong-
+    language shards, and code-in-prose pockets before a BPE train run
+    locks the vocab (the fertility complement: q103 measures how MANY
+    pieces a tokenizer makes, this measures what it has never seen).
+
+    Shape at scale: one word-count agg (map-combinable), top-V via
+    orderBy+limit — TakeOrderedAndProject, a distributed heap, NOT a
+    single-partition window sort — then the bounded vocab broadcasts
+    into a left join and one per-doc agg. Corpus streams twice.
+
+    Emits every document (tokenless ones too): ``(id, n_tokens,
+    n_oov, oov_rate)``.
+    """
+    words = fan_out(df).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(int(vocab_size))
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    per = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_doc"))
+        .join(per, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce(
+                rnd(
+                    F.col("n_oov") / F.col("n_tokens").cast("double"),
+                    round_to,
+                ),
+                F.lit(0.0),
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def oov_score(df: DataFrame, text_col: str, id_col: str,
+              vocab: list[str], round_to: int = 4) -> DataFrame:
+    """Stateless OOV scorer against a FIXED vocabulary — the serving
+    half of :func:`vocab_coverage`: that operator derives the top-V
+    vocabulary from the corpus; this one applies a known vocabulary
+    (the one the tokenizer was locked to) as a pure codegen map stage
+    — no shuffle, no state — so the EXACT batch operator runs
+    unchanged on a ``readStream`` frame (the ST12 stream-static
+    pattern) as an ingest-side health check.
+
+    The vocabulary rides as a LITERAL array (bounded — the same
+    contract as the broadcast vocab in vocab_coverage); counting uses
+    ``filter``+``size`` so repeated OOV tokens count every occurrence,
+    exactly like the aggregation path. Emits ``(id, n_tokens, n_oov,
+    oov_rate)`` with the vocab_coverage schema.
+    """
+    vlit = F.array(*[F.lit(w) for w in sorted(set(vocab))])
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda w: w != "",
+    )
+    n_tokens = F.size(toks).cast("long")
+    n_oov = F.size(
+        F.filter(toks, lambda w: ~F.array_contains(vlit, w))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n_tokens > 0, rnd(n_oov / n_tokens.cast("double"), round_to))
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )

@@ -3759,6 +3759,141 @@ FROM tot LEFT JOIN reb USING (doc) LEFT JOIN ncs USING (doc)
 """
 
 
+def q108_decon_semantic(spark, sf_dir):
+    """Embedding-level train/eval decontamination (functions/
+    similarity.py:decontaminate_semantic): the semantic complement of
+    the n-gram (q62) and winnowing (q81) passes — eval vectors
+    (vec_id % 50 == 0, the q62 convention) broadcast against the
+    training corpus, each train vector reduced to its max cosine +
+    nearest eval id, flagged at the q34 threshold."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    tr = emb.where(F.col("vec_id") % 50 != 0)
+    return S.decontaminate_semantic(
+        tr, ev, "vec_id", "embedding", tau=COSINE_DUP_TAU
+    )
+
+
+SQL_Q108 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+ev AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+tr AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+s AS (
+  SELECT tr.vec_id, ev.vec_id AS eval_id,
+         {sql_rnd('list_dot_product(tr.e, ev.e) / (tr.nrm * ev.nrm)', 4)}
+           AS sim
+  FROM tr CROSS JOIN ev),
+mx AS (
+  SELECT vec_id,
+         max(struct_pack(sim := sim, neg_eval := -eval_id)) AS mm
+  FROM s GROUP BY vec_id)
+SELECT vec_id, mm.sim AS max_eval_sim,
+       (-mm.neg_eval)::BIGINT AS nearest_eval_id,
+       (CASE WHEN mm.sim >= {COSINE_DUP_TAU} THEN 1 ELSE 0 END)::BIGINT
+         AS contaminated
+FROM mx
+"""
+
+
+PCA_ITERS, PCA_DIM = 3, 64
+
+
+def q109_pca_projection(spark, sf_dir):
+    """Top-principal-component projection by distributed power
+    iteration (functions/similarity.py:pca_power_top1) — an ORACLED
+    iterative algorithm like q104's logreg: the DuckDB twin unrolls
+    the μ → (score, update, normalize, sign-fix) chain per iteration
+    with the same rounding ladder and reproduces every projection
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj, _v = S.pca_power_top1(
+        emb, "vec_id", "embedding", dim=PCA_DIM, iters=PCA_ITERS
+    )
+    return proj
+
+
+def _sql_pca(iters: int = PCA_ITERS, dim: int = PCA_DIM) -> str:
+    """The power iteration as one CTE chain — the exact arithmetic
+    pca_power_top1 runs: μ rnd6; per iteration s rnd8, u rnd6, norm
+    rnd8, v rnd6 with a v[0] ≥ 0 sign fix applied AFTER rounding."""
+    import math
+
+    v0 = repr(round(1.0 / math.sqrt(dim), 8))
+    parts = [f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, i - 1 AS d, e[i] AS x
+  FROM v, unnest(range(1, {dim + 1})) t(i)),
+mu AS (SELECT d, {sql_rnd('avg(x)', 6)} AS mu FROM ex GROUP BY d),
+cx AS (SELECT ex.vec_id, ex.d, ex.x - mu.mu AS c
+       FROM ex JOIN mu USING (d)),
+v0 AS (SELECT d, {v0} AS vv FROM mu)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+  SELECT cx.vec_id, {sql_rnd(f'sum(cx.c * v{t - 1}.vv)', 8)} AS s
+  FROM cx JOIN v{t - 1} USING (d) GROUP BY cx.vec_id)""")
+        parts.append(f"""u{t} AS (
+  SELECT cx.d, {sql_rnd(f'sum(s{t}.s * cx.c)', 6)} AS u
+  FROM cx JOIN s{t} USING (vec_id) GROUP BY cx.d)""")
+        parts.append(f"""n{t} AS (
+  SELECT {sql_rnd('sqrt(sum(u * u))', 8)} AS nrm FROM u{t})""")
+        parts.append(f"""w{t} AS (
+  SELECT d, {sql_rnd(f'u / (SELECT nrm FROM n{t})', 6)} AS vv
+  FROM u{t})""")
+        parts.append(f"""v{t} AS (
+  SELECT d, CASE WHEN (SELECT vv FROM w{t} WHERE d = 0) < 0
+                 THEN -vv ELSE vv END AS vv FROM w{t})""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cx.vec_id, {sql_rnd(f'sum(cx.c * v{iters}.vv)', 6)} AS pc1_proj
+FROM cx JOIN v{iters} USING (d) GROUP BY cx.vec_id
+"""
+    )
+
+
+SQL_Q109 = _sql_pca()
+
+
+VOCAB_V = 20
+
+
+def q110_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage / OOV audit (functions/text.py:
+    vocab_coverage): corpus top-20 word vocabulary (count DESC, word
+    ASC ties — a distributed TakeOrderedAndProject heap, never a
+    single-partition window), per-document OOV token share."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.vocab_coverage(docs, "text", "doc_id", vocab_size=VOCAB_V)
+
+
+SQL_Q110 = rf"""
+WITH w AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+wf AS (SELECT doc, w FROM w WHERE w <> ''),
+wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wf GROUP BY w),
+vocab AS (SELECT w, 1 AS in_vocab FROM wc
+          ORDER BY cnt DESC, w ASC LIMIT {VOCAB_V}),
+per AS (
+  SELECT wf.doc, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN vocab.in_vocab IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_oov
+  FROM wf LEFT JOIN vocab USING (w) GROUP BY wf.doc)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+       coalesce({sql_rnd('per.n_oov::DOUBLE / per.n_tokens', 4)}, 0.0)
+         AS oov_rate
+FROM documents d LEFT JOIN per ON per.doc = d.doc_id
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -3892,6 +4027,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q105_budget_trim": (q105_budget_trim, SQL_Q105),
     "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
     "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    # new in r7 — never recorded, lead the window with the r6 cohort
+    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
+    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
+    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -3916,9 +4055,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q37_lang_id": (q37_lang_id, SQL_Q37),
-    "q38_quality_score": (q38_quality_score, SQL_Q38),
-    "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
@@ -3949,7 +4085,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # first-merge twin and the exact reference-implementation parity
     # test. q50 rides one more round, gated by the in-window q54.
     # q04/q05/q07/q08 ceded their window slots to q104-q107 this
-    # round: core ops stable since r1, freshly recorded green in r6.)
+    # round and q37/q38/q39 to q108-q110: core ops stable since
+    # r1/r2, freshly recorded green in r6.)
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q39_token_count": (q39_token_count, SQL_Q39),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),
@@ -4003,8 +4143,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     "q50_sketch_stats": (q50_sketch_stats, None),
     # rows-only r4 keys, value-pinned by oracled twins (q31↔q51,
-    # q32↔q52, q36↔q77); they ceded their window slots to the three
-    # kmeans-refactor re-records and rotate in next round
+    # q32↔q52, q36↔q77). A window slot spent on a rows-only key buys
+    # only a row-count check, so never-recorded ORACLED keys
+    # (q104-q110 this round) outrank them for slots; their twins keep
+    # their values pinned from inside the window/snapshot.
     "q31_dedup_minhash": (q31_dedup_minhash, None),
     "q32_dedup_simhash": (q32_dedup_simhash, None),
     "q36_ann_lsh": (q36_ann_lsh, None),

@@ -1596,3 +1596,76 @@ def test_bpe_encode_null_text_counts_zero(spark):
     out = {r["doc_id"]: r["n_bpe_tokens"] for r in
            TX.bpe_encode(df, "text", "doc_id", merges).collect()}
     assert out[2] == 0
+
+
+def test_decontaminate_semantic_flags_paraphrase_neighbors(spark):
+    # cosine is scale-invariant: a train vector that is a scaled copy
+    # of an eval vector (the "paraphrase" shape n-gram decon misses)
+    # must flag with sim 1.0; an orthogonal vector must not. Ties on
+    # max-sim break to the SMALLEST eval id.
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [1.0, 0.0, 0.0]),
+         (300, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),    # scaled copy of eval 100/200
+         (2, [0.0, 0.0, 5.0]),    # orthogonal to every eval vector
+         (3, [0.0, 3.0, 0.0])],   # copy of eval 300
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in S.decontaminate_semantic(
+        tr, ev, "vec_id", "embedding", tau=0.9).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["max_eval_sim"] == 1.0
+    assert out[1]["nearest_eval_id"] == 100      # smallest tied eval id
+    assert out[2]["contaminated"] == 0 and out[2]["max_eval_sim"] == 0.0
+    assert out[3]["contaminated"] == 1 and out[3]["nearest_eval_id"] == 300
+
+
+def test_pca_power_top1_finds_dominant_direction(spark):
+    import numpy as np
+
+    # variance 25 along dim 0, variance ~0.01 along dim 1: the top
+    # component must align with dim 0 (sign-fixed positive), and the
+    # projections must recover the centered dim-0 coordinates
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(0.0, 5.0, 200)
+    x1 = rng.normal(0.0, 0.1, 200)
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(zip(x0, x1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj, v = S.pca_power_top1(df, "vec_id", "embedding", dim=2, iters=5)
+    assert v[0] > 0.99 and abs(v[1]) < 0.1          # sign contract + alignment
+    got = {r["vec_id"]: r["pc1_proj"] for r in proj.collect()}
+    centered = x0 - x0.mean()
+    corr = np.corrcoef(centered, [got[i] for i in range(200)])[0, 1]
+    assert corr > 0.999
+
+
+def test_pca_power_top1_degenerate_corpus_raises(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        S.pca_power_top1(df, "vec_id", "embedding", dim=2, iters=2)
+
+
+def test_vocab_coverage_counts_oov(spark):
+    rows = [
+        (1, "aa aa aa bb"),          # aa x3, bb x1
+        (2, "bb cc dd"),             # cc/dd are rare -> OOV at V=2
+        (3, "aa bb"),
+        (4, None),                   # tokenless doc still gets a row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus counts: aa=4, bb=3, cc=1, dd=1 -> vocab(V=2) = {aa, bb}
+    out = {r["doc_id"]: r for r in TX.vocab_coverage(
+        df, "text", "doc_id", vocab_size=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (4, 0)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (3, 2)
+    assert out[2]["oov_rate"] == 0.6667
+    assert (out[4]["n_tokens"], out[4]["n_oov"], out[4]["oov_rate"]) == (0, 0, 0.0)
+    # tie at the V boundary breaks on word ASC: cc=dd=1, V=3 -> cc in
+    out3 = {r["doc_id"]: r for r in TX.vocab_coverage(
+        df, "text", "doc_id", vocab_size=3).collect()}
+    assert (out3[2]["n_tokens"], out3[2]["n_oov"]) == (3, 1)

@@ -415,3 +415,40 @@ def test_repeated_spans_is_jvm_side_and_combinable(spark):
     p = plan(q106_repeated_spans(spark, SF_DIR))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("HashAggregate") >= 2  # partial + final gram count
+
+
+def test_vocab_coverage_topv_is_distributed_heap_and_broadcast(spark):
+    # the top-V vocabulary must be a TakeOrderedAndProject (distributed
+    # heap), never a single-partition global window sort, and the
+    # bounded vocab must BROADCAST into the OOV join
+    from sarfile_analyzer_ng_spark.queries import q110_vocab_coverage
+
+    p = plan(q110_vocab_coverage(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decon_semantic_broadcasts_eval_and_partial_aggs(spark):
+    # the eval suite broadcasts (nested-loop join against the
+    # broadcast side — the scored stream never shuffles |train|x|eval|
+    # rows: the groupBy partial-aggregates map-side first)
+    from sarfile_analyzer_ng_spark.queries import q108_decon_semantic
+
+    p = plan(q108_decon_semantic(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_max" in p or "HashAggregate" in p
+
+
+def test_pca_iteration_model_rides_as_literals(spark):
+    # the power-iteration model (mu, v) must appear as LITERAL arrays
+    # in the plan (broadcast via the plan itself, no join against a
+    # model frame) and the per-iteration agg must be map-combinable
+    from sarfile_analyzer_ng_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    proj, _v = S.pca_power_top1(emb, "vec_id", "embedding",
+                                dim=64, iters=1)
+    p = plan(proj)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p      # model is literal, not a joined frame

@@ -798,3 +798,51 @@ def test_duplicated_grams_stream_short_and_null_docs(spark, tmp_path):
     got = spark.table("shortdoc_stream_test").collect()
     # doc 4 has 5 distinct grams, none repeated; docs 1-3 emit nothing
     assert got == []
+
+
+def test_oov_scoring_runs_unchanged_on_stream(spark, tmp_path):
+    """ST14: the fixed-vocabulary OOV scorer (functions/text.py:
+    oov_score) is a stateless codegen map — the EXACT batch operator
+    runs on a readStream frame (the ST6/ST8/ST12 stream-static
+    pattern) and reproduces (1) the batch oov_score rows and (2) the
+    corpus-derived vocab_coverage verdicts when handed that vocab."""
+    import os
+
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    src = str(tmp_path / "oov_src")
+    os.makedirs(src)
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    docs.toPandas().to_parquet(f"{src}/c0.parquet", index=False)
+
+    # the vocabulary a tokenizer run would lock: corpus top-10 words
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = [
+        r["w"]
+        for r in words.groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(10).collect()
+    ]
+    # scorer == corpus-derived coverage when handed the same vocab
+    want = {tuple(r) for r in
+            TX.vocab_coverage(docs, "text", "doc_id", 10).collect()}
+    batch = {tuple(r) for r in
+             TX.oov_score(docs, "text", "doc_id", vocab).collect()}
+    assert batch == want and len(batch) == 80
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = TX.oov_score(stream, "text", "doc_id", vocab)
+    q = (
+        out.writeStream.format("memory").queryName("oov_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("oov_stream_test").collect()}
+    assert got == batch
