@@ -3894,6 +3894,34 @@ FROM documents d LEFT JOIN per ON per.doc = d.doc_id
 """
 
 
+EDIT_SIM_TAU = 0.8  # observed gap at the gates: background ≤0.45, dups ≥0.93
+
+
+def q111_edit_dup_pairs(spark, sf_dir):
+    """Character-level near-dup pairs (functions/dedup.py:
+    edit_dup_pairs): MinHash-LSH banded candidates verified with EXACT
+    JVM Levenshtein — the fuzzy-verify complement of q56's
+    exact-Jaccard path. The oracle replays the brute-force all-pairs
+    form; at the gate thresholds every surviving pair shares nearly
+    all shingles, so banding recall is exact (the q56 precedent)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.edit_dup_pairs(docs, "text", "doc_id", tau=EDIT_SIM_TAU)
+
+
+_EDIT_SIM_EXPR = (
+    "1.0 - levenshtein(a.text, b.text)::DOUBLE"
+    " / greatest(length(a.text), length(b.text))"
+)
+
+SQL_Q111 = f"""
+WITH d AS (SELECT doc_id, text FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {sql_rnd(_EDIT_SIM_EXPR, 4)} AS edit_sim
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE {sql_rnd(_EDIT_SIM_EXPR, 4)} >= {EDIT_SIM_TAU}
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -4031,6 +4059,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
     "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
+    "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4055,7 +4084,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q45_rollup": (q45_rollup, SQL_Q45),
@@ -4090,6 +4118,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

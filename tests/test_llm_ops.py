@@ -1669,3 +1669,24 @@ def test_vocab_coverage_counts_oov(spark):
     out3 = {r["doc_id"]: r for r in TX.vocab_coverage(
         df, "text", "doc_id", vocab_size=3).collect()}
     assert (out3[2]["n_tokens"], out3[2]["n_oov"]) == (3, 1)
+
+
+def test_edit_dup_pairs_catches_typos_jaccard_blurs(spark):
+    # a one-char in-word typo shifts every shingle containing that
+    # word, blurring Jaccard, but costs exactly 1 edit — the pair the
+    # fuzzy verifier exists for. Orientation doc_a < doc_b; dissimilar
+    # pairs and sub-threshold pairs are excluded.
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "qvick")),       # 1 edit
+        (3, "completely different text about engines and shuffles ok"),
+        (4, base),                                  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["edit_sim"] for r in
+           D.edit_dup_pairs(df, "text", "doc_id", tau=0.8).collect()}
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 2)] == got[(2, 4)] == round(1 - 1 / len(base), 4)
+    assert all(3 not in pair for pair in got)
+    assert all(a < b for a, b in got)
