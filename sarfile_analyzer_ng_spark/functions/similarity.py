@@ -680,9 +680,10 @@ def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def pca_power_top1(emb: DataFrame, id_col: str, vec_col: str,
-                   dim: int, iters: int = 3,
-                   round_to: int = 6) -> tuple[DataFrame, list[float]]:
+def pca_power_top1(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, iters: int = 3,
+    round_to: int = 6,
+) -> tuple[DataFrame, list[float], list[float]]:
     """Top principal component of an embedding corpus by distributed
     POWER ITERATION — the whitening/compression front-end a vector
     pipeline runs before IVF/PQ (dominant-direction removal is also
@@ -701,7 +702,9 @@ def pca_power_top1(emb: DataFrame, id_col: str, vec_col: str,
     iteration, sign-fixed so v[0] ≥ 0 — the DuckDB twin unrolls the
     same chain and reproduces v and every projection bit-for-bit.
 
-    Returns ``(proj_frame(id, pc1_proj), v)``. Raises on a degenerate
+    Returns ``(proj_frame(id, pc1_proj), v, mu)`` — the component and
+    the mean are the MODEL (dim floats each) consumers like
+    :func:`remove_top1` re-apply. Raises on a degenerate
     (all-identical) corpus where the centered norm collapses to 0.
     """
     import numpy as np
@@ -766,7 +769,59 @@ def pca_power_top1(emb: DataFrame, id_col: str, vec_col: str,
     return (
         src.select(F.col("vid").alias(id_col), proj.alias("pc1_proj")),
         [float(x) for x in v],
+        [float(x) for x in mu],
     )
+
+
+def remove_top1(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                iters: int = 3, round_to: int = 6) -> DataFrame:
+    """All-but-the-Top embedding post-processing (Mu & Viswanath 2018,
+    arXiv:1702.01417): subtract the corpus mean and project out the
+    top principal direction — the standard cleanup that removes the
+    dominant "common direction" text embeddings share, measurably
+    sharpening cosine-based dedup/ANN. Composes :func:`pca_power_top1`
+    (the model: dim floats of μ and v, closed over into the kernel —
+    broadcast with the task) with ONE Arrow map stage: the residual
+    ``r = (x − μ) − p·v`` is a batch matvec + rank-1 update — no
+    join, no shuffle, corpus streams once. A JVM zip_with would
+    re-evaluate the per-row dot product p inside the per-element
+    lambda (O(dim²)/row in the interpreted HOF path); the Arrow
+    kernel computes p once per row, vectorized. Every value rounds
+    via ``rnd_np`` (the HALF_UP cross-engine ladder), so the DuckDB
+    twin reproduces the arrays bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..util import rnd_np
+
+    _proj_df, v, mu = pca_power_top1(
+        emb, id_col, vec_col, dim, iters=iters, round_to=round_to
+    )
+    vv = np.asarray(v, dtype=np.float64)
+    mm = np.asarray(mu, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("resid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
+            C = E - mm
+            p = rnd_np(C @ vv, round_to)
+            R = rnd_np(C - p[:, None] * vv, round_to)
+            yield pd.DataFrame({id_col: pdf["_id"], "resid": list(R)})
+
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    return src.mapInPandas(kernel, schema)
 
 
 def semdedup(emb: DataFrame, id_col: str, vec_col: str,

@@ -3810,7 +3810,7 @@ def q109_pca_projection(spark, sf_dir):
     with the same rounding ladder and reproduces every projection
     bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    proj, _v = S.pca_power_top1(
+    proj, _v, _mu = S.pca_power_top1(
         emb, "vec_id", "embedding", dim=PCA_DIM, iters=PCA_ITERS
     )
     return proj
@@ -3857,6 +3857,55 @@ FROM cx JOIN v{iters} USING (d) GROUP BY cx.vec_id
 
 
 SQL_Q109 = _sql_pca()
+
+
+def q112_remove_top_direction(spark, sf_dir):
+    """All-but-the-Top residuals (functions/similarity.py:
+    remove_top1, Mu & Viswanath 2018): subtract the corpus mean and
+    project out the q109 component — one Arrow map stage over the
+    corpus; the full (mean, iterate, normalize, project, subtract)
+    chain is value-hash oracled ON THE RESIDUAL ARRAYS, serialized as
+    micro-unit integers (rnd6 × 10⁶ → BIGINT, the q75 comma-string
+    convention — double→string formatting differs across engines,
+    int→string does not)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    r = S.remove_top1(emb, "vec_id", "embedding",
+                      dim=PCA_DIM, iters=PCA_ITERS)
+    return r.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "resid",
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("resid_micro"),
+    )
+
+
+def _sql_pca_resid(iters: int = PCA_ITERS, dim: int = PCA_DIM) -> str:
+    """q109's unrolled chain, extended two CTEs: the per-vector
+    projection p, then the ordered residual list rnd6(c − p·v_d)."""
+    base = _sql_pca(iters, dim)
+    head = base[: base.rindex("\nSELECT")]
+    return (
+        head
+        + f""",
+pj AS (
+  SELECT cx.vec_id, {sql_rnd(f'sum(cx.c * v{iters}.vv)', 6)} AS p
+  FROM cx JOIN v{iters} USING (d) GROUP BY cx.vec_id)
+SELECT cx.vec_id,
+       array_to_string(
+         list(CAST(round(({sql_rnd(f'cx.c - pj.p * v{iters}.vv', 6)})
+                         * 1000000) AS BIGINT) ORDER BY cx.d),
+         ',') AS resid_micro
+FROM cx JOIN v{iters} USING (d) JOIN pj USING (vec_id)
+GROUP BY cx.vec_id
+"""
+    )
+
+
+SQL_Q112 = _sql_pca_resid()
 
 
 VOCAB_V = 20
@@ -4060,6 +4109,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
+    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4084,7 +4134,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
@@ -4119,6 +4168,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

@@ -1633,7 +1633,7 @@ def test_pca_power_top1_finds_dominant_direction(spark):
     x1 = rng.normal(0.0, 0.1, 200)
     rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(zip(x0, x1))]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    proj, v = S.pca_power_top1(df, "vec_id", "embedding", dim=2, iters=5)
+    proj, v, _mu = S.pca_power_top1(df, "vec_id", "embedding", dim=2, iters=5)
     assert v[0] > 0.99 and abs(v[1]) < 0.1          # sign contract + alignment
     got = {r["vec_id"]: r["pc1_proj"] for r in proj.collect()}
     centered = x0 - x0.mean()
@@ -1690,3 +1690,24 @@ def test_edit_dup_pairs_catches_typos_jaccard_blurs(spark):
     assert got[(1, 2)] == got[(2, 4)] == round(1 - 1 / len(base), 4)
     assert all(3 not in pair for pair in got)
     assert all(a < b for a, b in got)
+
+
+def test_remove_top1_projects_out_dominant_direction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    x0 = rng.normal(0.0, 5.0, 150)
+    x1 = rng.normal(0.0, 0.1, 150)
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(zip(x0, x1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _proj, v, mu = S.pca_power_top1(df, "vec_id", "embedding",
+                                    dim=2, iters=5)
+    out = {r["vec_id"]: np.asarray(r["resid"]) for r in
+           S.remove_top1(df, "vec_id", "embedding", dim=2, iters=5).collect()}
+    vv = np.asarray(v)
+    R = np.stack([out[i] for i in range(150)])
+    # residuals are (numerically) orthogonal to the removed component
+    assert float(np.abs(R @ vv).max()) < 1e-4
+    # the dominant-direction variance is gone; the minor axis survives
+    C = np.stack([x0 - x0.mean(), x1 - x1.mean()], axis=1)
+    assert R.var(axis=0)[0] < 1e-2 < 20 < C.var(axis=0)[0]

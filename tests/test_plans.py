@@ -447,7 +447,7 @@ def test_pca_iteration_model_rides_as_literals(spark):
     from sarfile_analyzer_ng_spark.functions import similarity as S
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    proj, _v = S.pca_power_top1(emb, "vec_id", "embedding",
+    proj, _v, _mu = S.pca_power_top1(emb, "vec_id", "embedding",
                                 dim=64, iters=1)
     p = plan(proj)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
