@@ -1431,3 +1431,46 @@ def oov_score(df: DataFrame, text_col: str, id_col: str,
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),
     )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epochs: int = 3,
+                  num_shards: int = 8) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the
+    training-loader contract that every epoch visits the corpus in a
+    DIFFERENT pseudorandom order, reproducible run-to-run and across
+    engines. Each document gets a per-epoch address ``(epoch, shard,
+    pos)``: shard and order key come from the engine-portable
+    multiplicative hash family (the :func:`~..util.shard_hash`
+    contract — replayable in ANSI SQL, unlike Spark's murmur3
+    ``repartition`` placement), epoch mixed into both so no two
+    epochs share an order.
+
+    Shape at scale: this is how real pipelines implement "global
+    shuffle" — there is NO single global sort. One explode (×epochs),
+    one shuffle keyed by (epoch, shard) — uniform by construction —
+    and a row_number window per shard partition; a consumer streams
+    shards in index order, rows by ``pos``, and sees a full
+    permutation. ``num_shards`` sizes partitions to the cluster.
+    """
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1)))
+        .alias("epoch"),
+    )
+    key = F.col(id_col).cast("long") * 31 + F.col("epoch") * 7919
+    okey = F.col(id_col).cast("long") * 17 + F.col("epoch") * 104729
+    shard = F.pmod((key % 1_000_003) * 2654435761, F.lit(int(num_shards)))
+    ordkey = F.pmod((okey % 999_983) * 2654435761, F.lit(1_000_000_007))
+    w = Window.partitionBy("epoch", "shard").orderBy("_ord", id_col)
+    return (
+        src.select(
+            id_col,
+            F.col("epoch").cast("long").alias("epoch"),
+            shard.cast("long").alias("shard"),
+            ordkey.alias("_ord"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ord")
+    )

@@ -3971,6 +3971,37 @@ WHERE {sql_rnd(_EDIT_SIM_EXPR, 4)} >= {EDIT_SIM_TAU}
 """
 
 
+ES_EPOCHS, ES_SHARDS = 3, 8
+
+
+def q113_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch global shuffle order (functions/
+    text.py:epoch_shuffle): every (epoch, document) gets a replayable
+    (shard, pos) address from the portable multiplicative hash family
+    — the training-loader permutation without any single global sort
+    (shuffle keyed by (epoch, shard), row_number per shard)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return TX.epoch_shuffle(docs, "doc_id",
+                            epochs=ES_EPOCHS, num_shards=ES_SHARDS)
+
+
+SQL_Q113 = f"""
+WITH e AS (
+  SELECT doc_id, unnest(range(0, {ES_EPOCHS})) AS epoch FROM documents),
+k AS (
+  SELECT doc_id, epoch,
+         ((((doc_id * 31 + epoch * 7919) % 1000003) * 2654435761)
+          % {ES_SHARDS} + {ES_SHARDS}) % {ES_SHARDS} AS shard,
+         ((((doc_id * 17 + epoch * 104729) % 999983) * 2654435761)
+          % 1000000007 + 1000000007) % 1000000007 AS ordkey
+  FROM e)
+SELECT doc_id, epoch::BIGINT AS epoch, shard::BIGINT AS shard,
+       row_number() OVER (PARTITION BY epoch, shard
+                          ORDER BY ordkey, doc_id)::BIGINT AS pos
+FROM k
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -4110,6 +4141,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4134,7 +4166,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
@@ -4169,6 +4200,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

@@ -1711,3 +1711,30 @@ def test_remove_top1_projects_out_dominant_direction(spark):
     # the dominant-direction variance is gone; the minor axis survives
     C = np.stack([x0 - x0.mean(), x1 - x1.mean()], axis=1)
     assert R.var(axis=0)[0] < 1e-2 < 20 < C.var(axis=0)[0]
+
+
+def test_epoch_shuffle_is_distinct_deterministic_permutations(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = TX.epoch_shuffle(df, "doc_id", epochs=3, num_shards=4).collect()
+    assert len(out) == 600
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for e, rows in by_epoch.items():
+        # every doc exactly once per epoch
+        assert sorted(r["doc_id"] for r in rows) == list(range(200))
+        # positions are contiguous 1..n within each shard
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        assert set(shards) <= set(range(4))
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epochs produce DIFFERENT global orders
+    def order(e):
+        return [r["doc_id"] for r in
+                sorted(by_epoch[e], key=lambda r: (r["shard"], r["pos"]))]
+    assert order(0) != order(1) != order(2)
+    # and the whole thing replays deterministically
+    again = TX.epoch_shuffle(df, "doc_id", epochs=3, num_shards=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
