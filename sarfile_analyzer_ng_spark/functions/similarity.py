@@ -171,7 +171,12 @@ def decontaminate_semantic(train: DataFrame, eval_df: DataFrame,
     so the shuffle carries |train| rows, not |train|·|eval|.
 
     Scale shape: broadcast join + Arrow cosine + partial-agg groupBy;
-    the corpus streams once, nothing collects."""
+    the corpus streams once, nothing collects.
+
+    An EMPTY eval set yields an empty frame (no contamination
+    information), not an all-clear verdict — callers that want
+    "nothing to decontaminate against" semantics should skip the
+    pass, the same contract as the n-gram decontaminate."""
     ev = eval_df.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("evec")
     )

@@ -1738,3 +1738,14 @@ def test_epoch_shuffle_is_distinct_deterministic_permutations(spark):
     # and the whole thing replays deterministically
     again = TX.epoch_shuffle(df, "doc_id", epochs=3, num_shards=4).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_decontaminate_semantic_empty_eval_is_empty_not_all_clear(spark):
+    # contract pin: no eval vectors -> NO verdict rows (skip the pass
+    # for all-clear semantics), mirroring the oracle's inner-join shape
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ev = tr.where(F.lit(False))
+    assert S.decontaminate_semantic(
+        tr, ev, "vec_id", "embedding", tau=0.5).count() == 0
