@@ -1474,3 +1474,76 @@ def epoch_shuffle(df: DataFrame, id_col: str, epochs: int = 3,
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_ord")
     )
+
+
+def source_divergence(df: DataFrame, text_col: str, source_col: str,
+                      vocab_size: int = 20, alpha: float = 0.5,
+                      round_to: int = 4) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions — the mixture-design diagnostic that tells a
+    curation run WHICH sources actually differ (a near-zero pair is
+    redundant coverage; a high pair justifies separate mixture
+    weights; the complement of :func:`source_mix_weights`, which sets
+    HOW MUCH of each source to take).
+
+    Distributions live on the corpus top-``vocab_size`` vocabulary
+    (count DESC, word ASC ties — deterministic cut), add-``alpha``
+    smoothed so every probability is strictly positive; OOV mass is
+    excluded by design (:func:`vocab_coverage` is the OOV audit). Per
+    the unigram-LM determinism scheme, probabilities and each log
+    term pre-round at 8 digits so both engines aggregate identical
+    values; JS = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2, natural log.
+
+    Shape at scale: one (source, word) count agg, a V-row TakeOrdered
+    vocabulary broadcast into an S×V dense grid (sources are bounded
+    — the mix-weights contract), then a word-keyed self-join of S·V
+    rows and one pair-keyed agg. Nothing corpus-sized shuffles twice.
+    """
+    src = F.col(source_col)
+    toks = fan_out(df).select(
+        src.alias("_s"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    cnts = toks.groupBy("_s", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vocab = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(int(vocab_size))
+        .select("w")
+    )
+    sources = cnts.select("_s").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    vc = grid.join(cnts, ["_s", "w"], "left").select(
+        "_s", "w", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    iv = vc.groupBy("_s").agg(F.sum("c").alias("tot"))
+    probs = vc.join(F.broadcast(iv), "_s").select(
+        "_s",
+        "w",
+        rnd(
+            (F.col("c") + F.lit(float(alpha)))
+            / (F.col("tot") + F.lit(float(alpha * vocab_size))),
+            8,
+        ).alias("p"),
+    )
+    a = probs.select(
+        F.col("_s").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("_s").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    term = 0.5 * (
+        F.col("pa") * rnd(F.log(F.col("pa") / m), 8)
+        + F.col("pb") * rnd(F.log(F.col("pb") / m), 8)
+    )
+    return (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(rnd(F.sum(term), round_to).alias("js_div"))
+    )

@@ -4002,6 +4002,49 @@ FROM k
 """
 
 
+SD_V, SD_ALPHA = 20, 0.5
+
+
+def q114_source_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions (functions/text.py:source_divergence) — which
+    sources actually differ, the mixture-design complement of q64's
+    how-much weights."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.source_divergence(docs, "text", "source",
+                                vocab_size=SD_V, alpha=SD_ALPHA)
+
+
+SQL_Q114 = rf"""
+WITH t AS (
+  SELECT source AS s,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+tf AS (SELECT s, w FROM t WHERE w <> ''),
+cnts AS (SELECT s, w, count(*)::DOUBLE AS c FROM tf GROUP BY s, w),
+vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tf GROUP BY w
+                         ORDER BY cnt DESC, w ASC LIMIT {SD_V})),
+srcs AS (SELECT DISTINCT s FROM cnts),
+grid AS (SELECT srcs.s, vocab.w FROM srcs CROSS JOIN vocab),
+vc AS (SELECT grid.s, grid.w, coalesce(cnts.c, 0.0) AS c
+       FROM grid LEFT JOIN cnts ON cnts.s = grid.s AND cnts.w = grid.w),
+iv AS (SELECT s, sum(c) AS tot FROM vc GROUP BY s),
+probs AS (
+  SELECT vc.s, vc.w,
+         {sql_rnd(f'(vc.c + {SD_ALPHA}) / (iv.tot + {SD_ALPHA * SD_V})', 8)}
+           AS p
+  FROM vc JOIN iv USING (s))
+SELECT a.s AS source_a, b.s AS source_b,
+       {sql_rnd(
+           '''sum(0.5 * (a.p * ''' + sql_rnd('ln(a.p / ((a.p + b.p) / 2.0))', 8) + '''
+                 + b.p * ''' + sql_rnd('ln(b.p / ((a.p + b.p) / 2.0))', 8) + '''))''',
+           4,
+       )} AS js_div
+FROM probs a JOIN probs b ON a.w = b.w AND a.s < b.s
+GROUP BY a.s, b.s
+"""
+
+
 QC_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 QC_FEATURES = ["x1", "x2", "x3", "x4"]
 QC_ITERS, QC_LR = 4, 0.5
@@ -4142,6 +4185,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
+    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4163,7 +4207,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q58_knn_classify": (q58_knn_classify, SQL_Q58),
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q45_rollup": (q45_rollup, SQL_Q45),
@@ -4201,6 +4244,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

@@ -1749,3 +1749,23 @@ def test_decontaminate_semantic_empty_eval_is_empty_not_all_clear(spark):
     ev = tr.where(F.lit(False))
     assert S.decontaminate_semantic(
         tr, ev, "vec_id", "embedding", tau=0.5).count() == 0
+
+
+def test_source_divergence_separates_disjoint_sources(spark):
+    rows = (
+        [(i, "alpha beta gamma delta", "sa") for i in range(20)]
+        + [(100 + i, "omega sigma tau phi", "sb") for i in range(20)]
+        + [(200 + i, "alpha beta gamma delta", "sc") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["js_div"] for r in
+           TX.source_divergence(df, "text", "source",
+                                vocab_size=8).collect()}
+    # identical-content sources are ~0 apart; disjoint-vocabulary
+    # sources are near ln(2) (the JS upper bound)
+    assert out[("sa", "sc")] < 0.01
+    assert out[("sa", "sb")] > 0.5 and out[("sb", "sc")] > 0.5
+    # symmetric pairs emitted once, oriented a < b
+    assert set(out) == {("sa", "sb"), ("sa", "sc"), ("sb", "sc")}
+    # JS is bounded by ln 2
+    assert all(0.0 <= v <= 0.6932 for v in out.values())
