@@ -803,6 +803,24 @@ def remove_top1(emb: DataFrame, id_col: str, vec_col: str, dim: int,
     _proj_df, v, mu = pca_power_top1(
         emb, id_col, vec_col, dim, iters=iters, round_to=round_to
     )
+    return apply_top1_removal(emb, id_col, vec_col, v, mu,
+                              round_to=round_to)
+
+
+def apply_top1_removal(emb: DataFrame, id_col: str, vec_col: str,
+                       v: list[float], mu: list[float],
+                       round_to: int = 6) -> DataFrame:
+    """Apply a SAVED All-but-the-Top model (``v``, ``mu`` from
+    :func:`pca_power_top1` / :func:`load_pca_model`) without
+    retraining — the operational split :func:`save_pq_index` gives the
+    PQ family: new embedding batches clean against the frozen model.
+    One Arrow map stage, no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..util import rnd_np
+
     vv = np.asarray(v, dtype=np.float64)
     mm = np.asarray(mu, dtype=np.float64)
     schema = T.StructType(
@@ -827,6 +845,25 @@ def remove_top1(emb: DataFrame, id_col: str, vec_col: str, dim: int,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
     )
     return src.mapInPandas(kernel, schema)
+
+
+def save_pca_model(spark, path: str, v: list[float],
+                   mu: list[float]) -> None:
+    """Persist an All-but-the-Top model as one tiny parquet table
+    ``(d, v, mu)`` — dim rows. Training jobs write it once;
+    ingest/cleanup jobs :func:`load_pca_model` and apply to every new
+    batch without touching the training corpus (the PQ-index
+    operational split)."""
+    rows = [(d, float(v[d]), float(mu[d])) for d in range(len(v))]
+    spark.createDataFrame(rows, "d int, v double, mu double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca_model(spark, path: str) -> tuple[list[float], list[float]]:
+    """Load a :func:`save_pca_model` table → ``(v, mu)``."""
+    rows = sorted(spark.read.parquet(path).collect(),
+                  key=lambda r: r["d"])
+    return [r["v"] for r in rows], [r["mu"] for r in rows]
 
 
 def semdedup(emb: DataFrame, id_col: str, vec_col: str,

@@ -1769,3 +1769,21 @@ def test_source_divergence_separates_disjoint_sources(spark):
     assert set(out) == {("sa", "sb"), ("sa", "sc"), ("sb", "sc")}
     # JS is bounded by ln 2
     assert all(0.0 <= v <= 0.6932 for v in out.values())
+
+
+def test_pca_model_roundtrip_applies_without_retraining(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(a) for a in rng.normal(0, 3, 4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _p, v, mu = S.pca_power_top1(df, "vec_id", "embedding", dim=4, iters=3)
+    want = {r["vec_id"]: tuple(r["resid"]) for r in
+            S.remove_top1(df, "vec_id", "embedding", dim=4, iters=3).collect()}
+    path = str(tmp_path / "pca_model")
+    S.save_pca_model(spark, path, v, mu)
+    lv, lmu = S.load_pca_model(spark, path)
+    assert lv == v and lmu == mu
+    got = {r["vec_id"]: tuple(r["resid"]) for r in
+           S.apply_top1_removal(df, "vec_id", "embedding", lv, lmu).collect()}
+    assert got == want
