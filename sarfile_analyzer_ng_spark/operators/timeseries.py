@@ -316,3 +316,49 @@ def overlay_align(df: DataFrame, ts_col: str, by: list[str],
         )
         .drop("_day0_us")
     )
+
+
+def seasonal_outliers(df: DataFrame, ts_col: str, value_col: str,
+                      by: list[str], threshold: float = 3.0,
+                      round_to: int = 4) -> DataFrame:
+    """Hour-of-day seasonal anomaly detection — the server-metrics
+    question the reference's charts answer by eye ("is this 3am CPU
+    spike normal FOR 3am?"): a global z-score (stats.zscore_outliers)
+    washes out daily periodicity, so the baseline here is per
+    (series, hour-of-day) — mean and stddev of every sample that
+    shares the clock hour — and a row flags when it deviates from its
+    OWN hour's norm.
+
+    Scale shape: the baseline frame is |series|×24 rows — broadcast;
+    the fact table scans once with no wide shuffle (the
+    zscore_outliers two-pass pattern, seasonally keyed).
+    """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from ..util import rnd
+
+    hr = F.hour(F.col(ts_col))
+    stats = df.groupBy(*by, hr.alias("_hr")).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_samp(value_col).alias("_std"),
+    )
+    s = stats.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(by)],
+        "_hr", "_mean", "_std",
+    )
+    cond = _reduce(
+        _and,
+        [df[c].eqNullSafe(s[f"_k{i}"]) for i, c in enumerate(by)]
+        + [hr == s["_hr"]],
+    )
+    joined = df.join(F.broadcast(s), cond).drop(
+        *[f"_k{i}" for i in range(len(by))]
+    )
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        joined.where(F.abs(z) > threshold)
+        .withColumn("season_z", rnd(z, round_to))
+        .withColumn("hour", F.col("_hr").cast("long"))
+        .drop("_mean", "_std", "_hr")
+    )

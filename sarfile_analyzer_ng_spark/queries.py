@@ -3971,6 +3971,31 @@ WHERE {sql_rnd(_EDIT_SIM_EXPR, 4)} >= {EDIT_SIM_TAU}
 """
 
 
+def q115_seasonal_outliers(spark, sf_dir):
+    """Hour-of-day seasonal anomalies (operators/timeseries.py:
+    seasonal_outliers): values deviating from their OWN clock-hour's
+    (series, hour) baseline — the periodicity-aware complement of
+    q20's global z-score, the question the reference's daily charts
+    answer by eye."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.seasonal_outliers(ev, "ts", "value", ["event_type"],
+                               threshold=ZSCORE_TAU)
+    return out.select("event_id", "event_type", "hour", "value",
+                      "season_z")
+
+
+SQL_Q115 = f"""
+WITH s AS (
+  SELECT event_type AS et, extract(hour FROM ts) AS hr,
+         avg(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type, extract(hour FROM ts))
+SELECT event_id, event_type, hr::BIGINT AS hour, value,
+       {sql_rnd('(value - m) / sd', 4)} AS season_z
+FROM events JOIN s ON event_type = et AND extract(hour FROM ts) = hr
+WHERE abs((value - m) / sd) > {ZSCORE_TAU}
+"""
+
+
 ES_EPOCHS, ES_SHARDS = 3, 8
 
 
@@ -4186,6 +4211,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     "q114_source_divergence": (q114_source_divergence, SQL_Q114),
+    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4209,7 +4235,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
@@ -4245,6 +4270,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

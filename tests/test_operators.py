@@ -211,3 +211,34 @@ def test_resample_filled_guards_runaway_grid(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="max_buckets"):
         resample_filled(df, "ts", 60, ["k"], "v", max_buckets=1000).collect()
+
+
+def test_seasonal_outliers_uses_per_hour_baseline(spark):
+    import datetime as dt
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    rows = []
+    eid = 0
+    # series "cpu": quiet at 03:00 (~1.0), busy at 15:00 (~50.0), over
+    # several days; a 10.0 reading is a screaming anomaly AT 3AM but
+    # utterly normal at 3PM -- the global z-score sees neither
+    for day in range(1, 11):
+        for h, base in ((3, 1.0), (15, 50.0)):
+            eid += 1
+            rows.append((eid, "cpu",
+                         dt.datetime(2024, 1, day, h, 0, 0),
+                         base + (day % 3) * 0.1))
+    rows.append((900, "cpu", dt.datetime(2024, 1, 12, 3, 0, 0), 10.0))
+    rows.append((901, "cpu", dt.datetime(2024, 1, 12, 15, 0, 0), 50.1))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in TS.seasonal_outliers(
+        df, "ts", "value", ["event_type"], threshold=3.0).collect()}
+    assert 900 in out and out[900]["hour"] == 3      # 3am spike flagged
+    assert 901 not in out                            # normal at 3pm
+    from sarfile_analyzer_ng_spark.operators.stats import zscore_outliers
+    g = {r["event_id"] for r in zscore_outliers(
+        df, "value", ["event_type"], 3.0).collect()}
+    assert 900 not in g  # the global z-score washes the 3am spike out
