@@ -333,17 +333,39 @@ def seasonal_outliers(df: DataFrame, ts_col: str, value_col: str,
     the fact table scans once with no wide shuffle (the
     zscore_outliers two-pass pattern, seasonally keyed).
     """
+    return seasonal_score(
+        df, seasonal_baseline(df, ts_col, value_col, by),
+        ts_col, value_col, by, threshold, round_to,
+    )
+
+
+def seasonal_baseline(df: DataFrame, ts_col: str, value_col: str,
+                      by: list[str]) -> DataFrame:
+    """The (series, hour-of-day) mean/stddev baseline frame — train it
+    on history once, freeze it, and :func:`seasonal_score` new samples
+    against it (the serving half ST15 runs at ingest)."""
+    hr = F.hour(F.col(ts_col))
+    return df.groupBy(*by, hr.alias("_hr")).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_samp(value_col).alias("_std"),
+    )
+
+
+def seasonal_score(df: DataFrame, baseline: DataFrame, ts_col: str,
+                   value_col: str, by: list[str],
+                   threshold: float = 3.0,
+                   round_to: int = 4) -> DataFrame:
+    """Score rows against a FROZEN seasonal baseline — a stateless
+    broadcast join + filter, so the EXACT same code runs on a batch
+    frame or a readStream frame (the ST6/ST8/ST12 stream-static
+    pattern; live ingest-side anomaly alerts)."""
     from functools import reduce as _reduce
     from operator import and_ as _and
 
     from ..util import rnd
 
     hr = F.hour(F.col(ts_col))
-    stats = df.groupBy(*by, hr.alias("_hr")).agg(
-        F.avg(value_col).alias("_mean"),
-        F.stddev_samp(value_col).alias("_std"),
-    )
-    s = stats.select(
+    s = baseline.select(
         *[F.col(c).alias(f"_k{i}") for i, c in enumerate(by)],
         "_hr", "_mean", "_std",
     )

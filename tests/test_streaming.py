@@ -846,3 +846,44 @@ def test_oov_scoring_runs_unchanged_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("oov_stream_test").collect()}
     assert got == batch
+
+
+def test_seasonal_scoring_runs_unchanged_on_stream(spark, tmp_path):
+    """ST15: live ingest-side seasonal anomaly alerts — the q115
+    baseline trains on history, freezes, and the EXACT batch
+    seasonal_score (stateless broadcast join + filter) runs on a
+    readStream frame, reproducing the batch verdicts (the
+    ST6/ST8/ST12/ST14 stream-static pattern)."""
+    import os
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    src = str(tmp_path / "seasonal_src")
+    os.makedirs(src)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    pdf.to_parquet(f"{src}/c0.parquet", index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    hist = spark.read.parquet(src)
+    baseline = TS.seasonal_baseline(hist, "ts", "value", ["event_type"])
+    want = {r["event_id"]: (r["hour"], r["season_z"]) for r in
+            TS.seasonal_score(hist, baseline, "ts", "value",
+                              ["event_type"], 2.0).collect()}
+    assert want  # threshold chosen so the gate data flags something
+
+    schema = hist.schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out = TS.seasonal_score(stream, baseline, "ts", "value",
+                            ["event_type"], 2.0)
+    q = (
+        out.writeStream.format("memory").queryName("seasonal_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: (r["hour"], r["season_z"]) for r in
+           spark.table("seasonal_stream_test").collect()}
+    assert got == want
