@@ -1787,3 +1787,19 @@ def test_pca_model_roundtrip_applies_without_retraining(spark, tmp_path):
     got = {r["vec_id"]: tuple(r["resid"]) for r in
            S.apply_top1_removal(df, "vec_id", "embedding", lv, lmu).collect()}
     assert got == want
+
+
+def test_epoch_shuffle_handles_negative_and_sparse_ids(spark):
+    # id-space robustness: negative and widely-spaced ids still get a
+    # full permutation per epoch with deterministic addresses (the
+    # multiplicative-hash mirror handles Java/DuckDB % sign semantics)
+    ids = [-5_000_000_007, -3, 0, 7, 999_983, 10**15]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = TX.epoch_shuffle(df, "doc_id", epochs=2, num_shards=3).collect()
+    assert len(out) == 12
+    for e in (0, 1):
+        rows = [r for r in out if r["epoch"] == e]
+        assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+        assert all(0 <= r["shard"] < 3 and r["pos"] >= 1 for r in rows)
+    again = TX.epoch_shuffle(df, "doc_id", epochs=2, num_shards=3).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
