@@ -1620,6 +1620,9 @@ def ann_topk_pq_arrow_sharded(emb: DataFrame, queries: DataFrame,
             n_queries_hint=q_per_shard, n_codebooks_hint=n_cb,
         )
         out = res if out is None else out.unionByName(res)
+    if len(openers) > 1:
+        # expose the persisted packed frame for functions.dedup.release
+        out._cached_inputs = [wide]
     return out
 
 
