@@ -1547,3 +1547,43 @@ def source_divergence(df: DataFrame, text_col: str, source_col: str,
         .groupBy("source_a", "source_b")
         .agg(rnd(F.sum(term), round_to).alias("js_div"))
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, strata_col: str,
+                    weight_col, k: int,
+                    round_to: int = 8) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum —
+    Efraimidis & Spirakis 2006 (IPL 97(5)): rank rows by
+    ``key = u^(1/w)`` (u uniform, w > 0 the weight) and keep each
+    stratum's top ``k``; the selection distribution equals sequential
+    weighted draws without replacement. This is how a quality-weighted
+    training subsample is actually taken — q57's stratified_sample
+    keeps a FRACTION uniformly; this keeps a COUNT, preferring
+    high-weight documents, still fully deterministic.
+
+    ``u`` comes from the engine-portable multiplicative hash of the id
+    (the :func:`~..util.shard_hash` scheme) mapped into (0, 1), so the
+    sample replays in plain SQL and across runs/partitionings; the
+    key pre-rounds at ``round_to`` (ties then break on id ASC, total
+    order). Zero/negative weights raise upstream questions — here
+    they are clamped to a floor of 1e-9 so the row ranks last rather
+    than poisoning ``pow``.
+
+    Shape at scale: one shuffle keyed by stratum + a per-stratum
+    window — the q105 budget pattern. For a pathologically hot
+    stratum, the same percentile_approx threshold escape applies.
+    """
+    from pyspark.sql import Window
+
+    bucket = shard_hash(F.col(id_col), 1_000_003)
+    u = (bucket + F.lit(1.0)) / F.lit(1_000_004.0)  # in (0, 1)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9))
+    key = rnd(F.pow(u, F.lit(1.0) / w), round_to)
+    win = Window.partitionBy(strata_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= int(k))
+    )

@@ -3996,6 +3996,52 @@ WHERE abs((value - m) / sd) > {ZSCORE_TAU}
 """
 
 
+WS_K = 20
+
+
+def q116_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling without replacement, top-20 per
+    source (functions/text.py:weighted_sample — Efraimidis & Spirakis
+    2006): u^(1/w) keys from the portable hash, w = the q38 quality
+    score, fully deterministic and SQL-replayable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    qs = TX.quality_score(docs, "text").select("doc_id", "source", "quality")
+    out = TX.weighted_sample(qs, "doc_id", "source", "quality", k=WS_K)
+    return out.select("doc_id", "source", "quality", "es_key", "rk")
+
+
+SQL_Q116 = rf"""
+WITH f AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+         round(CAST(CAST((least(n_words / 50.0, 1.0) * 0.4
+               + least(CASE WHEN n_words > 0 THEN n_stop / n_words
+                       ELSE 0.0 END * 5.0, 1.0) * 0.4
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                              ELSE 0.0 END * 10.0, 1.0)) * 0.2)
+           AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS quality
+  FROM f),
+keyed AS (
+  SELECT doc_id, source, quality,
+         {sql_rnd(
+             'pow((((((doc_id % 1000003) * 2654435761) % 1000003'
+             ' + 1000003) % 1000003) + 1.0) / 1000004.0,'
+             ' 1.0 / greatest(quality, 0.000000001))', 8)} AS es_key
+  FROM q)
+SELECT doc_id, source, quality, es_key,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY es_key DESC, doc_id ASC)::BIGINT AS rk
+FROM keyed
+QUALIFY rk <= {WS_K}
+"""
+
+
 ES_EPOCHS, ES_SHARDS = 3, 8
 
 
@@ -4212,6 +4258,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     "q114_source_divergence": (q114_source_divergence, SQL_Q114),
     "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
+    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
     # recorded green in r6; stay for continuity of the ANN/dedup family
     "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
     "q101_corpus_card": (q101_corpus_card, SQL_Q101),
@@ -4235,7 +4282,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
     "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
@@ -4271,6 +4317,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),

@@ -1803,3 +1803,26 @@ def test_epoch_shuffle_handles_negative_and_sparse_ids(spark):
         assert all(0 <= r["shard"] < 3 and r["pos"] >= 1 for r in rows)
     again = TX.epoch_shuffle(df, "doc_id", epochs=2, num_shards=3).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_weighted_sample_prefers_heavy_weights_and_is_exact_k(spark):
+    import math
+
+    rows = ([(i, "a", 10.0) for i in range(50)]          # heavy
+            + [(100 + i, "a", 0.01) for i in range(50)]  # light
+            + [(200 + i, "b", 1.0) for i in range(5)])   # tiny stratum
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = TX.weighted_sample(df, "doc_id", "source", "w", k=10).collect()
+    a = [r for r in out if r["source"] == "a"]
+    b = [r for r in out if r["source"] == "b"]
+    assert len(a) == 10 and sorted(r["rk"] for r in a) == list(range(1, 11))
+    assert len(b) == 5                     # stratum smaller than k: all kept
+    # u^(1/10) skews toward 1, u^(1/0.01) toward 0: heavy rows dominate
+    heavy = sum(1 for r in a if r["doc_id"] < 100)
+    assert heavy >= 9
+    # deterministic replay + the E-S key formula itself
+    again = TX.weighted_sample(df, "doc_id", "source", "w", k=10).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+    r0 = a[0]
+    u = ((((r0["doc_id"] % 1000003) * 2654435761) % 1000003) + 1.0) / 1000004.0
+    assert abs(r0["es_key"] - round(round(u ** (1.0 / 10.0), 8), 8)) < 1e-9
