@@ -1826,3 +1826,32 @@ def test_weighted_sample_prefers_heavy_weights_and_is_exact_k(spark):
     r0 = a[0]
     u = ((((r0["doc_id"] % 1000003) * 2654435761) % 1000003) + 1.0) / 1000004.0
     assert abs(r0["es_key"] - round(round(u ** (1.0 / 10.0), 8), 8)) < 1e-9
+
+
+def test_round7_operator_edges(spark):
+    # single-source corpus: divergence has no pairs, not a crash
+    one = spark.createDataFrame(
+        [(1, "aa bb cc", "only")], "doc_id long, text string, source string"
+    )
+    assert TX.source_divergence(one, "text", "source").count() == 0
+    # vocab larger than the corpus vocabulary: everything in-vocab
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.vocab_coverage(
+        df, "text", "doc_id", vocab_size=1000).collect()}
+    assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0
+               for r in out.values())
+    # empty fixed vocabulary: every token is OOV, rate 1.0
+    o = TX.oov_score(df, "text", "doc_id", []).collect()
+    assert all(r["n_oov"] == r["n_tokens"] and r["oov_rate"] == 1.0
+               for r in o)
+    # zero/negative weights rank LAST (floored, not an error), and the
+    # sample still fills k from whatever exists
+    w = spark.createDataFrame(
+        [(1, "s", 5.0), (2, "s", 0.0), (3, "s", -2.0)],
+        "doc_id long, source string, w double",
+    )
+    ranked = {r["doc_id"]: r["rk"] for r in TX.weighted_sample(
+        w, "doc_id", "source", "w", k=3).collect()}
+    assert ranked[1] == 1 and set(ranked) == {1, 2, 3}
