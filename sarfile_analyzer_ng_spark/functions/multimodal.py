@@ -1377,3 +1377,152 @@ def audio_spectral_features(media: DataFrame, n_bands: int = 8,
             )
 
     return media.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
+def decode_luminance(payload: bytes):
+    """Full-resolution luminance plane ``(width, height, lum[h, w])``
+    for any supported IMAGE payload — the shared input of
+    :func:`image_phash`. Reuses every format decoder's exact pixel
+    path by swapping the module-level feature reducer for identity
+    around the dispatch (PySpark python workers execute one task at a
+    time per process, so the contained module-global swap is safe;
+    the alternative threads an ``as_lum`` flag through six decoders
+    and the progressive-JPEG class for the same bytes). Non-image
+    payloads (WAV's 1-D envelope) raise ValueError; missing-codec
+    formats raise NotImplementedError like :func:`real_decode`."""
+    import numpy as np
+
+    global _lum_feature
+    keep = _lum_feature
+    _lum_feature = lambda lum: lum  # noqa: E731 — contained swap
+    try:
+        w, h, _dur, lum = real_decode(payload, "image")
+    finally:
+        _lum_feature = keep
+    lum = np.asarray(lum, dtype=np.float64)
+    if lum.ndim != 2:
+        raise ValueError("decode_luminance: payload is not an image")
+    return w, h, lum
+
+
+def _phash64(lum) -> int:
+    """Classic pHash (Zauner 2010): area-pool the luminance to 32×32
+    (small images upsample by repetition first — deterministic), take
+    the orthonormal 2D DCT-II, keep the top-left 8×8 low-frequency
+    block, and set bit i when coefficient i exceeds the median of the
+    63 non-DC coefficients. Pure numpy — the DCT is one 32×32 basis
+    matmul, no scipy."""
+    import numpy as np
+
+    h, w = lum.shape
+    if h < 32:
+        lum = np.repeat(lum, -(-32 // h), axis=0)
+    if w < 32:
+        lum = np.repeat(lum, -(-32 // w), axis=1)
+    rows = np.array_split(lum, 32, axis=0)
+    g = np.array(
+        [[c.mean() for c in np.array_split(r, 32, axis=1)] for r in rows]
+    )
+    n = 32
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    basis = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    basis[0] *= np.sqrt(1.0 / n)
+    basis[1:] *= np.sqrt(2.0 / n)
+    dct = basis @ g @ basis.T
+    block = dct[:8, :8].reshape(-1)
+    med = float(np.median(block[1:]))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << (63 - i)
+    # interpret as signed 64-bit so it fits Spark's LongType
+    return int(np.int64(np.uint64(bits)))
+
+
+def image_phash(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit perceptual hash per image payload — the missing dedup
+    story for the multimodal column: re-encoded copies (same pixels
+    in PNG vs BMP vs netpbm) hash IDENTICALLY by construction (every
+    decoder produces the same luminance), and lightly-edited copies
+    land within a few bits, so the lexical dedup family's banded
+    hamming machinery applies to images. One Arrow map stage over the
+    binary column; corrupt payloads yield a null-hash audit row (the
+    extract_features contract), genuinely missing codecs raise."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                try:
+                    w, h, lum = decode_luminance(bytes(payload))
+                    rows.append((int(mid), _phash64(lum), w, h))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "phash", "width", "height"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def phash_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
+                    hash_col: str = "phash",
+                    max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate image pairs from :func:`image_phash` hashes —
+    the SimHash banding pattern on the 64-bit perceptual hash: 8
+    bands of 8 bits propose candidates sharing ANY exact band, then
+    ``bit_count(xor)`` verifies hamming ≤ ``max_hamming``. Pigeonhole
+    guarantee: a pair within hamming ≤ 7 differs in at most 7 of the
+    8 bands, so at least one band matches exactly — recall is EXACT
+    at the default threshold (raise it past bands−1 and banding
+    becomes heuristic, the documented SimHash trade). Quadratic work
+    confined to same-band buckets; null hashes drop out."""
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("mid"), F.col(hash_col).alias("ph")
+    )
+    banded = h.select(
+        "mid", "ph",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("bi"),
+                    F.shiftrightunsigned("ph", 8 * b)
+                    .bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for b in range(8)
+            ])
+        ).alias("band"),
+    ).select("mid", "ph", F.col("band.bi").alias("bi"),
+             F.col("band.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["bi", "bv"])
+        .where(F.col("a.mid") < F.col("b.mid"))
+        .select(
+            F.col("a.mid").alias("id_a"),
+            F.col("b.mid").alias("id_b"),
+            F.bit_count(
+                F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
+    )

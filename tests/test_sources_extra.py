@@ -1242,3 +1242,66 @@ def test_multimodal_corrupt_video_yields_marker_row(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         MM.sample_frames(media, every_n=1, on_undecodable="raise").collect()
+
+
+def test_image_phash_is_container_invariant_and_robust(spark):
+    """Perceptual-hash dedup for the multimodal column: the SAME
+    pixels re-encoded as netpbm, PNG, and BMP hash identically;
+    a lightly-noised copy lands within a few bits; a different image
+    is far away; banding recall is exact at the default threshold."""
+    import struct
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(21)
+    # structured image (gradient + blob) so the DCT spectrum is rich
+    yy, xx = np.mgrid[0:40, 0:48]
+    base = (xx * 3 + yy * 2) % 256
+    base[10:20, 12:24] = 240
+    base = base.astype(np.uint8)
+    px = np.stack([base] * 3, axis=2)
+
+    def bmp(p):
+        h, w, _ = p.shape
+        stride = (w * 3 + 3) & ~3
+        body = b""
+        for y in range(h - 1, -1, -1):
+            row = p[y][:, ::-1].tobytes()  # BGR
+            body += row + b"\x00" * (stride - len(row))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        return header + info + body
+
+    ppm = b"P6\n48 40\n255\n" + px.tobytes()
+    png = _png_encode(px, 2, [0, 1, 2, 3, 4])
+    noisy = px.copy()
+    noisy[0:6, 0:6] = 255 - noisy[0:6, 0:6]  # localized edit: ~4 bits
+    other = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, ppm, {}),
+            (2, "image", None, png, {}),
+            (3, "image", None, bmp(px), {}),
+            (4, "image", None, b"P6\n48 40\n255\n" + noisy.tobytes(), {}),
+            (5, "image", None, b"P6\n48 40\n255\n" + other.tobytes(), {}),
+            (6, "image", None, b"\x89PNG\r\n\x1a\n" + b"junk" * 4, {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    hashes = MM.image_phash(media)
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert got[1]["phash"] == got[2]["phash"] == got[3]["phash"]
+    assert (got[1]["width"], got[1]["height"]) == (48, 40)
+    assert got[6]["phash"] is None          # corrupt -> null audit row
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert 0 < ham(got[1]["phash"], got[4]["phash"]) <= 7
+    assert ham(got[1]["phash"], got[5]["phash"]) > 10
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.phash_dup_pairs(hashes).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) in pairs and (1, 5) not in pairs and (4, 5) not in pairs
