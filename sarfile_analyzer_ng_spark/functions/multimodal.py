@@ -1526,3 +1526,104 @@ def phash_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
         .where(F.col("hamming") <= int(max_hamming))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def video_phash(media: DataFrame, every_n: int = 1,
+                on_undecodable: str = "null") -> DataFrame:
+    """Per-frame perceptual hashes for video payloads — the video half
+    of the pHash dedup story: split the container exactly like
+    :func:`sample_frames` (concatenated netpbm or Motion-JPEG), hash
+    every ``every_n``-th frame's decoded luminance with
+    :func:`_phash64`. A re-uploaded or re-cut copy shares most frame
+    hashes even when the container differs. Emits ``(media_id,
+    frame_idx, n_frames, phash)``; a corrupt payload yields one
+    null-hash marker row (frame_idx −1), matching the
+    :func:`sample_frames` error policy."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError(f"on_undecodable must be null|raise, got "
+                         f"{on_undecodable!r}")
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(iterator):
+        for pdf in iterator:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                data = bytes(payload)
+                try:
+                    if data[:2] == b"\xff\xd8":
+                        frames = split_jpeg_frames(data)
+                    else:
+                        frames = split_ppm_frames(data)
+                    rows = []
+                    for idx in range(0, len(frames), every_n):
+                        _w, _h, lum = decode_luminance(frames[idx])
+                        rows.append((int(mid), idx, len(frames),
+                                     _phash64(lum)))
+                except Exception:
+                    if on_undecodable == "raise":
+                        raise
+                    out.append((int(mid), -1, None, None))
+                    continue
+                out.extend(rows)
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "n_frames", "phash"],
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def video_phash_dup_pairs(frame_hashes: DataFrame,
+                          min_containment: float = 0.5,
+                          round_to: int = 4) -> DataFrame:
+    """Near-duplicate video pairs from :func:`video_phash` frames:
+    candidate pairs share at least one EXACT frame hash (the
+    passage-dedup shape — quadratic work confined to same-hash
+    buckets), scored by containment = shared distinct hashes /
+    the smaller video's distinct-hash count, so a clip cut FROM a
+    longer video still scores 1.0. Null marker rows drop out."""
+    from ..util import rnd
+
+    d = (
+        frame_hashes.where(F.col("phash").isNotNull())
+        .select("media_id", "phash")
+        .distinct()
+    )
+    per = d.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("media_id").alias("id_a"), "phash")
+    b = d.select(F.col("media_id").alias("id_b"), "phash")
+    shared = (
+        a.join(b, "phash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = per.select(F.col("media_id").alias("id_a"), F.col("n").alias("na"))
+    nb = per.select(F.col("media_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            rnd(
+                F.col("shared") / F.least("na", "nb").cast("double"),
+                round_to,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= float(min_containment))
+    )

@@ -1305,3 +1305,49 @@ def test_image_phash_is_container_invariant_and_robust(spark):
              for r in MM.phash_dup_pairs(hashes).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert (1, 4) in pairs and (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_video_phash_containment_finds_recut_copies(spark):
+    """Video pHash dedup: a re-cut copy (subset of frames, any order,
+    same pixels) scores containment 1.0 against the original; a
+    partially-overlapping edit scores its shared fraction; unrelated
+    footage pairs with nothing; corrupt payloads yield marker rows."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(33)
+
+    def frame(seed):
+        yy, xx = np.mgrid[0:16, 0:16]
+        g = ((xx * (3 + seed) + yy * (2 + seed)) % 256).astype(np.uint8)
+        g[(seed % 8):(seed % 8) + 5, 2:9] = 250
+        px = np.stack([g] * 3, axis=2)
+        return b"P6\n16 16\n255\n" + px.tobytes()
+
+    f = [frame(i * 7) for i in range(6)]
+    video_a = b"".join(f)                      # 6 frames
+    video_cut = b"".join([f[4], f[1], f[2]])   # re-cut subset
+    video_mix = b"".join(f[:3] + [frame(100), frame(200), frame(300)])
+    video_other = b"".join(frame(1000 + i * 13) for i in range(6))
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, video_a, {}),
+            (2, "video", None, video_cut, {}),
+            (3, "video", None, video_mix, {}),
+            (4, "video", None, video_other, {}),
+            (5, "video", None, b"P6\ngarbage", {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MM.video_phash(media)
+    rows = fh.collect()
+    marker = [r for r in rows if r["media_id"] == 5]
+    assert len(marker) == 1 and marker[0]["phash"] is None
+    assert len([r for r in rows if r["media_id"] == 1]) == 6
+
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             MM.video_phash_dup_pairs(fh, min_containment=0.5).collect()}
+    assert pairs[(1, 2)]["containment"] == 1.0     # re-cut: full containment
+    assert pairs[(1, 3)]["containment"] == 0.5     # 3 of 6 frames shared
+    assert not any(4 in p for p in pairs)
