@@ -1056,6 +1056,7 @@ def eval_containment(train: DataFrame, eval_df: DataFrame, text_col: str,
 
 def edit_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                    tau: float = 0.8, shingle_n: int = 3,
+                   num_hashes: int = 64, bands: int = 32,
                    round_to: int = 4) -> DataFrame:
     """Character-level near-duplicate pairs: MinHash-LSH banding
     proposes candidates, EXACT Levenshtein verifies — the fuzzy-verify
@@ -1067,14 +1068,29 @@ def edit_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     on CANDIDATE pairs only — the quadratic DP (O(len_a·len_b) per
     pair) is confined to same-band buckets exactly like the Jaccard
     verifier, which is what keeps it off the all-pairs cliff at scale.
-    Recall contract: an edit-similar pair at useful thresholds shares
-    nearly all shingles, so banding recalls it (the oracle replays the
-    brute-force all-pairs form and the gate pins equality)."""
+
+    Recall contract — DATA-DEPENDENT, not guaranteed by the operator:
+    banding recalls a pair only if its word-shingle Jaccard clears the
+    LSH threshold. A pair at edit_sim just above ``tau`` whose edits
+    are SPREAD (one typo per word shifts every 3-shingle) can blur
+    Jaccard toward 0 and miss every band. The default banding is
+    therefore the AGGRESSIVE 64/32 configuration (2 rows/band →
+    s50 ≈ 0.18, vs ≈ 0.55 for the 64/16 near-dup default), which
+    recalls any pair sharing a modest shingle fraction; on corpora
+    where near-tau pairs have edits spread across most words, lower
+    ``tau``, use smaller ``shingle_n``, or fall back to the
+    brute-force form the oracle replays. The q111 gate data has a
+    wide observed gap (background ≤ 0.45 vs dups ≥ 0.93 edit_sim),
+    so equality with the brute-force oracle holds there by margin."""
     from ..util import rnd
 
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, shingle_n=shingle_n
-    ).select("doc_a", "doc_b")
+    # Keep a handle on the PAIRS frame before projecting: .select()
+    # returns a fresh DataFrame without the duck-typed _cached_inputs,
+    # so reading the attribute off `cands` would always see [] and
+    # release() would leak the banded-signature cache every call.
+    pairs = minhash_lsh_pairs(df, text_col, id_col, shingle_n=shingle_n,
+                              num_hashes=num_hashes, bands=bands)
+    cands = pairs.select("doc_a", "doc_b")
     ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
     sim = rnd(
@@ -1089,5 +1105,5 @@ def edit_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         .select("doc_a", "doc_b", sim.alias("edit_sim"))
         .where(F.col("edit_sim") >= tau)
     )
-    out._cached_inputs = getattr(cands, "_cached_inputs", [])
+    out._cached_inputs = getattr(pairs, "_cached_inputs", [])
     return out

@@ -69,7 +69,7 @@ def read_media_dir(spark: SparkSession, path: str, kind: str) -> DataFrame:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def real_decode(payload: bytes, kind: str):
+def real_decode(payload: bytes, kind: str, reducer=None):
     """Decode dispatch — REAL decoders for every format expressible
     without external codec libraries:
 
@@ -84,19 +84,25 @@ def real_decode(payload: bytes, kind: str):
     Arithmetic-coded JPEG, lossy audio, and compressed video remain a
     documented ``NotImplementedError`` (their codecs genuinely do not
     ship in this container) — plug a PIL/libav decoder in here and
-    nothing else changes."""
+    nothing else changes.
+
+    ``reducer`` maps the decoded luminance plane to the feature value
+    (default :func:`_lum_feature`); :func:`decode_luminance` passes
+    identity to read the full-resolution plane. Threaded explicitly —
+    not via module state — so concurrent/re-entrant driver-side use
+    can never leak a swapped reducer into other callers."""
     if payload[:2] in (b"P6", b"P5"):
-        return decode_ppm(payload, kind)
+        return decode_ppm(payload, kind, reducer)
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
-        return decode_png(payload, kind)
+        return decode_png(payload, kind, reducer)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload, kind)
     if payload[:2] == b"BM":
-        return decode_bmp(payload, kind)
+        return decode_bmp(payload, kind, reducer)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(payload, kind)
+        return decode_gif(payload, kind, reducer)
     if payload[:2] == b"\xff\xd8":
-        return decode_jpeg(payload, kind)
+        return decode_jpeg(payload, kind, reducer)
     raise NotImplementedError(
         "lossy-audio/compressed-video decoding requires codec "
         "libraries not present in this environment; PPM/PGM, PNG, "
@@ -129,7 +135,7 @@ def _ppm_header(payload: bytes, start: int = 0):
     return magic, width, height, maxval, i
 
 
-def decode_ppm(payload: bytes, kind: str):
+def decode_ppm(payload: bytes, kind: str, reducer=None):
     """Real image decode for binary netpbm (P6 RGB / P5 gray) — header
     parse + ``numpy.frombuffer``, no codec library involved. Returns
     (width, height, 0, feature) where the 8-dim feature is the
@@ -146,7 +152,7 @@ def decode_ppm(payload: bytes, kind: str):
         payload, dtype=dtype, count=width * height * channels, offset=i
     ).reshape(height, width, channels)
     lum = px.astype(np.float64).mean(axis=2) / maxval
-    return width, height, 0, _lum_feature(lum)
+    return width, height, 0, (reducer or _lum_feature)(lum)
 
 
 def _lum_feature(lum) -> list[float]:
@@ -214,7 +220,7 @@ def _png_unfilter(raw: bytes, pos: int, height: int, stride: int,
     return out, pos
 
 
-def decode_png(payload: bytes, kind: str):
+def decode_png(payload: bytes, kind: str, reducer=None):
     """Real PNG decode with NOTHING beyond the standard library +
     numpy: chunk walk → concatenated-IDAT ``zlib.decompress`` → the
     five scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
@@ -288,10 +294,10 @@ def decode_png(payload: bytes, kind: str):
             px[ys::yst, xs::xst, :] = sub.reshape(ph, pw, channels)
     color = px[:, :, :3] if color_type in (2, 6) else px[:, :, :1]
     lum = color.astype(np.float64).mean(axis=2) / 255.0
-    return width, height, 0, _lum_feature(lum)
+    return width, height, 0, (reducer or _lum_feature)(lum)
 
 
-def decode_bmp(payload: bytes, kind: str):
+def decode_bmp(payload: bytes, kind: str, reducer=None):
     """Real BMP decode (uncompressed 24-bit BITMAPINFOHEADER, the
     overwhelmingly common dump format): pure struct + numpy — BGR
     rows, 4-byte-aligned, bottom-up unless height is negative. Other
@@ -324,7 +330,7 @@ def decode_bmp(payload: bytes, kind: str):
         rows = rows[::-1]
     # BGR order; channel order is irrelevant to mean luminance
     lum = rows.astype(np.float64).mean(axis=2) / 255.0
-    return width, height, 0, _lum_feature(lum)
+    return width, height, 0, (reducer or _lum_feature)(lum)
 
 
 def _dct_matrix():
@@ -493,7 +499,7 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes, kind: str):
+def decode_jpeg(payload: bytes, kind: str, reducer=None):
     """REAL baseline JPEG decode in pure python + numpy — huffman
     entropy decode (tables from the file's own DHT segments), dequant
     (DQT), dezigzag, orthonormal 8×8 IDCT, restart markers, arbitrary
@@ -586,7 +592,7 @@ def decode_jpeg(payload: bytes, kind: str):
             if not progressive:
                 return _jpeg_scan(
                     payload, i + 2 + seglen, frame, scan, qt, huff,
-                    restart_interval,
+                    restart_interval, reducer,
                 )
             ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             if prog is None:
@@ -598,11 +604,12 @@ def decode_jpeg(payload: bytes, kind: str):
             continue
         i += 2 + seglen
     if progressive and prog is not None:
-        return prog.finish(qt)
+        return prog.finish(qt, reducer)
     raise ValueError("decode_jpeg: no scan data")
 
 
-def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
+def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval,
+               reducer=None):
     import numpy as np
 
     w, h, comps = frame
@@ -679,7 +686,7 @@ def _jpeg_scan(payload, start, frame, scan, qt, huff, restart_interval):
                 )
     # crop the luminance plane to the component geometry
     lum = np.clip(yplane[:ch, :cw], 0, 255) / 255.0
-    return w, h, 0, _lum_feature(lum)
+    return w, h, 0, (reducer or _lum_feature)(lum)
 
 
 def _next_marker(payload: bytes, j: int) -> int:
@@ -885,7 +892,7 @@ class _ProgressiveState:
                     newval = p1 if reader.bit() else m1
                     k = correct(coef, k, se, r, newval, False)
 
-    def finish(self, qt):
+    def finish(self, qt, reducer=None):
         import numpy as np
 
         w, h, comps = self.frame
@@ -900,7 +907,7 @@ class _ProgressiveState:
                     _render_block(self.coef[my, mx], q, dctm, zr, zc)
                 )
         lum = np.clip(plane[: self.ch, : self.cw], 0, 255) / 255.0
-        return w, h, 0, _lum_feature(lum)
+        return w, h, 0, (reducer or _lum_feature)(lum)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytes:
@@ -946,7 +953,7 @@ def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def decode_gif(payload: bytes, kind: str):
+def decode_gif(payload: bytes, kind: str, reducer=None):
     """Real GIF decode in pure python + numpy: logical screen
     descriptor → color table → first image's LZW-compressed index
     stream → palette-mapped RGB → luminance feature. Handles the
@@ -1004,7 +1011,7 @@ def decode_gif(payload: bytes, kind: str):
                 rows = deinterlaced
             rgb = table[rows]
             lum = rgb.astype(np.float64).mean(axis=2) / 255.0
-            return w, h, 0, _lum_feature(lum)
+            return w, h, 0, (reducer or _lum_feature)(lum)
         elif block == 0x3B:  # trailer
             break
         else:
@@ -1383,22 +1390,15 @@ def decode_luminance(payload: bytes):
     """Full-resolution luminance plane ``(width, height, lum[h, w])``
     for any supported IMAGE payload — the shared input of
     :func:`image_phash`. Reuses every format decoder's exact pixel
-    path by swapping the module-level feature reducer for identity
-    around the dispatch (PySpark python workers execute one task at a
-    time per process, so the contained module-global swap is safe;
-    the alternative threads an ``as_lum`` flag through six decoders
-    and the progressive-JPEG class for the same bytes). Non-image
-    payloads (WAV's 1-D envelope) raise ValueError; missing-codec
-    formats raise NotImplementedError like :func:`real_decode`."""
+    path via :func:`real_decode`'s explicit ``reducer`` parameter
+    (identity) — no module state is mutated, so concurrent or
+    re-entrant driver-side callers of extract_features/real_decode
+    can never observe a leaked reducer. Non-image payloads (WAV's 1-D
+    envelope) raise ValueError; missing-codec formats raise
+    NotImplementedError like :func:`real_decode`."""
     import numpy as np
 
-    global _lum_feature
-    keep = _lum_feature
-    _lum_feature = lambda lum: lum  # noqa: E731 — contained swap
-    try:
-        w, h, _dur, lum = real_decode(payload, "image")
-    finally:
-        _lum_feature = keep
+    w, h, _dur, lum = real_decode(payload, "image", reducer=lambda p: p)
     lum = np.asarray(lum, dtype=np.float64)
     if lum.ndim != 2:
         raise ValueError("decode_luminance: payload is not an image")
@@ -1578,6 +1578,13 @@ def video_phash(media: DataFrame, every_n: int = 1,
                 except Exception:
                     if on_undecodable == "raise":
                         raise
+                    out.append((int(mid), -1, None, None))
+                    continue
+                if not rows:
+                    # a container that splits into ZERO frames (empty /
+                    # whitespace-only payload) must not silently vanish
+                    # from the dedup audit — emit the same marker row
+                    # as a corrupt payload
                     out.append((int(mid), -1, None, None))
                     continue
                 out.extend(rows)

@@ -3951,8 +3951,13 @@ def q111_edit_dup_pairs(spark, sf_dir):
     edit_dup_pairs): MinHash-LSH banded candidates verified with EXACT
     JVM Levenshtein — the fuzzy-verify complement of q56's
     exact-Jaccard path. The oracle replays the brute-force all-pairs
-    form; at the gate thresholds every surviving pair shares nearly
-    all shingles, so banding recall is exact (the q56 precedent)."""
+    form. Recall vs the oracle is DATA-dependent (spread edits can
+    blur shingle Jaccard below any banding threshold — see the
+    operator docstring); the operator defaults to the aggressive
+    64/32 banding (s50 ≈ 0.18), and on the gate corpora the observed
+    edit_sim gap (background ≤ 0.45 vs dups ≥ 0.93) leaves every
+    surviving pair sharing nearly all shingles, so equality holds by
+    margin, not by construction."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.edit_dup_pairs(docs, "text", "doc_id", tau=EDIT_SIM_TAU)
 

@@ -1692,6 +1692,22 @@ def test_edit_dup_pairs_catches_typos_jaccard_blurs(spark):
     assert all(a < b for a, b in got)
 
 
+def test_edit_dup_pairs_exposes_lsh_cache_for_release(spark):
+    # r8 ADVICE: the banded-signature cache minhash_lsh_pairs attaches
+    # must survive the candidate .select() projection so release()
+    # actually unpersists it — the attribute was read off the projected
+    # frame before, which silently dropped it (storage leak per call).
+    rows = [(i, f"doc {i} words alpha beta gamma delta") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.edit_dup_pairs(df, "text", "doc_id", tau=0.8)
+    cached = getattr(out, "_cached_inputs", [])
+    assert len(cached) >= 1
+    out.collect()
+    assert any(dep.storageLevel.useMemory for dep in cached)
+    D.release(out)
+    assert all(not dep.storageLevel.useMemory for dep in cached)
+
+
 def test_remove_top1_projects_out_dominant_direction(spark):
     import numpy as np
 

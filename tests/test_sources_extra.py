@@ -1351,3 +1351,56 @@ def test_video_phash_containment_finds_recut_copies(spark):
     assert pairs[(1, 2)]["containment"] == 1.0     # re-cut: full containment
     assert pairs[(1, 3)]["containment"] == 0.5     # 3 of 6 frames shared
     assert not any(4 in p for p in pairs)
+
+
+def test_video_phash_zero_frame_payload_emits_marker(spark):
+    """r8 ADVICE: a payload that splits into ZERO frames (empty or
+    whitespace-only container) must emit the (media_id, -1, null)
+    marker row like a corrupt payload — never silently vanish from
+    the dedup audit."""
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, "video", None, b"   ", {}), (2, "video", None, b"\n\n", {})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.video_phash(media).collect()
+    got = {r["media_id"]: r for r in rows}
+    assert set(got) == {1, 2}
+    for r in rows:
+        assert r["frame_idx"] == -1 and r["phash"] is None
+
+
+def test_decode_luminance_does_not_leak_reducer():
+    """r8 ADVICE: decode_luminance threads an explicit reducer through
+    real_decode instead of swapping module state — a nested or
+    interleaved real_decode call mid-flight must still produce the
+    8-dim grid feature, and the module global must be untouched."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    px = np.stack([(np.arange(12 * 16).reshape(12, 16) % 256)
+                   .astype(np.uint8)] * 3, axis=2)
+    ppm = b"P6\n16 12\n255\n" + px.tobytes()
+
+    before = MM._lum_feature
+    w, h, lum = MM.decode_luminance(ppm)
+    assert (w, h) == (16, 12) and lum.shape == (12, 16)
+    # the module-level reducer is untouched and real_decode still
+    # produces the pooled 8-dim feature
+    assert MM._lum_feature is before
+    _, _, _, feat = MM.real_decode(ppm, "image")
+    assert isinstance(feat, list) and len(feat) == 8
+
+    # interleaved: a reducer passed to one call never leaks into another
+    seen = {}
+
+    def probe(lum_plane):
+        seen["shape"] = lum_plane.shape
+        _, _, _, inner = MM.real_decode(ppm, "image")  # nested default call
+        seen["inner_len"] = len(inner)
+        return MM._lum_feature(lum_plane)
+
+    MM.real_decode(ppm, "image", reducer=probe)
+    assert seen["shape"] == (12, 16) and seen["inner_len"] == 8
