@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sarfile_analyzer_ng_spark.functions.dedup import release
-from sarfile_analyzer_ng_spark.queries import REGISTRY
+from sarfile_analyzer_ng_spark.queries import REGISTRY, memo_builders
 from sarfile_analyzer_ng_spark.session import get_spark
 
 
@@ -37,6 +37,20 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for rep in range(reps):
+        # Force the session-lived cross-query memos FIRST, each timed
+        # as its own _memo_* line: previously the first registry
+        # consumer absorbed the whole family's build cost (q56 read
+        # 9 s while its family siblings read 0.07 s), making per-query
+        # regressions unattributable. The registry loop below then
+        # measures each query's OWN plan cost against warm memos.
+        for mkey, builder in memo_builders().items():
+            start = time.perf_counter()
+            builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - start, 3)
+            print(f"[bench] rep{rep} {mkey} {elapsed}s", file=sys.stderr)
+            timings[mkey] = min(timings.get(mkey, elapsed), elapsed)
         for key, (fn, _) in REGISTRY.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -90,7 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "n_queries": len(timings),
+                "n_queries": len(REGISTRY),
                 "r1_subset_seconds": round(sum(timings[k] for k in r1_keys), 3),
             }
         )

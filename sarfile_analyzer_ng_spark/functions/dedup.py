@@ -206,6 +206,149 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+# --------------------------------------------------------------------
+# Engine-portable MinHash / SimHash (the md5 + affine family)
+# --------------------------------------------------------------------
+# The production signatures above use xxhash64 — fastest JVM-side, but
+# not reproducible in any other engine. These variants swap ONLY the
+# hash family: a 32-bit md5-derived fingerprint (the winnowing/q106
+# convention, `conv(substr(md5(x),1,8),16,10)`) mixed by a fixed
+# affine (universal) family h_i(x) = (a_i·x + b_i) mod P over the
+# Mersenne prime P = 2^31−1 — every step is exact BIGINT arithmetic
+# that DuckDB replays verbatim, so the full pipeline (signatures,
+# band keys, candidate pairs, estimated jaccard) is VALUE-hash
+# oracle-able, not just rows-only. a_i < 10^9 and x < 2^32 keep
+# a_i·x + b_i < 4.4e18, well inside signed-64 range in both engines.
+
+PORTABLE_P = 2_147_483_647  # 2^31 − 1
+
+
+def affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the portable MinHash
+    family — a fixed-seed 63-bit LCG (no RNG import, no global state)
+    so the Spark expressions and the generated oracle SQL can never
+    disagree about the constants."""
+    out = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = 1 + state % 999_999_937
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % PORTABLE_P
+        out.append((a, b))
+    return out
+
+
+def fp32_expr(col: Column) -> Column:
+    """32-bit md5-derived fingerprint of a string column — the
+    engine-portable hash primitive (same scheme as gram_hash_expr;
+    DuckDB: ``('0x' || substr(md5(x), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
+                                shingle_n: int = 3, num_hashes: int = 32,
+                                ) -> DataFrame:
+    """Portable-family twin of :func:`minhash_signatures`: identical
+    explode→min-aggregate shape (map-side partial mins, the shuffle
+    carries ``num_hashes`` longs per doc), but hashes every shingle
+    with the md5+affine family so the signature VALUES replay in SQL.
+    One md5 per shingle row + ``num_hashes`` multiplies — comparable
+    cost to the xxhash64 family's hash-of-hash chain."""
+    exploded = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    exploded = exploded.select("doc", fp32_expr(F.col("shingle")).alias("_fp"))
+    params = affine_params(num_hashes)
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min((F.col("_fp") * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_P))
+            .alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
+                               shingle_n: int = 3, num_hashes: int = 32,
+                               bands: int = 16) -> DataFrame:
+    """Portable-family twin of :func:`minhash_lsh_pairs` — same
+    banding plan shape (explode band keys → uniform shuffle →
+    per-bucket self-join), same output schema, but every value is
+    SQL-replayable: band keys are the PLAIN string of the slice (no
+    hash — the join key shuffles on the string) and est_jaccard is
+    the exact matching fraction of the portable signatures."""
+    rows = num_hashes // bands
+    sig = minhash_signatures_portable(df, text_col, id_col, shingle_n,
+                                      num_hashes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(str(b)),
+                *[F.element_at("sig", b * rows + r + 1).cast("string")
+                  for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", "sig", F.explode(band_keys).alias("band"))
+    banded = banded.cache()
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on="band")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                               lambda x, y: F.when(x == y, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double") / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs._cached_inputs = [banded]  # see release()
+    return pairs
+
+
+def simhash32_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Portable 32-bit SimHash: the exact bit-vote pipeline of
+    :func:`simhash` (explode tokens → per-bit frequency-weighted
+    majority) over the md5-derived 32-bit token fingerprint instead of
+    xxhash64 — every sum, comparison, and the packed signature replay
+    in SQL, and the packed value stays in [0, 2^32) so no engine ever
+    faces signed-overflow games. Half the bits of the production
+    signature → coarser resolution (documented variant trade); the
+    banding/pigeonhole machinery is shared via
+    :func:`simhash_near_pairs`'s ``sig_bits`` parameter."""
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    valid = F.col("w").isNotNull() & (F.col("w") != "")
+    hashed = toks.select(
+        "doc",
+        F.when(valid, fp32_expr(F.col("w"))).alias("h"),
+    )
+    bit = lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    sigs = hashed.groupBy("doc").agg(
+        F.count("h").alias("_n"),
+        *[F.sum(bit(i)).alias(f"_b{i}") for i in range(32)],
+    )
+    packed = None
+    for i in range(32):
+        cnt = F.coalesce(F.col(f"_b{i}"), F.lit(0))
+        term = F.shiftleft((cnt * 2 > F.col("_n")).cast("long"), i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return sigs.select("doc", packed.alias("simhash"))
+
+
 def shingle_hash_rows(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3) -> DataFrame:
     """Distinct (doc, 64-bit shingle hash) rows — the candidate-join
@@ -469,7 +612,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 8, band_bits: int = 16,
-                       sigs: DataFrame | None = None) -> DataFrame:
+                       sigs: DataFrame | None = None,
+                       sig_bits: int = 64) -> DataFrame:
     """Near-dup candidates: band the 64-bit simhash into 64/band_bits
     chunks, join on chunk, verify with exact Hamming distance.
 
@@ -484,7 +628,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     computation — e.g. when a corpus contains exact copies whose
     signatures are by construction identical to already-signed
     documents, signing each text once and unioning shifted ids halves
-    the explode+aggregate work."""
+    the explode+aggregate work. ``sig_bits`` sizes the banding to the
+    signature width (32 for :func:`simhash32_portable` sigs — without
+    it, the high bands of a 32-bit signature are constant 0 and every
+    document lands in one quadratic bucket)."""
     if sigs is None:
         sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
@@ -496,7 +643,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.shiftright(F.col("simhash"), i * band_bits)
                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
                 )
-                for i in range(64 // band_bits)
+                for i in range(sig_bits // band_bits)
             ])
         ).alias("chunk"),
     ).select("doc", "simhash", "chunk.band", "chunk.key")

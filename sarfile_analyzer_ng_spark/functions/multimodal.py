@@ -1476,8 +1476,17 @@ def image_phash(media: DataFrame, id_col: str = "media_id",
                     raise
                 except Exception:
                     rows.append((int(mid), None, None, None))
+            # nullable Int64 for the hash column: a plain DataFrame
+            # with a None (corrupt row) in the batch coerces int64 →
+            # float64, silently zeroing the low ~11 bits of every
+            # 64-bit hash above 2^53 (caught by the q117 oracle gate)
             yield pd.DataFrame(
-                rows, columns=[id_col, "phash", "width", "height"]
+                {
+                    id_col: pd.array([r[0] for r in rows], dtype="int64"),
+                    "phash": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int32"),
+                }
             )
 
     return media.select(id_col, payload_col).mapInPandas(kernel, schema)
@@ -1485,7 +1494,8 @@ def image_phash(media: DataFrame, id_col: str = "media_id",
 
 def phash_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
                     hash_col: str = "phash",
-                    max_hamming: int = 7) -> DataFrame:
+                    max_hamming: int = 7,
+                    max_df: int | None = 10_000) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_phash` hashes —
     the SimHash banding pattern on the 64-bit perceptual hash: 8
     bands of 8 bits propose candidates sharing ANY exact band, then
@@ -1494,7 +1504,19 @@ def phash_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
     8 bands, so at least one band matches exactly — recall is EXACT
     at the default threshold (raise it past bands−1 and banding
     becomes heuristic, the documented SimHash trade). Quadratic work
-    confined to same-band buckets; null hashes drop out."""
+    confined to same-band buckets; null hashes drop out.
+
+    ``max_df`` is the q67 hot-bucket cap at image scale: a band value
+    shared by f images generates O(f²) candidate rows, and boilerplate
+    imagery (solid-color cards, logo frames) concentrates whole
+    corpora onto a few band values — one such value over 10⁵ images
+    is a 10¹⁰-row bucket. Band values with document frequency >
+    ``max_df`` are dropped from candidate generation (a bounded,
+    broadcastable drop list), so candidate work is ≤ bands·n·max_df.
+    The pigeonhole guarantee then holds for pairs retaining ≥ 1
+    uncapped band; pairs ALL of whose bands are corpus-hot are the
+    documented trade (they are overwhelmingly boilerplate↔boilerplate
+    pairs a curator caps on purpose). ``None`` disables."""
     h = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("mid"), F.col(hash_col).alias("ph")
     )
@@ -1512,6 +1534,14 @@ def phash_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
         ).alias("band"),
     ).select("mid", "ph", F.col("band.bi").alias("bi"),
              F.col("band.bv").alias("bv"))
+    if max_df is not None:
+        hot = (
+            banded.groupBy("bi", "bv")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("bi", "bv")
+        )
+        banded = banded.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["bi", "bv"])
@@ -1588,9 +1618,15 @@ def video_phash(media: DataFrame, every_n: int = 1,
                     out.append((int(mid), -1, None, None))
                     continue
                 out.extend(rows)
+            # nullable Int64 keeps the 64-bit hashes exact when marker
+            # rows (None) share the batch — see image_phash
             yield pd.DataFrame(
-                out,
-                columns=["media_id", "frame_idx", "n_frames", "phash"],
+                {
+                    "media_id": pd.array([r[0] for r in out], dtype="int64"),
+                    "frame_idx": pd.array([r[1] for r in out], dtype="int32"),
+                    "n_frames": pd.array([r[2] for r in out], dtype="Int32"),
+                    "phash": pd.array([r[3] for r in out], dtype="Int64"),
+                }
             )
 
     return media.mapInPandas(batches, schema)
@@ -1598,13 +1634,24 @@ def video_phash(media: DataFrame, every_n: int = 1,
 
 def video_phash_dup_pairs(frame_hashes: DataFrame,
                           min_containment: float = 0.5,
-                          round_to: int = 4) -> DataFrame:
+                          round_to: int = 4,
+                          max_df: int | None = 10_000) -> DataFrame:
     """Near-duplicate video pairs from :func:`video_phash` frames:
     candidate pairs share at least one EXACT frame hash (the
     passage-dedup shape — quadratic work confined to same-hash
     buckets), scored by containment = shared distinct hashes /
     the smaller video's distinct-hash count, so a clip cut FROM a
-    longer video still scores 1.0. Null marker rows drop out."""
+    longer video still scores 1.0. Null marker rows drop out.
+
+    ``max_df`` caps hot frame hashes (the q67 pattern): a BOILERPLATE
+    frame — black frame, logo card, intro slate — shared by 10⁵
+    videos makes its bucket quadratic. Frame hashes appearing in more
+    than ``max_df`` distinct videos are dropped from the candidate
+    join, while per-video distinct counts (the containment
+    denominators) are computed BEFORE the cap — so containment only
+    DECREASES and no false positives appear; a pair related ONLY
+    through corpus-boilerplate frames is the documented miss.
+    ``None`` disables."""
     from ..util import rnd
 
     d = (
@@ -1613,8 +1660,17 @@ def video_phash_dup_pairs(frame_hashes: DataFrame,
         .distinct()
     )
     per = d.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
-    a = d.select(F.col("media_id").alias("id_a"), "phash")
-    b = d.select(F.col("media_id").alias("id_b"), "phash")
+    dj = d
+    if max_df is not None:
+        hot = (
+            d.groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("phash")
+        )
+        dj = d.join(F.broadcast(hot), "phash", "left_anti")
+    a = dj.select(F.col("media_id").alias("id_a"), "phash")
+    b = dj.select(F.col("media_id").alias("id_b"), "phash")
     shared = (
         a.join(b, "phash")
         .where(F.col("id_a") < F.col("id_b"))

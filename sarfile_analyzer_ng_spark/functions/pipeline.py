@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import decontaminate_winnow
-from .text import quality_filter
+from .text import (
+    budget_select,
+    chunk_documents,
+    epoch_shuffle,
+    pack_sequences,
+    quality_filter,
+    quality_score,
+    weighted_sample,
+)
 
 
 def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
@@ -98,3 +106,91 @@ def curate_funnel(train: DataFrame, eval_df: DataFrame, text_col: str,
     )
     out._cached_inputs = [qf, base]  # see functions.dedup.release
     return out
+
+
+def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
+                           source_col: str, k_per_source: int = 20,
+                           budget_tokens: int = 600,
+                           chunk_tokens: int = 32, overlap: int = 8,
+                           capacity: int = 128, num_shards: int = 8,
+                           epochs: int = 2) -> DataFrame:
+    """End-to-end training-data ASSEMBLY — the sampling/packing half
+    of the pipeline, downstream of :func:`curate_funnel`'s cleaning
+    half: quality-weighted sampling (Efraimidis–Spirakis, q116) →
+    per-source token-budget trim (q105) → overlapping token-window
+    chunking (q71) → GPT-style sequence packing (q73) → per-epoch
+    shuffle addressing (q113) — composed into ONE Catalyst plan with
+    per-(source, stage) attribution, the q85 funnel pattern: one
+    frame reports how many units and tokens each source carries
+    through every stage, so a curator reads the whole assembly's
+    shape from a handful of rows.
+
+    Returns ``(source, stage_idx, stage, n_units, n_tokens)`` where
+    ``n_units`` is the stage's natural unit — documents (corpus /
+    sampled / trimmed), chunks, distinct packed sequences touched,
+    epoch addresses — and ``n_tokens`` the whitespace-token mass at
+    that stage (packing preserves the chunked mass; epoch addressing
+    multiplies the trimmed mass by ``epochs``).
+
+    Shape at scale: every stage is an already-audited operator —
+    two source-keyed window shuffles (sample, trim), pure codegen
+    chunking, one uniform shard shuffle (pack), one (epoch, shard)
+    shuffle (addresses) — and the attribution aggregates are
+    map-combinable rollups to |sources|×6 rows. Document ids flow
+    between stages as narrow (id, source, tokens) frames; text is
+    re-joined only where a stage genuinely tokenizes (chunking).
+    No driver state, no Python, fully value-hash oracle-able.
+    """
+    qs = quality_score(
+        docs.select(id_col, source_col, text_col), text_col
+    )
+    corpus = qs.select(id_col, source_col,
+                       F.col("n_words").cast("long").alias("_nt"))
+    sampled = weighted_sample(qs, id_col, source_col, "quality",
+                              k=k_per_source)
+    samp_docs = docs.select(id_col, source_col, text_col).join(
+        sampled.select(id_col), id_col
+    )
+    trim = budget_select(samp_docs, text_col, id_col, source_col,
+                         budget_tokens)
+    kept = trim.where(F.col("kept") == 1).select(
+        id_col, source_col, F.col("n_tokens").cast("long").alias("_nt")
+    )
+    kept_docs = docs.select(id_col, text_col).join(
+        kept.select(id_col), id_col
+    )
+    chunks = chunk_documents(kept_docs, text_col, id_col,
+                             chunk_tokens=chunk_tokens, overlap=overlap)
+    packed = pack_sequences(chunks, [id_col, "chunk_id"],
+                            "n_chunk_tokens", capacity=capacity,
+                            num_shards=num_shards)
+    addr = epoch_shuffle(kept.select(id_col), id_col, epochs=epochs,
+                         num_shards=num_shards)
+    src_of = kept.select(id_col, source_col, "_nt")
+
+    def report(idx, name, grouped):
+        return grouped.select(
+            F.col(source_col).alias("source"),
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+
+    s0 = report(0, "corpus", corpus.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_units"), F.sum("_nt").alias("n_tokens")))
+    s1 = report(1, "sampled", sampled.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col("n_words").cast("long")).alias("n_tokens")))
+    s2 = report(2, "trimmed", kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_units"), F.sum("_nt").alias("n_tokens")))
+    s3 = report(3, "chunked", chunks.join(src_of, id_col).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_chunk_tokens").alias("n_tokens")))
+    s4 = report(4, "packed", packed.join(src_of, id_col).groupBy(source_col).agg(
+        F.countDistinct(F.struct("shard", "seq_id")).alias("n_units"),
+        F.sum("n_tokens").alias("n_tokens")))
+    s5 = report(5, "shuffled", addr.join(src_of, id_col).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_units"), F.sum("_nt").alias("n_tokens")))
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3) \
+             .unionByName(s4).unionByName(s5)

@@ -778,6 +778,167 @@ def pca_power_top1(
     )
 
 
+def pca_power_topd(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_components: int = 2, iters: int = 3, round_to: int = 6,
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Top-D principal components by power iteration WITH DEFLATION —
+    the full All-but-the-Top prescription (Mu & Viswanath 2018 remove
+    the top D ≈ dim/100 directions, not just one; r7 shipped only
+    top-1). Component k runs :func:`pca_power_top1`'s exact iterate
+    over vectors DEFLATED by components 1..k−1: the deflated vector
+    is c − Σ_j p_j·v_j applied sequentially (p_j = the rnd8 dot with
+    component j — the score-ladder rounding), so every deflation
+    step, like every iterate, replays in SQL. Per component:
+    ``iters`` corpus scans + dim-keyed combinable aggs, dim floats of
+    model to the driver — total work D× the top-1 operator, still no
+    covariance matrix, still bounded driver state (D·dim floats).
+
+    Deflation (not simultaneous/block iteration) is the right
+    distributed shape here: each component reuses the SAME audited
+    top-1 kernel, convergence of component k is independent of k+1,
+    and the oracle chain stays a mechanical unroll.
+
+    Returns ``(proj_frame(id, pc1_proj..pcD_proj), [v_1..v_D], mu)``.
+    """
+    import numpy as np
+
+    from ..util import rnd_np
+
+    v0 = float(rnd_np(np.float64(1.0 / np.sqrt(dim)), 8))
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = emb.select(F.col(id_col).alias("vid"), e.alias("e"))
+
+    mu_rows = (
+        src.select(F.posexplode("e").alias("d", "x"))
+        .groupBy("d")
+        .agg(rnd(F.avg("x"), round_to).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["d"]] = r["mu"]
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def dot_c(vec_col_, arr):
+        return F.aggregate(
+            F.zip_with(vec_col_, lit_arr(arr), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # deflated working frame: (vid, c) where c starts as x − μ and
+    # loses one component per outer round
+    work = src.select(
+        "vid", F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y).alias("c")
+    )
+    components: list[list[float]] = []
+    for _k in range(n_components):
+        v = np.full(dim, v0)
+        for _ in range(iters):
+            s = rnd(dot_c(F.col("c"), v), 8)
+            u_rows = (
+                work.select(s.alias("s"), F.posexplode("c").alias("d", "cd"))
+                .groupBy("d")
+                .agg(rnd(F.sum(F.col("s") * F.col("cd")), round_to).alias("u"))
+                .collect()
+            )
+            u = np.zeros(dim)
+            for r in u_rows:
+                u[r["d"]] = r["u"]
+            nrm = float(rnd_np(np.sqrt(np.sum(u * u)), 8))
+            if nrm == 0.0:
+                raise ValueError(
+                    "pca_power_topd: centered corpus has zero variance "
+                    "along the iterate — degenerate input or "
+                    "n_components > rank"
+                )
+            v = rnd_np(u / nrm, round_to)
+            if v[0] < 0:
+                v = -v
+        components.append([float(x) for x in v])
+        # deflate: c ← c − p·v with p = the rnd8 score — elementwise
+        # arithmetic on already-rounded inputs, so it replays exactly
+        p = rnd(dot_c(F.col("c"), v), 8)
+        work = work.select(
+            "vid",
+            F.zip_with(
+                F.col("c"), lit_arr(v), lambda x, y: x - p * y
+            ).alias("c"),
+        )
+
+    centered = F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y)
+    cexpr = centered
+    proj_cols = []
+    for k, v in enumerate(components):
+        proj_cols.append(rnd(dot_c(cexpr, v), round_to).alias(f"pc{k + 1}_proj"))
+        pk = rnd(dot_c(cexpr, v), 8)
+        cexpr = F.zip_with(cexpr, lit_arr(v), lambda x, y: x - pk * y)
+    return (
+        src.select(F.col("vid").alias(id_col), *proj_cols),
+        components,
+        mu,
+    )
+
+
+def remove_topd(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                n_components: int = 2, iters: int = 3,
+                round_to: int = 6) -> DataFrame:
+    """Rank-D All-but-the-Top residuals: train
+    :func:`pca_power_topd`, then ONE Arrow map stage applies the
+    sequential rank-1 updates (p_k = the ``round_to`` dot with
+    component k over the running residual — :func:`remove_top1`'s
+    application ladder, so D=1 is BIT-identical to remove_top1,
+    pinned by test) and rounds the final residual at ``round_to``."""
+    _proj, comps, mu = pca_power_topd(
+        emb, id_col, vec_col, dim, n_components=n_components,
+        iters=iters, round_to=round_to,
+    )
+    return apply_topd_removal(emb, id_col, vec_col, comps, mu,
+                              round_to=round_to)
+
+
+def apply_topd_removal(emb: DataFrame, id_col: str, vec_col: str,
+                       components: list[list[float]], mu: list[float],
+                       round_to: int = 6) -> DataFrame:
+    """Apply a SAVED rank-D All-but-the-Top model — the q112 Arrow
+    kernel generalized: batch matvec + rank-1 update per component,
+    sequentially over the running residual; no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..util import rnd_np
+
+    V = [np.asarray(v, dtype=np.float64) for v in components]
+    mm = np.asarray(mu, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("resid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["_e"].to_numpy()).astype(np.float64) - mm
+            for vv in V:
+                p = rnd_np(R @ vv, round_to)
+                R = R - p[:, None] * vv
+            R = rnd_np(R, round_to)
+            yield pd.DataFrame({id_col: pdf["_id"], "resid": list(R)})
+
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    return src.mapInPandas(kernel, schema)
+
+
 def remove_top1(emb: DataFrame, id_col: str, vec_col: str, dim: int,
                 iters: int = 3, round_to: int = 6) -> DataFrame:
     """All-but-the-Top embedding post-processing (Mu & Viswanath 2018,
@@ -1196,6 +1357,15 @@ def ann_topk_pq(emb: DataFrame, queries: DataFrame, id_col: str,
     the rerank join touches Q·R rows, never the corpus. At very large
     Q·n the same lookup runs as an Arrow kernel over the packed code
     matrix; this composition is the oracled reference shape.
+
+    METRIC CONTRACT (r8, from the recall study): ADC ranks by L2 over
+    the RAW vectors while the rerank/ground truth is cosine. On
+    L2-normalized embeddings the orderings coincide (||a−b||² =
+    2−2cos); on unnormalized corpora they diverge and widening the
+    candidate pool (higher nprobe in IVFADC) can REDUCE final recall
+    — L2-close/cosine-far vectors flood the shortlist. A cosine
+    deployment must normalize at ingest (the standard FAISS
+    practice); tools/ivfpq_recall.py measures both regimes.
     """
     if codebooks is None:
         codebooks = pq_train_exact(

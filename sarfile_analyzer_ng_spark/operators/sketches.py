@@ -45,11 +45,22 @@ def approx_percentiles(df: DataFrame, value_col: str, by: list[str],
 
 
 def hash_sample(df: DataFrame, key_col: str, percent: int,
-                seed: int = 0) -> DataFrame:
+                seed: int = 0, portable: bool = False) -> DataFrame:
     """Deterministic ~percent% sample by key hash: reproducible across
     runs/engines/partitions, and consistent per key (every row of a
-    sampled key is kept — correct for per-entity sampling)."""
-    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(100))
+    sampled key is kept — correct for per-entity sampling).
+
+    ``portable=True`` swaps xxhash64 for the engine-portable
+    multiplicative family (util.shard_hash — the JSONL-shard /
+    packing convention), so the EXACT sampled row set replays in ANSI
+    SQL: ``((key % 1000003) * 2654435761) % 100 < percent``. Integer
+    keys only on that path; ``seed`` folds in additively."""
+    if portable:
+        from ..util import shard_hash
+
+        bucket = shard_hash(F.col(key_col) + F.lit(seed), 100)
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(100))
     return df.where(bucket < percent)
 
 

@@ -706,6 +706,21 @@ SELECT doc_id, md5(text) AS md5 FROM (
 # candidate-pair frame: two ids + a double per pair) and deliberately
 # NOT listed in _cached_inputs: it is session-lived by design, released
 # only by session teardown / an explicit clearCache.
+#
+# r8: the recorded family is the ORACLE-PORTABLE md5+affine variant
+# (dedup.minhash_lsh_pairs_portable) — 32 hashes / 16 bands of 2 rows
+# — so q31's signatures, band keys, and est_jaccard values all replay
+# in DuckDB and the key graduates from rows-only to fully value-hash
+# oracled. The 2-row bands drop the LSH threshold to s50 ≈ 0.25,
+# which makes q51's twin recall DETERMINISTICALLY safe for the
+# shortest gate documents (10 words → twin jaccard 8/9; per-band
+# match P = s² ≈ 0.79, miss = (0.21)^16 ≈ 1e-11 — and the fixed hash
+# family makes the verdict a constant of the corpus, not a per-run
+# coin flip). The xxhash64 production family stays the q56 candidate
+# generator, where the tighter 4-row bands keep the verify join
+# small.
+MINHASH_PORT_HASHES = 32
+MINHASH_PORT_BANDS = 16
 _MINHASH_PAIR_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -727,20 +742,69 @@ def _minhash_pairs_shared(spark, sf_dir) -> DataFrame:
         return _ensure_cached(pairs)
     if pairs is None:
         corpus = _planted_corpus(spark, sf_dir)
-        pairs = D.minhash_lsh_pairs(
+        pairs = D.minhash_lsh_pairs_portable(
             corpus, "text", "doc_id",
-            shingles=_shingles_shared(spark, sf_dir),
+            num_hashes=MINHASH_PORT_HASHES, bands=MINHASH_PORT_BANDS,
         ).cache()
         _MINHASH_PAIR_MEMO[key] = pairs
     return pairs
 
 
 def q31_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup (L2) — rows-only check (xxhash64 signatures
-    are not reproducible in DuckDB SQL). Planted near-dups must pair up
-    each doc with its +OFFSET twin."""
+    """MinHash+LSH near-dup (L2), oracle-portable family
+    (functions/dedup.py:minhash_lsh_pairs_portable): md5-derived
+    32-bit shingle fingerprints mixed by a fixed affine family mod
+    2^31−1, 16 string-keyed bands of 2 rows — every signature, band
+    key, and est_jaccard value replays in DuckDB, so this key is
+    fully value-hash oracled (r8; previously rows-only under
+    xxhash64). Same banding plan shape as the production family."""
     pairs = _minhash_pairs_shared(spark, sf_dir)
     return pairs.where(F.col("est_jaccard") >= 0.5)
+
+
+def _sql_minhash_portable_pairs(threshold: str) -> str:
+    """DuckDB replay of the portable MinHash banding over the planted
+    corpus: same shingles, same md5 fingerprints, same affine mins,
+    same band keys, same matching-fraction estimate."""
+    params = D.affine_params(MINHASH_PORT_HASHES)
+    rows = MINHASH_PORT_HASHES // MINHASH_PORT_BANDS
+    hcols = ",\n         ".join(
+        f"min((fp * {a} + {b}) % {D.PORTABLE_P})::BIGINT AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows))
+        for b in range(MINHASH_PORT_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PORT_HASHES)
+    )
+    est = sql_rnd(f"({match_sum})::DOUBLE / {MINHASH_PORT_HASHES}", 4)
+    hlist = ", ".join(f"h{i}" for i in range(MINHASH_PORT_HASHES))
+    return f"""
+WITH corpus AS ({SQL_PLANTED}),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle FROM words WHERE len(w) < 3)),
+fp AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS fp FROM sh),
+sig AS (SELECT doc, {hcols}
+        FROM fp GROUP BY doc),
+banded AS (SELECT doc, {hlist}, unnest([{band_exprs}]) AS band FROM sig)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, {est} AS est_jaccard
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc
+WHERE {est} >= {threshold}
+"""
+
+
+SQL_Q31 = _sql_minhash_portable_pairs("0.5")
 
 
 # One SimHash signing pass over the PLANTED corpus serves the whole
@@ -768,13 +832,70 @@ def _planted_simhash_sigs(spark, sf_dir) -> DataFrame:
     return sigs
 
 
+SIMHASH_PORT_HAMMING = 3  # 4 bands of 8 bits: pigeonhole recall EXACT here
+
+
 def q32_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (L3) — rows-only check (xxhash64 signatures; no
-    SQL twin). Signatures come from the family-shared planted-corpus
-    memo (one signing pass serves q32 + q52)."""
+    """SimHash near-dup (L3), oracle-portable family
+    (functions/dedup.py:simhash32_portable): the exact bit-vote
+    pipeline over md5-derived 32-bit token fingerprints, banded 4×8
+    bits — signatures, band keys, and hamming distances all replay in
+    DuckDB, so this key is fully value-hash oracled (r8; previously
+    rows-only under xxhash64). Pigeonhole recall is exact at hamming
+    ≤ 3; the 64-bit xxhash64 production family keeps serving q52's
+    exact-twin recall gate."""
     corpus = _planted_corpus(spark, sf_dir)
-    return D.simhash_near_pairs(corpus, "text", "doc_id", max_hamming=8,
-                                sigs=_planted_simhash_sigs(spark, sf_dir))
+    sigs = D.simhash32_portable(corpus, "text", "doc_id")
+    return D.simhash_near_pairs(corpus, "text", "doc_id",
+                                max_hamming=SIMHASH_PORT_HAMMING,
+                                band_bits=8, sigs=sigs, sig_bits=32)
+
+
+def _sql_simhash32_pairs() -> str:
+    """DuckDB replay of the portable 32-bit SimHash banding over the
+    planted corpus. Tokens mirror dedup.tokens_expr (lower+trim+split,
+    empty tokens vote nothing); bit i of the signature is set iff
+    tokens with fingerprint bit i = 1 strictly outnumber half the
+    valid-token count (2·sum > n, ties down) — the simhash() rule."""
+    bits = ",\n       ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(32)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN 2 * coalesce(b{i}, 0) > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
+    )
+    bands = ", ".join(
+        f"struct_pack(band := {b}, key := (sig >> {8 * b}) & 255)"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS ({SQL_PLANTED}),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM corpus),
+hashed AS (
+  SELECT doc,
+         CASE WHEN w IS NULL OR w = '' THEN NULL
+              ELSE ('0x' || substr(md5(w), 1, 8))::BIGINT END AS h
+  FROM toks),
+votes AS (
+  SELECT doc, count(h)::BIGINT AS n,
+       {bits}
+  FROM hashed GROUP BY doc),
+sigs AS (SELECT doc, ({packed})::BIGINT AS sig FROM votes),
+banded AS (
+  SELECT doc, sig, c.band, c.key
+  FROM sigs, unnest([{bands}]) t(c))
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_PORT_HAMMING}
+"""
+
+
+SQL_Q32 = _sql_simhash32_pairs()
 
 
 def q33_ngram_jaccard(spark, sf_dir):
@@ -842,6 +963,22 @@ def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
         ).cache()
         _JACCARD_PAIR_MEMO[key] = pairs
     return pairs
+
+
+def memo_builders():
+    """The session-lived cross-query memos, exposed so bench.py can
+    FORCE and TIME each build as its own ``_memo_*`` line (r7 VERDICT:
+    the first consumer used to absorb the whole family's build cost —
+    q56 read 9 s while q33/q67/q68 read 0.07 s — which made per-query
+    regressions inside a family unattributable). Each callable returns
+    the memoized frame; forcing it (noop write) warms the cache every
+    registry consumer then reads."""
+    return {
+        "_memo_shingle_hash_rows": _shingles_shared,
+        "_memo_jaccard_pairs": _jaccard_pairs_shared,
+        "_memo_minhash_pairs_portable": _minhash_pairs_shared,
+        "_memo_simhash_sigs": _planted_simhash_sigs,
+    }
 
 
 # DuckDB fragment producing the q33 pair set (doc_a, doc_b) — embedded
@@ -1332,23 +1469,72 @@ FROM t GROUP BY source, decile
 """
 
 
+BPE_MERGES = 10
+
+
 def q90_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016):
-    10 merge rounds over the corpus word-frequency vocab. Rows-only
-    in the driver gate (the merge loop is not SQL-expressible); the
-    EXACT merge table is pinned by
-    tests/test_llm_ops.py::test_bpe_train_matches_reference, which
-    replays the same corpus through a 20-line single-machine reference
-    implementation and asserts list equality."""
+    10 merge rounds over the corpus word-frequency vocab — FULLY
+    value-hash oracled (r8; previously rows-only): the DuckDB twin
+    unrolls all 10 rounds as a CTE chain — pair explode-agg,
+    (count DESC, pair ASC) argmax, then the greedy left-to-right
+    vocab rewrite replayed with ``list_reduce`` (the accumulator's
+    last symbol merges with the next element exactly like the Arrow
+    rewrite's scan-and-skip loop). The merge table is additionally
+    pinned against a single-machine reference implementation by
+    tests/test_llm_ops.py::test_bpe_train_matches_reference."""
     docs = _t(spark, sf_dir, "documents")
     # batched merge selection (prefix-cut, see bpe_train): same merge
     # table as batch=1 — pinned by the batched-parity pytest — in a
     # fraction of the driver round-trips
-    merges = TX.bpe_train(docs, "text", num_merges=10, batch=16)
+    merges = TX.bpe_train(docs, "text", num_merges=BPE_MERGES, batch=16)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
-        "rank long, left string, right string, pair_count long",
+        "rank long, sym_a string, sym_b string, pair_count long",
     )
+
+
+def _sql_bpe_merges(num_merges: int) -> str:
+    """DuckDB replay of the full sequential BPE training loop. The
+    rewrite lambda reproduces bpe_train's greedy left-to-right pass:
+    the accumulator string (chr(31)-separated symbols — U+001F cannot
+    appear in whitespace-split words) merges its LAST symbol with the
+    incoming element when they equal the round's (a, b), which is
+    exactly the scan-and-skip rule (a freshly-merged symbol can never
+    re-merge within the same round because it no longer equals a)."""
+    sep = "chr(31)"
+    parts = [f"""
+WITH wc AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w),
+v0 AS (
+  SELECT c, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS s
+  FROM wc)"""]
+    for r in range(1, num_merges + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, sum(c)::BIGINT AS pc
+  FROM v{r - 1}, unnest(range(1, len(s))) t(i)
+  GROUP BY 1, 2),
+m{r} AS (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""")
+        if r < num_merges:
+            parts.append(f""",
+v{r} AS (
+  SELECT c, string_split(list_reduce(s, (acc, x) ->
+    CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, {sep} || m.a))
+         THEN acc || m.b ELSE acc || {sep} || x END), {sep}) AS s
+  FROM v{r - 1}, m{r} m)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS rank, a AS sym_a, b AS sym_b,"
+        f" pc AS pair_count FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+SQL_Q90 = _sql_bpe_merges(BPE_MERGES)
 
 
 def q91_bpe_first_merge(spark, sf_dir):
@@ -1976,12 +2162,75 @@ GROUP BY e.query_id
 """
 
 
+ANN_LSH_NUM_PLANES = 6
+
+
+def _portable_planes(num_planes: int = ANN_LSH_NUM_PLANES,
+                     dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes with EXACTLY-representable dyadic
+    components (k/64, k ∈ [−32, 32]) from the same fixed LCG as the
+    portable MinHash family: the identical float literals appear in
+    the Spark plan and the oracle SQL, and dyadic values make every
+    per-component product bit-identical across engines — so sign
+    agreement of the bucket bits is exact, not probabilistic."""
+    planes, state = [], 0x5DEECE66D ^ 0x2545F491
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state % 65) - 32) / 64.0)
+        planes.append(row)
+    return planes
+
+
 def q36_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (L7) — rows-only (xxhash64-derived planes)."""
+    """LSH-bucketed ANN (L7), oracle-portable configuration: the REAL
+    plane-projection → sign-bit bucket → bucket join → cosine rerank
+    path (functions/similarity.py:lsh_buckets/ann_topk_lsh) under
+    SEEDED LITERAL planes whose dyadic components replay exactly in
+    SQL — this key is fully value-hash oracled (r8; previously
+    rows-only under xxhash64-derived planes), including its recall
+    misses: the oracle reproduces the same buckets, so sub-exhaustive
+    behavior is checked too (q53/q77 pin the degenerate one-bucket
+    parity against brute force)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    planes = [
+        F.array(*[F.lit(v) for v in row]) for row in _portable_planes()
+    ]
     return S.ann_topk_lsh(emb, queries, "vec_id", "embedding", dim=64,
-                          k=ANN_K, num_planes=8)
+                          k=ANN_K, planes=planes)
+
+
+def _sql_ann_lsh_portable() -> str:
+    planes = _portable_planes()
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(v) for v in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    cos = sql_rnd("list_dot_product(q.e, c.e) / (q.nrm * c.nrm)", 4)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+b AS (SELECT vec_id, e, nrm, {bit_exprs} AS bucket FROM n),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id <= {ANN_NUM_QUERIES})
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+SQL_Q36 = _sql_ann_lsh_portable()
 
 
 def q41_ann_ivf(spark, sf_dir):
@@ -2795,16 +3044,70 @@ WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.md5 = batch.md5)
 
 
 def q50_sketch_stats(spark, sf_dir):
-    """Sketch statistics (rows-only: HLL/KLL internals differ between
-    engines by design): per-type approximate distinct users and
-    approximate median — the bounded-memory scale twins verified
-    against exact values in tests/test_sketches.py."""
+    """Sketch statistics over events, oracle-portable form (r8 — the
+    q54 bound-gate pattern, extended): the exact anchors — distinct
+    users, exact median, and the row count of the ENGINE-PORTABLE
+    deterministic hash sample (operators/sketches.py:hash_sample
+    portable=True, the util.shard_hash family) — are value-hash
+    oracled, and the HLL / quantile-sketch estimates must sit within
+    their documented bounds (booleans the oracle expects true). The
+    raw estimates are engine-internal by design; this was the last
+    reason the key was rows-only, and the bound-gate form retires it
+    while still executing every sketch."""
     from .operators import sketches as SKC
 
     ev = _t(spark, sf_dir, "events")
-    distinct = SKC.approx_distinct(ev, "user_id", ["event_type"])
-    quant = SKC.approx_percentiles(ev, "value", ["event_type"], probs=(0.5,))
-    return distinct.join(quant, on="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact_distinct"),
+    )
+    med = (
+        ST.percentiles(ev, "value", ["event_type"], probs=(0.5,))
+        .select("event_type", F.col("p50").alias("exact_p50"))
+    )
+    samp = (
+        SKC.hash_sample(ev, "user_id", percent=10, portable=True)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled_rows"))
+    )
+    approx = SKC.approx_distinct(ev, "user_id", ["event_type"])
+    aq = SKC.approx_percentiles(ev, "value", ["event_type"], probs=(0.5,))
+    hll_col = [c for c in approx.columns if c != "event_type"][0]
+    ap50_col = [c for c in aq.columns if c != "event_type"][0]
+    joined = (
+        exact.join(med, "event_type")
+        .join(samp, "event_type", "left")
+        .join(approx, "event_type")
+        .join(aq, "event_type")
+    )
+    return joined.select(
+        "event_type", "n_exact_distinct", "exact_p50",
+        F.coalesce(F.col("n_sampled_rows"), F.lit(0)).cast("bigint")
+        .alias("n_sampled_rows"),
+        (
+            F.abs(F.col(hll_col) - F.col("n_exact_distinct"))
+            <= 0.15 * F.col("n_exact_distinct")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col(ap50_col) - F.col("exact_p50"))
+            <= 0.10 * F.abs(F.col("exact_p50"))
+        ).alias("p50_ok"),
+    )
+
+
+SQL_Q50 = f"""
+WITH ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact_distinct,
+         {sql_rnd('quantile_cont(value, 0.5)', 4)} AS exact_p50
+  FROM events GROUP BY event_type),
+samp AS (
+  SELECT event_type, count(*)::BIGINT AS n_sampled_rows
+  FROM events WHERE ((user_id % 1000003) * 2654435761) % 100 < 10
+  GROUP BY event_type)
+SELECT event_type, n_exact_distinct, exact_p50,
+       coalesce(n_sampled_rows, 0)::BIGINT AS n_sampled_rows,
+       true AS hll_ok, true AS p50_ok
+FROM ex LEFT JOIN samp USING (event_type)
+"""
 
 
 OVERLAY_A = ("2024-01-10 00:00:00", "2024-01-13 00:00:00")
@@ -3908,6 +4211,89 @@ GROUP BY cx.vec_id
 SQL_Q112 = _sql_pca_resid()
 
 
+PCA_TOPD = 2
+
+
+def q118_pca_topd(spark, sf_dir):
+    """Top-D principal components by power iteration WITH DEFLATION
+    (functions/similarity.py:pca_power_topd — the full All-but-the-Top
+    prescription, r8 closing the 'PCA is top-1 only' gap): component
+    k iterates over vectors deflated by components 1..k−1, every
+    deflation step using the rnd8 score ladder so the WHOLE
+    multi-component chain — 2 components × 3 iterations here — is
+    value-hash oracled, the deepest iterative oracle in the registry
+    after q104."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj, _comps, _mu = S.pca_power_topd(
+        emb, "vec_id", "embedding", dim=PCA_DIM,
+        n_components=PCA_TOPD, iters=PCA_ITERS,
+    )
+    return proj
+
+
+def _sql_pca_topd(n_components: int = PCA_TOPD, iters: int = PCA_ITERS,
+                  dim: int = PCA_DIM) -> str:
+    """The deflated power iteration as one CTE chain: per component k,
+    q109's (score rnd8, update rnd6, norm rnd8, v rnd6, sign-fix)
+    iterate over cx{k−1}, then the rnd8 deflation projection builds
+    cx{k}. Final projections: rnd6 dot of each component with ITS
+    deflated input — exactly pca_power_topd's output arithmetic."""
+    import math
+
+    v0 = repr(round(1.0 / math.sqrt(dim), 8))
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — a
+    # D-component chain references cx{k} dozens of times, which
+    # re-plans (and re-opens) the base parquet each time and trips
+    # the open-file limit; materializing pins each stage to one scan
+    parts = [f"""v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS d, e[i] AS x
+  FROM v, unnest(range(1, {dim + 1})) t(i)),
+mu AS MATERIALIZED (SELECT d, {sql_rnd('avg(x)', 6)} AS mu FROM ex GROUP BY d),
+cx0 AS MATERIALIZED (SELECT ex.vec_id, ex.d, ex.x - mu.mu AS c
+        FROM ex JOIN mu USING (d))"""]
+    for k in range(1, n_components + 1):
+        src = f"cx{k - 1}"
+        parts.append(f"""c{k}v0 AS (SELECT d, {v0} AS vv FROM mu)""")
+        for t in range(1, iters + 1):
+            parts.append(f"""c{k}s{t} AS (
+  SELECT {src}.vec_id, {sql_rnd(f'sum({src}.c * c{k}v{t - 1}.vv)', 8)} AS s
+  FROM {src} JOIN c{k}v{t - 1} USING (d) GROUP BY {src}.vec_id)""")
+            parts.append(f"""c{k}u{t} AS (
+  SELECT {src}.d, {sql_rnd(f'sum(c{k}s{t}.s * {src}.c)', 6)} AS u
+  FROM {src} JOIN c{k}s{t} USING (vec_id) GROUP BY {src}.d)""")
+            parts.append(f"""c{k}n{t} AS (
+  SELECT {sql_rnd('sqrt(sum(u * u))', 8)} AS nrm FROM c{k}u{t})""")
+            parts.append(f"""c{k}w{t} AS (
+  SELECT d, {sql_rnd(f'u / (SELECT nrm FROM c{k}n{t})', 6)} AS vv
+  FROM c{k}u{t})""")
+            parts.append(f"""c{k}v{t} AS (
+  SELECT d, CASE WHEN (SELECT vv FROM c{k}w{t} WHERE d = 0) < 0
+                 THEN -vv ELSE vv END AS vv FROM c{k}w{t})""")
+        parts.append(f"""pj{k} AS (
+  SELECT {src}.vec_id,
+         {sql_rnd(f'sum({src}.c * c{k}v{iters}.vv)', 6)} AS pc{k}_proj,
+         {sql_rnd(f'sum({src}.c * c{k}v{iters}.vv)', 8)} AS p8
+  FROM {src} JOIN c{k}v{iters} USING (d) GROUP BY {src}.vec_id)""")
+        if k < n_components:
+            parts.append(f"""cx{k} AS MATERIALIZED (
+  SELECT {src}.vec_id, {src}.d, {src}.c - pj{k}.p8 * c{k}v{iters}.vv AS c
+  FROM {src} JOIN c{k}v{iters} USING (d) JOIN pj{k} USING (vec_id))""")
+    proj_list = ", ".join(f"pc{k}_proj" for k in range(1, n_components + 1))
+    joins = " ".join(
+        f"JOIN pj{k} USING (vec_id)" for k in range(2, n_components + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT pj1.vec_id, {proj_list} FROM pj1 {joins}\n"
+    )
+
+
+SQL_Q118 = _sql_pca_topd()
+
+
 VOCAB_V = 20
 
 
@@ -4223,110 +4609,201 @@ FROM feat f, w{iters} w""")
 
 SQL_Q104 = _sql_logreg()
 
-# key -> (spark callable, oracle SQL or None for rows-only checks)
+
+PHASH_MAX_HAMMING = 7
+PHASH_MAX_DF = 10_000
+
+
+def q117_image_dup_pairs(spark, sf_dir):
+    """Image perceptual-hash dedup, driver-gated (r8): the checked-in
+    deterministic media corpus (tools/gen_media.py — 20 images each
+    re-encoded as netpbm/PNG/BMP with identical pixels, 5 lightly-
+    edited copies, 1 corrupt payload; the q55 repo-shipped-data
+    pattern) is decoded DISTRIBUTIVELY through the real pure-python
+    codec layer (functions/multimodal.py:image_phash) and paired by
+    the banded-hamming join (phash_dup_pairs, max_df hot-bucket cap
+    live in the plan). The oracle replays the ENTIRE pair join —
+    banding, hot-band cap, hamming verify — with plain bit ops over
+    the generator's stored hash table, so the join semantics are
+    value-hash checked cross-engine while decode determinism is
+    pinned by those stored hashes matching the live decode."""
+    from .functions import multimodal as MM
+
+    media = spark.read.parquet(
+        _os.path.join(_DATA_DIR, "media", "media.parquet")
+    )
+    hashes = MM.image_phash(media)
+    return MM.phash_dup_pairs(hashes, max_hamming=PHASH_MAX_HAMMING,
+                              max_df=PHASH_MAX_DF)
+
+
+def _sql_image_dup_pairs() -> str:
+    path = _os.path.join(_DATA_DIR, "media", "media_hashes.parquet")
+    return f"""
+WITH h AS (
+  SELECT media_id, phash FROM read_parquet('{path}')
+  WHERE phash IS NOT NULL),
+banded AS (
+  SELECT media_id AS mid, phash AS ph, bi, (phash >> (8 * bi)) & 255 AS bv
+  FROM h, unnest([0, 1, 2, 3, 4, 5, 6, 7]) b(bi)),
+hot AS (
+  SELECT bi, bv FROM banded GROUP BY bi, bv
+  HAVING count(*) > {PHASH_MAX_DF}),
+kept AS (
+  SELECT mid, ph, bi, bv FROM banded
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.bi = banded.bi AND hot.bv = banded.bv))
+SELECT DISTINCT a.mid AS id_a, b.mid AS id_b,
+       bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+FROM kept a JOIN kept b ON a.bi = b.bi AND a.bv = b.bv AND a.mid < b.mid
+WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+SQL_Q117 = _sql_image_dup_pairs()
+
+
+ASM_K, ASM_BUDGET, ASM_EPOCHS = 20, 600, 2
+
+
+def q119_training_assembly(spark, sf_dir):
+    """End-to-end training-data assembly funnel (functions/
+    pipeline.py:assemble_training_data, r8): weighted sampling (q116)
+    → budget trim (q105) → chunking (q71) → sequence packing (q73) →
+    epoch addressing (q113), composed into ONE Catalyst plan with
+    per-(source, stage) unit/token attribution — the q85 pattern for
+    the sampling/packing half of the pipeline. Every stage reuses its
+    individually-oracled operator and configuration family; the
+    oracle replays the whole composition."""
+    from .functions import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return PL.assemble_training_data(
+        docs, "text", "doc_id", "source", k_per_source=ASM_K,
+        budget_tokens=ASM_BUDGET, chunk_tokens=32, overlap=8,
+        capacity=PACK_CAPACITY, num_shards=PACK_SHARDS,
+        epochs=ASM_EPOCHS,
+    )
+
+
+def _sql_training_assembly() -> str:
+    """DuckDB replay of the whole assembly: the q105 quality/token
+    CTEs → the q116 es_key sample → the q105 trim window → the q71
+    chunk chain → the q73 packing window → the epoch cross join, each
+    stage aggregated to (source, n_units, n_tokens) and unioned."""
+    es_key = sql_rnd(
+        "pow((((((doc_id % 1000003) * 2654435761) % 1000003"
+        " + 1000003) % 1000003) + 1.0) / 1000004.0,"
+        " 1.0 / greatest(quality, 0.000000001))", 8)
+    return rf"""
+WITH f AS (
+  SELECT doc_id, source, text,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS n_stop
+  FROM documents),
+q AS (
+  SELECT doc_id, source, text, n_words::BIGINT AS n_tokens,
+         round(CAST(CAST((least(n_words / 50.0, 1.0) * 0.4
+               + least(CASE WHEN n_words > 0 THEN n_stop / n_words
+                       ELSE 0.0 END * 5.0, 1.0) * 0.4
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                              ELSE 0.0 END * 10.0, 1.0)) * 0.2)
+           AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS quality
+  FROM f),
+samp AS (
+  SELECT doc_id, source, text, n_tokens, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {es_key} DESC, doc_id ASC) AS rk
+  FROM q QUALIFY rk <= {ASM_K}),
+trim AS (
+  SELECT doc_id, source, text, n_tokens, quality,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                            ) AS cum
+  FROM samp),
+kept AS (
+  SELECT doc_id, source, text, n_tokens FROM trim
+  WHERE cum <= {ASM_BUDGET}),
+toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS l
+  FROM kept),
+meta AS (
+  SELECT doc_id, source, l,
+         greatest(1, CAST(ceil((len(l) - 8)::DOUBLE / 24) AS INT)) AS n_chunks
+  FROM toks),
+ch AS (
+  SELECT doc_id, source, l, unnest(range(0, n_chunks)) AS chunk_id
+  FROM meta),
+chunks AS (
+  SELECT doc_id, source, chunk_id::BIGINT AS chunk_id,
+         len(l[chunk_id*24 + 1 : chunk_id*24 + 32])::BIGINT AS n_ct,
+         (((doc_id % 1000003) * 2654435761) % {PACK_SHARDS}
+          + {PACK_SHARDS}) % {PACK_SHARDS} AS shard
+  FROM ch),
+packed AS (
+  SELECT doc_id, source, shard, n_ct,
+         sum(n_ct) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                         ROWS UNBOUNDED PRECEDING) - n_ct AS cum0
+  FROM chunks),
+addr AS (
+  SELECT doc_id, source, n_tokens, unnest(range(0, {ASM_EPOCHS})) AS epoch
+  FROM kept)
+SELECT source, 0::BIGINT AS stage_idx, 'corpus' AS stage,
+       count(*)::BIGINT AS n_units, sum(n_tokens)::BIGINT AS n_tokens
+FROM q GROUP BY source
+UNION ALL
+SELECT source, 1, 'sampled', count(*), sum(n_tokens) FROM samp GROUP BY source
+UNION ALL
+SELECT source, 2, 'trimmed', count(*), sum(n_tokens) FROM kept GROUP BY source
+UNION ALL
+SELECT source, 3, 'chunked', count(*), sum(n_ct) FROM chunks GROUP BY source
+UNION ALL
+SELECT source, 4, 'packed',
+       count(DISTINCT (shard, CAST(floor(cum0 / {PACK_CAPACITY}) AS BIGINT))),
+       sum(n_ct)
+FROM packed GROUP BY source
+UNION ALL
+SELECT source, 5, 'shuffled', count(*), sum(n_tokens) FROM addr GROUP BY source
+"""
+
+
+SQL_Q119 = _sql_training_assembly()
+
+# key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
-# FIRST 50 entries (insertion order). Rotation policy (round 6):
-#  - entries with NO driver recording ever lead the window — q100-q103
-#    were added in r5 after the window filled, so they go first;
-#  - then every key whose last driver recording is the OLDEST round —
-#    here the 43 oracled keys last recorded in round 4 (q04/q05/q07/
-#    q08/q33-q35/q37-q49/q51/q53-q75 minus the r5-recorded ones) —
-#    so no key ever goes more than 2 rounds without a driver-recorded
-#    green;
-#  - the remaining slots take q82/q85/q86, whose analyzed plans moved
-#    with the r6 kmeans_centroids extraction (changed ⇒ window);
-#  - the tail carries the other 47 entries recorded green in round 5
-#    plus q50/q31/q32/q36 (rows-only; q50 gated by the in-window q54
-#    bounds check, the dedup trio value-pinned by the oracled twins
-#    q51/q52/q77), UNCHANGED since that pass — enforced by
-#    tests/test_tail_staleness.py, which digests each tail entry's
-#    oracle SQL + ANALYZED plan (snapshot_tail.py documents why not
-#    the optimized plan) against tests/data/tail_snapshots.json and
-#    fails if one drifts without being rotated back into the window.
+# FIRST 50 entries (insertion order). Rotation policy (standing since
+# round 6): new or CHANGED keys lead the window (they need a fresh
+# driver-recorded green), then keys whose last driver recording is
+# the OLDEST round fill it, so no key goes more than ~2 rounds
+# without a recorded green. As of r8 EVERY key has a SQL oracle
+# (none are rows-only). The tail is enforced UNCHANGED by
+# tests/test_tail_staleness.py, which digests each tail entry's
+# oracle SQL + ANALYZED plan (snapshot_tail.py documents why not the
+# optimized plan) against tests/data/tail_snapshots.json and fails
+# if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # never driver-recorded (added r6; lead the r7 window per the
-    # staleness guard's rule — new keys belong in the window until
-    # recorded green). q107's plan ALSO changed this round (keep-first
-    # keeper fix), so its fresh recording is doubly due.
-    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
-    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
-    # new in r7 — never recorded, lead the window with the r6 cohort
-    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
-    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
-    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
-    "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
-    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
-    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
-    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
-    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
-    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
-    # recorded green in r6; stay for continuity of the ANN/dedup family
-    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
-    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
-    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
-    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
-    # r4-tail cohort, due for a driver-recorded green (oracled)
-    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
-    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
-    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
-    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
-    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
-    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
-    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
-    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
-    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
-    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
-    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
-    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
-    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
-    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
-    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
-    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
-    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
-    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
-    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
-    "q62_decontaminate": (q62_decontaminate, SQL_Q62),
-    "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
-    "q64_mix_weights": (q64_mix_weights, SQL_Q64),
-    "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
-    "q66_mix_apply": (q66_mix_apply, SQL_Q66),
-    "q70_quality_filter": (q70_quality_filter, SQL_Q70),
-    # changed this round: the kmeans_centroids extraction (shared with
-    # the ST11 streaming SemDeDup twin) moved these three analyzed
-    # plans, so they re-enter the window for a fresh recording
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
-    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
-    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
-    # ---- tail: beyond the driver's 50-entry recording window ----
-    # (recorded green in round 5 or 6; staleness-guarded, see above.
-    # q90 is the exception: rows-only in r5, gated by the oracled q91
-    # first-merge twin and the exact reference-implementation parity
-    # test. q50 rides one more round, gated by the in-window q54.
-    # q04/q05/q07/q08 ceded their window slots to q104-q107 this
-    # round and q37/q38/q39 to q108-q110: core ops stable since
-    # r1/r2, freshly recorded green in r6.)
-    "q37_lang_id": (q37_lang_id, SQL_Q37),
-    "q38_quality_score": (q38_quality_score, SQL_Q38),
-    "q39_token_count": (q39_token_count, SQL_Q39),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
-    "q42_text_clean": (q42_text_clean, SQL_Q42),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
-    "q45_rollup": (q45_rollup, SQL_Q45),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    # r8 rotation: (1) keys NEW or CHANGED this round lead — the
+    # three new operators (q117 image dedup, q118 top-D PCA, q119
+    # assembly funnel) plus the five retired rows-only keys whose
+    # recorded form is now the fully-oracled portable variant
+    # (q31/q32 md5+affine hash families, q36 seeded literal planes,
+    # q50 bound-gate form, q90 unrolled merge chain);
+    "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
+    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
+    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
+    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
+    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
+    "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
+    "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
+    "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
+    # (2) the r5-stale core block — oldest driver-recorded keys
+    # (q01-q27 family + q30, last green in the r5 window), rotated
+    # oldest-first per the window policy;
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
@@ -4351,39 +4828,106 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
-    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
+    # (3) the remaining r5-recorded keys fill the window.
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
-    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
-    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
-    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
-    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
-    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
-    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
+    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
+    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
+    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
     "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
-    "q90_bpe_merges": (q90_bpe_merges, None),
-    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
     "q92_eval_containment": (q92_eval_containment, SQL_Q92),
-    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
-    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
+    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
+    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    # changed-plan keys this round (policy: changed => window):
+    # q51 consumes the portable minhash memo, q56 takes its
+    # candidates from it, q111 moved to the 64/32 banding
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # r5-recorded keys left out of the window, each pinned by an
+    # in-window or oracled twin: q52 (simhash machinery unchanged,
+    # 64-bit gate), q76 (gates q75, r7-green), q80 (gates q79,
+    # in-window), q91 (subsumed by the fully-oracled q90 chain);
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
-    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
-    "q50_sketch_stats": (q50_sketch_stats, None),
-    # rows-only r4 keys, value-pinned by oracled twins (q31↔q51,
-    # q32↔q52, q36↔q77). A window slot spent on a rows-only key buys
-    # only a row-count check, so never-recorded ORACLED keys
-    # (q104-q110 this round) outrank them for slots; their twins keep
-    # their values pinned from inside the window/snapshot.
-    "q31_dedup_minhash": (q31_dedup_minhash, None),
-    "q32_dedup_simhash": (q32_dedup_simhash, None),
-    "q36_ann_lsh": (q36_ann_lsh, None),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    # r6-recorded keys;
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    # r7-recorded keys (the previous window), plus the PQ trio
+    # (r5-recorded, bumped for the changed-plan keys; pinned by the
+    # Arrow-parity pytests and the in-window q100 composition in r7).
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
+    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
+    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
+    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
+    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
+    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
+    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
+    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
+    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
+    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
+    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
+    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
+    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
+    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
+    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
+    "q62_decontaminate": (q62_decontaminate, SQL_Q62),
+    "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
+    "q64_mix_weights": (q64_mix_weights, SQL_Q64),
+    "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
+    "q66_mix_apply": (q66_mix_apply, SQL_Q66),
+    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
+    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
+    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
+    "q70_quality_filter": (q70_quality_filter, SQL_Q70),
+    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
+    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
+    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,11 +17,10 @@ def test_registry_shape(spark):
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
-    # rows-only ops are the documented exceptions; each has a strong
-    # cross-check elsewhere (q51/q52 recall gates, q53/q77 LSH parity,
-    # q54 sketch bounds, the exact reference-BPE parity pytest) so
-    # their semantics are still pinned
+    # r8: the last five rows-only keys graduated to full value-hash
+    # oracles — q31/q32 via the md5+affine portable hash families,
+    # q36 via seeded dyadic literal planes, q50 via the q54
+    # bound-gate form, q90 via the unrolled list_reduce merge chain.
+    # EVERY registry key now has a SQL oracle; keep it that way.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q31_dedup_minhash", "q32_dedup_simhash",
-                         "q36_ann_lsh", "q50_sketch_stats",
-                         "q90_bpe_merges"}
+    assert rows_only == set()

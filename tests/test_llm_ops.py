@@ -1871,3 +1871,72 @@ def test_round7_operator_edges(spark):
     ranked = {r["doc_id"]: r["rk"] for r in TX.weighted_sample(
         w, "doc_id", "source", "w", k=3).collect()}
     assert ranked[1] == 1 and set(ranked) == {1, 2, 3}
+
+
+def test_remove_topd_reduces_to_top1_and_orthogonalizes(spark):
+    """r8: rank-D All-but-the-Top. D=1 must be BIT-identical to
+    remove_top1 (same rounding ladder); D=2 residuals must be
+    (numerically) orthogonal to BOTH removed components and the two
+    components near-orthogonal to each other."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # two dominant directions with distinct variances + noise floor
+    x0 = rng.normal(0.0, 6.0, 200)
+    x1 = rng.normal(0.0, 2.5, 200)
+    x2 = rng.normal(0.0, 0.05, 200)
+    rows = [(i, [float(a), float(b), float(c)])
+            for i, (a, b, c) in enumerate(zip(x0, x1, x2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    r1 = {r["vec_id"]: list(r["resid"]) for r in
+          S.remove_top1(df, "vec_id", "embedding", dim=3, iters=4).collect()}
+    rd1 = {r["vec_id"]: list(r["resid"]) for r in
+           S.remove_topd(df, "vec_id", "embedding", dim=3,
+                         n_components=1, iters=4).collect()}
+    assert r1 == rd1  # exact, not approximate
+
+    _proj, comps, _mu = S.pca_power_topd(
+        df, "vec_id", "embedding", dim=3, n_components=2, iters=4)
+    v1, v2 = np.asarray(comps[0]), np.asarray(comps[1])
+    assert abs(float(v1 @ v2)) < 1e-3  # deflation orthogonalizes
+    # the dominant components align with the planted axes
+    assert abs(v1[0]) > 0.99 and abs(v2[1]) > 0.99
+
+    rd2 = {r["vec_id"]: np.asarray(r["resid"]) for r in
+           S.remove_topd(df, "vec_id", "embedding", dim=3,
+                         n_components=2, iters=4).collect()}
+    R = np.stack([rd2[i] for i in range(200)])
+    assert float(np.abs(R @ v1).max()) < 1e-4
+    assert float(np.abs(R @ v2).max()) < 1e-4
+    # with both dominant directions gone, only the noise floor remains
+    assert float(np.abs(R).max()) < 0.5
+
+
+def test_pca_topd_projections_match_numpy_reference(spark):
+    """The q118 operator's projections vs an independent numpy
+    deflation (no shared code path): signs fixed per the v[0] >= 0
+    rule, agreement to the rounding tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(0.0, 1.0, (120, 4)) @ np.diag([5.0, 2.0, 0.3, 0.1])
+    rows = [(i, [float(v) for v in X[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj, comps, mu = S.pca_power_topd(
+        df, "vec_id", "embedding", dim=4, n_components=2, iters=8)
+    got = {r["vec_id"]: (r["pc1_proj"], r["pc2_proj"])
+           for r in proj.collect()}
+
+    C = X - X.mean(axis=0)
+    # reference: exact eigenvectors of the covariance
+    w, V = np.linalg.eigh(C.T @ C)
+    ref1, ref2 = V[:, -1], V[:, -2]
+    for k, ref in ((0, ref1), (1, ref2)):
+        v = np.asarray(comps[k])
+        if ref[0] < 0:
+            ref = -ref
+        assert float(np.abs(v - ref).max()) < 5e-3
+    p1 = C @ np.asarray(comps[0])
+    for i in range(120):
+        assert abs(got[i][0] - p1[i]) < 5e-3

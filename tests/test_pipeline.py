@@ -66,3 +66,39 @@ def test_funnel_contamination_needs_contiguous_overlap(spark):
                 "or some more padding words to clear the length gate")
     got = _funnel(spark, [(30, shuffled, "a")], [(900, EVAL)])
     assert got == {30: "kept"}
+
+
+def test_assemble_training_data_funnel_semantics(spark):
+    """r8: the assembly funnel's cross-stage invariants on a
+    hand-sized corpus — sampling keeps at most k per source, the trim
+    never exceeds the budget, packing preserves the chunked token
+    mass exactly, and epoch addressing multiplies the trimmed mass by
+    the epoch count."""
+    rows = []
+    for s, src in enumerate(("web", "code")):
+        for i in range(12):
+            did = s * 1000 + i
+            words = " ".join(
+                f"w{did}x{j} the of and to in is" for j in range(3 + i)
+            )
+            rows.append((did, src, words))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = P.assemble_training_data(
+        docs, "text", "doc_id", "source", k_per_source=5,
+        budget_tokens=150, chunk_tokens=8, overlap=2, capacity=16,
+        num_shards=4, epochs=3,
+    )
+    got = {(r["source"], r["stage"]): (r["n_units"], r["n_tokens"])
+           for r in out.collect()}
+    for src in ("web", "code"):
+        assert got[(src, "corpus")][0] == 12
+        assert got[(src, "sampled")][0] == 5          # exactly k
+        assert got[(src, "trimmed")][1] <= 150        # budget honored
+        assert got[(src, "trimmed")][0] <= 5
+        # packing preserves the chunked token mass
+        assert got[(src, "packed")][1] == got[(src, "chunked")][1]
+        # chunking with overlap never loses tokens
+        assert got[(src, "chunked")][1] >= got[(src, "trimmed")][1]
+        # epoch addressing: exactly epochs x trimmed
+        assert got[(src, "shuffled")][0] == 3 * got[(src, "trimmed")][0]
+        assert got[(src, "shuffled")][1] == 3 * got[(src, "trimmed")][1]

@@ -1404,3 +1404,96 @@ def test_decode_luminance_does_not_leak_reducer():
 
     MM.real_decode(ppm, "image", reducer=probe)
     assert seen["shape"] == (12, 16) and seen["inner_len"] == 8
+
+
+def test_phash_dup_pairs_caps_hot_band_buckets(spark):
+    """r8 scale fix: a band value shared by the whole corpus (solid
+    cards, logo frames) must not generate a quadratic bucket. 200
+    hashes share bands 0 and 2-7 exactly (all zero) while band 1 is
+    unique per image; with the max_df cap the hot bands are dropped
+    from candidate generation and only the genuinely-near pair (its
+    band values have df=2) survives."""
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    rows = [(i, i << 8) for i in range(200)]  # band1 unique; rest hot 0
+    # exact dup pair; band1 byte 0xFF > 199 so it collides with no id
+    dup = 0x7EADBEEFCAFEFFAA
+    rows += [(2000, dup), (2001, dup)]
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+
+    # cap off, hamming unrestricted: the hot zero bands go quadratic
+    uncapped = MM.phash_dup_pairs(hashes, max_hamming=64, max_df=None)
+    assert uncapped.count() >= 199 * 200 // 2
+    # cap on: the hot band is excluded, candidate work collapses to the
+    # planted pair (which shares 7 other, uncapped bands)
+    capped = MM.phash_dup_pairs(hashes, max_hamming=64, max_df=50)
+    got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    assert got == [(2000, 2001)]
+    # default threshold + cap still finds the true duplicate
+    dflt = {(r["id_a"], r["id_b"]) for r in
+            MM.phash_dup_pairs(hashes, max_df=50).collect()}
+    assert (2000, 2001) in dflt
+
+
+def test_video_phash_dup_pairs_caps_hot_frames(spark):
+    """r8 scale fix: a boilerplate frame (black frame / intro slate)
+    shared by 10^3 videos must not make its hash bucket quadratic.
+    Containment denominators are computed BEFORE the cap, so scores
+    only decrease — the re-cut true copy still scores 1.0 through its
+    unique frames."""
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    BLACK = 42  # the boilerplate frame hash every video shares
+    rows = []
+    for v in range(1000):
+        rows += [(v, 0, 3, BLACK), (v, 1, 3, 10_000 + 2 * v),
+                 (v, 2, 3, 10_001 + 2 * v)]
+    # a re-cut copy of video 7: subset of its unique frames
+    rows += [(5000, 0, 2, 10_014), (5000, 1, 2, BLACK)]
+    fh = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, n_frames int, phash long")
+
+    # cap off, threshold 0: the BLACK bucket alone yields ~500k pairs
+    uncapped = MM.video_phash_dup_pairs(fh, min_containment=0.0,
+                                        max_df=None)
+    assert uncapped.count() > 400_000
+    capped = MM.video_phash_dup_pairs(fh, min_containment=0.5, max_df=50)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in capped.collect()}
+    # the true re-cut copy survives at containment 1/2 (its BLACK frame
+    # no longer counts as shared, denominator still 2 — only decreases)
+    assert got == {(7, 5000): 0.5}
+
+
+def test_image_phash_bit_exact_with_corrupt_row_in_batch(spark):
+    """r8 (caught by the q117 oracle): a corrupt row sharing the
+    pandas batch coerced the int64 hash column to float64, silently
+    zeroing the low bits of every hash above 2^53. The kernel now
+    emits nullable Int64 — the distributed hash must equal the
+    driver-side computation BIT-exactly."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+
+    g = ((np.arange(40 * 48).reshape(40, 48) * 7) % 256).astype(np.uint8)
+    g[5:15, 8:20] = 240
+    px = np.stack([g] * 3, axis=2)
+    ppm = b"P6\n48 40\n255\n" + px.tobytes()
+    _w, _h, lum = MM.decode_luminance(ppm)
+    expect = MM._phash64(lum)
+    assert abs(expect) > 2**53  # the magnitude where float64 truncates
+
+    media = spark.createDataFrame(
+        [(1, "image", None, ppm, {}),
+         (2, "image", None, b"\x89PNG\r\n\x1a\njunk", {})],
+        MM.MEDIA_SCHEMA,
+    ).coalesce(1)  # force one Arrow batch containing the corrupt row
+    got = {r["media_id"]: r["phash"] for r in MM.image_phash(media).collect()}
+    assert got[1] == expect and got[2] is None
+
+    # video path: marker row in-batch must not corrupt frame hashes
+    vid = spark.createDataFrame(
+        [(1, "video", None, ppm, {}), (2, "video", None, b"   ", {})],
+        MM.MEDIA_SCHEMA,
+    ).coalesce(1)
+    vrows = {r["media_id"]: r["phash"] for r in MM.video_phash(vid).collect()}
+    assert vrows[1] == expect and vrows[2] is None
