@@ -3053,42 +3053,41 @@ def q50_sketch_stats(spark, sf_dir):
     their documented bounds (booleans the oracle expects true). The
     raw estimates are engine-internal by design; this was the last
     reason the key was rows-only, and the bound-gate form retires it
-    while still executing every sketch."""
-    from .operators import sketches as SKC
+    while still executing every sketch.
+
+    TWO aggregation passes (distinct-keyed and value-keyed) joined on
+    the tiny group key: mixing countDistinct with the buffering
+    percentile in ONE agg makes Catalyst expand every row for the
+    distinct path and drop the whole thing out of hash aggregation
+    (measured 4.8 s vs 1.0 s for the split at sf0.1); five separate
+    aggregations (the first r8 form) cost 5 scans + a
+    distributed-rank sort. The exact `percentile` buffers each
+    group's values — the documented trade this query's KLL twin
+    exists for; at scales where a group outgrows an executor, anchor
+    on q03's distributed-rank percentiles instead."""
+    from .util import shard_hash
 
     ev = _t(spark, sf_dir, "events")
-    exact = ev.groupBy("event_type").agg(
+    dist = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact_distinct"),
+        F.approx_count_distinct("user_id", 0.05).alias("_hll"),
+        F.sum(
+            F.when(shard_hash(F.col("user_id"), 100) < 10, 1).otherwise(0)
+        ).cast("bigint").alias("n_sampled_rows"),
     )
-    med = (
-        ST.percentiles(ev, "value", ["event_type"], probs=(0.5,))
-        .select("event_type", F.col("p50").alias("exact_p50"))
+    med = ev.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_ap50"),
     )
-    samp = (
-        SKC.hash_sample(ev, "user_id", percent=10, portable=True)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled_rows"))
-    )
-    approx = SKC.approx_distinct(ev, "user_id", ["event_type"])
-    aq = SKC.approx_percentiles(ev, "value", ["event_type"], probs=(0.5,))
-    hll_col = [c for c in approx.columns if c != "event_type"][0]
-    ap50_col = [c for c in aq.columns if c != "event_type"][0]
-    joined = (
-        exact.join(med, "event_type")
-        .join(samp, "event_type", "left")
-        .join(approx, "event_type")
-        .join(aq, "event_type")
-    )
-    return joined.select(
-        "event_type", "n_exact_distinct", "exact_p50",
-        F.coalesce(F.col("n_sampled_rows"), F.lit(0)).cast("bigint")
-        .alias("n_sampled_rows"),
+    agg = dist.join(med, "event_type")
+    return agg.select(
+        "event_type", "n_exact_distinct", "exact_p50", "n_sampled_rows",
         (
-            F.abs(F.col(hll_col) - F.col("n_exact_distinct"))
+            F.abs(F.col("_hll") - F.col("n_exact_distinct"))
             <= 0.15 * F.col("n_exact_distinct")
         ).alias("hll_ok"),
         (
-            F.abs(F.col(ap50_col) - F.col("exact_p50"))
+            F.abs(F.col("_ap50") - F.col("exact_p50"))
             <= 0.10 * F.abs(F.col("exact_p50"))
         ).alias("p50_ok"),
     )

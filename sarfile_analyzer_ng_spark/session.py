@@ -48,7 +48,12 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] makes the driver double as the executor: 32 task
+        # threads + session-lived memo caches + Arrow buffers inside
+        # one heap. 8g measured ~+50% wall late in a 120-query bench
+        # session (GC pressure inflating unrelated queries); the host
+        # has 128 GiB — give the JVM room.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     # getOrCreate silently IGNORES builder configs when a session
