@@ -121,3 +121,51 @@ def logreg_score(df: DataFrame, feature_cols: list[str],
             "pred": (rnd(p, round_to) >= 0.5).cast("int"),
         }
     )
+
+
+def calibration_report(scored: DataFrame, p_col: str = "p_good",
+                       label_col: str = "label", bins: int = 10,
+                       round_to: int = 4) -> DataFrame:
+    """Classifier reliability table — the check a curator runs BEFORE
+    trusting a quality classifier's threshold (Guo et al. 2017, "On
+    Calibration of Modern Neural Networks", here for the logreg
+    filter): bucket documents by predicted probability and compare
+    each bucket's mean prediction against its observed label rate.
+    A well-calibrated filter has gap ≈ 0 everywhere; a bucket where
+    predictions say 0.8 but only 0.5 of documents are actually good
+    means the keep-threshold silently admits junk.
+
+    Returns ``(bin, n, mean_p, frac_good, gap)``. Bins are fixed-width
+    over the OBSERVED score range (min/max from one exact
+    map-combinable agg, broadcast back; bin = floor((p−min)/span·bins)
+    clipped) — a shallow model's scores can occupy a narrow band
+    (measured 0.007 wide on the gate corpus), where absolute-[0,1]
+    bins collapse the whole report into one row. Range-adaptive bins
+    keep the table informative at any score spread while staying
+    embarrassingly parallel AND oracle-replayable (min/max are exact
+    passthrough values; both engines floor identical doubles). No
+    ntile, no global sort — two linear passes."""
+    ext = scored.agg(
+        F.min(F.col(p_col)).alias("_pmin"),
+        F.max(F.col(p_col)).alias("_pmax"),
+    )
+    span = F.col("_pmax") - F.col("_pmin")
+    b = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(p_col) - F.col("_pmin")) / span * bins),
+            F.lit(bins - 1),
+        )
+    ).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(ext))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd(F.avg(p_col), round_to).alias("mean_p"),
+            rnd(F.avg(F.col(label_col).cast("double")), round_to)
+            .alias("frac_good"),
+        )
+        .withColumn(
+            "gap", rnd(F.col("mean_p") - F.col("frac_good"), round_to)
+        )
+    )

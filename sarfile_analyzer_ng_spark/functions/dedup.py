@@ -270,6 +270,37 @@ def minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def portable_band_keys(sig_col: str, num_hashes: int, bands: int) -> Column:
+    """LSH band keys for the portable family: the PLAIN string of each
+    contiguous signature slice prefixed by the band index — no hash,
+    so the key replays verbatim in SQL ('b_h1_h2...')."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(str(b)),
+                *[F.element_at(sig_col, b * rows + r + 1).cast("string")
+                  for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def sig_agreement(sig_a, sig_b, num_hashes: int) -> Column:
+    """Estimated jaccard from signature agreement — the matching
+    fraction of two equal-length signatures, rounded at 4."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sig_a, sig_b,
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(num_hashes)),
+        4,
+    )
+
+
 def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
                                shingle_n: int = 3, num_hashes: int = 32,
                                bands: int = 16) -> DataFrame:
@@ -279,20 +310,12 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
     SQL-replayable: band keys are the PLAIN string of the slice (no
     hash — the join key shuffles on the string) and est_jaccard is
     the exact matching fraction of the portable signatures."""
-    rows = num_hashes // bands
     sig = minhash_signatures_portable(df, text_col, id_col, shingle_n,
                                       num_hashes)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", F.lit(str(b)),
-                *[F.element_at("sig", b * rows + r + 1).cast("string")
-                  for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
+    banded = sig.select(
+        "doc", "sig",
+        F.explode(portable_band_keys("sig", num_hashes, bands)).alias("band"),
     )
-    banded = sig.select("doc", "sig", F.explode(band_keys).alias("band"))
     banded = banded.cache()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -301,20 +324,69 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("a.sig"), F.col("b.sig"),
-                               lambda x, y: F.when(x == y, 1).otherwise(0)),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double") / F.lit(float(num_hashes)),
-                4,
-            ).alias("est_jaccard"),
+            sig_agreement(F.col("a.sig"), F.col("b.sig"),
+                          num_hashes).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     pairs._cached_inputs = [banded]  # see release()
     return pairs
+
+
+def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
+                          id_col: str, shingle_n: int = 3,
+                          num_hashes: int = 32, bands: int = 16,
+                          threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate screening of a NEW batch against an EXISTING
+    corpus — the near-dup sibling of the exact anti-join (q49): a
+    fresh crawl must be deduplicated against everything already
+    ingested WITHOUT re-pairing the reference corpus with itself.
+    MinHash banding (the portable md5+affine family, so the whole
+    verdict frame is SQL-replayable) generates batch×ref candidates:
+    the join is batch-bands ⨝ ref-bands — candidate work is bounded by
+    the BATCH's bucket contacts, never |ref|² — and each batch
+    document reduces to (candidate count, max estimated jaccard,
+    verdict) via one map-combinable agg. Every batch document gets a
+    row (no candidates → 0 / 0.0 / kept).
+
+    Shape at scale: reference signatures are a linear scan of the
+    corpus ONCE (production persists them next to the corpus —
+    (doc, 32 longs) is a few GB per billion docs); the band join
+    shuffles on uniform string keys; nothing quadratic anywhere.
+    """
+    sig_b = minhash_signatures_portable(batch, text_col, id_col,
+                                        shingle_n, num_hashes)
+    sig_r = minhash_signatures_portable(ref, text_col, id_col,
+                                        shingle_n, num_hashes)
+    keys = portable_band_keys("sig", num_hashes, bands)
+    bb = sig_b.select(F.col("doc").alias("bid"), F.col("sig").alias("bsig"),
+                      F.explode(keys).alias("band"))
+    rb = sig_r.select(F.col("doc").alias("rid"), F.col("sig").alias("rsig"),
+                      F.explode(keys).alias("band"))
+    cands = (
+        bb.join(rb, "band")
+        .select("bid", "rid", "bsig", "rsig")
+        .dropDuplicates(["bid", "rid"])
+        .select("bid", sig_agreement(F.col("bsig"), F.col("rsig"),
+                                     num_hashes).alias("est"))
+    )
+    per = cands.groupBy("bid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.max("est").alias("max_est_jaccard"),
+    )
+    ids = batch.select(F.col(id_col).alias("bid"))
+    return (
+        ids.join(per, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("max_est_jaccard", F.lit(0.0))
+            .alias("max_est_jaccard"),
+            (F.coalesce("max_est_jaccard", F.lit(0.0)) >= threshold)
+            .cast("int").alias("is_dup"),
+        )
+    )
 
 
 def simhash32_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

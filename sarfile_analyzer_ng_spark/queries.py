@@ -4609,6 +4609,159 @@ FROM feat f, w{iters} w""")
 SQL_Q104 = _sql_logreg()
 
 
+CAL_BINS = 10
+
+
+def q120_classifier_calibration(spark, sf_dir):
+    """Classifier reliability table (functions/classify.py:
+    calibration_report, r8): the q104 classifier's predictions
+    bucketed by fixed-width probability bins, each bucket's mean
+    prediction vs observed label rate — the calibration check a
+    curator runs before trusting the keep-threshold. Composes the
+    fully-oracled training chain with one map-combinable aggregation;
+    no ntile, no global sort."""
+    from .functions import classify as C
+
+    feats = _qc_features(spark, sf_dir)
+    w = C.logreg_train(feats, QC_FEATURES, "label",
+                       iters=QC_ITERS, lr=QC_LR)
+    scored = C.logreg_score(feats, QC_FEATURES, w)
+    return C.calibration_report(scored, bins=CAL_BINS)
+
+
+def _sql_calibration(bins: int = CAL_BINS) -> str:
+    """q104's unrolled gradient chain, final SELECT swapped for the
+    fixed-width-bin reliability aggregation."""
+    base = _sql_logreg()
+    head = base[: base.rindex("\nSELECT")]
+    z = ("w.w0 * 1.0 + w.w1 * f.x1 + "
+         "w.w2 * f.x2 + w.w3 * f.x3 + "
+         "w.w4 * f.x4")
+    final_sig = sql_rnd(
+        f"1.0 / (1.0 + exp(-({sql_rnd(z, 8)})))", 8
+    )
+    return (
+        head
+        + f""",
+scored AS (
+  SELECT f.y, {sql_rnd(final_sig, 4)} AS p FROM feat f, w{QC_ITERS} w),
+ext AS (SELECT min(p) AS pmin, max(p) AS pmax FROM scored),
+binned AS (
+  SELECT (CASE WHEN e.pmax - e.pmin <= 0 THEN 0
+               ELSE least(floor((s.p - e.pmin) / (e.pmax - e.pmin)
+                                * {bins}), {bins - 1}) END)::BIGINT AS bin,
+         count(*)::BIGINT AS n,
+         {sql_rnd('avg(s.p)', 4)} AS mean_p,
+         {sql_rnd('avg(s.y)', 4)} AS frac_good
+  FROM scored s, ext e GROUP BY 1)
+SELECT bin, n, mean_p, frac_good,
+       {sql_rnd('mean_p - frac_good', 4)} AS gap
+FROM binned
+"""
+    )
+
+
+SQL_Q120 = _sql_calibration()
+
+
+def q121_incremental_near_dups(spark, sf_dir):
+    """Incremental near-dup screening (functions/dedup.py:
+    incremental_near_dups, r8): a NEW batch — half genuinely-new
+    documents (reversed text: zero shared shingles), half near-dup
+    re-crawls of existing corpus documents — screened against the
+    EXISTING corpus with portable-family MinHash banding. The near-dup
+    sibling of q49's exact anti-join: batch-bands ⨝ ref-bands, never
+    |ref|²; every batch document gets an auditable (candidates,
+    max est jaccard, verdict) row, all value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.select(
+        (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 3 * PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz"),
+                     (F.col("doc_id") % 97).cast("string")).alias("text"),
+        )
+    )
+    return D.incremental_near_dups(
+        batch, docs, "text", "doc_id",
+        num_hashes=MINHASH_PORT_HASHES, bands=MINHASH_PORT_BANDS,
+    )
+
+
+def _sql_portable_side(side: str, corpus_cte: str) -> str:
+    """Per-side shingle→fp→signature→band CTE chain of the portable
+    MinHash family (the q31 machinery, parameterized by side)."""
+    params = D.affine_params(MINHASH_PORT_HASHES)
+    rows = MINHASH_PORT_HASHES // MINHASH_PORT_BANDS
+    hcols = ",\n         ".join(
+        f"min((fp * {a} + {b}) % {D.PORTABLE_P})::BIGINT AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows))
+        for b in range(MINHASH_PORT_BANDS)
+    )
+    hlist = ", ".join(f"h{i}" for i in range(MINHASH_PORT_HASHES))
+    return f"""
+w{side} AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM {corpus_cte}),
+sh{side} AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM w{side} WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle
+    FROM w{side} WHERE len(w) < 3)),
+fp{side} AS (
+  SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS fp
+  FROM sh{side}),
+sig{side} AS (SELECT doc, {hcols}
+        FROM fp{side} GROUP BY doc),
+band{side} AS (SELECT doc, {hlist}, unnest([{band_exprs}]) AS band
+               FROM sig{side})"""
+
+
+def _sql_incremental_near_dups() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN b.h{i} = r.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PORT_HASHES)
+    )
+    est = sql_rnd(f"({match_sum})::DOUBLE / {MINHASH_PORT_HASHES}", 4)
+    return f"""
+WITH ref AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id, reverse(text) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {3 * PLANT_OFFSET} AS doc_id,
+         text || ' zz' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents),
+{_sql_portable_side('b', 'batch')},
+{_sql_portable_side('r', 'ref')},
+cand AS (
+  SELECT DISTINCT b.doc AS bid, r.doc AS rid, {est} AS est
+  FROM bandb b JOIN bandr r ON b.band = r.band),
+per AS (
+  SELECT bid, count(*)::BIGINT AS n_candidates,
+         max(est) AS max_est_jaccard
+  FROM cand GROUP BY bid)
+SELECT batch.doc_id,
+       coalesce(per.n_candidates, 0)::BIGINT AS n_candidates,
+       coalesce(per.max_est_jaccard, 0.0) AS max_est_jaccard,
+       (CASE WHEN coalesce(per.max_est_jaccard, 0.0) >= 0.5
+             THEN 1 ELSE 0 END)::INTEGER AS is_dup
+FROM batch LEFT JOIN per ON per.bid = batch.doc_id
+"""
+
+
+SQL_Q121 = _sql_incremental_near_dups()
+
+
 PHASH_MAX_HAMMING = 7
 PHASH_MAX_DF = 10_000
 
@@ -4795,6 +4948,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
+    "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
+    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
     "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
     "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
@@ -4841,8 +4996,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q92_eval_containment": (q92_eval_containment, SQL_Q92),
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
     # changed-plan keys this round (policy: changed => window):
     # q51 consumes the portable minhash memo, q56 takes its
     # candidates from it, q111 moved to the 64/32 banding
@@ -4872,6 +5025,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    # r5-recorded LM/dedup pair bumped for the r8 additions (both
+    # pytest-pinned: bigram backoff ordering tests, keep-best flip
+    # test; they lead the r9 window)
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
     # r7-recorded keys (the previous window), plus the PQ trio
     # (r5-recorded, bumped for the changed-plan keys; pinned by the
     # Arrow-parity pytests and the in-window q100 composition in r7).

@@ -369,9 +369,21 @@ def section_wide(df: DataFrame, section: str,
     if metrics is None and " ".join(section.split()) in _known_header_set():
         metrics = section.split()
     if metrics is None:
-        metrics = sorted(
-            r["metric"] for r in sect.select("metric").distinct().collect()
+        # guarded driver-side seed job (r7 VERDICT note): a sar section
+        # has at most a few dozen metric columns, so a cardinality past
+        # this bound means a malformed/adversarial input — refuse to
+        # build a 10k-column pivot instead of OOMing the driver
+        cap = 1024
+        rows = (
+            sect.select("metric").distinct().limit(cap + 1).collect()
         )
+        if len(rows) > cap:
+            raise ValueError(
+                f"section_wide({section!r}): metric cardinality exceeds "
+                f"{cap} — not a sar-shaped section; pass an explicit "
+                "`metrics` list to pivot a subset"
+            )
+        metrics = sorted(r["metric"] for r in rows)
     return (
         sect.groupBy("file", "host", "ts", "device")
         .pivot("metric", metrics)

@@ -610,3 +610,74 @@ def duplicated_grams_stream(stream: DataFrame, text_col: str, id_col: str,
     return exploded.groupBy(F.col("h")).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
     )
+
+
+PHASH_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_dedup_stream(stream: DataFrame, ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming perceptual-hash image dedup (ST16): the ingest-side
+    twin of the batch pHash family (Z64/q117) — a RE-ENCODED copy of
+    an already-seen image (same pixels as PNG vs BMP vs netpbm, so an
+    IDENTICAL 64-bit pHash by construction) is dropped before it ever
+    lands in storage, exactly like ST5 drops exact text duplicates.
+
+    The hash stage is the EXACT batch decode path (decode_luminance →
+    _phash64 — one shared implementation, so stream and batch verdicts
+    cannot drift), run as a stateless Arrow map that passes the event
+    time through; then ``dropDuplicatesWithinWatermark`` keyed on the
+    hash keeps the first arrival per pHash with watermark-bounded
+    state (one long per distinct image inside the horizon). Corrupt
+    payloads hash to NULL and are keyed by their own media_id instead
+    — audit rows must never dedup against EACH OTHER. Emits
+    ``(media_id, ts, phash)`` survivors.
+
+    Near-dup (hamming > 0) streaming dedup is deliberately out of
+    scope here: it needs the banded-candidate state machine (the ST7
+    anchored-star pattern over 8-bit bands); exact-pHash already
+    catches the dominant ingest duplicate class (re-encodes and
+    re-uploads), and the batch pair join handles the rest offline.
+    """
+    import pandas as pd
+
+    from ..functions.multimodal import _phash64, decode_luminance
+
+    def kernel(it):
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                try:
+                    _w, _h, lum = decode_luminance(bytes(payload))
+                    hashes.append(_phash64(lum))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf["media_id"], dtype="int64"),
+                    "ts": pdf[ts_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    hashed = stream.select("media_id", ts_col, "payload").mapInPandas(
+        kernel, PHASH_STREAM_SCHEMA
+    )
+    keyed = hashed.withColumn(
+        "_k",
+        F.coalesce(
+            F.col("phash").cast("string"),
+            F.concat(F.lit("corrupt_"), F.col("media_id").cast("string")),
+        ),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_k"])
+        .drop("_k")
+    )

@@ -1940,3 +1940,58 @@ def test_pca_topd_projections_match_numpy_reference(spark):
     p1 = C @ np.asarray(comps[0])
     for i in range(120):
         assert abs(got[i][0] - p1[i]) < 5e-3
+
+
+def test_calibration_report_separates_good_and_bad_calibration(spark):
+    """r8: the reliability table must read ~zero gap for a perfectly
+    calibrated scorer (label rate equals the prediction inside every
+    bucket) and a large gap for an anti-calibrated one; bins adapt to
+    the OBSERVED score range; a constant scorer degenerates to one
+    bin instead of dividing by zero."""
+    import numpy as np
+
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    rng = np.random.default_rng(3)
+    ps = rng.uniform(0.41, 0.59, 2000)  # narrow band: adaptive bins matter
+    good = (rng.uniform(0, 1, 2000) < ps).astype(int)       # calibrated
+    rows = [(i, float(p), int(y)) for i, (p, y) in enumerate(zip(ps, good))]
+    df = spark.createDataFrame(rows, "doc_id long, p_good double, label int")
+    rep = {r["bin"]: r for r in C.calibration_report(df).collect()}
+    assert len(rep) == 10                       # range-adaptive: all bins live
+    assert all(abs(r["gap"]) < 0.12 for r in rep.values())
+    assert sum(r["n"] for r in rep.values()) == 2000
+
+    anti = df.withColumn("label", (1 - F.col("label")).cast("int"))
+    rep2 = C.calibration_report(anti).collect()
+    # anti-calibrated gap = 2p-1, so the extreme bins read ~0.17
+    assert max(abs(r["gap"]) for r in rep2) > 0.15
+
+    const = df.withColumn("p_good", F.lit(0.5))
+    rep3 = C.calibration_report(const).collect()
+    assert len(rep3) == 1 and rep3[0]["bin"] == 0
+
+
+def test_incremental_near_dups_screens_batch_against_ref(spark):
+    """r8: the near-dup sibling of the exact anti-join — a new batch
+    screened against an existing corpus. A light edit of a ref doc is
+    flagged with its candidate visible; unrelated text passes with
+    zero candidates; an exact copy maxes the estimate; the ref corpus
+    itself is never self-paired (verdicts exist only for batch ids)."""
+    ref_rows = [(i, f"reference document number {i} about the quick brown "
+                    f"fox and topic {i % 5} with several shared words")
+                for i in range(20)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    batch_rows = [
+        (100, ref_rows[3][1]),                       # exact copy
+        (101, ref_rows[7][1] + " extra token"),      # near-dup
+        (102, "completely unrelated payload regarding submarine "
+              "acoustics and sonar arrays in deep water"),
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.incremental_near_dups(batch, ref, "text", "doc_id").collect()}
+    assert set(out) == {100, 101, 102}
+    assert out[100]["is_dup"] == 1 and out[100]["max_est_jaccard"] == 1.0
+    assert out[101]["is_dup"] == 1 and out[101]["n_candidates"] >= 1
+    assert out[102]["is_dup"] == 0 and out[102]["n_candidates"] == 0

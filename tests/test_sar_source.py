@@ -207,3 +207,26 @@ def test_section_wide_explicit_metrics_skips_seed_job(spark, tmp_path):
     assert [c for c in wide.columns if c.startswith("%")] == ["%idle", "%system", "%user"]
     assert rows and rows[0]["%user"] is not None
     df.unpersist()
+
+
+def test_section_wide_fallback_caps_metric_cardinality(spark):
+    """r8 (r7 VERDICT low item): the driver-side distinct fallback in
+    section_wide must refuse a pathological metric cardinality instead
+    of building a 10k-column pivot."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarfile_analyzer_ng_spark.sources.sar_text import section_wide
+
+    rows = [("f", "h", "2024-01-01 00:00:00", "weird", f"m{i}", float(i), False)
+            for i in range(1500)]
+    df = spark.createDataFrame(
+        rows,
+        "file string, host string, ts string, device string, "
+        "metric string, value double, restart boolean",
+    ).withColumn("section", F.lit("weird"))
+    with pytest.raises(ValueError, match="cardinality exceeds"):
+        section_wide(df, "weird")
+    # explicit metric list bypasses the seed job entirely
+    out = section_wide(df, "weird", metrics=["m1", "m2"])
+    assert set(out.columns) >= {"m1", "m2"}

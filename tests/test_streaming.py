@@ -887,3 +887,76 @@ def test_seasonal_scoring_runs_unchanged_on_stream(spark, tmp_path):
     got = {r["event_id"]: (r["hour"], r["season_z"]) for r in
            spark.table("seasonal_stream_test").collect()}
     assert got == want
+
+
+def test_image_dedup_stream_drops_reencoded_copies(spark, tmp_path):
+    """ST16: streaming pHash dedup — a PNG/BMP re-encode of an image
+    seen in an EARLIER micro-batch (identical pixels, identical
+    64-bit pHash by construction) is dropped; distinct images pass;
+    corrupt payloads never dedup against each other. Survivor pHash
+    set must equal the batch keep-first rule."""
+    import os
+
+    import pandas as pd
+
+    from tools.gen_media import _lcg_image, encode_bmp, encode_png, encode_ppm
+
+    base0, base1, base2 = _lcg_image(1), _lcg_image(2), _lcg_image(3)
+    t0 = 1_700_000_000
+    chunk0 = [
+        (1, t0 + 1, encode_ppm(base0)),
+        (2, t0 + 2, encode_ppm(base1)),
+        (3, t0 + 3, b"\x89PNG\r\n\x1a\njunk"),       # corrupt
+    ]
+    chunk1 = [
+        (10, t0 + 60, encode_png(base0)),            # re-encode of 1 -> drop
+        (11, t0 + 61, encode_bmp(base1)),            # re-encode of 2 -> drop
+        (12, t0 + 62, encode_ppm(base2)),            # genuinely new -> keep
+        (13, t0 + 63, b"\x89PNG\r\n\x1a\njunk2"),    # corrupt -> keep
+    ]
+    src = str(tmp_path / "media_src")
+    os.makedirs(src)
+    for i, rows in enumerate((chunk0, chunk1)):
+        pdf = pd.DataFrame(
+            {
+                "media_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s",
+                                     utc=True),
+                "payload": [r[2] for r in rows],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.image_dedup_stream(stream, "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("img_dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["media_id"]: r["phash"] for r in
+           spark.table("img_dedup_stream").collect()}
+
+    # survivors: first arrival per hash + every corrupt audit row
+    assert set(got) == {1, 2, 3, 12, 13}
+    assert got[3] is None and got[13] is None
+    # batch twin on the same files: keep-first per pHash
+    from sarfile_analyzer_ng_spark.functions import multimodal as MM
+    from sarfile_analyzer_ng_spark.functions.dedup import exact_dedup
+
+    media = spark.read.parquet(src).withColumnRenamed("payload", "payload")
+    hashes = MM.image_phash(media, payload_col="payload")
+    batch_kept = exact_dedup(
+        hashes.where(F.col("phash").isNotNull())
+        .withColumn("h", F.col("phash").cast("string")),
+        "h", "media_id",
+    )
+    assert ({r["phash"] for r in batch_kept.collect()}
+            == {v for v in got.values() if v is not None})
