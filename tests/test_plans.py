@@ -452,3 +452,72 @@ def test_pca_iteration_model_rides_as_literals(spark):
     p = plan(proj)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p      # model is literal, not a joined frame
+
+
+def test_r8_portable_dedup_stays_jvm_side(spark):
+    """The portable md5+affine MinHash/SimHash pipelines (q31/q32)
+    must stay whole-stage-codegen JVM paths — no Python anywhere —
+    and q32's banding must not smuggle in a window sort."""
+    from sarfile_analyzer_ng_spark.queries import (
+        q31_dedup_minhash,
+        q32_dedup_simhash,
+    )
+
+    for fn in (q31_dedup_minhash, q32_dedup_simhash):
+        p = plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            fn.__name__
+        )
+    assert "Window" not in plan(q32_dedup_simhash(spark, SF_DIR))
+
+
+def test_assembly_funnel_broadcasts_narrow_frames_no_python(spark):
+    """q119: the end-to-end assembly is one Catalyst plan — pure JVM
+    (every stage is built-ins), the per-source threshold/extent
+    frames broadcast, and the packing window partitions by shard."""
+    import re
+
+    from sarfile_analyzer_ng_spark.queries import q119_training_assembly
+
+    p = plan(q119_training_assembly(spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # the pack stage's running sum partitions by shard, the sample and
+    # trim windows by source — never an unpartitioned global window
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert wins and all(spec.strip() for spec in wins), p[:500]
+
+
+def test_calibration_report_no_sort_no_python(spark):
+    """q120: reliability bins are fixed-width over the observed range
+    — a map + two aggregations; no ntile, no global sort, the 1-row
+    extent frame broadcast (BroadcastNestedLoopJoin on a 1-row side
+    is the cross join's cheapest legal shape)."""
+    from sarfile_analyzer_ng_spark.queries import (
+        q120_classifier_calibration,
+    )
+
+    p = plan(q120_classifier_calibration(spark, SF_DIR))
+    assert "Window" not in p
+    assert "ntile" not in p.lower()
+
+
+def test_incremental_near_dups_no_cartesian_no_python(spark):
+    """q121: the batch x ref screen must join on band keys — never a
+    cartesian product — and stay JVM-side end to end."""
+    from sarfile_analyzer_ng_spark.queries import (
+        q121_incremental_near_dups,
+    )
+
+    p = plan(q121_incremental_near_dups(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_image_dup_pairs_hot_band_droplist_broadcasts(spark):
+    """q117: the max_df hot-band drop list must broadcast into a
+    left-anti join (a bounded list, never a shuffled side)."""
+    from sarfile_analyzer_ng_spark.queries import q117_image_dup_pairs
+
+    p = plan(q117_image_dup_pairs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
