@@ -902,6 +902,17 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
             (F.col("span_start") + F.col("span_tokens")).alias("cut_end"),
         )
     )
+    return _cut_ranges_and_rebuild(df, text_col, id_col, cut)
+
+
+def _cut_ranges_and_rebuild(df: DataFrame, text_col: str, id_col: str,
+                            cut: DataFrame) -> DataFrame:
+    """Shared APPLY tail of the span cutters (ExactSubstr q107 and the
+    span decontaminator): anti-join tokens against the per-doc cut
+    ranges ``(doc, cut_start, cut_end)``, rebuild the surviving text
+    in position order, report kept/cut counts. One doc-keyed
+    anti-join + one doc-keyed rebuild agg — linear, nothing
+    driver-side."""
     toks = _fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
@@ -944,6 +955,67 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
             .alias("n_spans_cut"),
         )
     )
+
+
+def decontaminate_spans(train: DataFrame, eval_df: DataFrame,
+                        text_col: str, id_col: str,
+                        k: int = 8, min_tokens: int = 16) -> DataFrame:
+    """SURGICAL train/eval decontamination: cut every verbatim run of
+    ≥ ``min_tokens`` words shared with the eval suite OUT of the
+    training text, keeping the rest of the document — the middle
+    ground the binary operators miss (q62/q81 DROP whole documents; a
+    99%-clean document with one embedded eval question should lose
+    the question, not the document). This is the cross-corpus
+    ExactSubstr apply: Lee et al. 2022's cut rule with the eval suite
+    as the reference side, and the standard surgical variant of
+    GPT-3 appendix-C decontamination.
+
+    Same stride-1 ``k``-gram machinery as q106/q107: a shared run of
+    length L ≥ k matches all its L−k+1 consecutive grams, so
+    sessionizing consecutive matching positions per train doc
+    recovers the maximal leaked span. UNLIKE q107 there is no keeper
+    — eval text must survive NOWHERE in train — so every qualifying
+    span is cut.
+
+    Shape at scale: the eval suite's distinct gram-hash set is
+    bounded (eval ≪ train) and BROADCASTS (the q62/q81 contract);
+    the train scan streams through one broadcast semi-join, then the
+    doc-keyed sessionize windows and the shared cut/rebuild tail —
+    linear in train tokens, nothing quadratic, nothing driver-side.
+
+    Output: ``(id, text_clean, n_tokens_kept, n_cut_tokens,
+    n_spans_cut)`` for EVERY train document (clean docs pass through
+    with zero cuts).
+    """
+    ev = (
+        _pos_gram_hashes(eval_df, text_col, id_col, k)
+        .select("h")
+        .distinct()
+    )
+    hashed = _pos_gram_hashes(train, text_col, id_col, k)
+    dup = hashed.join(F.broadcast(ev), "h", "left_semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = dup.select(
+        "doc", "pos",
+        F.when(F.col("pos") == F.lag("pos").over(w) + 1, 0)
+        .otherwise(1)
+        .alias("new_run"),
+    ).withColumn(
+        "run",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cut = (
+        runs.groupBy("doc", "run")
+        .agg(
+            F.min("pos").alias("cut_start"),
+            (F.max("pos") + k).alias("cut_end"),
+        )
+        .where(F.col("cut_end") - F.col("cut_start") >= min_tokens)
+        .select("doc", "cut_start", "cut_end")
+    )
+    return _cut_ranges_and_rebuild(train, text_col, id_col, cut)
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,

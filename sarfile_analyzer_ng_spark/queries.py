@@ -4061,6 +4061,99 @@ FROM tot LEFT JOIN reb USING (doc) LEFT JOIN ncs USING (doc)
 """
 
 
+def q122_decontaminate_spans(spark, sf_dir):
+    """Surgical span-level decontamination (functions/dedup.py:
+    decontaminate_spans, r8): eval docs (doc_id % 50 == 0, the q62
+    convention) leak VERBATIM into planted training documents
+    (framed by neutral words); the operator cuts exactly the leaked
+    runs and keeps the rest of each document — the middle ground
+    between q62/q81's drop-the-document rule and doing nothing.
+    Value-hash oracled ON THE REWRITTEN TEXT (the q107 discipline);
+    eval docs shorter than min_tokens survive uncut (both branches
+    live in the gate)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    clean = docs.where(F.col("doc_id") % 50 != 0)
+    leaked = ev.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("framing intro words alpha beta "),
+            F.col("text"),
+            F.lit(" closing frame words"),
+        ).alias("text"),
+    )
+    train = clean.unionByName(leaked)
+    return D.decontaminate_spans(train, ev, "text", "doc_id",
+                                 k=RS_K, min_tokens=RS_MIN_TOKENS)
+
+
+SQL_Q122 = rf"""
+WITH base AS (SELECT doc_id, text FROM documents),
+evd AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+train AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 50 != 0
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+         'framing intro words alpha beta ' || text
+           || ' closing frame words' AS text
+  FROM evd),
+v AS (
+  SELECT doc_id AS doc,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         string_split_regex(trim(text), '\s+') AS wo
+  FROM train),
+ve AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM evd),
+evg AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{RS_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, w, unnest(range(1, len(w) - {RS_K - 2})) AS i FROM ve)),
+g AS (
+  SELECT doc, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+{RS_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc, w, unnest(range(1, len(w) - {RS_K - 2})) AS i FROM v)),
+dup AS (
+  SELECT g.doc, g.pos FROM g
+  WHERE EXISTS (SELECT 1 FROM evg WHERE evg.h = g.h)),
+runs AS (
+  SELECT doc, pos,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS new_run
+  FROM dup),
+srows AS (
+  SELECT doc, pos,
+         sum(new_run) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+  FROM runs),
+cut AS (
+  SELECT doc, min(pos) AS cut_start, max(pos) + {RS_K} AS cut_end
+  FROM srows GROUP BY doc, run
+  HAVING max(pos) + {RS_K} - min(pos) >= {RS_MIN_TOKENS}),
+toks AS (
+  SELECT doc, i - 1 AS pos, wo[i] AS w
+  FROM (SELECT doc, wo, unnest(range(1, len(wo) + 1)) AS i FROM v)),
+kept AS (
+  SELECT t.doc, t.pos, t.w FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM cut c
+                    WHERE c.doc = t.doc AND t.pos >= c.cut_start
+                      AND t.pos < c.cut_end)),
+reb AS (
+  SELECT doc, array_to_string(list(w ORDER BY pos), ' ') AS text_clean,
+         count(*)::BIGINT AS n_tokens_kept
+  FROM kept GROUP BY doc),
+tot AS (SELECT doc, count(*)::BIGINT AS n_total FROM toks GROUP BY doc),
+ncs AS (SELECT doc, count(*)::BIGINT AS n_spans_cut FROM cut GROUP BY doc)
+SELECT tot.doc AS doc_id,
+       coalesce(reb.text_clean, '') AS text_clean,
+       coalesce(reb.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+       (tot.n_total - coalesce(reb.n_tokens_kept, 0))::BIGINT AS n_cut_tokens,
+       coalesce(ncs.n_spans_cut, 0)::BIGINT AS n_spans_cut
+FROM tot LEFT JOIN reb USING (doc) LEFT JOIN ncs USING (doc)
+"""
+
+
 def q108_decon_semantic(spark, sf_dir):
     """Embedding-level train/eval decontamination (functions/
     similarity.py:decontaminate_semantic): the semantic complement of
@@ -4950,6 +5043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
+    "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
     "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
     "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
@@ -4993,7 +5087,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
-    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
     # changed-plan keys this round (policy: changed => window):
@@ -5028,6 +5121,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r5-recorded LM/dedup pair bumped for the r8 additions (both
     # pytest-pinned: bigram backoff ordering tests, keep-best flip
     # test; they lead the r9 window)
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
     "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
     "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
     # r7-recorded keys (the previous window), plus the PQ trio

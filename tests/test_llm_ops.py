@@ -1995,3 +1995,38 @@ def test_incremental_near_dups_screens_batch_against_ref(spark):
     assert out[100]["is_dup"] == 1 and out[100]["max_est_jaccard"] == 1.0
     assert out[101]["is_dup"] == 1 and out[101]["n_candidates"] >= 1
     assert out[102]["is_dup"] == 0 and out[102]["n_candidates"] == 0
+
+
+def test_decontaminate_spans_cuts_only_the_leak(spark):
+    """r8: surgical decontamination — a document embedding one eval
+    question verbatim loses EXACTLY that span (the rest survives,
+    order preserved); an untouched document passes through; a short
+    shared run below min_tokens is not cut."""
+    eval_q = "what is the capital of france and when was it founded exactly"
+    ev = spark.createDataFrame([(1, eval_q)], "doc_id long, text string")
+    doc_with_leak = (
+        "Intro paragraph with its own words here . "
+        + eval_q
+        + " And a closing paragraph that must survive fully intact okay"
+    )
+    clean_doc = ("a completely clean training document about submarine "
+                 "acoustics and sonar arrays in deep water columns")
+    short_overlap = ("the capital of france is mentioned briefly here but "
+                     "only as a short aside inside otherwise original text")
+    train = spark.createDataFrame(
+        [(10, doc_with_leak), (11, clean_doc), (12, short_overlap)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.decontaminate_spans(train, ev, "text", "doc_id",
+                                 k=4, min_tokens=8).collect()}
+    # the leak is cut, both flanks survive verbatim
+    assert out[10]["n_spans_cut"] == 1
+    assert eval_q not in out[10]["text_clean"]
+    assert out[10]["text_clean"].startswith("Intro paragraph")
+    assert out[10]["text_clean"].endswith("fully intact okay")
+    assert out[10]["n_cut_tokens"] == len(eval_q.split())
+    # untouched documents pass through byte-identical (mod ws collapse)
+    assert out[11]["text_clean"] == clean_doc and out[11]["n_spans_cut"] == 0
+    # a sub-threshold shared run is NOT cut
+    assert out[12]["n_spans_cut"] == 0 and out[12]["n_cut_tokens"] == 0
