@@ -681,3 +681,97 @@ def image_dedup_stream(stream: DataFrame, ts_col: str = "ts",
         .dropDuplicatesWithinWatermark(["_k"])
         .drop("_k")
     )
+
+
+def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
+                                text_col: str, id_col: str,
+                                ts_col: str = "ts",
+                                shingle_n: int = 3, num_hashes: int = 32,
+                                bands: int = 16, threshold: float = 0.5,
+                                watermark: str = "1 hour") -> DataFrame:
+    """Streaming incremental near-dup screening (ST17): the q121
+    operator's ingest-side half — every arriving document is scored
+    against the STATIC reference-corpus signatures as it lands (the
+    ST8 stream-static pattern, with MinHash banding instead of a
+    Bloom bitmap: bloom answers "seen EXACTLY?", this answers "seen
+    something ≥ τ-similar?").
+
+    The arriving side's portable signatures are pure JVM expressions
+    (stateless map — the batch family's exact arithmetic, so stream
+    and batch verdicts cannot drift); the reference side is banded
+    ONCE and joined stream-static on the band key; pairs clearing the
+    agreement threshold dedup per (batch doc, ref doc) inside the
+    watermark horizon. Emits ``(id, ref_id, ts, est_jaccard)`` flagged
+    pairs — the downstream quarantine queue.
+
+    Shape at scale: reference signatures are precomputed corpus
+    metadata (the q121 persistence contract); the stream join state is
+    bounded by the watermark; a hot band value on the REFERENCE side
+    multiplies join fan-out exactly like batch q121 (same cap levers).
+    """
+    from ..functions.dedup import (
+        minhash_signatures_portable,
+        portable_band_keys,
+        sig_agreement,
+    )
+    from ..functions.dedup import shingle_rows  # noqa: F401 (doc pointer)
+    from ..functions import dedup as D
+
+    keys = portable_band_keys("sig", num_hashes, bands)
+    ref_banded = (
+        minhash_signatures_portable(ref, text_col, id_col, shingle_n,
+                                    num_hashes)
+        .select(F.col("doc").alias("ref_id"), F.col("sig").alias("rsig"),
+                F.explode(keys).alias("band"))
+    )
+    # streaming side: the SAME signature arithmetic, built as inline
+    # expressions (shingle_rows' lead-window shape is batch-only; the
+    # array-HOF form is value-identical — min over duplicate shingles
+    # is dup-invariant, hash family identical)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(words) - (shingle_n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j + 1).cast("int"))
+                  for j in range(shingle_n)],
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    fps = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    params = D.affine_params(num_hashes)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    fps, lambda fp: (fp * F.lit(a) + F.lit(b))
+                    % F.lit(D.PORTABLE_P)
+                )
+            )
+            for a, b in params
+        ]
+    )
+    arriving = stream.select(
+        F.col(id_col), F.col(ts_col), sig.alias("sig")
+    ).select(
+        id_col, ts_col, "sig", F.explode(keys).alias("band")
+    )
+    flagged = (
+        arriving.join(ref_banded, "band")
+        .select(
+            id_col, ts_col, "ref_id",
+            sig_agreement(F.col("sig"), F.col("rsig"),
+                          num_hashes).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "ref_id"])
+    )

@@ -960,3 +960,68 @@ def test_image_dedup_stream_drops_reencoded_copies(spark, tmp_path):
     )
     assert ({r["phash"] for r in batch_kept.collect()}
             == {v for v in got.values() if v is not None})
+
+
+def test_incremental_near_dup_stream_matches_batch_q121(spark, tmp_path):
+    """ST17: streaming near-dup screening against a static reference
+    must flag exactly the batch operator's pair set (the portable
+    signature arithmetic is shared, so band keys and estimates are
+    value-identical), with re-crawls planted across micro-batch
+    boundaries."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    ref_rows = [(i, f"reference document number {i} about topic {i % 7} "
+                    f"with plenty of shared vocabulary tokens everywhere")
+                for i in range(30)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    t0 = 1_700_000_000
+    batch_rows = [
+        (100, ref_rows[3][1] + " tail", t0 + 1),          # near-dup
+        (101, "totally unrelated submarine sonar arrays payload "
+              "with oceanographic acoustics terminology", t0 + 2),
+        (102, ref_rows[11][1], t0 + 61),                  # exact (batch 2)
+        (103, "another clean novel document regarding alpine "
+              "glacier dynamics and firn densification", t0 + 62),
+    ]
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    for i, sl in enumerate((batch_rows[:2], batch_rows[2:])):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in sl], dtype="int64"),
+                "text": [r[1] for r in sl],
+                "ts": pd.to_datetime([r[2] for r in sl], unit="s", utc=True),
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.incremental_near_dup_stream(stream, ref, "text", "doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("nd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["ref_id"]): r["est_jaccard"]
+           for r in spark.table("nd_stream").collect()}
+    assert (100, 3) in got and (102, 11) in got
+    assert got[(102, 11)] == 1.0
+    assert all(b not in (101, 103) for b, _ in got)
+
+    # batch parity: the flagged pair set equals q121's operator at the
+    # same threshold over the same batch/ref
+    batch_df = spark.read.parquet(src).select("doc_id", "text")
+    b = D.incremental_near_dups(batch_df, ref, "text", "doc_id")
+    flagged_batch = {r["doc_id"] for r in b.where(F.col("is_dup") == 1).collect()}
+    assert flagged_batch == {bid for bid, _ in got}
