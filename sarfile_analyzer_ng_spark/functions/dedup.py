@@ -685,7 +685,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 8, band_bits: int = 16,
                        sigs: DataFrame | None = None,
-                       sig_bits: int = 64) -> DataFrame:
+                       sig_bits: int = 64,
+                       max_df: int | None = None) -> DataFrame:
     """Near-dup candidates: band the 64-bit simhash into 64/band_bits
     chunks, join on chunk, verify with exact Hamming distance.
 
@@ -703,7 +704,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     the explode+aggregate work. ``sig_bits`` sizes the banding to the
     signature width (32 for :func:`simhash32_portable` sigs — without
     it, the high bands of a 32-bit signature are constant 0 and every
-    document lands in one quadratic bucket)."""
+    document lands in one quadratic bucket).
+
+    ``max_df`` is the q67 hot-bucket cap at signature scale: a band
+    value held by f documents generates O(f²) candidate rows, and
+    small ``band_bits`` (the 8-bit portable gate) have only 2^bits
+    distinct values per band — at n documents every bucket holds
+    ~n/2^bits and the join grows ~n²/2^bits (measured 11.4× at 10×
+    for the 32-bit/8-bit gate config). Band values with document
+    frequency > ``max_df`` are dropped from candidate generation
+    (bounded broadcast drop list); the pigeonhole guarantee then
+    holds for pairs retaining ≥ 1 uncapped band. Pick the cap inert
+    at the oracle scale and protective beyond it (the q117
+    convention)."""
     if sigs is None:
         sigs = simhash(df, text_col, id_col)
     chunks = sigs.select(
@@ -719,6 +732,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             ])
         ).alias("chunk"),
     ).select("doc", "simhash", "chunk.band", "chunk.key")
+    if max_df is not None:
+        hot = (
+            chunks.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("band", "key")
+        )
+        chunks = chunks.join(F.broadcast(hot), ["band", "key"], "left_anti")
     # tiny (doc, 64-bit sig, band keys) frame; cache it so the
     # self-join below doesn't run the explode+64-agg pipeline per side
     chunks = chunks.cache()

@@ -833,6 +833,10 @@ def _planted_simhash_sigs(spark, sf_dir) -> DataFrame:
 
 
 SIMHASH_PORT_HAMMING = 3  # 4 bands of 8 bits: pigeonhole recall EXACT here
+# q67/q117 convention: inert at the sf0.01 oracle scale (max band df
+# measured 252) and protective beyond it (sf0.1 max 2673, sf1 ~10×
+# that — the 8-bit buckets otherwise grow candidates ~n²/256)
+SIMHASH_PORT_MAX_DF = 500
 
 
 def q32_dedup_simhash(spark, sf_dir):
@@ -848,7 +852,8 @@ def q32_dedup_simhash(spark, sf_dir):
     sigs = D.simhash32_portable(corpus, "text", "doc_id")
     return D.simhash_near_pairs(corpus, "text", "doc_id",
                                 max_hamming=SIMHASH_PORT_HAMMING,
-                                band_bits=8, sigs=sigs, sig_bits=32)
+                                band_bits=8, sigs=sigs, sig_bits=32,
+                                max_df=SIMHASH_PORT_MAX_DF)
 
 
 def _sql_simhash32_pairs() -> str:
@@ -884,9 +889,16 @@ votes AS (
        {bits}
   FROM hashed GROUP BY doc),
 sigs AS (SELECT doc, ({packed})::BIGINT AS sig FROM votes),
-banded AS (
+banded0 AS (
   SELECT doc, sig, c.band, c.key
-  FROM sigs, unnest([{bands}]) t(c))
+  FROM sigs, unnest([{bands}]) t(c)),
+hot AS (
+  SELECT band, key FROM banded0 GROUP BY band, key
+  HAVING count(*) > {SIMHASH_PORT_MAX_DF}),
+banded AS (
+  SELECT doc, sig, band, key FROM banded0 b0
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.band = b0.band AND hot.key = b0.key))
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM banded a JOIN banded b

@@ -2030,3 +2030,27 @@ def test_decontaminate_spans_cuts_only_the_leak(spark):
     assert out[11]["text_clean"] == clean_doc and out[11]["n_spans_cut"] == 0
     # a sub-threshold shared run is NOT cut
     assert out[12]["n_spans_cut"] == 0 and out[12]["n_cut_tokens"] == 0
+
+
+def test_simhash_near_pairs_max_df_caps_hot_bands(spark):
+    """r8: the simhash banding's hot-bucket cap — 300 documents whose
+    signatures share every band value (constant text) must not
+    generate a quadratic bucket once the band df cap engages, while a
+    planted distinctive near-pair (unique band values) survives."""
+    rows = [(i, "constant boilerplate text repeated identically") for i in range(300)]
+    # exact copies: identical signatures, so every band matches and
+    # the pair's own band values have df=2 (uncapped)
+    distinct_text = ("a very distinctive document about glacier firn "
+                     "densification rates in polar accumulation zones")
+    rows += [(1000, distinct_text), (1001, distinct_text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.simhash32_portable(df, "text", "doc_id")
+    uncapped = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=32,
+                                    band_bits=8, sigs=sigs, sig_bits=32)
+    assert uncapped.count() >= 300 * 299 // 2
+    capped = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=32,
+                                  band_bits=8, sigs=sigs, sig_bits=32,
+                                  max_df=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got)
