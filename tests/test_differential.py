@@ -306,3 +306,78 @@ def test_png_unfilter_differential_vs_ppm():
         a = MM.decode_ppm(ppm, "image")
         b = MM.decode_png(png, "image")
         assert a == b, (trial, h, w, color_type, filters)
+
+
+def test_decontaminate_spans_matches_bruteforce_substring_scan(spark):
+    """r8 differential for q122: an INDEPENDENT pure-python reference
+    computes leaked positions by literal token-tuple containment (no
+    hashing, no windows) — positions whose k-gram occurs verbatim in
+    any eval doc, merged into runs, cut when the covered token range
+    reaches min_tokens. The operator's per-doc cut counts and
+    rebuilt text must match on seeded corpora with planted shared
+    spans."""
+    import random
+
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    K, MIN = 4, 7
+
+    def doc(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    eval_docs = [doc(rng.randint(8, 20)) for _ in range(5)]
+    train_docs = []
+    for i in range(40):
+        t = doc(rng.randint(10, 40))
+        if i % 3 == 0:  # plant a verbatim eval slice mid-document
+            ev = rng.choice(eval_docs)
+            a = rng.randint(0, max(0, len(ev) - MIN - 1))
+            b = min(len(ev), a + rng.randint(MIN, MIN + 6))
+            pos = rng.randint(0, len(t))
+            t = t[:pos] + ev[a:b] + t[pos:]
+        train_docs.append(t)
+
+    # independent reference: literal k-gram containment
+    ev_grams = set()
+    for ev in eval_docs:
+        for i in range(len(ev) - K + 1):
+            ev_grams.add(tuple(ev[i:i + K]))
+
+    expected = {}
+    for did, t in enumerate(train_docs):
+        hits = [i for i in range(len(t) - K + 1)
+                if tuple(t[i:i + K]) in ev_grams]
+        runs, cur = [], None
+        for p in hits:
+            if cur and p == cur[1] + 1:
+                cur[1] = p
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [p, p]
+        if cur:
+            runs.append(cur)
+        cuts = [(a, b + K) for a, b in runs if (b + K - a) >= MIN]
+        kept = [w for i, w in enumerate(t)
+                if not any(a <= i < e for a, e in cuts)]
+        expected[did] = (" ".join(kept), len(t) - len(kept), len(cuts))
+
+    train = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train_docs)],
+        "doc_id long, text string",
+    )
+    ev_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(eval_docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           D.decontaminate_spans(train, ev_df, "text", "doc_id",
+                                 k=K, min_tokens=MIN).collect()}
+    assert set(got) == set(expected)
+    for did, (txt, ncut, nspans) in expected.items():
+        r = got[did]
+        assert r["text_clean"] == txt, did
+        assert r["n_cut_tokens"] == ncut, did
+        assert r["n_spans_cut"] == nspans, did
