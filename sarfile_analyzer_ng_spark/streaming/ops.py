@@ -709,13 +709,12 @@ def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
     bounded by the watermark; a hot band value on the REFERENCE side
     multiplies join fan-out exactly like batch q121 (same cap levers).
     """
+    from ..functions import dedup as D
     from ..functions.dedup import (
         minhash_signatures_portable,
         portable_band_keys,
         sig_agreement,
     )
-    from ..functions.dedup import shingle_rows  # noqa: F401 (doc pointer)
-    from ..functions import dedup as D
 
     keys = portable_band_keys("sig", num_hashes, bands)
     ref_banded = (
