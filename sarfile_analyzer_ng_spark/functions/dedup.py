@@ -160,10 +160,32 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _drop_hot_bands(banded: DataFrame, max_df: int) -> DataFrame:
+    """The q67/Z72 hot-bucket cap for MinHash band joins: a band key
+    held by f documents generates O(f²) candidate rows in a self-join
+    (or f_a·f_b in a cross join), so 10⁵ near-identical TEMPLATED
+    documents sharing all band keys — exact dedup removes identical
+    copies, not templated ones — turn one bucket into ~5·10⁹ pairs at
+    100 TB. Band keys with document frequency > ``max_df`` are dropped
+    from candidate generation via a bounded broadcast drop list. Pick
+    the cap inert at the oracle scale and protective beyond it (the
+    q117 convention — measured max band df is 24 at sf0.1 vs the 500
+    default at the query layer); pairs retaining ≥ 1 uncapped band are
+    still found."""
+    hot = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") > max_df)
+        .select("band")
+    )
+    return banded.join(F.broadcast(hot), "band", "left_anti")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_hashes: int = 64,
                       bands: int = 16,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      max_df: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding with the
     estimated Jaccard from signature agreement.
 
@@ -171,7 +193,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     on band key (uniform hash) → per-bucket self-join. The quadratic
     blow-up is confined to same-band buckets, which is what makes this
     the 100 TB path; the exact-Jaccard verifier (ngram_jaccard_pairs)
-    is for re-ranking candidates only.
+    is for re-ranking candidates only. ``max_df`` bounds the bucket
+    size itself (see :func:`_drop_hot_bands`) — without it a templated
+    corpus where every doc shares all band keys is quadratic.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes,
@@ -179,6 +203,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     banded = sig.select(
         "doc", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("band")
     )
+    if max_df is not None:
+        banded = _drop_hot_bands(banded, max_df)
     # Signatures are tiny (64 longs/doc) next to the corpus; cache them
     # so the self-join below doesn't re-run the shingle+hash pipeline
     # once per side.
@@ -303,19 +329,25 @@ def sig_agreement(sig_a, sig_b, num_hashes: int) -> Column:
 
 def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
                                shingle_n: int = 3, num_hashes: int = 32,
-                               bands: int = 16) -> DataFrame:
+                               bands: int = 16,
+                               max_df: int | None = None) -> DataFrame:
     """Portable-family twin of :func:`minhash_lsh_pairs` — same
     banding plan shape (explode band keys → uniform shuffle →
     per-bucket self-join), same output schema, but every value is
     SQL-replayable: band keys are the PLAIN string of the slice (no
     hash — the join key shuffles on the string) and est_jaccard is
-    the exact matching fraction of the portable signatures."""
+    the exact matching fraction of the portable signatures.
+    ``max_df`` is the same hot-band cap as the production family
+    (:func:`_drop_hot_bands`); the oracle SQL mirrors it with a
+    ``hot`` CTE so value parity holds even when the cap bites."""
     sig = minhash_signatures_portable(df, text_col, id_col, shingle_n,
                                       num_hashes)
     banded = sig.select(
         "doc", "sig",
         F.explode(portable_band_keys("sig", num_hashes, bands)).alias("band"),
     )
+    if max_df is not None:
+        banded = _drop_hot_bands(banded, max_df)
     banded = banded.cache()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -336,7 +368,8 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
 def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
                           id_col: str, shingle_n: int = 3,
                           num_hashes: int = 32, bands: int = 16,
-                          threshold: float = 0.5) -> DataFrame:
+                          threshold: float = 0.5,
+                          max_df: int | None = None) -> DataFrame:
     """Near-duplicate screening of a NEW batch against an EXISTING
     corpus — the near-dup sibling of the exact anti-join (q49): a
     fresh crawl must be deduplicated against everything already
@@ -353,6 +386,11 @@ def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
     corpus ONCE (production persists them next to the corpus —
     (doc, 32 longs) is a few GB per billion docs); the band join
     shuffles on uniform string keys; nothing quadratic anywhere.
+    ``max_df`` caps hot bands counted over BOTH sides combined
+    (a band held by f_b batch docs and f_r ref docs fans out
+    f_b·f_r candidate rows — boilerplate shared across a templated
+    corpus and its re-crawls hits both sides at once); dropped keys
+    come off both sides, so the verdict stays symmetric.
     """
     sig_b = minhash_signatures_portable(batch, text_col, id_col,
                                         shingle_n, num_hashes)
@@ -363,6 +401,16 @@ def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
                       F.explode(keys).alias("band"))
     rb = sig_r.select(F.col("doc").alias("rid"), F.col("sig").alias("rsig"),
                       F.explode(keys).alias("band"))
+    if max_df is not None:
+        hot = (
+            bb.select("band").unionByName(rb.select("band"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("band")
+        )
+        bb = bb.join(F.broadcast(hot), "band", "left_anti")
+        rb = rb.join(F.broadcast(hot), "band", "left_anti")
     cands = (
         bb.join(rb, "band")
         .select("bid", "rid", "bsig", "rsig")
@@ -542,7 +590,8 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
                       shingles: DataFrame | None = None,
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      max_df: int | None = None) -> DataFrame:
     """LSH-prefiltered exact Jaccard: the 100 TB composition.
 
     :func:`ngram_jaccard_pairs` alone joins on shared shingles, which
@@ -585,7 +634,7 @@ def lsh_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     owns_raw = candidates is None
     raw = (
         minhash_lsh_pairs(df, text_col, id_col, shingle_n, num_hashes,
-                          bands, shingles=sh)
+                          bands, shingles=sh, max_df=max_df)
         if owns_raw
         else candidates
     )

@@ -688,7 +688,8 @@ def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
                                 ts_col: str = "ts",
                                 shingle_n: int = 3, num_hashes: int = 32,
                                 bands: int = 16, threshold: float = 0.5,
-                                watermark: str = "1 hour") -> DataFrame:
+                                watermark: str = "1 hour",
+                                max_df: int | None = 500) -> DataFrame:
     """Streaming incremental near-dup screening (ST17): the q121
     operator's ingest-side half — every arriving document is scored
     against the STATIC reference-corpus signatures as it lands (the
@@ -706,11 +707,19 @@ def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
 
     Shape at scale: reference signatures are precomputed corpus
     metadata (the q121 persistence contract); the stream join state is
-    bounded by the watermark; a hot band value on the REFERENCE side
-    multiplies join fan-out exactly like batch q121 (same cap levers).
+    bounded by the watermark. ``max_df`` (default 500, the batch
+    family's cap) drops reference band keys held by more than that
+    many corpus documents — the stream side's frequencies can't be
+    counted ahead of arrival, but capping the STATIC side alone
+    bounds the fan-out of every arriving document at
+    bands·max_df candidate rows, which is what matters: an arriving
+    boilerplate doc can no longer join a million-row reference
+    bucket. Computed once at plan time (static side), like the ST8
+    Bloom build.
     """
     from ..functions import dedup as D
     from ..functions.dedup import (
+        _drop_hot_bands,
         minhash_signatures_portable,
         portable_band_keys,
         sig_agreement,
@@ -723,6 +732,8 @@ def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
         .select(F.col("doc").alias("ref_id"), F.col("sig").alias("rsig"),
                 F.explode(keys).alias("band"))
     )
+    if max_df is not None:
+        ref_banded = _drop_hot_bands(ref_banded, max_df)
     # streaming side: the SAME signature arithmetic, built as inline
     # expressions (shingle_rows' lead-window shape is batch-only; the
     # array-HOF form is value-identical — min over duplicate shingles

@@ -2054,3 +2054,65 @@ def test_simhash_near_pairs_max_df_caps_hot_bands(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (1000, 1001) in got
     assert not any(a < 300 and b < 300 for a, b in got)
+
+
+_TEMPLATED = [(i, "constant boilerplate legal disclaimer text repeated on every page")
+              for i in range(300)]
+_DISTINCT_TXT = ("a very distinctive document about glacier firn "
+                 "densification rates in polar accumulation zones")
+
+
+def test_minhash_lsh_pairs_max_df_caps_hot_bands(spark):
+    """r9 (VERDICT r8 "What's wrong" #2): the MinHash band join's
+    hot-band cap. 300 templated documents share EVERY band key (exact
+    dedup upstream removes identical copies, but a templated corpus
+    re-creates the situation with near-identical text — identical
+    signatures here are the worst case), so the uncapped join is
+    quadratic; with the cap the hot bucket collapses while a planted
+    distinctive pair (band df = 2) survives."""
+    rows = _TEMPLATED + [(1000, _DISTINCT_TXT), (1001, _DISTINCT_TXT)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs(df, "text", "doc_id")
+    assert uncapped.count() >= 300 * 299 // 2
+    capped = D.minhash_lsh_pairs(df, "text", "doc_id", max_df=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got)
+    D.release(capped)
+    D.release(uncapped)
+
+
+def test_minhash_portable_max_df_caps_hot_bands(spark):
+    rows = _TEMPLATED + [(1000, _DISTINCT_TXT), (1001, _DISTINCT_TXT)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs_portable(df, "text", "doc_id")
+    assert uncapped.count() >= 300 * 299 // 2
+    capped = D.minhash_lsh_pairs_portable(df, "text", "doc_id", max_df=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got)
+    D.release(capped)
+    D.release(uncapped)
+
+
+def test_incremental_near_dups_max_df_caps_hot_bands(spark):
+    """The two-sided cap: band df is counted over batch ∪ ref, so
+    boilerplate present on both sides (200 × 200 fan-out) is dropped
+    from candidate generation, while a distinctive re-crawl still
+    screens as a duplicate."""
+    ref_rows = _TEMPLATED[:200] + [(900, _DISTINCT_TXT)]
+    batch_rows = [(1000 + i, t) for i, t in _TEMPLATED[:200]] + [(1900, _DISTINCT_TXT)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    uncapped = {r["doc_id"]: r for r in
+                D.incremental_near_dups(batch, ref, "text", "doc_id").collect()}
+    assert uncapped[1000]["n_candidates"] == 200
+    capped = {r["doc_id"]: r for r in
+              D.incremental_near_dups(batch, ref, "text", "doc_id",
+                                      max_df=50).collect()}
+    # hot boilerplate bands dropped: no candidate work, audit row kept
+    assert capped[1000]["n_candidates"] == 0 and capped[1000]["is_dup"] == 0
+    # the distinctive re-crawl still flags against its corpus twin
+    assert capped[1900]["n_candidates"] == 1 and capped[1900]["is_dup"] == 1
+    # every batch doc still gets exactly one verdict row
+    assert len(capped) == len(batch_rows)

@@ -31,3 +31,19 @@ def test_query_matches_oracle(spark, duck, key):
 def test_rows_only_queries_run(spark, key):
     fn, _ = REGISTRY[key]
     assert fn(spark, SF_DIR).count() >= 0
+
+
+def test_compare_flags_int_vs_float_dtype_class():
+    """The r8 q119 failure shape: values equal after coercion but one
+    engine hands pandas float64 for an integer column (DuckDB HUGEINT
+    from an uncast sum over a UNION). The driver's hash is
+    dtype-sensitive, so the local gate must flag it."""
+    import pandas as pd
+
+    from tools.check_oracle import compare as cmp
+
+    s = pd.DataFrame({"k": ["a"], "n_tokens": pd.Series([42], dtype="int64")})
+    d = pd.DataFrame({"k": ["a"], "n_tokens": pd.Series([42.0], dtype="float64")})
+    issues = cmp("synthetic", s, d)
+    assert any("dtype-class" in i for i in issues), issues
+    assert not cmp("synthetic", s, s.copy())

@@ -1025,3 +1025,48 @@ def test_incremental_near_dup_stream_matches_batch_q121(spark, tmp_path):
     b = D.incremental_near_dups(batch_df, ref, "text", "doc_id")
     flagged_batch = {r["doc_id"] for r in b.where(F.col("is_dup") == 1).collect()}
     assert flagged_batch == {bid for bid, _ in got}
+
+
+def test_incremental_near_dup_stream_max_df_caps_ref_bands(spark, tmp_path):
+    """r9: ST17's static-side hot-band cap. A reference corpus with 40
+    templated copies would fan every arriving boilerplate doc out to
+    40 candidate rows per band; with the cap the hot reference bands
+    are dropped at plan time, so the arriving boilerplate doc flags
+    nothing while a distinctive re-crawl still flags its corpus
+    twin."""
+    import os
+
+    import pandas as pd
+
+    boiler = "constant boilerplate legal disclaimer text repeated on every page"
+    distinct_txt = ("a very distinctive document about glacier firn "
+                    "densification rates in polar accumulation zones")
+    ref_rows = [(i, boiler) for i in range(40)] + [(900, distinct_txt)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    t0 = 1_700_000_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1000, 1900], dtype="int64"),
+            "text": [boiler, distinct_txt],
+            "ts": pd.to_datetime([t0 + 1, t0 + 2], unit="s", utc=True),
+        }
+    )
+    src = str(tmp_path / "cap_src")
+    os.makedirs(src)
+    pdf.to_parquet(f"{src}/chunk0.parquet", index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.incremental_near_dup_stream(stream, ref, "text", "doc_id",
+                                         max_df=5)
+    q = (
+        out.writeStream.format("memory").queryName("nd_cap_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["ref_id"]) for r in
+           spark.table("nd_cap_stream").collect()}
+    assert got == {(1900, 900)}

@@ -46,6 +46,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for cross-engine parity: the driver's value
+    hash is dtype-sensitive, so an integer column that one engine
+    materializes as float (e.g. DuckDB widening an uncast
+    sum(BIGINT) across a UNION to HUGEINT -> pandas float64, the
+    r8 q119 red row) must be a LOCAL failure even when the coerced
+    values are equal."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(key: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     issues = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -53,6 +71,13 @@ def compare(key: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[s
         return issues
     if len(spark_pdf) != len(duck_pdf):
         issues.append(f"rows: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    for c in sorted(spark_pdf.columns):
+        scls, dcls = dtype_class(spark_pdf[c]), dtype_class(duck_pdf[c])
+        if scls != dcls:
+            issues.append(
+                f"dtype-class {c}: spark={scls}({spark_pdf[c].dtype}) "
+                f"duck={dcls}({duck_pdf[c].dtype})"
+            )
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     if len(s) == len(d):
         for c in s.columns:
