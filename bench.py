@@ -73,6 +73,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    memo_seconds = round(
+        sum(v for k, v in timings.items() if k.startswith("_memo_")), 3
+    )
     # the registry grows every round; r1_subset_seconds keeps the
     # total comparable to BENCH_r01's 48-query registry. The list is
     # PINNED to the exact keys BENCH_r01 measured — the previous
@@ -96,19 +99,45 @@ def main() -> None:
         "q45_rollup", "q46_delta_rate", "q47_resample_filled",
         "q48_topn_per_group", "q49_anti_join_dedup", "q50_sketch_stats",
     ) if k in timings]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(REGISTRY),
-                "r1_subset_seconds": round(sum(timings[k] for k in r1_keys), 3),
-            }
-        )
+    # Top wall-time movers vs the most recent recorded full artifact
+    # (docs/bench_r*.json at the same sf), so a regression is visible
+    # in the headline even if the per-query map gets clipped.
+    deltas: dict[str, float] = {}
+    prior_files = sorted(
+        f for f in os.listdir(os.path.join(os.path.dirname(__file__), "docs"))
+        if re.fullmatch(rf"bench_r\d+[a-z]?_sf{re.escape(str(sf))}\.json", f)
     )
+    if prior_files:
+        try:
+            with open(os.path.join(os.path.dirname(__file__), "docs",
+                                   prior_files[-1])) as fh:
+                prior = json.load(fh).get("queries", {})
+            moved = sorted(
+                ((k, round(v - prior[k], 3)) for k, v in timings.items()
+                 if k in prior),
+                key=lambda kv: -abs(kv[1]),
+            )
+            deltas = dict(moved[:5])
+        except (OSError, ValueError, KeyError):
+            pass
+    headline = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(REGISTRY),
+        "r1_subset_seconds": round(sum(timings[k] for k in r1_keys), 3),
+        "memo_seconds": memo_seconds,
+        "top_deltas_vs_prev": deltas,
+    }
+    # ONE stdout JSON line (the driver contract) with the big
+    # per-query map FIRST and the headline numbers LAST: the driver's
+    # artifact keeps the TAIL of the output (BENCH_r08.json arrived
+    # head-truncated mid-map), so the numbers that matter must sit at
+    # the end of the line. A compact headline-only copy also goes to
+    # stderr as the final line for human eyes / logs.
+    print(json.dumps({"queries": timings, **headline}))
+    print("[bench] headline " + json.dumps(headline), file=sys.stderr)
 
 
 if __name__ == "__main__":

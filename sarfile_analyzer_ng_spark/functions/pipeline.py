@@ -113,7 +113,9 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
                            budget_tokens: int = 600,
                            chunk_tokens: int = 32, overlap: int = 8,
                            capacity: int = 128, num_shards: int = 8,
-                           epochs: int = 2) -> DataFrame:
+                           epochs: int = 2,
+                           source_weights: DataFrame | None = None
+                           ) -> DataFrame:
     """End-to-end training-data ASSEMBLY — the sampling/packing half
     of the pipeline, downstream of :func:`curate_funnel`'s cleaning
     half: quality-weighted sampling (Efraimidis–Spirakis, q116) →
@@ -146,8 +148,28 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
     )
     corpus = qs.select(id_col, source_col,
                        F.col("n_words").cast("long").alias("_nt"))
+    # Optional mixture-weighting stage (r9): a model-sized
+    # (source, weight) frame — e.g. the final-step slice of
+    # text.doremi_weights — resizes each source's sample to
+    # k·S·weight (floor 1, rounded), so a uniform mixture
+    # (weight = 1/S each) reproduces the unweighted funnel exactly.
+    k_overrides = None
+    if source_weights is not None:
+        sw = source_weights.select(
+            F.col("source").alias(source_col),
+            F.col("weight").cast("double").alias("_w"),
+        )
+        scnt = sw.agg(F.count(F.lit(1)).cast("double").alias("_s"))
+        k_overrides = sw.crossJoin(F.broadcast(scnt)).select(
+            source_col,
+            F.greatest(
+                F.lit(1),
+                F.round(F.lit(float(k_per_source)) * F.col("_s")
+                        * F.col("_w")).cast("long"),
+            ).alias("_k"),
+        )
     sampled = weighted_sample(qs, id_col, source_col, "quality",
-                              k=k_per_source)
+                              k=k_per_source, k_overrides=k_overrides)
     samp_docs = docs.select(id_col, source_col, text_col).join(
         sampled.select(id_col), id_col
     )

@@ -1551,7 +1551,8 @@ def source_divergence(df: DataFrame, text_col: str, source_col: str,
 
 def weighted_sample(df: DataFrame, id_col: str, strata_col: str,
                     weight_col, k: int,
-                    round_to: int = 8) -> DataFrame:
+                    round_to: int = 8,
+                    k_overrides: DataFrame | None = None) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k per stratum —
     Efraimidis & Spirakis 2006 (IPL 97(5)): rank rows by
     ``key = u^(1/w)`` (u uniform, w > 0 the weight) and keep each
@@ -1572,6 +1573,11 @@ def weighted_sample(df: DataFrame, id_col: str, strata_col: str,
     Shape at scale: one shuffle keyed by stratum + a per-stratum
     window — the q105 budget pattern. For a pathologically hot
     stratum, the same percentile_approx threshold escape applies.
+
+    ``k_overrides`` is an optional model-sized ``(strata_col, _k)``
+    frame giving a per-stratum keep count (broadcast-joined; strata
+    absent from it fall back to ``k``) — the hook a mixture-weighting
+    stage (DoReMi, temperature) uses to size each source's sample.
     """
     from pyspark.sql import Window
 
@@ -1582,8 +1588,105 @@ def weighted_sample(df: DataFrame, id_col: str, strata_col: str,
     win = Window.partitionBy(strata_col).orderBy(
         F.col("es_key").desc(), F.col(id_col).asc()
     )
-    return (
+    ranked = (
         df.withColumn("es_key", key)
         .withColumn("rk", F.row_number().over(win).cast("long"))
-        .where(F.col("rk") <= int(k))
+    )
+    if k_overrides is None:
+        return ranked.where(F.col("rk") <= int(k))
+    return (
+        ranked.join(F.broadcast(k_overrides), strata_col, "left")
+        .where(F.col("rk") <= F.coalesce(F.col("_k"), F.lit(int(k))))
+        .drop("_k")
+    )
+
+
+def doremi_weights(docs: DataFrame, id_col: str, source_col: str,
+                   ref_lp: DataFrame, proxy_lp: DataFrame,
+                   iters: int = 5, eta: float = 1.0,
+                   smooth: float = 0.1) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): the ITERATIVE complement of the static q64/q93
+    mixtures, closing the mixture tool chain (weights → schedule →
+    sample → assemble). Instead of sizing sources by token share or
+    temperature, Group-DRO multiplicative weights upweight the
+    domains where a weak PROXY model lags a REFERENCE model most —
+    "hard but learnable" domains get more mass.
+
+    ``ref_lp`` / ``proxy_lp`` are per-document ``(id, avg_logp)``
+    score frames from any two models — here the corpus-trained
+    unigram LM (q84, the reference) and the Stupid-Backoff bigram LM
+    (q95, the proxy), both already oracled. Per-document excess loss
+    is ``max(0, L_proxy − L_ref) = max(0, ref_avg_logp −
+    proxy_avg_logp)`` (loss = −avg logprob; clipped at 0 per the
+    paper), averaged per source — ONE distributed join + one
+    map-combinable agg. The multiplicative-weights chain then runs on
+    bounded driver state (|sources| floats, the q104/BPE model-state
+    contract): per step t,
+
+        u_s   = rnd8(w_s · rnd8(exp(η·e_s)))
+        α''_s = rnd8(u_s / rnd8(Σ u))
+        w_s   ← rnd8((1−c)·α''_s + c/S)
+
+    — renormalize then uniform-smooth with mixing weight ``c =
+    smooth``, exactly the paper's update with a STATIC excess loss
+    (the data-engine setting scores the corpus once; the paper
+    re-trains the proxy per step, which is a training-loop concern,
+    not a query-engine one). Every step rides the rnd ladder at 8
+    digits so the DuckDB oracle replays the whole trajectory by
+    unrolling the chain into CTEs (the q104 unroll pattern).
+
+    Returns the full trajectory ``(source, step, weight,
+    excess_loss)`` for steps 0..iters — |sources|·(iters+1) rows; the
+    step-``iters`` slice is the mixture to feed
+    :func:`~.pipeline.assemble_training_data`'s optional
+    ``source_weights`` stage.
+
+    Shape at scale: the corpus work is the two LM scoring passes the
+    caller already ran; this adds one broadcast-sized join-agg and a
+    driver recursion over S floats. Nothing corpus-sized moves.
+    """
+    import math
+
+    from ..util import rnd_np
+
+    per = (
+        docs.select(id_col, source_col)
+        .join(ref_lp.select(id_col, F.col("avg_logp").alias("_ref")),
+              id_col)
+        .join(proxy_lp.select(id_col, F.col("avg_logp").alias("_prox")),
+              id_col)
+        .groupBy(source_col)
+        .agg(
+            rnd(
+                F.avg(F.greatest(F.lit(0.0),
+                                 F.col("_ref") - F.col("_prox"))), 6
+            ).alias("excess_loss")
+        )
+    )
+    rows = sorted(per.collect(), key=lambda r: r[source_col])
+    if not rows:
+        raise ValueError("doremi_weights: no sources")
+
+    def r8(x: float) -> float:
+        return float(rnd_np([x], 8)[0])
+
+    srcs = [r[source_col] for r in rows]
+    e = {r[source_col]: float(r["excess_loss"]) for r in rows}
+    sf = float(len(srcs))
+    keep = 1.0 - smooth
+    m = {s: r8(math.exp(eta * e[s])) for s in srcs}
+    w = {s: r8(1.0 / sf) for s in srcs}
+    traj = [(s, 0, w[s]) for s in srcs]
+    for t in range(1, iters + 1):
+        u = {s: r8(w[s] * m[s]) for s in srcs}
+        z = r8(sum(u[s] for s in srcs))
+        w = {s: r8(keep * r8(u[s] / z) + smooth / sf) for s in srcs}
+        traj.extend((s, t, w[s]) for s in srcs)
+    spark = docs.sparkSession
+    tdf = spark.createDataFrame(
+        traj, f"{source_col} string, step long, weight double"
+    )
+    return tdf.join(F.broadcast(per), source_col).select(
+        F.col(source_col).alias("source"), "step", "weight", "excess_loss"
     )

@@ -5054,6 +5054,73 @@ FROM addr GROUP BY source
 
 SQL_Q119 = _sql_training_assembly()
 
+
+DOREMI_ITERS, DOREMI_ETA, DOREMI_SMOOTH = 5, 1.0, 0.1
+
+
+def q123_doremi_weights(spark, sf_dir):
+    """DoReMi-style mixture reweighting (functions/text.py:
+    doremi_weights, r9; Xie et al. 2023, arXiv:2305.10429): Group-DRO
+    multiplicative weights over per-source excess loss — the
+    corpus-trained unigram LM (q84) as the reference model, the
+    Stupid-Backoff bigram LM (q95) as the proxy — emitting the full
+    weight trajectory for 5 update steps. The iterative complement of
+    the static q64/q93 mixtures; the final-step slice feeds the q119
+    funnel's optional source_weights stage. Fully value-hash oracled
+    by unrolling the update chain into CTEs (the q104 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = TX.unigram_logprob(docs, "text", "doc_id",
+                             vocab_size=UNIGRAM_VOCAB)
+    prox = TX.bigram_logprob(docs, "text", "doc_id")
+    return TX.doremi_weights(docs, "doc_id", "source", ref, prox,
+                             iters=DOREMI_ITERS, eta=DOREMI_ETA,
+                             smooth=DOREMI_SMOOTH)
+
+
+def _sql_doremi() -> str:
+    """The q123 oracle: per-source excess loss from the q84/q95 score
+    chains, then the multiplicative-weights recursion unrolled one
+    (u, z, w) CTE triple per step — every intermediate rides the
+    8-digit rnd ladder exactly like the Spark/driver chain, and the
+    smoothing constants are repr()'d from the SAME Python floats the
+    operator uses, so the two engines cannot disagree about
+    ``1 − smooth``."""
+    keep = 1.0 - DOREMI_SMOOTH
+    parts = [f"""ref AS ({SQL_Q84}),
+prox AS ({SQL_Q95}),
+ex AS (
+  SELECT d.source, greatest(0.0, r.avg_logp - p.avg_logp) AS exl
+  FROM documents d
+  JOIN ref r USING (doc_id) JOIN prox p USING (doc_id)),
+per AS (
+  SELECT source, {sql_rnd('avg(exl)', 6)} AS excess_loss
+  FROM ex GROUP BY source),
+sc AS (SELECT count(*)::DOUBLE AS s FROM per),
+m AS (
+  SELECT source, excess_loss,
+         {sql_rnd(f'exp({DOREMI_ETA!r} * excess_loss)', 8)} AS m
+  FROM per),
+w0 AS (SELECT source, excess_loss, m, {sql_rnd('1.0 / sc.s', 8)} AS w
+       FROM m, sc)"""]
+    for t in range(1, DOREMI_ITERS + 1):
+        parts.append(f"""u{t} AS (
+  SELECT source, excess_loss, m, {sql_rnd('w * m', 8)} AS u
+  FROM w{t - 1})""")
+        parts.append(f"""z{t} AS (SELECT {sql_rnd('sum(u)', 8)} AS z FROM u{t})""")
+        alpha = sql_rnd("u / z.z", 8)
+        parts.append(f"""w{t} AS (
+  SELECT source, excess_loss, m,
+         {sql_rnd(f'{keep!r} * ({alpha}) + {DOREMI_SMOOTH!r} / sc.s', 8)} AS w
+  FROM u{t}, z{t} z, sc)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT source, {t}::BIGINT AS step, w AS weight, excess_loss FROM w{t}"
+        for t in range(DOREMI_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+SQL_Q123 = _sql_doremi()
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -5069,26 +5136,101 @@ SQL_Q119 = _sql_training_assembly()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r8 rotation: (1) keys NEW or CHANGED this round lead — the
-    # three new operators (q117 image dedup, q118 top-D PCA, q119
-    # assembly funnel) plus the five retired rows-only keys whose
-    # recorded form is now the fully-oracled portable variant
-    # (q31/q32 md5+affine hash families, q36 seeded literal planes,
-    # q50 bound-gate form, q90 unrolled merge chain);
+    # r9 rotation: (1) keys NEW or CHANGED this round lead — q123
+    # (new DoReMi operator), q119 (oracle SQL dtype fix: BIGINT casts
+    # on every UNION branch), and the MinHash hot-band-cap family:
+    # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
+    # gate over the capped memo), q56 (takes candidates from it);
+    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
+    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
+    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
+    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    # (2) the r5-recorded block — oldest driver recording on file;
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
+    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    # (3) the r6-recorded block;
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    # (4) oldest r7-recorded keys fill the remaining 21 slots.
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
+    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
+    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
+    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
+    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
+    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
+    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
+    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
+    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # remaining r7-recorded keys;
+    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
+    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
+    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
+    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
+    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
+    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
+    "q62_decontaminate": (q62_decontaminate, SQL_Q62),
+    "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
+    "q64_mix_weights": (q64_mix_weights, SQL_Q64),
+    "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
+    "q66_mix_apply": (q66_mix_apply, SQL_Q66),
+    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
+    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
+    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
+    "q70_quality_filter": (q70_quality_filter, SQL_Q70),
+    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
+    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
+    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
+    # r8-recorded keys (the previous window, freshest recordings);
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
-    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
-    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
-    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
     "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
-    # (2) the r5-stale core block — oldest driver-recorded keys
-    # (q01-q27 family + q30, last green in the r5 window), rotated
-    # oldest-first per the window policy;
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
@@ -5113,7 +5255,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q26_sessionize": (q26_sessionize, SQL_Q26),
     "q27_salted_agg": (q27_salted_agg, SQL_Q27),
     "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
-    # (3) the remaining r5-recorded keys fill the window.
     "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
     "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
@@ -5126,94 +5267,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q89_source_diversity": (q89_source_diversity, SQL_Q89),
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
-    # changed-plan keys this round (policy: changed => window):
-    # q51 consumes the portable minhash memo, q56 takes its
-    # candidates from it, q111 moved to the 64/32 banding
-    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # r5-recorded keys left out of the window, each pinned by an
-    # in-window or oracled twin: q52 (simhash machinery unchanged,
-    # 64-bit gate), q76 (gates q75, r7-green), q80 (gates q79,
-    # in-window), q91 (subsumed by the fully-oracled q90 chain);
-    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
-    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
-    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
-    # r6-recorded keys;
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
-    "q37_lang_id": (q37_lang_id, SQL_Q37),
-    "q38_quality_score": (q38_quality_score, SQL_Q38),
-    "q39_token_count": (q39_token_count, SQL_Q39),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
-    "q42_text_clean": (q42_text_clean, SQL_Q42),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
-    "q45_rollup": (q45_rollup, SQL_Q45),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    # r5-recorded LM/dedup pair bumped for the r8 additions (both
-    # pytest-pinned: bigram backoff ordering tests, keep-best flip
-    # test; they lead the r9 window)
-    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
-    # r7-recorded keys (the previous window), plus the PQ trio
-    # (r5-recorded, bumped for the changed-plan keys; pinned by the
-    # Arrow-parity pytests and the in-window q100 composition in r7).
-    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
-    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
-    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
-    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
-    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
-    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
-    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
-    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
-    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
-    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
-    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
-    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
-    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
-    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
-    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
-    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
-    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
-    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
-    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
-    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
-    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
-    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
-    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
-    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
-    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
-    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
-    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
-    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
-    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
-    "q62_decontaminate": (q62_decontaminate, SQL_Q62),
-    "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
-    "q64_mix_weights": (q64_mix_weights, SQL_Q64),
-    "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
-    "q66_mix_apply": (q66_mix_apply, SQL_Q66),
-    "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
-    "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
-    "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
-    "q70_quality_filter": (q70_quality_filter, SQL_Q70),
-    "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
-    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
-    "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
-    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
-    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
 }
 
 

@@ -102,3 +102,77 @@ def test_assemble_training_data_funnel_semantics(spark):
         # epoch addressing: exactly epochs x trimmed
         assert got[(src, "shuffled")][0] == 3 * got[(src, "trimmed")][0]
         assert got[(src, "shuffled")][1] == 3 * got[(src, "trimmed")][1]
+
+
+def test_assemble_with_source_weights(spark):
+    """r9: the optional DoReMi weighting stage — a uniform mixture
+    reproduces the unweighted funnel exactly, while a skewed mixture
+    resizes each source's sample to k·S·weight (floor 1)."""
+    rows = []
+    for s, src in enumerate(("web", "code")):
+        for i in range(12):
+            did = s * 1000 + i
+            words = " ".join(
+                f"w{did}x{j} the of and to in is" for j in range(3 + i)
+            )
+            rows.append((did, src, words))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def run(weights):
+        sw = (spark.createDataFrame(weights, "source string, weight double")
+              if weights is not None else None)
+        out = P.assemble_training_data(
+            docs, "text", "doc_id", "source", k_per_source=5,
+            budget_tokens=150, chunk_tokens=8, overlap=2, capacity=16,
+            num_shards=4, epochs=3, source_weights=sw,
+        )
+        return {(r["source"], r["stage"]): (r["n_units"], r["n_tokens"])
+                for r in out.collect()}
+
+    base = run(None)
+    uniform = run([("web", 0.5), ("code", 0.5)])
+    assert uniform == base
+    skewed = run([("web", 0.8), ("code", 0.2)])
+    assert skewed[("web", "sampled")][0] == 8      # 5 * 2 * 0.8
+    assert skewed[("code", "sampled")][0] == 2     # 5 * 2 * 0.2
+    # downstream stages still hold their invariants
+    assert skewed[("web", "trimmed")][1] <= 150
+    assert skewed[("web", "packed")][1] == skewed[("web", "chunked")][1]
+
+
+def test_doremi_weights_trajectory(spark):
+    """r9: the DoReMi multiplicative-weights chain — weights start
+    uniform, stay normalized (sum 1 within rounding) every step, and
+    monotonically favor the source with the larger excess loss."""
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, "easy" if i < 6 else "hard") for i in range(12)],
+        "doc_id long, source string",
+    )
+    # synthetic score frames: the proxy lags the reference on 'hard'
+    ref = spark.createDataFrame(
+        [(i, -2.0) for i in range(12)], "doc_id long, avg_logp double")
+    prox = spark.createDataFrame(
+        [(i, -2.5 if i < 6 else -4.0) for i in range(12)],
+        "doc_id long, avg_logp double")
+    out = TX.doremi_weights(docs, "doc_id", "source", ref, prox,
+                            iters=4, eta=1.0, smooth=0.1)
+    rows = out.collect()
+    by_step: dict[int, dict[str, float]] = {}
+    for r in rows:
+        by_step.setdefault(r["step"], {})[r["source"]] = r["weight"]
+    assert len(by_step) == 5
+    assert by_step[0] == {"easy": 0.5, "hard": 0.5}
+    prev_hard = 0.5
+    for t in range(1, 5):
+        w = by_step[t]
+        assert abs(sum(w.values()) - 1.0) < 1e-6     # normalized
+        assert w["hard"] > w["easy"]                 # DRO upweights hard
+        assert w["hard"] >= prev_hard - 1e-9
+        prev_hard = w["hard"]
+    # excess loss: L_proxy - L_ref clipped at 0, averaged per source
+    ex = {r["source"]: r["excess_loss"] for r in rows}
+    assert ex["easy"] == 0.5 and ex["hard"] == 2.0
+    # smoothing keeps every source alive
+    assert min(by_step[4].values()) >= 0.1 / 2 - 1e-9
