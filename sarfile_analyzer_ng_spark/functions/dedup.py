@@ -446,10 +446,22 @@ def simhash32_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     faces signed-overflow games. Half the bits of the production
     signature → coarser resolution (documented variant trade); the
     banding/pigeonhole machinery is shared via
-    :func:`simhash_near_pairs`'s ``sig_bits`` parameter."""
+    :func:`simhash_near_pairs`'s ``sig_bits`` parameter.
+
+    NULL text coalesces to '' BEFORE tokenization (r9, cross-engine
+    contract): Spark's explode_outer keeps a NULL-text doc as a
+    sig-0 row, but SQL ``unnest(string_split_regex(NULL, ...))``
+    emits zero rows and the doc would vanish from the oracle's
+    signatures — coalescing on both sides makes the value-hash
+    contract corpus-shape independent."""
     toks = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode_outer(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("w"),
     )
     valid = F.col("w").isNotNull() & (F.col("w") != "")
     hashed = toks.select(

@@ -53,8 +53,17 @@ def hash_sample(df: DataFrame, key_col: str, percent: int,
     ``portable=True`` swaps xxhash64 for the engine-portable
     multiplicative family (util.shard_hash — the JSONL-shard /
     packing convention), so the EXACT sampled row set replays in ANSI
-    SQL: ``((key % 1000003) * 2654435761) % 100 < percent``. Integer
-    keys only on that path; ``seed`` folds in additively."""
+    SQL. Spark's outer ``pmod`` is always non-negative while ANSI
+    ``%`` preserves sign (the INNER mod is signed in both engines —
+    Spark ``%`` and DuckDB ``%`` both follow the dividend), so the
+    replay must wrap the outer mod exactly as SQL_Q50 does — with
+    ``k = key + seed`` (seed folds in additively, so k can go
+    negative even for non-negative keys):
+
+        ``(((k % 1000003) * 2654435761) % 100 + 100) % 100
+        < percent``
+
+    Integer keys only on that path."""
     if portable:
         from ..util import shard_hash
 

@@ -890,7 +890,7 @@ def _sql_simhash32_pairs() -> str:
 WITH corpus AS ({SQL_PLANTED}),
 toks AS (
   SELECT doc_id AS doc,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS w
   FROM corpus),
 hashed AS (
   SELECT doc,
@@ -5140,13 +5140,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (new DoReMi operator), q119 (oracle SQL dtype fix: BIGINT casts
     # on every UNION branch), and the MinHash hot-band-cap family:
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
-    # gate over the capped memo), q56 (takes candidates from it);
+    # gate over the capped memo), q56 (takes candidates from it), and
+    # q32 (NULL-text coalesce in simhash32_portable + its oracle);
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
     "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     # (2) the r5-recorded block — oldest driver recording on file;
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
@@ -5193,9 +5195,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
-    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
     # remaining r7-recorded keys;
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     "q114_source_divergence": (q114_source_divergence, SQL_Q114),
     "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
     "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
@@ -5227,7 +5229,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
-    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),

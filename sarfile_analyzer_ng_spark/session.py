@@ -17,6 +17,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def default_driver_mem() -> str:
+    """Driver heap sized from the HOST, not from the bench machine
+    (r9, ADVICE): local[N] makes the driver double as the executor,
+    and 8g measured ~+50% wall late in a 120-query bench session on
+    the 128 GiB host (GC pressure) — but hard-coding that host's 24g
+    would fail JVM startup or push a 16 GiB dev laptop into swap.
+    Default is a quarter of detected physical memory clamped to
+    [4g, 24g] (→ 24g on the bench host, 4g on a small laptop);
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides unconditionally."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(24, int(total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "sarfile_analyzer_ng_spark",
     master: str | None = None,
@@ -48,12 +67,7 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
-        # local[32] makes the driver double as the executor: 32 task
-        # threads + session-lived memo caches + Arrow buffers inside
-        # one heap. 8g measured ~+50% wall late in a 120-query bench
-        # session (GC pressure inflating unrelated queries); the host
-        # has 128 GiB — give the JVM room.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", default_driver_mem())
     )
     spark = builder.getOrCreate()
     # getOrCreate silently IGNORES builder configs when a session

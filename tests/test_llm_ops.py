@@ -2116,3 +2116,18 @@ def test_incremental_near_dups_max_df_caps_hot_bands(spark):
     assert capped[1900]["n_candidates"] == 1 and capped[1900]["is_dup"] == 1
     # every batch doc still gets exactly one verdict row
     assert len(capped) == len(batch_rows)
+
+
+def test_simhash32_portable_null_text_keeps_doc(spark):
+    """r9 (ADVICE): a NULL-text document must appear in the portable
+    signature frame as a sig-0 row — the same row '' text produces —
+    so the SQL twin (which coalesces NULL to '' before tokenizing)
+    can never diverge on corpora containing NULL text."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc"]: r["simhash"] for r in
+            D.simhash32_portable(df, "text", "doc_id").collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[2] == 0 and sigs[3] == 0

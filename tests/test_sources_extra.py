@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import lzma
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -902,24 +903,24 @@ def test_multimodal_real_jpeg_decode(spark):
         MM.decode_jpeg(bytes(fake_prog), "image")
 
 
-def test_multimodal_jpeg_decodes_real_world_files():
-    """Independent validation against JPEGs produced by REAL encoders
-    (shipped with system packages — skipped when absent): a
-    radially-symmetric mandala must decode to a left/right symmetric
-    luminance grid, and a documentation diagram must read mostly
-    white. Catches any convention bug the self-roundtrip pair could
-    share (zigzag, byte stuffing, huffman canonicalization)."""
-    import os
+_MEDIA_DIR = os.path.join(os.path.dirname(__file__), "data", "media")
 
+
+def test_multimodal_jpeg_decodes_real_world_files():
+    """Independent validation against a JPEG produced by a REAL
+    encoder (r9: vendored into tests/data/media so the check is
+    hermetic — previously it skipped when the system sample was
+    absent): a radially-symmetric baseline-SOF0 mandala (the
+    flower-of-life sample shipped with the requests library's docs)
+    must decode to a left/right symmetric luminance grid. Catches any
+    convention bug the self-roundtrip pair could share (zigzag, byte
+    stuffing, huffman canonicalization).
+
+    If the larger system samples happen to exist, they are validated
+    too (extra coverage, never a skip)."""
     from sarfile_analyzer_ng_spark.functions.multimodal import decode_jpeg
 
-    mandala = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
-               "requests/ext/flower-of-life.jpg")
-    diagram = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
-               "pyparsing/docs/_static/pyparsingClassDiagram_1.5.2.jpg")
-    if not (os.path.exists(mandala) and os.path.exists(diagram)):
-        pytest.skip("system sample JPEGs not present")
-
+    mandala = os.path.join(_MEDIA_DIR, "flower-of-life.jpg")
     w, h, _, feat = decode_jpeg(open(mandala, "rb").read(), "image")
     assert (w, h) == (161, 161)
     # radial symmetry: each grid row reads the same left-to-right as
@@ -928,9 +929,12 @@ def test_multimodal_jpeg_decodes_real_world_files():
         assert abs(row[0] - row[3]) < 0.02 and abs(row[1] - row[2]) < 0.02
     assert min(feat) > 0.7
 
-    w, h, _, feat = decode_jpeg(open(diagram, "rb").read(), "image")
-    assert (w, h) == (1155, 1659)
-    assert min(feat) > 0.9  # a documentation page is mostly white
+    diagram = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+               "pyparsing/docs/_static/pyparsingClassDiagram_1.5.2.jpg")
+    if os.path.exists(diagram):
+        w, h, _, feat = decode_jpeg(open(diagram, "rb").read(), "image")
+        assert (w, h) == (1155, 1659)
+        assert min(feat) > 0.9  # a documentation page is mostly white
 
 
 def _jpeg_encode_progressive(lum, w, h, refine=False):
@@ -1173,20 +1177,20 @@ def test_ac_refine_zrl_bit_order_matches_libjpeg():
 
 
 def test_multimodal_real_progressive_jpegs():
-    """Real libjpeg-progression files (system docs — skipped when
-    absent) decode with correct geometry and near-white luminance."""
-    import os
-
+    """A real libjpeg progressive-SOF2 file (r9: vendored into
+    tests/data/media from the nodejs docs so the check is hermetic)
+    decodes with correct geometry and near-white luminance; the
+    larger system sibling is validated when present (never a
+    skip)."""
     from sarfile_analyzer_ng_spark.functions.multimodal import decode_jpeg
 
-    thin = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    full = "/usr/share/doc/nodejs/full-white-stripe.jpg"
-    if not (os.path.exists(thin) and os.path.exists(full)):
-        pytest.skip("system progressive JPEGs not present")
+    thin = os.path.join(_MEDIA_DIR, "thin-white-stripe.jpg")
     w, h, _, feat = decode_jpeg(open(thin, "rb").read(), "image")
     assert (w, h) == (493, 58) and min(feat) > 0.7
-    w, h, _, feat = decode_jpeg(open(full, "rb").read(), "image")
-    assert (w, h) == (493, 312) and min(feat) > 0.9
+    full = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if os.path.exists(full):
+        w, h, _, feat = decode_jpeg(open(full, "rb").read(), "image")
+        assert (w, h) == (493, 312) and min(feat) > 0.9
 
 
 def test_multimodal_mjpeg_frame_sampling(spark):
