@@ -1664,6 +1664,10 @@ def doremi_weights(docs: DataFrame, id_col: str, source_col: str,
             ).alias("excess_loss")
         )
     )
+    # S rows; cached so the trajectory collect and the returned
+    # frame's join don't each re-run the two LM scoring pipelines
+    # (the dedup-family _cached_inputs/release() contract)
+    per = per.cache()
     rows = sorted(per.collect(), key=lambda r: r[source_col])
     if not rows:
         raise ValueError("doremi_weights: no sources")
@@ -1687,6 +1691,8 @@ def doremi_weights(docs: DataFrame, id_col: str, source_col: str,
     tdf = spark.createDataFrame(
         traj, f"{source_col} string, step long, weight double"
     )
-    return tdf.join(F.broadcast(per), source_col).select(
+    out = tdf.join(F.broadcast(per), source_col).select(
         F.col(source_col).alias("source"), "step", "weight", "excess_loss"
     )
+    out._cached_inputs = [per]  # dedup.release() contract
+    return out
