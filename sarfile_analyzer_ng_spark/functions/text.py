@@ -1696,3 +1696,192 @@ def doremi_weights(docs: DataFrame, id_col: str, source_col: str,
     )
     out._cached_inputs = [per]  # dedup.release() contract
     return out
+
+
+def zipf_stats(df: DataFrame, text_col: str, id_col: str,
+               top_ranks: int = 500, round_to: int = 4) -> DataFrame:
+    """Corpus-level Zipf diagnostics in one row: vocabulary size,
+    total token count, the head share, and a log-log OLS fit of
+    frequency against rank over the top ``top_ranks`` ranks. Natural
+    corpora fit ``slope ≈ −1`` (Zipf 1949); a pipeline that suddenly
+    reads −0.5 (flattened head — boilerplate dedup gone wrong) or −2
+    (template explosion — one page stamped millions of times) has a
+    data bug upstream. The standard one-glance health check run after
+    every major curation stage (Wenzek et al. 2020 report exactly
+    this curve for CCNet shards).
+
+    Determinism: ranks order by (count DESC, token ASC) — ties at the
+    cut are stable cross-engine; the regression runs over per-rank
+    ``(ln rank, ln count)`` pre-rounded at 8 digits and the closed-
+    form OLS moments are rounded again before the divide.
+
+    Shape at scale: one token-count agg (token-keyed combinable
+    shuffle), a ``top_ranks``-row TakeOrdered (driver-bounded,
+    model-sized), and a single-row reduce over those rows. The
+    corpus never moves; the vocabulary table never sorts globally —
+    only the bounded head does.
+    """
+    from pyspark.sql import Window
+
+    toks = _ws_tokens(df, text_col, id_col)
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    totals = cnts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top1"),
+    )
+    head = (
+        cnts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_ranks)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+            .alias("r"),
+        )
+        .select(
+            rnd(F.log("r"), 8).alias("x"),
+            rnd(F.log("c"), 8).alias("y"),
+        )
+    )
+    fit = head.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        rnd(F.sum("x"), 8).alias("sx"),
+        rnd(F.sum("y"), 8).alias("sy"),
+        rnd(F.sum(F.col("x") * F.col("x")), 8).alias("sxx"),
+        rnd(F.sum(F.col("x") * F.col("y")), 8).alias("sxy"),
+    )
+    return (
+        F.broadcast(totals)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            rnd(F.col("top1") / F.col("n_tokens"), round_to).alias("top1_share"),
+            rnd(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")),
+                round_to,
+            ).alias("zipf_slope"),
+            rnd(
+                F.col("sy") / F.col("m")
+                - (
+                    (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                    / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+                )
+                * F.col("sx") / F.col("m"),
+                round_to,
+            ).alias("zipf_intercept"),
+        )
+    )
+
+
+def _ws_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared whitespace tokenizer stream: (doc, pos, w)."""
+    return fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    )
+
+
+def kn_bigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                      discount: float = 0.75,
+                      round_to: int = 4) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) — the third rung of the LM-quality
+    ladder after q84's unigram MLE and q95's Stupid Backoff:
+
+    ``P(w|v) = max(c(v,w) − D, 0) / c(v·)
+             + D · N1+(v·) / c(v·) · P_cont(w)``
+
+    where ``P_cont(w) = N1+(·w) / |bigram types|`` is the CONTINUATION
+    probability — how many distinct contexts ``w`` follows, not how
+    often it occurs — the innovation that makes KN the strongest
+    count-based smoothing ("Francisco" is frequent but follows only
+    "San", so it gets a tiny continuation weight). Per doc: mean
+    token log-prob + perplexity, the q84/q95 output contract.
+
+    Scored on the training corpus itself every term is well-defined
+    with no extra floors: a token at ``pos ≥ 2`` IS a continuation of
+    its prev (so ``N1+(·w) ≥ 1`` and ``c(v·) ≥ 1``); each document's
+    FIRST token has no context and scores by its unigram MLE
+    ``c(w)/N`` (the q95 first-token convention).
+
+    Determinism: all model quantities are integer counts; the single
+    per-token log is pre-rounded at 8 digits (util.rnd contract)
+    before the per-doc mean.
+
+    Shape at scale: Brants-style sharded count tables — bigram counts
+    keyed by (prev, w), context totals / distinct-continuation counts
+    by prev, continuation counts by w — every one a combinable
+    shuffle agg, joined back ON THE GRAM KEY so no table needs to fit
+    anywhere whole (AQE broadcasts the small ones). One lag window
+    per doc, one final per-doc agg. No Python, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _ws_tokens(df, text_col, id_col)
+    stream = toks.select(
+        "doc", "pos", "w",
+        F.lag("w").over(W.partitionBy("doc").orderBy("pos")).alias("prev"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("n"))
+    bi = (
+        stream.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    )
+    # context totals + distinct continuations per context (one agg)
+    ctx = bi.groupBy("prev").agg(
+        F.sum("cb").alias("cv"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fwd"),
+    )
+    # continuation counts per word + the bigram-type total
+    cont = bi.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_bwd")
+    )
+    btypes = bi.agg(F.count(F.lit(1)).cast("double").alias("bt"))
+    d = float(discount)
+    scored = (
+        stream.join(bi, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "w", "left")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc",
+            rnd(
+                F.when(
+                    F.col("prev").isNull(),
+                    F.log(F.col("cw") / F.col("n")),
+                ).otherwise(
+                    F.log(
+                        F.greatest(
+                            F.coalesce(F.col("cb"), F.lit(0.0)) - F.lit(d),
+                            F.lit(0.0),
+                        )
+                        / F.col("cv")
+                        + F.lit(d)
+                        * F.col("n1p_fwd")
+                        / F.col("cv")
+                        * (F.col("n1p_bwd") / F.col("bt"))
+                    )
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg("lp"), round_to).alias("avg_logp"),
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "avg_logp",
+        rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
+    )

@@ -5121,6 +5121,198 @@ w0 AS (SELECT source, excess_loss, m, {sql_rnd('1.0 / sc.s', 8)} AS w
 
 SQL_Q123 = _sql_doremi()
 
+
+# ---- r9: BM25 retrieval, Zipf corpus diagnostics, Kneser-Ney LM ----
+
+BM25_TOPK = 5
+QUERY_PREFIX_TOKENS = 8
+ZIPF_TOP_RANKS = 500
+KN_DISCOUNT = 0.75
+
+
+def q124_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (functions/retrieval.py:bm25_topk, r9):
+    eval docs (doc_id % 50 == 0, the q62 convention) pose their first
+    8 tokens as queries against the remaining corpus — the "what
+    WOULD a search engine return for this benchmark prompt?" audit
+    that complements q108's embedding-space decontamination with the
+    lexical view. Lucene-variant idf, tf saturation, per-term
+    contributions on the 8-digit rnd ladder, rank ties broken by doc
+    id; the full (query, rank, doc, score, hits) table is value-hash
+    oracled."""
+    from .functions import retrieval as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1, QUERY_PREFIX_TOKENS,
+            ),
+        ).alias("query"),
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+
+
+def _sql_bm25() -> str:
+    from .functions.retrieval import BM25_B, BM25_K1
+
+    idf = (
+        f"ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    )
+    sat = (
+        f"(p.tf * {BM25_K1 + 1.0!r}) / (p.tf + {BM25_K1!r} * "
+        f"({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / n.avgdl))"
+    )
+    return f"""
+WITH docs0 AS (SELECT doc_id, text FROM documents),
+qs AS (
+  SELECT doc_id AS qid,
+         (string_split_regex(lower(trim(text)), '\\s+'))[1:{QUERY_PREFIX_TOKENS}] AS qw
+  FROM docs0 WHERE doc_id % 50 = 0),
+qterms AS (SELECT DISTINCT qid, unnest(qw) AS w FROM qs),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM docs0 WHERE doc_id % 50 != 0),
+tok AS (SELECT doc, unnest(w) AS w FROM words),
+postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),
+doclen AS (SELECT doc, count(*)::DOUBLE AS dl FROM tok GROUP BY doc),
+navg AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen),
+dft AS (SELECT w, count(*)::DOUBLE AS df FROM postings GROUP BY w),
+scored AS (
+  SELECT q.qid, p.doc,
+         {sql_rnd(f"({idf}) * {sat}", 8)} AS contrib
+  FROM postings p
+  JOIN qterms q USING (w)
+  JOIN dft d USING (w)
+  JOIN doclen l ON l.doc = p.doc, navg n),
+agg AS (
+  SELECT qid, doc, {sql_rnd('sum(contrib)', 4)} AS score,
+         count(*)::BIGINT AS n_terms_hit
+  FROM scored GROUP BY qid, doc),
+ranked AS (
+  SELECT qid, doc, score, n_terms_hit,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC)
+           AS rnk
+  FROM agg)
+SELECT qid AS query_id, rnk::BIGINT AS "rank", doc AS doc_id, score,
+       n_terms_hit
+FROM ranked WHERE rnk <= {BM25_TOPK}
+"""
+
+
+SQL_Q124 = _sql_bm25()
+
+
+def q125_zipf_stats(spark, sf_dir):
+    """One-row Zipf corpus diagnostics (functions/text.py:zipf_stats,
+    r9): vocabulary size, token total, head share, and the log-log
+    OLS slope/intercept over the top-500 frequency ranks — the
+    after-every-curation-stage health check (CCNet, Wenzek et al.
+    2020 report this curve per shard). Ranks tie-break by token so
+    the cut is engine-stable; the regression moments ride the 8-digit
+    rnd ladder."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.zipf_stats(docs, "text", "doc_id", top_ranks=ZIPF_TOP_RANKS)
+
+
+def _sql_zipf() -> str:
+    slope = "(f.sxy - f.sx * f.sy / f.m) / (f.sxx - f.sx * f.sx / f.m)"
+    return f"""
+WITH words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+tok AS (SELECT doc, unnest(w) AS w FROM words),
+cnts AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),
+totals AS (
+  SELECT count(*)::BIGINT AS vocab_size, sum(c) AS nt, max(c) AS top1
+  FROM cnts),
+head AS (
+  SELECT {sql_rnd('ln(r)', 8)} AS x, {sql_rnd('ln(c)', 8)} AS y
+  FROM (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+    FROM cnts ORDER BY c DESC, w ASC LIMIT {ZIPF_TOP_RANKS}) t),
+fit AS (
+  SELECT count(*)::DOUBLE AS m,
+         {sql_rnd('sum(x)', 8)} AS sx, {sql_rnd('sum(y)', 8)} AS sy,
+         {sql_rnd('sum(x * x)', 8)} AS sxx,
+         {sql_rnd('sum(x * y)', 8)} AS sxy
+  FROM head)
+SELECT t.vocab_size, t.nt::BIGINT AS n_tokens,
+       {sql_rnd('t.top1 / t.nt', 4)} AS top1_share,
+       {sql_rnd(slope, 4)} AS zipf_slope,
+       {sql_rnd(f'f.sy / f.m - ({slope}) * f.sx / f.m', 4)} AS zipf_intercept
+FROM totals t, fit f
+"""
+
+
+SQL_Q125 = _sql_zipf()
+
+
+def q126_kn_bigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (functions/text.py:
+    kn_bigram_logprob, r9; Kneser & Ney 1995, Chen & Goodman 1999) —
+    the strongest count-based smoothing, completing the LM-quality
+    ladder after q84's unigram MLE and q95's Stupid Backoff: absolute
+    discounting plus the CONTINUATION-probability backoff that
+    downweights frequent-but-context-bound words. Per-doc mean
+    log-prob + perplexity, the q84/q95 output contract, fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.kn_bigram_logprob(docs, "text", "doc_id",
+                                discount=KN_DISCOUNT)
+
+
+def _sql_kn() -> str:
+    d = repr(KN_DISCOUNT)
+    case = (
+        "CASE WHEN s.prev IS NULL THEN ln(u.cw / tot.n) "
+        f"ELSE ln(greatest(coalesce(b.cb, 0.0) - {d}, 0.0) / c.cv "
+        f"+ {d} * c.n1p_fwd / c.cv * (k.n1p_bwd / bt.bt)) END"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+p0 AS (
+  SELECT doc, w, unnest(range(1, len(w) + 1)) AS pos FROM words),
+tok AS (SELECT doc, pos, w[pos] AS w FROM p0),
+stream AS (
+  SELECT doc, pos, w,
+         lag(w) OVER (PARTITION BY doc ORDER BY pos) AS prev
+  FROM tok),
+uni AS (SELECT w, count(*)::DOUBLE AS cw FROM tok GROUP BY w),
+tot AS (SELECT sum(cw) AS n FROM uni),
+bi AS (
+  SELECT prev, w, count(*)::DOUBLE AS cb FROM stream
+  WHERE prev IS NOT NULL GROUP BY prev, w),
+ctx AS (
+  SELECT prev, sum(cb) AS cv, count(*)::DOUBLE AS n1p_fwd
+  FROM bi GROUP BY prev),
+cont AS (SELECT w, count(*)::DOUBLE AS n1p_bwd FROM bi GROUP BY w),
+btypes AS (SELECT count(*)::DOUBLE AS bt FROM bi),
+scored AS (
+  SELECT s.doc, {sql_rnd(case, 8)} AS lp
+  FROM stream s
+  LEFT JOIN bi b ON b.prev = s.prev AND b.w = s.w
+  LEFT JOIN ctx c ON c.prev = s.prev
+  LEFT JOIN cont k ON k.w = s.w
+  JOIN uni u ON u.w = s.w, tot, btypes bt),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_tokens,
+         {sql_rnd('avg(lp)', 4)} AS avg_logp
+  FROM scored GROUP BY doc)
+SELECT doc AS doc_id, n_tokens, avg_logp,
+       {sql_rnd('exp(-avg_logp)', 4)} AS ppl
+FROM agg
+"""
+
+
+SQL_Q126 = _sql_kn()
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -5142,6 +5334,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
     # gate over the capped memo), q56 (takes candidates from it), and
     # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
+    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
+    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),

@@ -1,0 +1,248 @@
+"""BM25 retrieval (functions/retrieval.py), Zipf diagnostics and
+Kneser-Ney scoring (functions/text.py) — value checks against pure-
+python references plus the determinism contracts (tie order, k cut).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sarfile_analyzer_ng_spark.functions import retrieval as RV
+from sarfile_analyzer_ng_spark.functions import text as TX
+
+
+def _bm25_reference(corpus: dict[int, str], queries: dict[int, str],
+                    k1: float = RV.BM25_K1, b: float = RV.BM25_B):
+    """Row-at-a-time BM25 with the operator's rounding ladder."""
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    dl = {d: float(len(ws)) for d, ws in toks.items()}
+    n_docs = float(len(toks))
+    avgdl = sum(dl.values()) / n_docs
+    tf = {d: {} for d in toks}
+    for d, ws in toks.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0.0) + 1.0
+    df = {}
+    for d in toks:
+        for w in tf[d]:
+            df[w] = df.get(w, 0.0) + 1.0
+    r8 = lambda v: round(round(v, 8), 8)  # noqa: E731
+    out = {}
+    for qid, q in queries.items():
+        for d in toks:
+            contribs = []
+            for w in sorted(set(q.lower().split())):
+                if w not in tf[d]:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                sat = (tf[d][w] * (k1 + 1.0)) / (
+                    tf[d][w] + k1 * (1.0 - b + b * dl[d] / avgdl)
+                )
+                contribs.append(r8(idf * sat))
+            if contribs:
+                out[(qid, d)] = (round(sum(contribs), 4), len(contribs))
+    return out
+
+
+def test_bm25_matches_reference_and_cuts_at_k(spark):
+    corpus = {
+        1: "apple banana cherry",
+        2: "apple apple apple durian",
+        3: "kiwi lemon mango",
+        4: "apple banana banana",
+        5: "banana cherry durian kiwi lemon",
+    }
+    queries = {10: "apple banana", 20: "mango mango kiwi"}
+    cdf = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in queries.items()], "query_id long, query string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_hit, r.rank)
+        for r in RV.bm25_topk(cdf, qdf, "text", "doc_id", k=3).collect()
+    }
+    ref = _bm25_reference(corpus, queries)
+    # doc 3 shares no term with query 10; docs 1/2/4 & 5 do => k=3 cut
+    assert (10, 3) not in got
+    for qid in queries:
+        top = sorted(
+            (k for k in ref if k[0] == qid),
+            key=lambda k: (-ref[k][0], k[1]),
+        )[:3]
+        assert {k for k in got if k[0] == qid} == set(top)
+        for rank, (q, d) in enumerate(top, start=1):
+            s, n = ref[(q, d)]
+            assert got[(q, d)] == (s, n, rank)
+
+
+def test_bm25_tie_breaks_by_doc_id(spark):
+    cdf = spark.createDataFrame(
+        [(7, "same words here"), (3, "same words here"),
+         (9, "same words here")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "same words")], "query_id long, query string"
+    )
+    rows = (
+        RV.bm25_topk(cdf, qdf, "text", "doc_id", k=2)
+        .orderBy("rank").collect()
+    )
+    assert [r.doc_id for r in rows] == [3, 7]
+    assert rows[0].score == rows[1].score
+
+
+def test_zipf_stats_matches_closed_form(spark):
+    # frequencies 8/4/2/1 over four words
+    text = " ".join(
+        ["alpha"] * 8 + ["beta"] * 4 + ["gamma"] * 2 + ["delta"]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = TX.zipf_stats(df, "text", "doc_id").collect()[0]
+    assert row.vocab_size == 4 and row.n_tokens == 15
+    assert row.top1_share == round(8 / 15, 4)
+    xs = [round(math.log(r), 8) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(c), 8) for c in (8.0, 4.0, 2.0, 1.0)]
+    m = 4.0
+    sx, sy = round(sum(xs), 8), round(sum(ys), 8)
+    sxx = round(sum(x * x for x in xs), 8)
+    sxy = round(sum(x * y for x, y in zip(xs, ys)), 8)
+    slope = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    intercept = sy / m - slope * sx / m
+    assert row.zipf_slope == round(round(slope, 8), 4)
+    assert row.zipf_intercept == round(round(intercept, 8), 4)
+
+
+def _kn_reference(corpus: dict[int, str], d: float = 0.75):
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    uni, bi = {}, {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0.0) + 1.0
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0.0) + 1.0
+    n = sum(uni.values())
+    bt = float(len(bi))
+    cv = {}
+    n1p_fwd = {}
+    n1p_bwd = {}
+    for (a, b), c in bi.items():
+        cv[a] = cv.get(a, 0.0) + c
+        n1p_fwd[a] = n1p_fwd.get(a, 0.0) + 1.0
+        n1p_bwd[b] = n1p_bwd.get(b, 0.0) + 1.0
+    out = {}
+    for i, ws in toks.items():
+        lps = []
+        for pos, w in enumerate(ws):
+            if pos == 0:
+                lp = math.log(uni[w] / n)
+            else:
+                v = ws[pos - 1]
+                p = (
+                    max(bi.get((v, w), 0.0) - d, 0.0) / cv[v]
+                    + d * n1p_fwd[v] / cv[v] * (n1p_bwd[w] / bt)
+                )
+                lp = math.log(p)
+            lps.append(round(round(lp, 8), 8))
+        avg = round(sum(lps) / len(lps), 4)
+        out[i] = (len(lps), avg, round(math.exp(-avg), 4))
+    return out
+
+
+def test_kn_bigram_matches_reference(spark):
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+        4: "san francisco san francisco san francisco",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logp, r.ppl)
+        for r in TX.kn_bigram_logprob(df, "text", "doc_id").collect()
+    }
+    assert got == _kn_reference(corpus)
+
+
+def test_kn_continuation_downweights_context_bound_words(spark):
+    """'francisco' is frequent but only ever follows 'san' — its KN
+    continuation probability must be lower than that of a word with
+    the same unigram count spread across distinct contexts."""
+    corpus = {
+        1: "san francisco is big",
+        2: "visit san francisco now",
+        3: "san francisco has hills",
+        4: "cats like cream",
+        5: "dogs like parks",
+        6: "birds like seeds",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    toks = {i: t.split() for i, t in corpus.items()}
+    # both 'francisco' and 'like' occur 3x; 'francisco' has 1 context,
+    # 'like' has 3 -> continuation mass differs 1 vs 3
+    assert sum(ws.count("francisco") for ws in toks.values()) == 3
+    assert sum(ws.count("like") for ws in toks.values()) == 3
+    scored = TX.kn_bigram_logprob(df, "text", "doc_id")
+    assert scored.count() == 6  # all docs scored, no NaN/inf drops
+    vals = scored.agg(F.min("avg_logp"), F.max("avg_logp")).collect()[0]
+    assert all(math.isfinite(v) for v in vals)
+    ref = _kn_reference(corpus)
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logp, r.ppl)
+        for r in scored.collect()
+    }
+    assert got == ref
+
+
+def test_bm25_stream_scoring_matches_topk_scores(spark):
+    """bm25_score_stream on a batch frame reproduces bm25_topk's
+    (query, doc) scores when fed the same frozen idf/avgdl model."""
+    corpus = {
+        1: "apple banana cherry",
+        2: "apple apple durian",
+        3: "kiwi lemon mango apple",
+    }
+    queries = {10: "apple banana"}
+    cdf = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(q, t) for q, t in queries.items()], "query_id long, query string"
+    )
+    full = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_hit)
+        for r in RV.bm25_topk(cdf, qdf, "text", "doc_id", k=10).collect()
+    }
+    # freeze the corpus model exactly as the streaming setup would
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = float(len(toks))
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    df_cnt = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df_cnt[w] = df_cnt.get(w, 0.0) + 1.0
+    qrows = []
+    for qid, q in queries.items():
+        for w in set(q.split()):
+            if w in df_cnt:
+                qrows.append(
+                    (qid, w,
+                     math.log(1.0 + (n_docs - df_cnt[w] + 0.5)
+                              / (df_cnt[w] + 0.5)))
+                )
+    model = spark.createDataFrame(qrows, "qid long, w string, idf double")
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_hit)
+        for r in RV.bm25_score_stream(
+            cdf, "text", "doc_id", model, avgdl
+        ).collect()
+    }
+    assert got == full
