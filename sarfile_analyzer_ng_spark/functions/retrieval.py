@@ -145,55 +145,118 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
     )
 
 
-def bm25_score_stream(batch: DataFrame, text_col: str, id_col: str,
-                      qterms_idf: DataFrame, avgdl: float,
-                      k1: float = BM25_K1, b: float = BM25_B,
-                      round_to: int = 4) -> DataFrame:
-    """Stream-side BM25 scoring of ARRIVING documents against a fixed
-    query-term model (ST18's core): ``qterms_idf`` is the static
-    (qid, w, idf) table built once from the indexed corpus (bounded:
-    |queries|·|terms| rows), ``avgdl`` the frozen corpus statistic.
-    Each arriving doc explodes to tokens, joins the static model on
-    the term (stream-static joins are append-safe), and aggregates
-    per (doc, qid) — the ingest-side "which eval prompts does this
-    new document answer?" screen. Works identically on a batch frame
-    (the batch-parity test harness contract, streaming/ops.py).
-    """
-    toks = batch.select(
-        F.col(id_col).alias("doc"), text_col
-    ).select(
-        "doc",
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "w"),
+def bm25_model(corpus: DataFrame, queries: DataFrame, text_col: str,
+               id_col: str, query_id_col: str = "query_id",
+               query_col: str = "query") -> tuple[list, float]:
+    """Freeze the corpus-side BM25 statistics for row-local scoring:
+    returns ``([(qid, term, idf), …], avgdl)``.
+
+    The list is BOUNDED by contract — |queries| · |query terms|, an
+    eval suite, never the corpus — so collecting it to the driver is
+    a model-sized collect (the centroid-seed / BPE-merge class), and
+    the per-term idf rides as plan literals afterwards. ``df`` /
+    ``avgdl`` come from one pass over the corpus (term-keyed and
+    doc-keyed combinable aggs)."""
+    toks = _tokens(corpus, text_col, id_col)
+    doclen = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
     )
-    tf = toks.groupBy("doc", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"),
+    n_docs, avgdl = doclen.agg(
+        F.count(F.lit(1)).cast("double"), F.avg("dl")
+    ).collect()[0]
+    df_tbl = (
+        toks.distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    joined = (
-        tf.join(F.broadcast(qterms_idf), "w")
-        .join(dl, "doc")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
+            ).alias("w"),
+        )
+        .distinct()
+        .join(df_tbl, "w")
         .select(
-            "doc", "qid",
-            rnd(
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                ),
-                8,
-            ).alias("contrib"),
+            "qid", "w",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
         )
     )
-    return joined.groupBy("doc", "qid").agg(
-        rnd(F.sum("contrib"), round_to).alias("score"),
-        F.count(F.lit(1)).alias("n_terms_hit"),
-    ).select(
-        F.col("doc").alias(id_col),
-        F.col("qid").alias("query_id"),
-        "score",
-        "n_terms_hit",
+    model = sorted(
+        ((r.qid, r.w, r.idf) for r in qterms.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    return model, float(avgdl)
+
+
+def bm25_score_rows(df: DataFrame, text_col: str, id_col: str,
+                    model: list, avgdl: float,
+                    passthrough: tuple[str, ...] = (),
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    round_to: int = 4) -> DataFrame:
+    """Row-local BM25 scoring against a frozen query-term model — the
+    STATELESS form shared by the batch path and the ST18 ingest
+    screen (one implementation, so stream and batch verdicts cannot
+    drift — the ST16 contract). Each row computes its own term
+    frequencies with array HOFs (``filter``/``size`` over the token
+    array — no explode, no groupBy, no state), then emits one row per
+    query that shares ≥ 1 term: ``(id, *passthrough, query_id, score,
+    n_terms_hit)``. Append-mode safe on a stream because the plan is
+    a pure projection; per-term contributions ride the same 8-digit
+    rnd ladder as :func:`bm25_topk`."""
+    by_q: dict = {}
+    for qid, w, idf in model:
+        by_q.setdefault(qid, []).append((w, idf))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    dl = F.size(words).cast("double")
+    denom_tail = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl))
+    )
+
+    def qstruct(qid, terms):
+        contribs = []
+        for w, idf in terms:
+            tf = F.size(
+                F.filter(words, lambda x: x == F.lit(w))
+            ).cast("double")
+            contribs.append(
+                F.when(
+                    tf > 0,
+                    rnd(
+                        F.lit(float(idf))
+                        * (tf * F.lit(k1 + 1.0))
+                        / (tf + denom_tail),
+                        8,
+                    ),
+                )
+            )
+        arr = F.filter(F.array(*contribs), lambda c: c.isNotNull())
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            rnd(
+                F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x),
+                round_to,
+            ).alias("score"),
+            F.size(arr).cast("long").alias("n_terms_hit"),
+        )
+
+    scored = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough],
+        F.explode(
+            F.filter(
+                F.array(*[qstruct(q, ts) for q, ts in sorted(by_q.items())]),
+                lambda s: s["n_terms_hit"] > 0,
+            )
+        ).alias("q"),
+    )
+    return scored.select(
+        id_col, *passthrough,
+        F.col("q.query_id").alias("query_id"),
+        F.col("q.score").alias("score"),
+        F.col("q.n_terms_hit").alias("n_terms_hit"),
     )

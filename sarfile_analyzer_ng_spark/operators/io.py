@@ -88,3 +88,27 @@ def read_jsonl(spark: SparkSession, path: str,
                schema: T.StructType) -> DataFrame:
     """Schema-pinned JSONL read (inference would re-scan the corpus)."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_cols: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC export — the other columnar interchange format large Hive/
+    Trino estates standardize on (predicate pushdown + column pruning
+    work exactly as for parquet; Spark's ORC source is built in).
+    Optionally Hive-partitioned like :func:`write_partitioned`."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC read; pass ``schema`` to pin types without a footer-scan
+    inference pass (the read_csv discipline — at 100 TB even footer
+    sampling across a million files is a job)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -785,3 +785,37 @@ def incremental_near_dup_stream(stream: DataFrame, ref: DataFrame,
         flagged.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([id_col, "ref_id"])
     )
+
+
+def bm25_screen_stream(stream: DataFrame, text_col: str, id_col: str,
+                       model: list, avgdl: float, ts_col: str = "ts",
+                       min_score: float | None = None) -> DataFrame:
+    """Streaming BM25 relevance screening (ST18): every ARRIVING
+    document is scored against a frozen query-term model — the
+    ingest-side half of q124, answering "which eval prompts does this
+    new document answer?" as data lands (the lexical twin of ST11's
+    embedding-space SemDeDup verdicts). High scorers go to the
+    decontamination quarantine before they ever enter a training mix.
+
+    ``model``/``avgdl`` come from :func:`functions.retrieval.
+    bm25_model` over the indexed corpus + eval suite — bounded,
+    frozen at plan time, riding as literals (the ST8 Bloom-build /
+    ST12 classifier-weights pattern). Scoring is
+    :func:`functions.retrieval.bm25_score_rows` — the SAME
+    implementation the batch path uses (stream/batch verdicts cannot
+    drift, the ST16 contract) and a PURE PROJECTION: per-row array
+    HOFs, no explode-then-regroup, no shuffle, NO STATE AT ALL —
+    append-safe with zero watermark bookkeeping, the cheapest
+    possible streaming operator shape.
+
+    Emits ``(id, ts, query_id, score, n_terms_hit)`` for every
+    (arriving doc, query) pair sharing ≥ 1 term, optionally cut at
+    ``min_score``.
+    """
+    from ..functions.retrieval import bm25_score_rows
+
+    out = bm25_score_rows(stream, text_col, id_col, model, avgdl,
+                          passthrough=(ts_col,))
+    if min_score is not None:
+        out = out.where(F.col("score") >= float(min_score))
+    return out

@@ -171,3 +171,26 @@ def test_manifest_indexes_export(spark, tmp_path):
                 ids.extend(json.loads(line)["doc_id"] for line in f)
         assert len(ids) == row["n_docs"]
         assert min(ids) == row["lo"] and max(ids) == row["hi"]
+
+
+def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
+    """ORC write/read roundtrips values + schema, and a partitioned
+    ORC layout prunes directories exactly like the parquet path."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    flat = str(tmp_path / "orc_flat")
+    IO.write_orc(docs, flat)
+    back = IO.read_orc(spark, flat, schema=docs.schema)
+    assert back.schema == docs.schema
+    assert (
+        back.orderBy("doc_id").collect()
+        == docs.orderBy("doc_id").collect()
+    )
+
+    part = str(tmp_path / "orc_part")
+    IO.write_orc(docs, part, partition_cols=["source"])
+    one = IO.read_orc(spark, part).where(F.col("source") == "web")
+    filters = IO.partition_filters(one)
+    assert "source" in filters  # pruning reached the scan
+    assert one.count() == docs.where(F.col("source") == "web").count()

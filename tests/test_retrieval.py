@@ -202,15 +202,16 @@ def test_kn_continuation_downweights_context_bound_words(spark):
     assert got == ref
 
 
-def test_bm25_stream_scoring_matches_topk_scores(spark):
-    """bm25_score_stream on a batch frame reproduces bm25_topk's
-    (query, doc) scores when fed the same frozen idf/avgdl model."""
+def test_bm25_row_local_scoring_matches_topk_scores(spark):
+    """bm25_score_rows (the stateless ST18 core) reproduces
+    bm25_topk's (query, doc) scores against the frozen model, and the
+    frozen model itself matches the hand-computed idf/avgdl."""
     corpus = {
         1: "apple banana cherry",
         2: "apple apple durian",
         3: "kiwi lemon mango apple",
     }
-    queries = {10: "apple banana"}
+    queries = {10: "apple banana", 20: "durian"}
     cdf = spark.createDataFrame(
         [(d, t) for d, t in corpus.items()], "doc_id long, text string"
     )
@@ -221,27 +222,28 @@ def test_bm25_stream_scoring_matches_topk_scores(spark):
         (r.query_id, r.doc_id): (r.score, r.n_terms_hit)
         for r in RV.bm25_topk(cdf, qdf, "text", "doc_id", k=10).collect()
     }
-    # freeze the corpus model exactly as the streaming setup would
+    model, avgdl = RV.bm25_model(cdf, qdf, "text", "doc_id")
+    # hand-check the frozen model
     toks = {d: t.split() for d, t in corpus.items()}
     n_docs = float(len(toks))
-    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    assert avgdl == sum(len(ws) for ws in toks.values()) / n_docs
     df_cnt = {}
     for ws in toks.values():
         for w in set(ws):
             df_cnt[w] = df_cnt.get(w, 0.0) + 1.0
-    qrows = []
-    for qid, q in queries.items():
-        for w in set(q.split()):
-            if w in df_cnt:
-                qrows.append(
-                    (qid, w,
-                     math.log(1.0 + (n_docs - df_cnt[w] + 0.5)
-                              / (df_cnt[w] + 0.5)))
-                )
-    model = spark.createDataFrame(qrows, "qid long, w string, idf double")
+    exp_model = sorted(
+        (qid, w,
+         math.log(1.0 + (n_docs - df_cnt[w] + 0.5) / (df_cnt[w] + 0.5)))
+        for qid, q in queries.items()
+        for w in set(q.split()) if w in df_cnt
+    )
+    assert [(q, w) for q, w, _ in model] == [(q, w) for q, w, _ in exp_model]
+    for (_, _, got_idf), (_, _, exp_idf) in zip(model, exp_model):
+        # JVM log vs libm log can differ by an ulp
+        assert math.isclose(got_idf, exp_idf, rel_tol=1e-12)
     got = {
         (r.query_id, r.doc_id): (r.score, r.n_terms_hit)
-        for r in RV.bm25_score_stream(
+        for r in RV.bm25_score_rows(
             cdf, "text", "doc_id", model, avgdl
         ).collect()
     }

@@ -1070,3 +1070,79 @@ def test_incremental_near_dup_stream_max_df_caps_ref_bands(spark, tmp_path):
     got = {(r["doc_id"], r["ref_id"]) for r in
            spark.table("nd_cap_stream").collect()}
     assert got == {(1900, 900)}
+
+
+def test_bm25_screen_stream_matches_batch_scores(spark, tmp_path):
+    """ST18: streaming BM25 screening scores arriving docs exactly
+    like the batch scorer (shared row-local implementation), across
+    micro-batch boundaries, with the min_score cut applied."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.functions import retrieval as RV
+
+    corpus_rows = [
+        (i, f"indexed corpus document {i} about topic{i % 5} with "
+            f"retrieval terms everywhere")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "topic3 retrieval"), (2, "submarine sonar")],
+        "query_id long, query string",
+    )
+    model, avgdl = RV.bm25_model(corpus, qdf, "text", "doc_id")
+    assert model and avgdl > 0
+    # 'submarine'/'sonar' never occur in the corpus -> query 2 has no
+    # model terms and can never fire
+    assert {q for q, _, _ in model} == {1}
+
+    t0 = 1_700_000_000
+    arriving = [
+        (100, "fresh document discussing topic3 retrieval quality", t0 + 1),
+        (101, "unrelated text about alpine glaciers", t0 + 2),
+        (102, "more retrieval content regarding topic3 corpus terms",
+         t0 + 61),
+    ]
+    src = str(tmp_path / "bm25_src")
+    os.makedirs(src)
+    for i, sl in enumerate((arriving[:2], arriving[2:])):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in sl], dtype="int64"),
+                "text": [r[1] for r in sl],
+                "ts": pd.to_datetime([r[2] for r in sl], unit="s", utc=True),
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.bm25_screen_stream(stream, "text", "doc_id", model, avgdl,
+                                min_score=0.1)
+    q = (
+        out.writeStream.format("memory").queryName("bm25_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"]): (r["score"], r["n_terms_hit"])
+        for r in spark.table("bm25_stream").collect()
+    }
+    batch = {
+        (r["doc_id"], r["query_id"]): (r["score"], r["n_terms_hit"])
+        for r in RV.bm25_score_rows(
+            spark.read.parquet(src), "text", "doc_id", model, avgdl
+        ).where(F.col("score") >= 0.1).collect()
+    }
+    assert got == batch
+    assert (100, 1) in got and (102, 1) in got  # topic3+retrieval docs
+    assert all(d != 101 for d, _ in got)        # no shared terms
+    assert all(qid == 1 for _, qid in got)      # query 2 never fires
