@@ -1480,3 +1480,52 @@ def edit_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     out._cached_inputs = getattr(pairs, "_cached_inputs", [])
     return out
+
+
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3, round_to: int = 4) -> DataFrame:
+    """Cross-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in no other document — the
+    corpus-level diversity signal complementing q61's WITHIN-document
+    repetition ratios. Templated/boilerplate mass reads near 0 (all
+    its grams are corpus-common), genuinely novel writing reads near
+    1; curation pipelines use it both to up-sample diverse sources
+    and as a dedup post-check (after near-dup removal the corpus-wide
+    novelty distribution should shift UP — if it doesn't, the
+    near-dup pass missed templated families).
+
+    Same shingle convention as the whole dedup family
+    (:func:`shingle_rows`: lowercase whitespace words, short docs
+    fall back to one whole-text shingle, set semantics per doc).
+
+    Shape at scale: one gram-keyed document-frequency agg and one
+    gram-keyed join back — both combinable shuffles on the shingle
+    key (the inverted-index sharding); per-doc state is two counters.
+    No pairs are ever formed: novelty needs only ``df == 1``, so this
+    is LINEAR in corpus grams where the pair families are bucketed-
+    quadratic.
+    """
+    grams = shingle_rows(df, text_col, id_col, n, distinct=True)
+    df_tbl = grams.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("gram_df")
+    )
+    per = (
+        grams.join(df_tbl, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("gram_df") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        rnd(
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
+            round_to,
+        ).alias("novelty"),
+    )

@@ -1885,3 +1885,43 @@ def kn_bigram_logprob(df: DataFrame, text_col: str, id_col: str,
         "avg_logp",
         rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
     )
+
+
+def quantile_normalize(df: DataFrame, value_col: str, by: list[str],
+                       keep_frac: float | None = None,
+                       round_to: int = 4) -> DataFrame:
+    """Per-group quantile (rank) normalization of a score column —
+    the standard fix for cross-source score-scale mismatch: a quality
+    classifier calibrated on web text scores news systematically
+    higher, so one GLOBAL threshold starves some sources and floods
+    others. Normalizing to each source's own percentile
+    (``percent_rank`` per group) and gating per-source ("keep every
+    source's top 30 %") preserves the mixture while still filtering
+    within each source — the per-source half of what q64/q93 do
+    across sources.
+
+    Ties share a percentile (peer-based rank, no row-order
+    dependence), so the output is deterministic without an id
+    tie-break; ``keep_frac`` adds a 0/1 keep flag at
+    ``pct_rank ≥ 1 − keep_frac`` over the ROUNDED rank, so the
+    boundary verdict is engine-stable too.
+
+    Shape at scale: one shuffle keyed by the group column; the window
+    sorts within partitions only (no global sort). Skew note: a
+    single giant source serializes its own rank scan — acceptable
+    because percent_rank is O(n) after the sort; for a pathological
+    99 %-one-source corpus, pre-split by hash salt and re-merge ranks
+    via the distributed-percentile route (operators/stats.py) instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc())
+    out = df.withColumn(
+        "pct_rank", rnd(F.percent_rank().over(w), round_to)
+    )
+    if keep_frac is not None:
+        thr = round(1.0 - keep_frac, 8)
+        out = out.withColumn(
+            "keep", (F.col("pct_rank") >= F.lit(thr)).cast("int")
+        )
+    return out

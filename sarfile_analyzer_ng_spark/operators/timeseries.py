@@ -384,3 +384,78 @@ def seasonal_score(df: DataFrame, baseline: DataFrame, ts_col: str,
         .withColumn("hour", F.col("_hr").cast("long"))
         .drop("_mean", "_std", "_hr")
     )
+
+
+def ewma_smooth(df: DataFrame, ts_col: str, value_col: str, by: list[str],
+                order_tiebreak: list[str] | None = None,
+                alpha: float = 0.3, window: int = 16,
+                round_to: int = 4) -> DataFrame:
+    """Truncated exponentially-weighted moving average + one-step-ahead
+    forecast per series — the EWMA control chart (Roberts 1959; NIST
+    §6.3.2.4) the sar world uses for "is THIS sample off its recent
+    trend?", complementing :func:`seasonal_outliers`' hour-of-week
+    baseline (which answers "off its WEEKLY pattern?").
+
+    The classic recursion ``s_t = α·x_t + (1−α)·s_{t−1}`` is a
+    sequential scan — hostile to both distributed evaluation and
+    cross-engine value parity (every engine associates the float
+    recursion differently). The TRUNCATED form is the standard fix
+    (pandas ``ewm(adjust=True)``): weights below ``(1−α)^W`` are
+    numerically irrelevant (α=0.3, W=16 → 0.3%), so
+
+        ``ewma_t = Σ_{j<W} (1−α)^j·x_{t−j} / Σ_{j<W} (1−α)^j``
+
+    over the AVAILABLE lags becomes a fixed-shape lag-window
+    expression: W ``lag`` calls over one (series, time) window, the
+    weight ladder riding as plan literals from the SAME python floats
+    the oracle repr()'s — both engines evaluate an identical
+    expression tree, so the values are bit-equal before the rnd
+    ladder even applies.
+
+    ``forecast`` is the same weighted mean over lags 1..W (the value
+    EXCLUDED) — the one-step-ahead prediction; ``resid`` is the
+    forecast error, the control-chart alarm input. NULL at each
+    series head (nothing to predict from).
+
+    Shape at scale: ONE shuffle keyed by the series id (the window
+    partition), W lag expressions inside whole-stage codegen, no
+    self-joins, no Python, no state beyond the window frame.
+    """
+    w = Window.partitionBy(*by).orderBy(
+        ts_col, *(order_tiebreak or [])
+    )
+    # one extra lag so the forecast's re-anchored ladder spans the
+    # SAME W samples as the previous row's ewma: forecast_t == ewma_{t-1}
+    lag_chain = [F.lag(value_col, j).over(w) for j in range(1, window + 1)]
+    lags = [F.col(value_col)] + lag_chain[: window - 1]
+    wts = [(1.0 - alpha) ** j for j in range(window)]
+
+    def wmean(terms):
+        num = sum(
+            (
+                F.when(c.isNotNull(), F.lit(wt) * c).otherwise(F.lit(0.0))
+                for wt, c in terms
+            ),
+            F.lit(0.0),
+        )
+        den = sum(
+            (
+                F.when(c.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+                for wt, c in terms
+            ),
+            F.lit(0.0),
+        )
+        return num, den
+
+    num_s, den_s = wmean(list(zip(wts, lags)))
+    num_f, den_f = wmean(list(zip(wts, lag_chain)))
+    ewma = rnd(num_s / den_s, round_to)
+    forecast = F.when(den_f > 0, rnd(num_f / den_f, round_to))
+    return df.select(
+        *by, ts_col, *(order_tiebreak or []), F.col(value_col),
+        ewma.alias("ewma"),
+        forecast.alias("forecast"),
+        F.when(
+            den_f > 0, rnd(F.col(value_col) - (num_f / den_f), round_to)
+        ).alias("resid"),
+    )

@@ -5313,6 +5313,157 @@ FROM agg
 
 SQL_Q126 = _sql_kn()
 
+
+EWMA_ALPHA, EWMA_WINDOW = 0.3, 16
+
+
+def q127_ewma_forecast(spark, sf_dir):
+    """Truncated-EWMA smoothing + one-step-ahead forecast residuals
+    per user series (operators/timeseries.py:ewma_smooth, r9) — the
+    EWMA control chart ("is THIS sample off its recent trend?")
+    complementing q115's hour-of-week seasonal baseline. The weight
+    ladder rides as plan literals from the same python floats the
+    oracle repr()'s, so both engines evaluate an identical expression
+    tree; fully value-hash oracled including the series-head NULL
+    forecast rows."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.ewma_smooth(ev, "ts", "value", ["user_id"],
+                          order_tiebreak=["event_id"],
+                          alpha=EWMA_ALPHA, window=EWMA_WINDOW)
+
+
+def _sql_ewma() -> str:
+    wts = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_WINDOW)]
+    # one extra lag: the forecast's re-anchored ladder spans the same
+    # W samples as the previous row's ewma (forecast_t == ewma_{t-1})
+    lag_cols = ",\n         ".join(
+        f"lag(value, {j}) OVER w AS l{j}"
+        for j in range(1, EWMA_WINDOW + 1)
+    )
+    lag_chain = [f"l{j}" for j in range(1, EWMA_WINDOW + 1)]
+    xs = ["value"] + lag_chain[: EWMA_WINDOW - 1]
+
+    def wsum(terms):
+        return " + ".join(
+            ["0.0"]
+            + [
+                f"CASE WHEN {x} IS NOT NULL THEN {wt!r} * {x} ELSE 0.0 END"
+                for wt, x in terms
+            ]
+        )
+
+    def wden(terms):
+        return " + ".join(
+            ["0.0"]
+            + [
+                f"CASE WHEN {x} IS NOT NULL THEN {wt!r} ELSE 0.0 END"
+                for wt, x in terms
+            ]
+        )
+
+    full = list(zip(wts, xs))
+    # forecast re-anchors the ladder at lag 1 (w0·l1 + w1·l2 + …)
+    fore = list(zip(wts, lag_chain))
+    return f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         {lag_cols}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT user_id, ts, event_id, value,
+         {wsum(full)} AS num_s,
+         {wden(full)} AS den_s,
+         {wsum(fore)} AS num_f,
+         {wden(fore)} AS den_f
+  FROM s)
+SELECT user_id, ts, event_id, value,
+       {sql_rnd('num_s / den_s', 4)} AS ewma,
+       CASE WHEN den_f > 0 THEN {sql_rnd('num_f / den_f', 4)} END AS forecast,
+       CASE WHEN den_f > 0 THEN {sql_rnd('value - num_f / den_f', 4)} END
+         AS resid
+FROM t
+"""
+
+
+SQL_Q127 = _sql_ewma()
+
+
+def q128_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty (functions/dedup.py:
+    ngram_novelty, r9): per-document fraction of distinct 3-gram
+    shingles unique to that document — the corpus-diversity signal
+    complementing q61's within-document repetition and serving as the
+    dedup post-check (novelty should shift UP after near-dup
+    removal). Linear in corpus grams (df == 1 needs no pair join);
+    fully value-hash oracled on the dedup family's exact shingle
+    convention."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_novelty(docs, "text", "doc_id")
+
+
+SQL_Q128 = rf"""
+WITH words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc, array_to_string(w, ' ') AS shingle FROM words
+    WHERE len(w) < 3)),
+dft AS (SELECT shingle, count(*)::BIGINT AS gram_df FROM sh GROUP BY shingle),
+per AS (
+  SELECT doc, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+  FROM sh JOIN dft USING (shingle) GROUP BY doc)
+SELECT doc AS doc_id, n_shingles, n_novel,
+       {sql_rnd('n_novel::DOUBLE / n_shingles::DOUBLE', 4)} AS novelty
+FROM per
+"""
+
+QNORM_KEEP_FRAC = 0.3
+
+
+def q129_quality_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization + gating of quality scores
+    (functions/text.py:quantile_normalize, r9): each document's q38
+    quality score becomes its percentile WITHIN ITS SOURCE, and each
+    source keeps its own top 30 % — the standard fix for cross-source
+    classifier-scale mismatch (a global threshold starves low-scoring
+    sources; per-source gating preserves the mixture). Peer-based
+    percent_rank (ties share a percentile — no row-order dependence),
+    keep verdict on the rounded rank; fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs, "text").select(
+        "doc_id", "source", "quality"
+    )
+    return TX.quantile_normalize(scored, "quality", ["source"],
+                                 keep_frac=QNORM_KEEP_FRAC)
+
+
+def _sql_qnorm() -> str:
+    thr = repr(round(1.0 - QNORM_KEEP_FRAC, 8))
+    return f"""
+WITH q38 AS ({SQL_Q38}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q38 q USING (doc_id)),
+ranked AS (
+  SELECT doc_id, source, quality,
+         {sql_rnd("percent_rank() OVER (PARTITION BY source ORDER BY quality ASC)", 4)}
+           AS pct_rank
+  FROM scored)
+SELECT doc_id, source, quality, pct_rank,
+       (pct_rank >= {thr})::INTEGER AS keep
+FROM ranked
+"""
+
+
+SQL_Q129 = _sql_qnorm()
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -5334,6 +5485,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
     # gate over the capped memo), q56 (takes candidates from it), and
     # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
+    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
+    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
     "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
     "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),

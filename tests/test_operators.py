@@ -242,3 +242,42 @@ def test_seasonal_outliers_uses_per_hour_baseline(spark):
     g = {r["event_id"] for r in zscore_outliers(
         df, "value", ["event_type"], 3.0).collect()}
     assert 900 not in g  # the global z-score washes the 3am spike out
+
+
+def test_ewma_smooth_matches_pandas_and_forecast_identity(spark):
+    """ewma_smooth: for a series shorter than the truncation window
+    the result IS pandas ewm(adjust=True); for any length,
+    forecast_t == ewma_{t-1} (the one-step-ahead contract) and the
+    series head has NULL forecast/resid."""
+    import datetime as dt
+
+    import pandas as pd
+
+    vals = [5.0, 7.0, 3.0, 9.0, 4.0, 6.5, 2.25, 8.0, 1.0, 7.75]
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 0, i), v)
+        for i, v in enumerate(vals)
+    ]
+    # a second, longer series crossing the window boundary
+    rows += [
+        (100 + i, 2, dt.datetime(2024, 1, 1, 0, i), float((i * 7) % 11))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = TS.ewma_smooth(df, "ts", "value", ["user_id"],
+                         order_tiebreak=["event_id"],
+                         alpha=0.3, window=16)
+    got = {r["event_id"]: r for r in out.collect()}
+
+    exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(len(vals)):
+        assert got[i]["ewma"] == round(round(exp[i], 8), 4)
+    assert got[0]["forecast"] is None and got[0]["resid"] is None
+    assert got[100]["forecast"] is None
+
+    for series, n in ((0, len(vals)), (100, 40)):
+        for i in range(1, n):
+            prev = got[series + i - 1]["ewma"]
+            assert got[series + i]["forecast"] == prev

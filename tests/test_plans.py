@@ -521,3 +521,55 @@ def test_image_dup_pairs_hot_band_droplist_broadcasts(spark):
 
     p = plan(q117_image_dup_pairs(spark, SF_DIR))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bm25_broadcasts_query_side_no_python(spark):
+    """q124: the bounded query-term frames must BROADCAST into the
+    postings join (nothing query-sized shuffles the corpus), the
+    top-k cut must be a rank window — not a global sort of scored
+    pairs — and the whole plan stays JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q124_bm25_topk
+
+    p = plan(q124_bm25_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kn_bigram_lag_window_is_doc_partitioned(spark):
+    """q126: the lag window must partition by doc (never a global
+    sort), and the count-table joins stay JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q126_kn_bigram_logprob
+
+    df = q126_kn_bigram_logprob(spark, SF_DIR)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    keys = _exchange_keys(df)
+    assert any(k.startswith("doc") for k in keys)
+
+
+def test_zipf_head_sort_is_bounded_takeordered(spark):
+    """q125: the rank head must come from a TakeOrderedAndProject over
+    the vocab agg — the corpus-sized token stream must never feed a
+    global Sort."""
+    from sarfile_analyzer_ng_spark.queries import q125_zipf_stats
+
+    p = plan(q125_zipf_stats(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_score_rows_is_pure_projection(spark):
+    """ST18's scorer: no Exchange at all — a stateless map over the
+    arriving rows (the zero-state streaming contract)."""
+    from sarfile_analyzer_ng_spark.functions import retrieval as RV
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    out = RV.bm25_score_rows(
+        docs, "text", "doc_id", [(1, "beta", 0.5)], avgdl=2.0
+    )
+    p = plan(out)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

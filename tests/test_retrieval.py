@@ -248,3 +248,44 @@ def test_bm25_row_local_scoring_matches_topk_scores(spark):
         ).collect()
     }
     assert got == full
+
+
+def test_ngram_novelty_separates_templates_from_novel_text(spark):
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    rows = [
+        # two identical templated docs: every gram shared -> novelty 0
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        # fully novel doc: no gram appears elsewhere -> novelty 1
+        (3, "completely original writing about glacier firn physics"),
+        # short doc (< 3 words): whole-text fallback shingle, unique
+        (4, "hi there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           D.ngram_novelty(df, "text", "doc_id").collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[1].n_shingles == 7  # 9 words -> 7 distinct 3-grams
+    assert got[3].novelty == 1.0
+    assert got[4].n_shingles == 1 and got[4].novelty == 1.0
+
+
+def test_quantile_normalize_ranks_within_group_and_gates(spark):
+    from sarfile_analyzer_ng_spark.functions import text as TX
+
+    rows = [
+        # source a: scores 1..5 -> pct_rank 0, .25, .5, .75, 1
+        *[(i, "a", float(i)) for i in range(1, 6)],
+        # source b: all-tied scores -> every pct_rank 0 (peer rank)
+        *[(10 + i, "b", 7.0) for i in range(4)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    got = {r.doc_id: r for r in TX.quantile_normalize(
+        df, "quality", ["source"], keep_frac=0.3).collect()}
+    assert [got[i].pct_rank for i in range(1, 6)] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    # keep = pct_rank >= 0.7 -> docs 4 and 5 only in source a
+    assert [got[i].keep for i in range(1, 6)] == [0, 0, 0, 1, 1]
+    # ties: all of source b shares percentile 0 (and is dropped)
+    assert all(got[10 + i].pct_rank == 0.0 for i in range(4))
+    assert all(got[10 + i].keep == 0 for i in range(4))
