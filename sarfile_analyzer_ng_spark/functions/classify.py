@@ -169,3 +169,76 @@ def calibration_report(scored: DataFrame, p_col: str = "p_good",
             "gap", rnd(F.col("mean_p") - F.col("frac_good"), round_to)
         )
     )
+
+
+def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
+                         source_col: str, pos_sources: tuple[str, ...],
+                         buckets: int = 8,
+                         round_to: int = 6) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams features (Joulin et al.
+    2017, "Bag of Tricks for Efficient Text Classification"): unigrams
+    AND word bigrams hashed into ``buckets`` feature buckets, per-doc
+    normalized counts as the feature vector — the content-based
+    complement of :func:`quality_features`' shape statistics (THOSE
+    say "does this look like prose?"; these say "does this use the
+    vocabulary of the curated slice?"). Feeding the same oracled
+    :func:`logreg_train` chain keeps the whole classifier replayable
+    cross-engine.
+
+    The hash is the dedup family's portable fingerprint (first 8 md5
+    hex digits as a non-negative int) mod ``buckets`` — engine-
+    reproducible, unlike murmur3/xxhash built-ins. ``buckets`` is
+    deliberately small: each extra bucket adds one weight CTE column
+    to the oracle unroll; at production scale you'd raise it to 2^20
+    and skip the oracle, nothing else changes.
+
+    Shape at scale: gram explode → ONE doc-keyed agg (the bucket
+    pivot is B conditional sums inside that agg — no pivot shuffle,
+    no join); features are O(B) per doc. Fully codegen, no Python.
+    """
+    from ..util import fan_out
+
+    words = fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("src"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc").orderBy("pos")
+    # materialize the lead first: a window expression can't live
+    # inside a generator's argument in one projection
+    paired = words.withColumn("nxt", F.lead("w").over(win))
+    grams = paired.select(
+        "doc", "src",
+        F.explode(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.array(F.col("w"), F.concat_ws(" ", "w", "nxt")),
+            ).otherwise(F.array(F.col("w")))
+        ).alias("g"),
+    )
+    fp = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    bucketed = grams.select(
+        "doc", "src", F.pmod(fp, F.lit(buckets)).alias("b")
+    )
+    agg = bucketed.groupBy("doc", "src").agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        *[
+            F.sum(F.when(F.col("b") == j, 1).otherwise(0))
+            .cast("double").alias(f"c{j}")
+            for j in range(buckets)
+        ],
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        F.col("src").alias(source_col),
+        F.when(F.col("src").isin(*pos_sources), 1).otherwise(0)
+        .alias("label"),
+        *[
+            rnd(F.col(f"c{j}") / F.col("total"), round_to).alias(f"x{j}")
+            for j in range(buckets)
+        ],
+    )

@@ -260,3 +260,113 @@ def bm25_score_rows(df: DataFrame, text_col: str, id_col: str,
         F.col("q.score").alias("score"),
         F.col("q.n_terms_hit").alias("n_terms_hit"),
     )
+
+
+def bm25_topk_champions(corpus: DataFrame, queries: DataFrame,
+                        text_col: str, id_col: str,
+                        query_id_col: str = "query_id",
+                        query_col: str = "query", k: int = 5,
+                        champions: int = 64,
+                        k1: float = BM25_K1, b: float = BM25_B,
+                        round_to: int = 4) -> DataFrame:
+    """Champion-list BM25 (Manning/Raghavan/Schütze IIR §7.1.3) — the
+    scale path beside :func:`bm25_topk`'s exact scoring. Exact BM25
+    touches EVERY posting of every query term; a corpus-hot term
+    ("the", or any term of a degenerate small vocabulary) makes one
+    query touch the whole corpus and Q queries touch Q·N rows — the
+    measured 17× blow-up at 10× on the synthetic tables, the dense
+    analogue of the uncapped LSH band. Champion lists bound it: per
+    term keep only the ``champions`` highest-impact postings (tf
+    descending — tf saturation makes tf the dominant per-doc factor —
+    ties by doc id), score only those. A doc outside every query
+    term's champion list can rarely reach the top k when
+    ``champions ≫ k``; the pytest pins the SHARP contract — query
+    terms with df ≤ P lose no posting, so the result is EXACTLY the
+    exact scorer's — plus a recall floor in the hot-term regime, and
+    the gate value-hashes the champion result itself (the
+    approximation is DEFINED, not fuzzy — the q36/q67 discipline for
+    approximate operators).
+
+    Shape at scale: the champion cut is one rank window PER TERM over
+    the postings (term-keyed shuffle, k ≪ |postings| rows survive);
+    per-query work is then ≤ |query terms| · champions rows no matter
+    how hot the term — linear in queries, independent of corpus df.
+    """
+    toks = _tokens(corpus, text_col, id_col)
+    postings = toks.groupBy("w", "doc").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    champ_win = Window.partitionBy("w").orderBy(
+        F.col("tf").desc(), F.col("doc").asc()
+    )
+    champs = (
+        postings.withColumn("_r", F.row_number().over(champ_win))
+        .where(F.col("_r") <= champions)
+        .drop("_r")
+    )
+    doclen = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    n_avg = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_tbl = postings.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qterms = (
+        fan_out(queries)
+        .select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    df_q = df_tbl.join(F.broadcast(qterms.select("w").distinct()), "w")
+    scored = (
+        champs
+        .join(F.broadcast(qterms), "w")
+        .join(F.broadcast(df_q), "w")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(n_avg))
+        .select(
+            "qid", "doc",
+            rnd(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                8,
+            ).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc").agg(
+        rnd(F.sum("contrib"), round_to).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc").alias("doc_id"),
+            "score",
+            "n_terms_hit",
+        )
+    )

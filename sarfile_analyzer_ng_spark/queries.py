@@ -5157,7 +5157,7 @@ def q124_bm25_topk(spark, sf_dir):
     return RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(champions: int | None = None) -> str:
     from .functions.retrieval import BM25_B, BM25_K1
 
     idf = (
@@ -5167,6 +5167,18 @@ def _sql_bm25() -> str:
         f"(p.tf * {BM25_K1 + 1.0!r}) / (p.tf + {BM25_K1!r} * "
         f"({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / n.avgdl))"
     )
+    if champions is None:
+        champ_cte = ""
+        score_src = "postings"
+    else:
+        champ_cte = f"""
+champs AS (
+  SELECT w, doc, tf FROM (
+    SELECT w, doc, tf,
+           row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc ASC)
+             AS cr
+    FROM postings) WHERE cr <= {champions}),"""
+        score_src = "champs"
     return f"""
 WITH docs0 AS (SELECT doc_id, text FROM documents),
 qs AS (
@@ -5178,14 +5190,14 @@ words AS (
   SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM docs0 WHERE doc_id % 50 != 0),
 tok AS (SELECT doc, unnest(w) AS w FROM words),
-postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),
+postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),{champ_cte}
 doclen AS (SELECT doc, count(*)::DOUBLE AS dl FROM tok GROUP BY doc),
 navg AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen),
 dft AS (SELECT w, count(*)::DOUBLE AS df FROM postings GROUP BY w),
 scored AS (
   SELECT q.qid, p.doc,
          {sql_rnd(f"({idf}) * {sat}", 8)} AS contrib
-  FROM postings p
+  FROM {score_src} p
   JOIN qterms q USING (w)
   JOIN dft d USING (w)
   JOIN doclen l ON l.doc = p.doc, navg n),
@@ -5205,6 +5217,41 @@ FROM ranked WHERE rnk <= {BM25_TOPK}
 
 
 SQL_Q124 = _sql_bm25()
+
+BM25_CHAMPIONS = 64
+
+
+def q131_bm25_champions(spark, sf_dir):
+    """Champion-list BM25 (functions/retrieval.py:bm25_topk_champions,
+    r9; IIR §7.1.3) — q124's scale path: per term only the 64
+    highest-impact postings (tf DESC, doc ASC) are scored, bounding
+    per-query work at |query terms|·64 rows regardless of how
+    corpus-hot a term is (exact BM25's dense blow-up on hot terms is
+    the retrieval twin of the uncapped LSH band — measured 17× at 10×
+    on the degenerate-vocabulary synthetic corpus, collapsed to
+    linear here). The approximation is DEFINED, not fuzzy: the gate
+    value-hashes the champion result itself, and the pytest pins the
+    sharp contract (df ≤ P query terms → EXACTLY the exact result)
+    plus a recall floor in the hot-term regime."""
+    from .functions import retrieval as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1, QUERY_PREFIX_TOKENS,
+            ),
+        ).alias("query"),
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return RV.bm25_topk_champions(corpus, qs, "text", "doc_id",
+                                  k=BM25_TOPK, champions=BM25_CHAMPIONS)
+
+
+SQL_Q131 = _sql_bm25(champions=BM25_CHAMPIONS)
 
 
 def q125_zipf_stats(spark, sf_dir):
@@ -5464,6 +5511,112 @@ FROM ranked
 
 SQL_Q129 = _sql_qnorm()
 
+
+HG_BUCKETS, HG_ITERS, HG_LR = 8, 4, 0.5
+
+
+def q130_hashed_gram_classifier(spark, sf_dir):
+    """fastText-style hashed bag-of-ngrams classifier (functions/
+    classify.py:hashed_gram_features, r9; Joulin et al. 2017):
+    unigram+bigram features hashed into 8 portable buckets, trained
+    through the SAME oracled logreg chain as q104 — the content-based
+    quality filter beside q104's shape-statistics one. The oracle
+    unrolls feature hashing AND the full gradient loop; weights
+    replay bit-for-bit cross-engine."""
+    from .functions import classify as C
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = C.hashed_gram_features(docs, "text", "doc_id", "source",
+                                   QC_POS_SOURCES, buckets=HG_BUCKETS)
+    cols = [f"x{j}" for j in range(HG_BUCKETS)]
+    w = C.logreg_train(feats, cols, "label", iters=HG_ITERS, lr=HG_LR)
+    return C.logreg_score(feats, cols, w).select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        "p_good",
+        "pred",
+    )
+
+
+def _sql_hashed_logreg(buckets: int = HG_BUCKETS, iters: int = HG_ITERS,
+                       lr: float = HG_LR) -> str:
+    """q130's oracle: the hashed-gram feature map (portable md5
+    fingerprint mod buckets — the dedup family's hash) and the q104
+    logreg unroll generalized to B+1 weights."""
+    pos = ", ".join(f"'{s}'" for s in QC_POS_SOURCES)
+    B = buckets
+    xcols = ",\n         ".join(
+        f"{sql_rnd(f'sum(CASE WHEN b = {j} THEN 1.0 ELSE 0.0 END) / count(*)', 6)} AS x{j}"
+        for j in range(B)
+    )
+    w0_cols = ", ".join(f"0.0 AS w{j}" for j in range(B + 1))
+    parts = [rf"""words AS (
+  SELECT doc_id AS doc, source,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+uni AS (SELECT doc, source, unnest(w) AS g FROM words),
+big AS (
+  SELECT doc, source,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM words WHERE len(w) >= 2),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+bk AS (
+  SELECT doc, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS b
+  FROM grams),
+feat AS (
+  SELECT doc AS doc_id,
+         CASE WHEN any_value(source) IN ({pos}) THEN 1.0 ELSE 0.0 END AS y,
+         {xcols}
+  FROM bk GROUP BY doc),
+cnt AS (SELECT count(*)::DOUBLE AS n FROM feat),
+w0 AS (SELECT {w0_cols})"""]
+
+    def zexpr() -> str:
+        terms = ["w.w0 * 1.0"] + [
+            f"w.w{j + 1} * f.x{j}" for j in range(B)
+        ]
+        return " + ".join(terms)
+
+    for i in range(1, iters + 1):
+        sig = sql_rnd(
+            f"1.0 / (1.0 + exp(-({sql_rnd(zexpr(), 8)})))", 8
+        )
+        fcols = ", ".join(f"f.x{j}" for j in range(B))
+        parts.append(f"""s{i} AS (
+  SELECT f.y, {fcols}, {sig} AS sig
+  FROM feat f, w{i - 1} w)""")
+        gcols = ",\n         ".join(
+            [f"{sql_rnd('sum((sig - y) * 1.0) / any_value(c.n)', 6)} AS g0"]
+            + [
+                f"{sql_rnd(f'sum((sig - y) * x{j}) / any_value(c.n)', 6)} AS g{j + 1}"
+                for j in range(B)
+            ]
+        )
+        parts.append(f"""g{i} AS (
+  SELECT {gcols}
+  FROM s{i}, cnt c)""")
+        wcols = ",\n         ".join(
+            f"{sql_rnd(f'w.w{j} - {lr} * g.g{j}', 6)} AS w{j}"
+            for j in range(B + 1)
+        )
+        parts.append(f"""w{i} AS (
+  SELECT {wcols}
+  FROM w{i - 1} w, g{i} g)""")
+    final_sig = sql_rnd(
+        f"1.0 / (1.0 + exp(-({sql_rnd(zexpr(), 8)})))", 8
+    )
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT f.doc_id, f.y::BIGINT AS label,
+       {sql_rnd(final_sig, 4)} AS p_good,
+       (CASE WHEN {sql_rnd(final_sig, 4)} >= 0.5 THEN 1 ELSE 0 END)::INTEGER
+         AS pred
+FROM feat f, w{iters} w""")
+
+
+SQL_Q130 = _sql_hashed_logreg()
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -5487,6 +5640,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q32 (NULL-text coalesce in simhash32_portable + its oracle);
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
+    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
+    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
     "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
     "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),

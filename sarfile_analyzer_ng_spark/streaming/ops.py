@@ -819,3 +819,82 @@ def bm25_screen_stream(stream: DataFrame, text_col: str, id_col: str,
     if min_score is not None:
         out = out.where(F.col("score") >= float(min_score))
     return out
+
+
+def ewma_stream(stream: DataFrame, ts_col: str, key_col: str,
+                value_col: str, alpha: float = 0.3,
+                round_to: int = 4) -> DataFrame:
+    """Streaming EWMA control chart (ST19): the live twin of
+    ``operators.timeseries.ewma_smooth`` — per-series smoothed level,
+    one-step-ahead forecast, and forecast residual as samples arrive,
+    the "is the box drifting off its recent trend RIGHT NOW?" monitor
+    (ST15 answers the seasonal version of that question).
+
+    Where the batch operator uses the TRUNCATED weight ladder (a
+    fixed-shape lag window — the distributable, oracle-portable
+    form), the stream keeps the EXACT adjusted recursion, because
+    here sequential state is free: ``applyInPandasWithState``
+    carries ``(num, den)`` per series with
+
+        ``num_t = x_t + (1−α)·num_{t−1}``,
+        ``den_t = 1  + (1−α)·den_{t−1}``,
+        ``ewma_t = num_t / den_t``  (pandas ewm(adjust=True) exactly),
+
+    so state is two floats per series forever, continuous across
+    micro-batch boundaries. The two forms agree EXACTLY for the first
+    W samples of every series and within (1−α)^W (≈ 0.3 % of weight
+    at the defaults) after — the pytest pins both facts. Raw values
+    leave Python unrounded; rounding is JVM-side ``util.rnd`` (the
+    ST4 contract).
+    """
+    from ..util import rnd
+
+    out_schema = T.StructType([
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("raw_ewma", T.DoubleType()),
+        T.StructField("raw_forecast", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+    ])
+    keep = 1.0 - alpha
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        num, den = state.get if state.exists else (None, None)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        vals = pdf[value_col].astype("float64")
+        ewmas, fores = [], []
+        for x in vals:
+            fores.append(num / den if den is not None else float("nan"))
+            num = x + keep * num if num is not None else x
+            den = 1.0 + keep * den if den is not None else 1.0
+            ewmas.append(num / den)
+        state.update((float(num), float(den)))
+        yield pd.DataFrame(
+            {
+                "series": series,
+                "ts": pdf[ts_col],
+                "value": vals,
+                "raw_ewma": ewmas,
+                "raw_forecast": fores,
+            }
+        )
+
+    out = stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out.select(
+        "series", "ts", "value",
+        rnd(F.col("raw_ewma"), round_to).alias("ewma"),
+        rnd(F.col("raw_forecast"), round_to).alias("forecast"),
+        rnd(F.col("value") - F.col("raw_forecast"), round_to).alias("resid"),
+    )

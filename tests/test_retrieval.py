@@ -289,3 +289,96 @@ def test_quantile_normalize_ranks_within_group_and_gates(spark):
     # ties: all of source b shares percentile 0 (and is dropped)
     assert all(got[10 + i].pct_rank == 0.0 for i in range(4))
     assert all(got[10 + i].keep == 0 for i in range(4))
+
+
+def test_hashed_gram_classifier_separates_disjoint_vocab(spark):
+    """q130's operator: provenance-labeled sources with disjoint
+    vocabularies must be separable by the hashed-gram logreg (the
+    fastText claim) — and the feature map must be normalized counts."""
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    good_words = ["curated", "reference", "encyclopedia", "verified"]
+    bad_words = ["spam", "casino", "clickbait", "winner"]
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, "wiki", " ".join(good_words[(i + j) % 4] for j in range(12)))
+        )
+        rows.append(
+            (100 + i, "crawl", " ".join(bad_words[(i + j) % 4] for j in range(12)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    feats = C.hashed_gram_features(df, "text", "doc_id", "source",
+                                   ("wiki",), buckets=8)
+    row = feats.where(F.col("doc_id") == 0).collect()[0]
+    assert row.label == 1
+    assert abs(sum(row[f"x{j}"] for j in range(8)) - 1.0) < 1e-4  # normalized
+    cols = [f"x{j}" for j in range(8)]
+    w = C.logreg_train(feats, cols, "label", iters=20, lr=2.0)
+    scored = C.logreg_score(feats, cols, w)
+    acc = scored.where(
+        (F.col("pred") == F.col("label"))
+    ).count() / scored.count()
+    assert acc >= 0.9
+
+
+def test_bm25_champions_recall_and_bound(spark):
+    """q131's operator: on a Zipf-ish corpus (common stopwords + rare
+    content words) champion lists at P=64 must reproduce >= 0.9 of the
+    exact top-k pairs, and with a tiny P the per-term scored postings
+    must be bounded at P."""
+    import random
+
+    rng = random.Random(7)
+    stop = ["the", "of", "and", "to", "in"]
+    content = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(300):
+        words = [rng.choice(stop) for _ in range(10)] + rng.sample(content, 6)
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(q, rows[q * 3][1].split()[0] + " " + rows[q * 3][1].split()[11])
+         for q in range(20)],
+        "query_id long, query string",
+    )
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in RV.bm25_topk(corpus, queries, "text", "doc_id", k=5).collect()
+    }
+    champ = {
+        (r.query_id, r.doc_id)
+        for r in RV.bm25_topk_champions(
+            corpus, queries, "text", "doc_id", k=5, champions=64
+        ).collect()
+    }
+    # stopword postings get cut at P, so ranks inside near-tied
+    # candidate sets can shuffle — the documented approximation
+    assert len(exact & champ) / len(exact) >= 0.7
+
+    # the sharp contract: if every query term has df <= P, no posting
+    # is dropped and champion scoring IS exact (here: content words
+    # only, df ~ 9 << 64)
+    rare_q = spark.createDataFrame(
+        [(q, f"w{(q * 11) % 200} w{(q * 7 + 3) % 200}") for q in range(20)],
+        "query_id long, query string",
+    )
+    exact_r = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in RV.bm25_topk(corpus, rare_q, "text", "doc_id", k=5).collect()
+    }
+    champ_r = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in RV.bm25_topk_champions(
+            corpus, rare_q, "text", "doc_id", k=5, champions=64
+        ).collect()
+    }
+    assert exact_r == champ_r
+
+    # bound: P=2 -> each (query, term) can contribute at most 2 docs
+    tiny = RV.bm25_topk_champions(
+        corpus, queries, "text", "doc_id", k=100, champions=2
+    )
+    per_q = tiny.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 2 * 2  # 2 query terms x 2 champions

@@ -1146,3 +1146,85 @@ def test_bm25_screen_stream_matches_batch_scores(spark, tmp_path):
     assert (100, 1) in got and (102, 1) in got  # topic3+retrieval docs
     assert all(d != 101 for d, _ in got)        # no shared terms
     assert all(qid == 1 for _, qid in got)      # query 2 never fires
+
+
+def test_ewma_stream_exact_recursion_across_batches(spark, tmp_path):
+    """ST19: the streamed adjusted-EWMA recursion must be continuous
+    across micro-batch boundaries (pandas ewm(adjust=True) over the
+    whole series), equal the TRUNCATED batch operator exactly for the
+    first W samples, and stay within (1-alpha)^W after."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    t0 = 1_700_000_000
+    vals = [float((i * 13) % 17) + 0.25 for i in range(24)]
+    rows = [("cpu", t0 + 60 * i, v) for i, v in enumerate(vals)]
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    # split mid-series so the recursion must cross a batch boundary
+    for i, sl in enumerate((rows[:9], rows[9:])):
+        pdf = pd.DataFrame(
+            {
+                "series": [r[0] for r in sl],
+                "ts": pd.to_datetime([r[1] for r in sl], unit="s", utc=True),
+                "value": [r[2] for r in sl],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.ewma_stream(stream, "ts", "series", "value", alpha=0.3)
+    q = (
+        out.writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ewma_stream")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(got) == len(vals)
+
+    exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i, r in enumerate(got):
+        assert r["ewma"] == round(round(exp[i], 8), 4)
+        if i == 0:
+            assert r["forecast"] is None or pd.isna(r["forecast"])
+        else:
+            assert r["forecast"] == round(round(exp[i - 1], 8), 4)
+            assert r["resid"] == round(round(vals[i] - exp[i - 1], 8), 4)
+
+    # vs the truncated batch operator: exact for the first W samples,
+    # within (1-alpha)^W relative after
+    import datetime as dt
+
+    bdf = spark.createDataFrame(
+        [(i, "cpu",
+          dt.datetime.fromtimestamp(t0 + 60 * i, dt.timezone.utc)
+          .replace(tzinfo=None), v)
+         for i, v in enumerate(vals)],
+        "event_id long, series string, ts timestamp, value double",
+    )
+    batch = {
+        r["event_id"]: r["ewma"]
+        for r in TS.ewma_smooth(
+            bdf, "ts", "value", ["series"], order_tiebreak=["event_id"],
+            alpha=0.3, window=16,
+        ).collect()
+    }
+    for i, r in enumerate(got):
+        if i < 16:
+            assert r["ewma"] == batch[i]
+        else:
+            assert abs(r["ewma"] - batch[i]) <= abs(batch[i]) * 0.7 ** 16 + 1e-4
