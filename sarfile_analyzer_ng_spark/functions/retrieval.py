@@ -57,22 +57,12 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
-              id_col: str, query_id_col: str = "query_id",
-              query_col: str = "query", k: int = 5,
-              k1: float = BM25_K1, b: float = BM25_B,
-              round_to: int = 4) -> DataFrame:
-    """Top-``k`` corpus documents per query under BM25.
-
-    ``corpus``: (id_col, text_col, …) — the big side.
-    ``queries``: (query_id_col, query_col) — bounded eval suite.
-
-    Returns (query_id, rank, doc_id, score, n_terms_hit) with exactly
-    the documents sharing ≥1 query term, ranked by (score DESC,
-    doc ASC), cut at k.
-    """
+def _index_frames(corpus: DataFrame, text_col: str,
+                  id_col: str) -> tuple[DataFrame, DataFrame, DataFrame,
+                                        DataFrame]:
+    """(postings, doclen, df_tbl, n_avg) from a corpus frame — the
+    four tables a BM25 index consists of."""
     toks = _tokens(corpus, text_col, id_col)
-    # postings: term → (doc, tf); doclen: doc → dl
     postings = toks.groupBy("w", "doc").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -86,7 +76,12 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
     df_tbl = postings.groupBy("w").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
-    qterms = (
+    return postings, doclen, df_tbl, n_avg
+
+
+def _qterms(queries: DataFrame, query_id_col: str,
+            query_col: str) -> DataFrame:
+    return (
         fan_out(queries)
         .select(
             F.col(query_id_col).alias("qid"),
@@ -96,10 +91,30 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
         )
         .distinct()
     )
+
+
+def _score_and_rank(postings: DataFrame, doclen: DataFrame,
+                    df_tbl: DataFrame, n_avg: DataFrame,
+                    qterms: DataFrame, k: int,
+                    champions: int | None,
+                    k1: float, b: float, round_to: int) -> DataFrame:
+    """The shared scoring core: (optionally champion-cut) postings ⨝
+    broadcast query terms ⨝ broadcast per-term idf inputs ⨝ doc
+    lengths → per-(query, doc) sum → rank window cut at k."""
+    src = postings
+    if champions is not None:
+        champ_win = Window.partitionBy("w").orderBy(
+            F.col("tf").desc(), F.col("doc").asc()
+        )
+        src = (
+            postings.withColumn("_r", F.row_number().over(champ_win))
+            .where(F.col("_r") <= champions)
+            .drop("_r")
+        )
     # df is vocab-sized; cut it to query terms first so it broadcasts
     df_q = df_tbl.join(F.broadcast(qterms.select("w").distinct()), "w")
     scored = (
-        postings
+        src
         .join(F.broadcast(qterms), "w")
         .join(F.broadcast(df_q), "w")
         .join(doclen, "doc")
@@ -142,6 +157,66 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
             "score",
             "n_terms_hit",
         )
+    )
+
+
+def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
+              id_col: str, query_id_col: str = "query_id",
+              query_col: str = "query", k: int = 5,
+              k1: float = BM25_K1, b: float = BM25_B,
+              round_to: int = 4) -> DataFrame:
+    """Top-``k`` corpus documents per query under BM25.
+
+    ``corpus``: (id_col, text_col, …) — the big side.
+    ``queries``: (query_id_col, query_col) — bounded eval suite.
+
+    Returns (query_id, rank, doc_id, score, n_terms_hit) with exactly
+    the documents sharing ≥1 query term, ranked by (score DESC,
+    doc ASC), cut at k.
+    """
+    postings, doclen, df_tbl, n_avg = _index_frames(corpus, text_col,
+                                                    id_col)
+    return _score_and_rank(postings, doclen, df_tbl, n_avg,
+                           _qterms(queries, query_id_col, query_col),
+                           k, None, k1, b, round_to)
+
+
+def build_bm25_index(corpus: DataFrame, path: str, text_col: str,
+                     id_col: str) -> None:
+    """Persist the BM25 index — index ONCE, query forever (the q121
+    signature-persistence / PQ codebook contract applied to sparse
+    retrieval; at 100 TB re-deriving postings per query batch would
+    re-scan the corpus every time). Four parquet tables under
+    ``path``: ``postings`` (term, doc, tf) REPARTITIONED BY TERM so
+    one query term's postings live in few files and parquet min/max
+    stats prune the rest; ``doclen``; ``df`` (vocab-sized); ``stats``
+    (one row: n_docs, avgdl)."""
+    postings, doclen, df_tbl, n_avg = _index_frames(corpus, text_col,
+                                                    id_col)
+    (postings.repartition("w").sortWithinPartitions("w")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    df_tbl.write.mode("overwrite").parquet(f"{path}/df")
+    n_avg.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(spark, path: str, queries: DataFrame,
+                         k: int = 5, champions: int | None = None,
+                         query_id_col: str = "query_id",
+                         query_col: str = "query",
+                         k1: float = BM25_K1, b: float = BM25_B,
+                         round_to: int = 4) -> DataFrame:
+    """Query a persisted index: exactly :func:`bm25_topk` (or the
+    champion-cut variant when ``champions`` is set) over the stored
+    tables — the roundtrip test pins result identity against the
+    from-corpus path."""
+    return _score_and_rank(
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclen"),
+        spark.read.parquet(f"{path}/df"),
+        spark.read.parquet(f"{path}/stats"),
+        _qterms(queries, query_id_col, query_col),
+        k, champions, k1, b, round_to,
     )
 
 
@@ -292,81 +367,8 @@ def bm25_topk_champions(corpus: DataFrame, queries: DataFrame,
     per-query work is then ≤ |query terms| · champions rows no matter
     how hot the term — linear in queries, independent of corpus df.
     """
-    toks = _tokens(corpus, text_col, id_col)
-    postings = toks.groupBy("w", "doc").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    champ_win = Window.partitionBy("w").orderBy(
-        F.col("tf").desc(), F.col("doc").asc()
-    )
-    champs = (
-        postings.withColumn("_r", F.row_number().over(champ_win))
-        .where(F.col("_r") <= champions)
-        .drop("_r")
-    )
-    doclen = toks.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    n_avg = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    df_tbl = postings.groupBy("w").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    qterms = (
-        fan_out(queries)
-        .select(
-            F.col(query_id_col).alias("qid"),
-            F.explode(
-                F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
-            ).alias("w"),
-        )
-        .distinct()
-    )
-    df_q = df_tbl.join(F.broadcast(qterms.select("w").distinct()), "w")
-    scored = (
-        champs
-        .join(F.broadcast(qterms), "w")
-        .join(F.broadcast(df_q), "w")
-        .join(doclen, "doc")
-        .crossJoin(F.broadcast(n_avg))
-        .select(
-            "qid", "doc",
-            rnd(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.col("avgdl")
-                    )
-                ),
-                8,
-            ).alias("contrib"),
-        )
-    )
-    agg = scored.groupBy("qid", "doc").agg(
-        rnd(F.sum("contrib"), round_to).alias("score"),
-        F.count(F.lit(1)).alias("n_terms_hit"),
-    )
-    win = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("doc").asc()
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.col("doc").alias("doc_id"),
-            "score",
-            "n_terms_hit",
-        )
-    )
+    postings, doclen, df_tbl, n_avg = _index_frames(corpus, text_col,
+                                                    id_col)
+    return _score_and_rank(postings, doclen, df_tbl, n_avg,
+                           _qterms(queries, query_id_col, query_col),
+                           k, champions, k1, b, round_to)

@@ -5471,6 +5471,77 @@ SELECT doc AS doc_id, n_shingles, n_novel,
 FROM per
 """
 
+def q132_source_risk_report(spark, sf_dir):
+    """Per-source curation-risk report (r9) — the datasheet page the
+    q101 corpus card lacks: exact-duplicate rate (the q30 keep-first
+    rule: a doc is a dup if a smaller-id doc has the same md5),
+    average cross-document n-gram novelty (q128's signal — low means
+    templated mass), and the source's token share of the corpus. The
+    one-glance "which source is inflating my corpus with copies?"
+    table a release review starts from. Pure composition of oracled
+    pieces: one md5 agg, the linear novelty chain, one source-keyed
+    rollup + a broadcast total."""
+    docs = _t(spark, sf_dir, "documents")
+    nov = D.ngram_novelty(docs, "text", "doc_id")
+    firsts = docs.select(F.md5("text").alias("h"), "doc_id").groupBy(
+        "h"
+    ).agg(F.min("doc_id").alias("first_id"))
+    flagged = (
+        docs.select(
+            "doc_id", "source", F.md5("text").alias("h"),
+            F.regexp_count("text", F.lit(TX.WS_TOKEN_PATTERN))
+            .cast("long").alias("n_words"),
+        )
+        .join(firsts, "h")
+        .withColumn(
+            "is_dup",
+            (F.col("doc_id") != F.col("first_id")).cast("int"),
+        )
+    )
+    per = (
+        flagged.join(nov.select("doc_id", "novelty"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            rnd(F.avg("is_dup"), 4).alias("dup_rate"),
+            rnd(F.avg("novelty"), 4).alias("avg_novelty"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "n_tokens",
+        rnd(F.col("n_tokens").cast("double") / F.col("tot"), 4)
+        .alias("token_share"),
+        "dup_rate", "avg_novelty",
+    )
+
+
+SQL_Q132 = rf"""
+WITH nov AS ({SQL_Q128}),
+firsts AS (
+  SELECT md5(text) AS h, min(doc_id) AS first_id
+  FROM documents GROUP BY md5(text)),
+flagged AS (
+  SELECT d.doc_id, d.source,
+         len(regexp_extract_all(d.text, '{TX.WS_TOKEN_PATTERN}'))::BIGINT
+           AS n_words,
+         CASE WHEN d.doc_id != f.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM documents d JOIN firsts f ON md5(d.text) = f.h),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_words)::BIGINT AS n_tokens,
+         {sql_rnd('avg(is_dup)', 4)} AS dup_rate,
+         {sql_rnd('avg(novelty)', 4)} AS avg_novelty
+  FROM flagged JOIN nov USING (doc_id) GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per)
+SELECT source, n_docs, n_tokens,
+       {sql_rnd('n_tokens::DOUBLE / t.tot', 4)} AS token_share,
+       dup_rate, avg_novelty
+FROM per, tot t
+"""
+
+
 QNORM_KEEP_FRAC = 0.3
 
 
@@ -5642,6 +5713,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
     "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
     "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
+    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
     "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
     "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),

@@ -382,3 +382,38 @@ def test_bm25_champions_recall_and_bound(spark):
     )
     per_q = tiny.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 2 * 2  # 2 query terms x 2 champions
+
+
+def test_bm25_index_roundtrip_identity(spark, tmp_path):
+    """build_bm25_index -> bm25_topk_from_index reproduces the
+    from-corpus result EXACTLY (both exact and champion-cut), and the
+    postings layout partitions by term."""
+    import glob
+
+    corpus = spark.createDataFrame(
+        [(d, f"term{d % 7} term{(d * 3) % 7} shared common words")
+         for d in range(40)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "term3 shared"), (2, "term5 common")],
+        "query_id long, query string",
+    )
+    idx = str(tmp_path / "bm25_idx")
+    RV.build_bm25_index(corpus, idx, "text", "doc_id")
+    assert glob.glob(f"{idx}/postings/part-*")
+    for champ in (None, 4):
+        if champ is None:
+            direct = RV.bm25_topk(corpus, queries, "text", "doc_id", k=5)
+        else:
+            direct = RV.bm25_topk_champions(
+                corpus, queries, "text", "doc_id", k=5, champions=champ
+            )
+        from_idx = RV.bm25_topk_from_index(
+            spark, idx, queries, k=5, champions=champ
+        )
+        key = ["query_id", "rank"]
+        assert (
+            direct.orderBy(*key).collect()
+            == from_idx.orderBy(*key).collect()
+        )
