@@ -5471,6 +5471,50 @@ SELECT doc AS doc_id, n_shingles, n_novel,
 FROM per
 """
 
+def q133_source_perplexity(spark, sf_dir):
+    """Per-source perplexity table (r9; the Paloma reporting shape,
+    Magnusson et al. 2023 — perplexity sliced by domain instead of
+    one corpus scalar): token-weighted mean of the q84 per-doc
+    log-probs per source, with doc/token counts. The "which source
+    does my LM find surprising?" page of an eval report; pairs with
+    q87's per-doc buckets and q114's distribution divergence. Pure
+    composition of the oracled q84 chain + one source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    per = TX.unigram_logprob(docs, "text", "doc_id",
+                             vocab_size=UNIGRAM_VOCAB)
+    joined = per.join(docs.select("doc_id", "source"), "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        rnd(
+            F.sum(F.col("avg_logp") * F.col("n_tokens"))
+            / F.sum("n_tokens"),
+            4,
+        ).alias("avg_logp"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_tokens", "avg_logp",
+        rnd(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
+SQL_Q133 = f"""
+WITH q84 AS ({SQL_Q84}),
+j AS (
+  SELECT q.doc_id, q.n_tokens, q.avg_logp, d.source
+  FROM q84 q JOIN documents d USING (doc_id)),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         {sql_rnd('sum(avg_logp * n_tokens) / sum(n_tokens)', 4)}
+           AS avg_logp
+  FROM j GROUP BY source)
+SELECT source, n_docs, n_tokens, avg_logp,
+       {sql_rnd('exp(-avg_logp)', 4)} AS ppl
+FROM per
+"""
+
+
 def q132_source_risk_report(spark, sf_dir):
     """Per-source curation-risk report (r9) — the datasheet page the
     q101 corpus card lacks: exact-duplicate rate (the q30 keep-first
@@ -5714,6 +5758,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
     "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
     "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
+    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
     "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
     "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
