@@ -5747,12 +5747,15 @@ SQL_Q130 = _sql_hashed_logreg()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation: (1) keys NEW or CHANGED this round lead — q123
-    # (new DoReMi operator), q119 (oracle SQL dtype fix: BIGINT casts
-    # on every UNION branch), and the MinHash hot-band-cap family:
-    # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
-    # gate over the capped memo), q56 (takes candidates from it), and
-    # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    # r9 rotation: (1) keys NEW or CHANGED this round lead — the ten
+    # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
+    # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
+    # champion BM25 / risk report / source perplexity), q119 (oracle
+    # SQL dtype fix: BIGINT casts on every UNION branch), and the
+    # MinHash hot-band-cap family: q31/q121 (impl + mirrored hot CTE
+    # in the oracle), q51 (recall gate over the capped memo), q56
+    # (takes candidates from it), and q32 (NULL-text coalesce in
+    # simhash32_portable + its oracle);
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
     "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
