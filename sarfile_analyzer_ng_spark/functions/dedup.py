@@ -1529,3 +1529,89 @@ def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
             round_to,
         ).alias("novelty"),
     )
+
+
+def boilerplate_cut(df: DataFrame, text_col: str, id_col: str,
+                    passage_words: int = 8, min_df: int = 3) -> DataFrame:
+    """Boilerplate passage removal by cross-document frequency: any
+    ``passage_words``-word passage appearing in ≥ ``min_df`` DISTINCT
+    documents is cut from EVERY document — including its first
+    occurrence, which is the policy difference from
+    :func:`passage_dedup`'s keep-first rule. Keep-first is right for
+    content that deserves to survive once; a header/footer/cookie
+    banner repeated across millions of pages deserves to survive
+    zero times (RefinedWeb: Penedo et al. 2023 §3.1 line-level rules;
+    CCNet's paragraph-hash filtering: Wenzek et al. 2020 §3).
+
+    Same split as :func:`passage_dedup` (consecutive fixed-width word
+    windows, md5 passage hash). The df agg is ``count(DISTINCT doc)``
+    per hash — combinable after the per-(hash, doc) pre-distinct the
+    explode's groupBy provides; the cut-list join is hash-keyed.
+
+    Shape at scale: one passage explode, one (hash, doc)-keyed
+    distinct agg, one hash-keyed df agg, one join back, one per-doc
+    reassembly agg — all linear; no per-hash candidate pairs at all
+    (this operator never enumerates pairs, so boilerplate shared by
+    10⁹ docs costs 10⁹ cut rows, not 10¹⁸ comparisons).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.greatest(
+        F.lit(1),
+        F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),
+    )
+    passages = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("idx"),
+        )
+        .select(
+            "doc",
+            F.col("idx").cast("long").alias("idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("idx").cast("int") * passage_words + 1,
+                    passage_words,
+                ),
+            ).alias("passage"),
+        )
+        .withColumn("h", F.md5("passage"))
+    )
+    dfreq = passages.groupBy("h").agg(
+        F.countDistinct("doc").alias("_df")
+    )
+    flagged = passages.join(dfreq, "h").withColumn(
+        "boiler", F.col("_df") >= min_df
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("idx", "boiler", "passage")
+                            )
+                        ),
+                        lambda s: ~s["boiler"],
+                    ),
+                    lambda s: s["passage"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_passages").cast("bigint").alias("n_passages"),
+            "n_boiler",
+            "clean_text",
+        )
+    )

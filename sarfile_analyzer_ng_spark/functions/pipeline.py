@@ -216,3 +216,53 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
         F.count(F.lit(1)).alias("n_units"), F.sum("_nt").alias("n_tokens")))
     return s0.unionByName(s1).unionByName(s2).unionByName(s3) \
              .unionByName(s4).unionByName(s5)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
+                  text_col: str, source_col: str = "source") -> DataFrame:
+    """Corpus snapshot diff: classify every document across two corpus
+    versions as added / removed / changed / unchanged and roll the
+    verdicts up per source — the audit a pipeline runs between crawl
+    snapshots before deciding what to re-process (the batch twin of
+    CDC; the reference's file-upload/delete bookkeeping in
+    api/services.py:80-176 tracks the same add/remove lifecycle at
+    file granularity).
+
+    Both sides are projected to ``(id, source, md5, length)`` BEFORE
+    the join, so document text never crosses the shuffle — at 100 TB
+    the full-outer join moves ~50 bytes/doc, keyed by the unique doc
+    id (no skew by construction). The rollup is a combinable agg.
+    NULL text is coalesced to '' so such docs diff as real rows
+    instead of vanishing into NULL-md5 limbo.
+    """
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(source_col).alias(f"{prefix}_source"),
+            F.md5(t).alias(f"{prefix}_h"),
+            F.length(t).cast("long").alias(f"{prefix}_len"),
+        )
+
+    j = fp(old, "o").join(fp(new, "n"), "_id", "full_outer")
+    status = (
+        F.when(F.col("o_h").isNull(), F.lit("added"))
+        .when(F.col("n_h").isNull(), F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    n_chars = F.when(F.col("n_h").isNull(), F.col("o_len")).otherwise(
+        F.col("n_len")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("n_source", "o_source").alias("source"),
+            n_chars.alias("_len"),
+        )
+        .groupBy("status", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_len").cast("long").alias("n_chars"),
+        )
+    )

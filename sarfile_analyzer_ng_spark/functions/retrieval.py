@@ -372,3 +372,50 @@ def bm25_topk_champions(corpus: DataFrame, queries: DataFrame,
     return _score_and_rank(postings, doclen, df_tbl, n_avg,
                            _qterms(queries, query_id_col, query_col),
                            k, champions, k1, b, round_to)
+
+
+RRF_K = 60
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 10,
+             rrf_k: int = RRF_K, round_to: int = 8) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking
+    (Cormack et al. 2009): ``score = Σ 1/(rrf_k + rank)`` over the
+    rankers that retrieved the document. The standard hybrid-retrieval
+    combiner — rank-based, so the incomparable BM25 and cosine scales
+    never need calibration.
+
+    ``lex``/``sem``: (query_id, doc_id, rank) pools, one row per
+    (query, candidate). Full-outer join on (query_id, doc_id) — a
+    document found by only one ranker still scores. Output ranks are
+    (rrf DESC, doc_id ASC), cut at ``k``; the per-ranker ranks ride
+    along with 0 = "absent from that ranker's pool" (kept non-null so
+    both engines emit int64 — NULL-int columns decay to float64 in
+    pandas on BOTH sides, the q119 dtype-class trap).
+
+    Shape at scale: both pools are already query-bounded (≤ pool
+    depth rows per query), so the fusion join and the rank window
+    shuffle eval-suite-sized frames — corpus size never appears.
+    """
+    l = lex.select("query_id", "doc_id", F.col("rank").alias("_lr"))
+    s = sem.select("query_id", "doc_id", F.col("rank").alias("_sr"))
+    j = l.join(s, ["query_id", "doc_id"], "full_outer")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        rnd(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c)), 8),
+    ).otherwise(F.lit(0.0))
+    fused = j.select(
+        "query_id", "doc_id",
+        rnd(contrib("_lr") + contrib("_sr"), round_to).alias("rrf"),
+        F.coalesce("_lr", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("_sr", F.lit(0)).cast("long").alias("sem_rank"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf", "lex_rank",
+                "sem_rank")
+    )

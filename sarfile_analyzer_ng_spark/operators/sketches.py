@@ -171,3 +171,69 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
         for pc in pcols
     )
     return out.withColumn(out_col, F.expr(cond)).drop("bloom", *pcols)
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 256,
+              depth: int = 4) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): a ``depth ×
+    width`` counter matrix as (j, b, cnt) rows — THE mergeable
+    frequency sketch for "how often does this token/URL/key occur"
+    when the exact key-count table is too large to keep (the
+    frequency-counting sibling of :func:`bloom_build`'s membership
+    bitmap; overestimates only, never under).
+
+    Hash family is the portable bloom scheme (``_bloom_positions`` —
+    first 8 hex chars of ``md5(j || ':' || key)`` mod width), so an
+    oracle can replay every counter and estimate exactly.
+
+    Shape at scale: one key-count agg (combinable), one ``depth``-way
+    explode of the DISTINCT-key frame, one (j, b)-keyed sum — the
+    sketch is ``depth·width`` rows regardless of corpus size, and
+    two corpus sketches merge by adding counters cell-wise.
+    """
+    keyed = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    pos = keyed.select(
+        "_c",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"), h.alias("b")
+                )
+                for j, h in enumerate(
+                    _bloom_positions(key_col, width, depth)
+                )
+            ])
+        ).alias("_p"),
+    ).select(F.col("_p.j").alias("j"), F.col("_p.b").alias("b"), "_c")
+    return pos.groupBy("j", "b").agg(
+        F.sum("_c").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame, key_col: str,
+                 width: int = 256, depth: int = 4,
+                 out_col: str = "est_cnt") -> DataFrame:
+    """Point-query a :func:`cms_build` sketch: estimate = min over the
+    ``depth`` rows of ``counters[j][h_j(key)]`` (0 if a bucket is
+    empty). The counter frame is ``depth·width`` rows, so it
+    BROADCASTS; probing is a map-side join + a per-key min agg —
+    probe-set-sized, corpus size never appears."""
+    pos = probes.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"), h.alias("b")
+                )
+                for j, h in enumerate(
+                    _bloom_positions(key_col, width, depth)
+                )
+            ])
+        ).alias("_p"),
+    ).select(key_col, F.col("_p.j").alias("j"), F.col("_p.b").alias("b"))
+    joined = pos.join(F.broadcast(counters), ["j", "b"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias(out_col)
+    )

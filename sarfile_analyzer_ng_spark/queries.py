@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .util import rnd, sql_rnd
+from .util import fan_out, rnd, sql_rnd
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
@@ -5157,8 +5157,11 @@ def q124_bm25_topk(spark, sf_dir):
     return RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
 
 
-def _sql_bm25(champions: int | None = None) -> str:
+def _sql_bm25(champions: int | None = None, k: int | None = None) -> str:
     from .functions.retrieval import BM25_B, BM25_K1
+
+    if k is None:
+        k = BM25_TOPK
 
     idf = (
         f"ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))"
@@ -5212,7 +5215,7 @@ ranked AS (
   FROM agg)
 SELECT qid AS query_id, rnk::BIGINT AS "rank", doc AS doc_id, score,
        n_terms_hit
-FROM ranked WHERE rnk <= {BM25_TOPK}
+FROM ranked WHERE rnk <= {k}
 """
 
 
@@ -5732,6 +5735,264 @@ FROM feat f, w{iters} w""")
 
 SQL_Q130 = _sql_hashed_logreg()
 
+
+# ---- r9 wave 2: snapshot diff, hybrid retrieval, CMS, boilerplate ----
+
+SNAP_EDIT_MOD = 7  # doc_id % 7 == 3 simulates an edited document
+
+
+def q135_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (functions/pipeline.py:snapshot_diff, r9):
+    added / removed / changed / unchanged per source between two
+    deterministic snapshot views of the documents table (old = ids
+    with % 10 != 9; new = ids with % 10 != 0, where every id % 7 == 3
+    doc carries a simulated revision suffix). Fingerprint-projected
+    full-outer join — text never shuffles; fully value-hash oracled."""
+    from .functions import pipeline as P
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    old = docs.where(F.col("doc_id") % 10 != 9)
+    new = docs.where(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % SNAP_EDIT_MOD == 3,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    return P.snapshot_diff(old, new, "doc_id", "text")
+
+
+SQL_Q135 = f"""
+WITH o AS (
+  SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+         length(coalesce(text, ''))::BIGINT AS len
+  FROM documents WHERE doc_id % 10 != 9),
+n AS (
+  SELECT doc_id, source, md5(t) AS h, length(t)::BIGINT AS len
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % {SNAP_EDIT_MOD} = 3
+                THEN coalesce(text, '') || ' [rev2]'
+                ELSE coalesce(text, '') END AS t
+    FROM documents WHERE doc_id % 10 != 0)),
+j AS (
+  SELECT CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h != n.h THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(n.source, o.source) AS source,
+         CASE WHEN n.h IS NULL THEN o.len ELSE n.len END AS len
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT status, source, count(*)::BIGINT AS n_docs,
+       sum(len)::BIGINT AS n_chars
+FROM j GROUP BY status, source
+"""
+
+
+# exactly PASSAGE_WORDS words, so prepending it shifts a document's
+# own passages by one full window and they stay grid-aligned
+BOILER_HEADER = "cookie notice we use cookies accept the policy"
+BOILER_MIN_DF = 3
+
+
+def q137_boilerplate_cut(spark, sf_dir):
+    """Cross-document boilerplate removal (functions/dedup.py:
+    boilerplate_cut, r9): every 8-word passage appearing in ≥ 3
+    distinct documents is cut from ALL of them — including the first
+    occurrence, the policy complement of q94's keep-first passage
+    dedup (RefinedWeb §3.1 / CCNet paragraph filtering: boilerplate
+    survives zero times, unique content is untouched). Corpus =
+    documents with an 8-word cookie-banner header planted on every
+    doc_id % 3 == 0 row; naturally-duplicated texts' passages get cut
+    too once they clear the df threshold. No pair enumeration
+    anywhere — df agg + hash-keyed join, linear at any corpus size.
+    Full clean_text value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(BOILER_HEADER + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.boilerplate_cut(docs, "text", "doc_id",
+                             passage_words=PASSAGE_WORDS,
+                             min_df=BOILER_MIN_DF)
+
+
+SQL_Q137 = rf"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{BOILER_HEADER} ' || text
+              ELSE text END AS text
+  FROM documents),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+p0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM words),
+pass AS (
+  SELECT doc, idx,
+         array_to_string(list_transform(
+           range(idx * {PASSAGE_WORDS} + 1,
+                 least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
+           j -> w[j]), ' ') AS passage
+  FROM p0),
+hashed AS (SELECT doc, idx, passage, md5(passage) AS h FROM pass),
+dfreq AS (SELECT h, count(DISTINCT doc) AS df FROM hashed GROUP BY h),
+flagged AS (
+  SELECT doc, idx, passage, (df >= {BOILER_MIN_DF}) AS boiler
+  FROM hashed JOIN dfreq USING (h))
+SELECT doc AS doc_id, count(*)::BIGINT AS n_passages,
+       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       coalesce(string_agg(passage, ' ' ORDER BY idx)
+                  FILTER (WHERE NOT boiler), '') AS clean_text
+FROM flagged GROUP BY doc
+"""
+
+
+# width 16 on the 31-token synthetic vocab FORCES bucket collisions,
+# so the min-over-rows estimate path does real work in the gate
+# (width 256 would make every estimate exact and the gate vacuous);
+# production sizing is width ≈ e/ε, depth ≈ ln(1/δ)
+CMS_W, CMS_D = 16, 4
+
+
+def q136_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimates (operators/sketches.py:
+    cms_build/cms_estimate, r9; Cormode & Muthukrishnan 2005): the
+    mergeable d×w counter matrix over the corpus token stream, point-
+    queried for every distinct token against its exact count — the
+    frequency sibling of q54's Bloom membership gate, completing the
+    sketch family (HLL / KLL / hash-sample / heavy hitters / Bloom /
+    CMS). ``overcount = est − true`` is ≥ 0 by construction (CMS
+    never underestimates); the pytest pins that invariant plus the
+    ε-bound. Probing ALL distinct tokens is gate-scale convenience —
+    production probes heavy-hitter candidates; the sketch itself is
+    d·w = 1024 cells regardless of corpus size. Fully value-hash
+    oracled (portable md5 hash family, the bloom scheme)."""
+    from .operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("t")
+    )
+    truec = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    counters = SK.cms_build(toks, "t", width=CMS_W, depth=CMS_D)
+    est = SK.cms_estimate(counters, truec.select("t"), "t",
+                          width=CMS_W, depth=CMS_D)
+    return truec.join(est, "t").select(
+        F.col("t").alias("token"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long")
+        .alias("overcount"),
+    )
+
+
+SQL_Q136 = rf"""
+WITH words AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+tok AS (SELECT unnest(w) AS t FROM words),
+truec AS (SELECT t, count(*)::BIGINT AS true_cnt FROM tok GROUP BY t),
+pos AS (
+  SELECT t, true_cnt, r.j,
+         ('0x' || substr(md5(r.j::VARCHAR || ':' || t), 1, 8))::BIGINT
+           % {CMS_W} AS b
+  FROM truec CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS j) r),
+cms AS (SELECT j, b, sum(true_cnt)::BIGINT AS cnt FROM pos GROUP BY j, b),
+est AS (
+  SELECT p.t, min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+  FROM pos p LEFT JOIN cms c ON p.j = c.j AND p.b = c.b GROUP BY p.t)
+SELECT tr.t AS token, tr.true_cnt, e.est_cnt,
+       (e.est_cnt - tr.true_cnt)::BIGINT AS overcount
+FROM truec tr JOIN est e ON tr.t = e.t
+"""
+
+
+RRF_POOL, RRF_TOPK, RRF_RK = 20, 10, 60
+
+
+def q134_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (functions/
+    retrieval.py:rrf_fuse, r9; Cormack et al. 2009): the q124 BM25
+    lexical pool and the q35-style embedding-cosine pool (depth 20
+    each, same %50 eval split, doc_id ≡ vec_id in the synthetic
+    corpus) fused by ``Σ 1/(60 + rank)`` — the standard RAG hybrid
+    ranker, and the first key that joins the sparse and dense
+    retrieval families end to end. Both pools are query-bounded, so
+    fusion shuffles eval-suite-sized frames only; fully value-hash
+    oracled (the oracle nests the BM25 CTE chain and the SQL_Q35
+    cosine expression)."""
+    from .functions import retrieval as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1, QUERY_PREFIX_TOKENS,
+            ),
+        ).alias("query"),
+    )
+    lex = RV.bm25_topk(
+        docs.where(F.col("doc_id") % 50 != 0), qs, "text", "doc_id",
+        k=RRF_POOL,
+    ).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = S.ann_topk_bruteforce(
+        emb.where(F.col("vec_id") % 50 != 0),
+        emb.where(F.col("vec_id") % 50 == 0),
+        "vec_id", "embedding", RRF_POOL,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return RV.rrf_fuse(lex, sem, k=RRF_TOPK, rrf_k=RRF_RK)
+
+
+_RRF_U = (
+    f"coalesce({sql_rnd('1.0 / (%d + l.lr)' % RRF_RK, 8)}, 0.0)"
+    f" + coalesce({sql_rnd('1.0 / (%d + s.sr)' % RRF_RK, 8)}, 0.0)"
+)
+
+SQL_Q134 = f"""
+WITH lex0 AS ({_sql_bm25(k=RRF_POOL)}),
+lex AS (SELECT query_id, doc_id, "rank" AS lr FROM lex0),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+nv AS (SELECT vec_id, e,
+              sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+semsc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(CAST(CAST((list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+  FROM nv q JOIN nv c ON c.vec_id % 50 != 0
+  WHERE q.vec_id % 50 = 0),
+sem AS (
+  SELECT query_id, doc_id, rnk AS sr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id ASC) AS rnk
+    FROM semsc) WHERE rnk <= {RRF_POOL}),
+u AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         {sql_rnd(_RRF_U, 8)} AS rrf,
+         coalesce(l.lr, 0)::BIGINT AS lex_rank,
+         coalesce(s.sr, 0)::BIGINT AS sem_rank
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+SELECT query_id, rnk::BIGINT AS "rank", doc_id, rrf, lex_rank, sem_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rnk
+      FROM u)
+WHERE rnk <= {RRF_TOPK}
+"""
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -5747,15 +6008,20 @@ SQL_Q130 = _sql_hashed_logreg()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation: (1) keys NEW or CHANGED this round lead — the ten
-    # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
-    # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
-    # champion BM25 / risk report / source perplexity), q119 (oracle
-    # SQL dtype fix: BIGINT casts on every UNION branch), and the
-    # MinHash hot-band-cap family: q31/q121 (impl + mirrored hot CTE
-    # in the oracle), q51 (recall gate over the capped memo), q56
-    # (takes candidates from it), and q32 (NULL-text coalesce in
-    # simhash32_portable + its oracle);
+    # r9 rotation: (1) keys NEW or CHANGED this round lead — the
+    # fourteen r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN;
+    # q127-q129 EWMA/novelty/quantile-gate; q130-q133 hashed-gram
+    # classifier / champion BM25 / risk report / source perplexity;
+    # q134-q137 hybrid RRF / snapshot diff / count-min sketch /
+    # boilerplate cut), q119 (oracle SQL dtype fix: BIGINT casts on
+    # every UNION branch), and the MinHash hot-band-cap family:
+    # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
+    # gate over the capped memo), q56 (takes candidates from it), and
+    # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
+    "q136_count_min": (q136_count_min, SQL_Q136),
+    "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
+    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
     "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),

@@ -2131,3 +2131,43 @@ def test_simhash32_portable_null_text_keeps_doc(spark):
             D.simhash32_portable(df, "text", "doc_id").collect()}
     assert set(sigs) == {1, 2, 3}
     assert sigs[2] == 0 and sigs[3] == 0
+
+
+def test_boilerplate_cut_df_threshold_cuts_all_occurrences(spark):
+    # "x y" appears in docs 1,2,3 (df=3 >= min_df=3): cut EVERYWHERE,
+    # including its first occurrence — the policy difference from
+    # passage_dedup's keep-first. "a b" (df=2) survives untouched.
+    df = spark.createDataFrame(
+        [(1, "x y a b"), (2, "x y c d"), (3, "x y e f"), (4, "a b g h")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.boilerplate_cut(df, "text", "doc_id", passage_words=2,
+                             min_df=3).collect()}
+    assert out[1]["clean_text"] == "a b"
+    assert out[2]["clean_text"] == "c d"
+    assert out[3]["clean_text"] == "e f"
+    assert out[4]["clean_text"] == "a b g h"
+    assert out[1]["n_boiler"] == 1 and out[4]["n_boiler"] == 0
+
+
+def test_boilerplate_cut_within_doc_repeat_counts_once(spark):
+    # df counts DISTINCT docs: a passage repeated 3x inside ONE doc has
+    # df=1 and survives (it's repetition, q61's domain — not boilerplate)
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "p q r s")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           D.boilerplate_cut(df, "text", "doc_id", passage_words=2,
+                             min_df=2).collect()}
+    assert out[1]["clean_text"] == "x y x y x y"
+    assert out[1]["n_boiler"] == 0
+
+
+def test_boilerplate_cut_fully_boiler_doc_empty_clean_text(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y")], "doc_id long, text string"
+    )
+    out = D.boilerplate_cut(df, "text", "doc_id", passage_words=2,
+                            min_df=3).collect()
+    assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in out)

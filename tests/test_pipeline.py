@@ -176,3 +176,34 @@ def test_doremi_weights_trajectory(spark):
     assert ex["easy"] == 0.5 and ex["hard"] == 2.0
     # smoothing keeps every source alive
     assert min(by_step[4].values()) >= 0.1 / 2 - 1e-9
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "s1", "alpha"), (2, "s1", "beta"), (3, "s2", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "s1", "beta"), (3, "s2", "gamma CHANGED"), (4, "s2", "delta")],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r["status"], r["source"]): (r["n_docs"], r["n_chars"])
+            for r in P.snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert rows[("removed", "s1")] == (1, len("alpha"))
+    assert rows[("unchanged", "s1")] == (1, len("beta"))
+    assert rows[("changed", "s2")] == (1, len("gamma CHANGED"))
+    assert rows[("added", "s2")] == (1, len("delta"))
+
+
+def test_snapshot_diff_null_text_still_diffs(spark):
+    """NULL text coalesces to '' on both sides — the doc classifies as
+    a real row (changed when the other side has content)."""
+    old = spark.createDataFrame(
+        [(1, "s", None)], "doc_id long, source string, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "now has text")], "doc_id long, source string, text string"
+    )
+    rows = P.snapshot_diff(old, new, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "changed"

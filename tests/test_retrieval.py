@@ -417,3 +417,36 @@ def test_bm25_index_roundtrip_identity(spark, tmp_path):
             direct.orderBy(*key).collect()
             == from_idx.orderBy(*key).collect()
         )
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-computed RRF on a 1-query pool: doc in both lists beats a
+    doc at rank 1 of only one list; absent-side rank rides along as 0."""
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank long"
+    )
+    rows = {r["doc_id"]: r for r in RV.rrf_fuse(lex, sem, k=3).collect()}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 12: 1/62
+    assert rows[11]["rank"] == 1
+    assert rows[10]["rank"] == 2
+    assert rows[12]["rank"] == 3
+    assert abs(rows[11]["rrf"] - (round(1 / 62, 8) + round(1 / 61, 8))) < 1e-9
+    assert rows[10]["lex_rank"] == 1 and rows[10]["sem_rank"] == 0
+    assert rows[12]["lex_rank"] == 0 and rows[12]["sem_rank"] == 2
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id(spark):
+    """Equal RRF mass → ascending doc_id decides, deterministically."""
+    lex = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 2)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 5, 1), (1, 30, 2)], "query_id long, doc_id long, rank long"
+    )
+    rows = RV.rrf_fuse(lex, sem, k=4).collect()
+    got = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # rank-1 contributions tie (docs 5 and 20), rank-2 tie (7 and 30)
+    assert got == [(1, 5), (2, 20), (3, 7), (4, 30)]

@@ -111,3 +111,54 @@ def test_bloom_partial_final_word_no_false_negatives(spark):
     rows = probed.collect()
     assert len(rows) == 200
     assert all(r["in_bloom"] is True for r in rows)
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    """CMS guarantees est >= true always; and est <= true + eps*N with
+    eps = e/width for each row w.p. 1-(1/e)^depth — with depth=4 over
+    a 31-token vocab the chance of ANY row breaching is ~0, so the
+    bound is asserted hard."""
+    import math
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    )
+    truec = toks.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    W, D = 16, 4
+    counters = SK.cms_build(toks, "t", width=W, depth=D)
+    est = SK.cms_estimate(counters, truec.select("t"), "t", width=W, depth=D)
+    rows = truec.join(est, "t").collect()
+    n_total = toks.count()
+    eps_bound = math.e / W * n_total
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] <= r["true_cnt"] + eps_bound, (r, eps_bound)
+    # the sketch must be at most depth*width cells, corpus-independent
+    assert counters.count() <= W * D
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    """Two half-corpus sketches merged cell-wise equal the full-corpus
+    sketch — the property that makes CMS shippable across shards."""
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    W, D = 16, 4
+    full = SK.cms_build(toks, "t", width=W, depth=D)
+    a = SK.cms_build(toks.where(F.col("doc_id") % 2 == 0), "t", width=W, depth=D)
+    b = SK.cms_build(toks.where(F.col("doc_id") % 2 == 1), "t", width=W, depth=D)
+    merged = (
+        a.unionByName(b).groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        full.withColumnRenamed("cnt", "c1")
+        .join(merged.withColumnRenamed("cnt", "c2"), ["j", "b"], "full_outer")
+        .where(
+            F.coalesce("c1", F.lit(0)) != F.coalesce("c2", F.lit(0))
+        )
+    )
+    assert diff.count() == 0
