@@ -459,3 +459,64 @@ def ewma_smooth(df: DataFrame, ts_col: str, value_col: str, by: list[str],
             den_f > 0, rnd(F.col(value_col) - (num_f / den_f), round_to)
         ).alias("resid"),
     )
+
+
+def trend_fit(df: DataFrame, ts_col: str, value_col: str,
+              by: list[str], round_to: int = 6) -> DataFrame:
+    """Per-series OLS linear trend: slope (value units per DAY),
+    intercept, and R² of ``value`` against time — "which disk is
+    trending toward full / which error rate is drifting up", the
+    capacity-planning view the reference's charts let a human eyeball
+    (code/dia_compute_pl.py renders the series; this fits it).
+
+    NOT ``regr_slope``: each engine's fused regression aggregate sums
+    in its own order, and the covariance/variance division amplifies
+    the ulp — instead the five MOMENTS (avg x, avg y, avg xy, avg x²,
+    avg y²) are pre-rounded on the 8-digit rnd ladder, then
+    slope/intercept/R² are derived from the rounded moments with
+    identical scalar arithmetic in both engines. Averages (not sums)
+    so the rounded magnitudes stay inside the rnd parity domain
+    (util.RND_PARITY_MAX_SCALED) at ANY corpus size.
+
+    Time axis: whole seconds (``unix_timestamp`` ≡ DuckDB
+    ``floor(epoch(ts))`` — the q21 convention), centered per series
+    by the window MIN (exact, no arithmetic) and scaled to days, so
+    x² can't blow up the moments on long time ranges. Zero-variance
+    guards: a single-sample / constant-time series reports slope 0,
+    a constant-value series R² 0 (both engine-identical).
+
+    Shape at scale: one series-keyed window (min) + one agg on the
+    SAME key — Catalyst reuses the partitioning, so one shuffle
+    total; output is |series| rows.
+    """
+    w = Window.partitionBy(*by)
+    xsec = F.unix_timestamp(F.col(ts_col))
+    x = (xsec - F.min(xsec).over(w)).cast("double") / F.lit(86400.0)
+    y = F.col(value_col).cast("double")
+    m = (
+        df.select(*by, x.alias("_x"), y.alias("_y"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            rnd(F.avg("_x"), 8).alias("mx"),
+            rnd(F.avg("_y"), 8).alias("my"),
+            rnd(F.avg(F.col("_x") * F.col("_y")), 8).alias("mxy"),
+            rnd(F.avg(F.col("_x") * F.col("_x")), 8).alias("mx2"),
+            rnd(F.avg(F.col("_y") * F.col("_y")), 8).alias("my2"),
+        )
+    )
+    varx = F.col("mx2") - F.col("mx") * F.col("mx")
+    vary = F.col("my2") - F.col("my") * F.col("my")
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    slope = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    intercept = F.col("my") - slope * F.col("mx")
+    r2 = F.when(
+        (varx > 0) & (vary > 0), (cov / varx) * (cov / vary)
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        *by,
+        "n_samples",
+        rnd(slope, round_to).alias("slope_per_day"),
+        rnd(intercept, round_to).alias("intercept"),
+        rnd(r2, round_to).alias("r2"),
+    )

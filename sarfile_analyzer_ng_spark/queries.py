@@ -5789,6 +5789,107 @@ FROM j GROUP BY status, source
 """
 
 
+CPPL_WORDS, CPPL_V, CPPL_Q = 16, 20, 0.9
+
+
+def q139_chunk_ppl_cut(spark, sf_dir):
+    """Sub-document perplexity filtering (functions/text.py:
+    chunk_ppl_cut, r9; CCNet §4.3 scores paragraphs, not documents):
+    16-word chunks scored by the q84 corpus unigram LM; chunks above
+    the corpus p90 chunk-perplexity (exact distributed percentile,
+    rounded so the boundary is engine-stable) are cut and the doc
+    reassembled — the quality twin of q137's boilerplate df rule,
+    between q70's whole-doc verdict and nothing. Full clean_text
+    value-hash oracled (LM chain + chunk split + quantile_cont
+    threshold all nested in the SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_ppl_cut(docs, "text", "doc_id",
+                            chunk_words=CPPL_WORDS, vocab_size=CPPL_V,
+                            ppl_quantile=CPPL_Q)
+
+
+SQL_Q139 = rf"""
+WITH words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+tok AS (SELECT unnest(w) AS w FROM words),
+cnts AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM cnts),
+vocab AS (SELECT w, c FROM cnts ORDER BY c DESC, w ASC LIMIT {CPPL_V}),
+unk AS (
+  SELECT coalesce(sum(c), 0.0) AS cu FROM cnts
+  WHERE w NOT IN (SELECT w FROM vocab)),
+p0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {CPPL_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM words),
+chunk AS (
+  SELECT doc, idx,
+         list_transform(
+           range(idx * {CPPL_WORDS} + 1,
+                 least((idx + 1) * {CPPL_WORDS}, len(w)) + 1),
+           j -> w[j]) AS cw
+  FROM p0),
+ctok AS (SELECT doc, idx, unnest(cw) AS w FROM chunk),
+scored AS (
+  SELECT doc, idx,
+         {sql_rnd('ln(coalesce(v.c, u.cu) / t.n)', 8)} AS lp
+  FROM ctok LEFT JOIN vocab v USING (w), tot t, unk u),
+cppl AS (
+  SELECT doc, idx,
+         {sql_rnd(f"exp(-({sql_rnd('avg(lp)', 4)}))", 4)} AS ppl
+  FROM scored GROUP BY doc, idx),
+thr AS (SELECT {sql_rnd(f'quantile_cont(ppl, {CPPL_Q})', 4)} AS t FROM cppl),
+verd AS (SELECT doc, idx, ppl, (ppl <= t) AS keep FROM cppl, thr)
+SELECT c.doc AS doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_cut,
+       coalesce(string_agg(array_to_string(cw, ' '), ' ' ORDER BY c.idx)
+                  FILTER (WHERE keep), '') AS clean_text
+FROM chunk c JOIN verd USING (doc, idx) GROUP BY c.doc
+"""
+
+
+def q138_trend_fit(spark, sf_dir):
+    """Per-series OLS linear trend (operators/timeseries.py:trend_fit,
+    r9): slope per day / intercept / R² of value against time per
+    event_type — the capacity-planning fit ("which metric is
+    drifting?") beside q127's EWMA ("off its recent trend?") and
+    q115's seasonal baseline. Moment-based on the rnd ladder, NOT
+    regr_slope, so both engines derive identical doubles; averages
+    keep the rounded magnitudes in the parity domain at any corpus
+    size. Fully value-hash oracled."""
+    return TS.trend_fit(_t(spark, sf_dir, "events"), "ts", "value",
+                        ["event_type"])
+
+
+_TF_SLOPE = "CASE WHEN mx2 - mx*mx > 0 THEN (mxy - mx*my)/(mx2 - mx*mx) ELSE 0.0 END"
+
+SQL_Q138 = f"""
+WITH base AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT
+            - min(floor(epoch(ts))::BIGINT)
+                OVER (PARTITION BY event_type)) / 86400.0 AS x,
+         value::DOUBLE AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n_samples,
+         {sql_rnd('avg(x)', 8)} AS mx, {sql_rnd('avg(y)', 8)} AS my,
+         {sql_rnd('avg(x*y)', 8)} AS mxy, {sql_rnd('avg(x*x)', 8)} AS mx2,
+         {sql_rnd('avg(y*y)', 8)} AS my2
+  FROM base GROUP BY event_type)
+SELECT event_type, n_samples,
+       {sql_rnd(_TF_SLOPE, 6)} AS slope_per_day,
+       {sql_rnd(f'my - ({_TF_SLOPE}) * mx', 6)} AS intercept,
+       {sql_rnd(
+           'CASE WHEN mx2 - mx*mx > 0 AND my2 - my*my > 0 THEN '
+           '((mxy - mx*my)/(mx2 - mx*mx)) * ((mxy - mx*my)/(my2 - my*my)) '
+           'ELSE 0.0 END', 6)} AS r2
+FROM m
+"""
+
+
 # exactly PASSAGE_WORDS words, so prepending it shifts a document's
 # own passages by one full window and they stay grid-aligned
 BOILER_HEADER = "cookie notice we use cookies accept the policy"
@@ -6021,6 +6122,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),
     "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
+    "q138_trend_fit": (q138_trend_fit, SQL_Q138),
+    "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

@@ -898,3 +898,40 @@ def ewma_stream(stream: DataFrame, ts_col: str, key_col: str,
         rnd(F.col("raw_forecast"), round_to).alias("forecast"),
         rnd(F.col("value") - F.col("raw_forecast"), round_to).alias("resid"),
     )
+
+
+def snapshot_status_stream(stream: DataFrame, ref: DataFrame,
+                           id_col: str, text_col: str) -> DataFrame:
+    """Streaming change-data-capture classification (ST20): the live
+    twin of ``functions.pipeline.snapshot_diff`` — every arriving
+    document is classified against the STATIC previous-snapshot
+    fingerprints as it lands: ``new`` (id never seen), ``changed``
+    (id seen, content hash differs), ``unchanged`` (byte-identical
+    re-crawl). The ingest router runs on this verdict: unchanged →
+    drop (don't re-process), changed → re-pipeline, new → full
+    pipeline.
+
+    The ST8/ST12/ST17 stream-static shape: the reference side is
+    projected ONCE to (id, md5) — fingerprint-sized corpus metadata,
+    the q121 persistence contract — and LEFT-joined on the doc id;
+    the arriving side's hash is a pure JVM map expression. No stream
+    state at all (each arrival classifies independently), so no
+    watermark bookkeeping and bounded memory by construction.
+    ``removed`` is inherently a batch-side verdict (a stream can't
+    observe an id that never arrives) — q135 owns it.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ref_fp = ref.select(
+        F.col(id_col).alias("_rid"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_rh"),
+    )
+    arriving = stream.withColumn("_h", F.md5(t))
+    joined = arriving.join(
+        ref_fp, arriving[id_col] == F.col("_rid"), "left"
+    )
+    status = (
+        F.when(F.col("_rid").isNull(), F.lit("new"))
+        .when(F.col("_h") != F.col("_rh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.withColumn("status", status).drop("_rid", "_rh", "_h")

@@ -2171,3 +2171,22 @@ def test_boilerplate_cut_fully_boiler_doc_empty_clean_text(spark):
     out = D.boilerplate_cut(df, "text", "doc_id", passage_words=2,
                             min_df=3).collect()
     assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in out)
+
+
+def test_chunk_ppl_cut_cuts_garbled_chunk_keeps_fluent(spark):
+    """A corpus of fluent 4-word chunks plus ONE doc carrying a
+    garbled rare-token chunk: the garbled chunk lands above the p90
+    chunk-perplexity and is cut; every fluent chunk survives, and the
+    doc reassembles without it."""
+    fluent = "the cat sat down"
+    rows = [(i, f"{fluent} {fluent}") for i in range(10)]
+    rows.append((99, f"{fluent} qzx vbn wkj plm"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.chunk_ppl_cut(df, "text", "doc_id", chunk_words=4,
+                            vocab_size=4, ppl_quantile=0.9).collect()}
+    assert out[99]["n_chunks"] == 2 and out[99]["n_cut"] == 1
+    assert out[99]["clean_text"] == fluent
+    for i in range(10):
+        assert out[i]["n_cut"] == 0
+        assert out[i]["clean_text"] == f"{fluent} {fluent}"

@@ -281,3 +281,33 @@ def test_ewma_smooth_matches_pandas_and_forecast_identity(spark):
         for i in range(1, n):
             prev = got[series + i - 1]["ewma"]
             assert got[series + i]["forecast"] == prev
+
+
+def test_trend_fit_recovers_planted_line(spark):
+    """y = 10 + 2.5*x_days exactly -> slope 2.5, intercept 10, R² 1."""
+    rows = [("a", ts(f"2024-01-0{d} 00:00:00"), 10.0 + 2.5 * (d - 1))
+            for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = TS.trend_fit(df, "ts", "value", ["k"]).collect()[0]
+    assert out["n_samples"] == 5
+    assert abs(out["slope_per_day"] - 2.5) < 1e-6
+    assert abs(out["intercept"] - 10.0) < 1e-6
+    assert abs(out["r2"] - 1.0) < 1e-6
+
+
+def test_trend_fit_degenerate_series_guarded(spark):
+    """A single sample (var_x = 0) and a constant-value series
+    (var_y = 0) report slope/R² 0 instead of dividing by zero."""
+    rows = [
+        ("single", ts("2024-01-01 00:00:00"), 42.0),
+        ("flat", ts("2024-01-01 00:00:00"), 7.0),
+        ("flat", ts("2024-01-02 00:00:00"), 7.0),
+        ("flat", ts("2024-01-03 00:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r["k"]: r for r in TS.trend_fit(df, "ts", "value", ["k"]).collect()}
+    assert out["single"]["slope_per_day"] == 0.0
+    assert out["single"]["r2"] == 0.0
+    assert out["flat"]["slope_per_day"] == 0.0
+    assert out["flat"]["intercept"] == 7.0
+    assert out["flat"]["r2"] == 0.0

@@ -1228,3 +1228,95 @@ def test_ewma_stream_exact_recursion_across_batches(spark, tmp_path):
             assert r["ewma"] == batch[i]
         else:
             assert abs(r["ewma"] - batch[i]) <= abs(batch[i]) * 0.7 ** 16 + 1e-4
+
+
+def test_snapshot_status_stream_classifies_and_matches_batch(spark, tmp_path):
+    """ST20: streaming CDC verdicts (new/changed/unchanged) against a
+    static previous snapshot, spanning micro-batch boundaries; the
+    non-removed verdict counts must match batch snapshot_diff on the
+    same frames."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.functions import pipeline as P
+
+    ref = spark.createDataFrame(
+        [(1, "s1", "alpha"), (2, "s1", "beta"), (3, "s2", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    arriving = [
+        (2, "s1", "beta"),           # unchanged
+        (3, "s2", "gamma CHANGED"),  # changed (batch 2)
+        (4, "s2", "delta"),          # new (batch 2)
+    ]
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    for i, sl in enumerate((arriving[:1], arriving[1:])):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in sl], dtype="int64"),
+                "source": [r[1] for r in sl],
+                "text": [r[2] for r in sl],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.snapshot_status_stream(stream, ref, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory").queryName("cdc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["status"] for r in spark.table("cdc_stream").collect()}
+    assert got == {2: "unchanged", 3: "changed", 4: "new"}
+
+    # batch parity: statuses agree with snapshot_diff (stream's "new"
+    # is batch's "added"; "removed" is batch-only by construction)
+    batch_new = spark.read.parquet(src)
+    diff = {r["status"]: r["n_docs"] for r in
+            P.snapshot_diff(ref, batch_new, "doc_id", "text")
+            .groupBy("status").agg(F.sum("n_docs").alias("n_docs"))
+            .collect()}
+    assert diff["added"] == sum(1 for s in got.values() if s == "new")
+    assert diff["changed"] == sum(1 for s in got.values() if s == "changed")
+    assert diff["unchanged"] == sum(1 for s in got.values() if s == "unchanged")
+    assert diff["removed"] == 1  # doc 1 — observable only batch-side
+
+
+def test_snapshot_status_stream_is_stateless(spark, tmp_path):
+    """ST20 carries no stream state: the physical plan has no
+    stateful operator (no watermark, no dedup, no flatMapGroups) —
+    re-classification of a re-arriving id is intentional."""
+    import os
+
+    import pandas as pd
+
+    ref = spark.createDataFrame(
+        [(1, "x", "t")], "doc_id long, source string, text string"
+    )
+    src = str(tmp_path / "cdc2_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"doc_id": pd.array([1, 1], dtype="int64"),
+         "source": ["x", "x"], "text": ["t", "t2"]}
+    ).to_parquet(f"{src}/c.parquet", index=False)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(src)
+    )
+    out = SO.snapshot_status_stream(stream, ref, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory").queryName("cdc2_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["status"] for r in spark.table("cdc2_stream").collect())
+    assert got == ["changed", "unchanged"]  # both rows classified
