@@ -219,3 +219,100 @@ def zscore_outliers(df: DataFrame, value_col: str, by: list[str],
         .withColumn("zscore", rnd(z, 4))
         .drop("_mean", "_std")
     )
+
+
+def mad_outliers(df: DataFrame, value_col: str, by: list[str],
+                 threshold: float = 3.5, round_to: int = 4) -> DataFrame:
+    """Robust outliers by modified z-score (Iglewicz & Hoaglin 1993):
+    ``0.6745 · (v − median) / MAD`` with MAD = median absolute
+    deviation — the monitoring-grade complement of
+    :func:`zscore_outliers`, whose mean/stddev are themselves dragged
+    by the outliers they're hunting (one 100× CPU spike inflates σ
+    enough to hide the 10× ones; the median doesn't move).
+
+    Both medians are EXACT distributed percentiles (:func:`percentiles`
+    — range-exchange rank, no single-task group), rounded at
+    ``round_to`` so the flag boundary is engine-stable; deviations are
+    derived from the rounded medians with identical scalar arithmetic.
+    Groups with MAD = 0 (over half the samples identical) flag nothing
+    — the standard convention, guarded identically in both engines.
+
+    Shape at scale: two percentile passes (each one range-exchange) +
+    two broadcast joins of the one-row-per-group stats — the fact
+    table never wide-shuffles.
+    """
+    med = percentiles(df, value_col, by, probs=(0.5,), round_to=round_to)
+    med = med.select(*by, F.col("p50").alias("_med"))
+    with_dev = df.join(F.broadcast(med), by).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = percentiles(with_dev, "_adev", by, probs=(0.5,),
+                      round_to=round_to)
+    mad = mad.select(*by, F.col("p50").alias("_mad"))
+    scored = with_dev.join(F.broadcast(mad), by).withColumn(
+        "robust_z",
+        rnd(
+            F.lit(0.6745) * (F.col(value_col) - F.col("_med"))
+            / F.col("_mad"),
+            round_to,
+        ),
+    )
+    out = scored.where(
+        (F.col("_mad") > 0) & (F.abs(F.col("robust_z")) > threshold)
+    ).drop("_adev")
+    caches = getattr(med, "_cached_inputs", []) + getattr(
+        mad, "_cached_inputs", []
+    )
+    out._cached_inputs = caches
+    return out
+
+
+def moments_merge(old: DataFrame, new: DataFrame, value_col: str,
+                  by: list[str], round_to: int = 4) -> DataFrame:
+    """Incremental corpus statistics: merge per-partition moment
+    summaries into exact combined mean/variance WITHOUT rescanning the
+    old data — Chan et al. 1979's parallel-variance merge, the update
+    path a 100 TB warehouse runs when a new ingest batch lands (re-
+    aggregating the historical corpus per batch is the anti-pattern).
+
+    Each side reduces to (n, mean, mean-of-squares) per group — THREE
+    scalars, the summary that persists as corpus metadata (the q121
+    signature-persistence contract applied to statistics). The merge
+    is pure scalar arithmetic on the 8-digit-rounded part summaries:
+    ``M2 = M2a + M2b + δ²·na·nb/n`` with ``M2 = (q − m²)·n``, so both
+    engines derive identical doubles. AVERAGES not sums, keeping the
+    rounded magnitudes in the rnd parity domain at any corpus size.
+
+    A group present on only one side passes its summary through (the
+    δ-term is defined with the other side's n = 0).
+    """
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return df.groupBy(*by).agg(
+            F.count(F.lit(1)).cast("double").alias(f"n_{tag}"),
+            rnd(F.avg(v), 8).alias(f"m_{tag}"),
+            rnd(F.avg(v * v), 8).alias(f"q_{tag}"),
+        )
+
+    a = summarize(old, "a")
+    b = summarize(new, "b")
+    j = a.join(b, by, "full_outer").na.fill(
+        {"n_a": 0.0, "m_a": 0.0, "q_a": 0.0,
+         "n_b": 0.0, "m_b": 0.0, "q_b": 0.0}
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    m2a = (F.col("q_a") - F.col("m_a") * F.col("m_a")) * na
+    m2b = (F.col("q_b") - F.col("m_b") * F.col("m_b")) * nb
+    delta = F.col("m_b") - F.col("m_a")
+    mean = (na * F.col("m_a") + nb * F.col("m_b")) / n
+    m2 = m2a + m2b + delta * delta * na * nb / n
+    var_samp = F.when(n > 1, m2 / (n - F.lit(1.0))).otherwise(F.lit(0.0))
+    return j.select(
+        *by,
+        na.cast("long").alias("n_old"),
+        nb.cast("long").alias("n_new"),
+        n.cast("long").alias("n_total"),
+        rnd(mean, round_to).alias("mean_merged"),
+        rnd(var_samp, round_to).alias("var_merged"),
+    )

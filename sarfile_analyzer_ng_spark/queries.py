@@ -5789,6 +5789,100 @@ FROM j GROUP BY status, source
 """
 
 
+MAD_TAU = 3.5
+
+
+def q140_mad_outliers(spark, sf_dir):
+    """Robust outliers by modified z-score (operators/stats.py:
+    mad_outliers, r9; Iglewicz & Hoaglin 1993): |0.6745·(v − median)/
+    MAD| > 3.5 per event_type — q20's z-score with the outlier-dragged
+    mean/stddev swapped for the exact distributed median/MAD (one
+    100× spike inflates σ enough to hide the 10× ones; the median
+    doesn't move). Fully value-hash oracled against quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    out = ST.mad_outliers(ev, "value", ["event_type"], threshold=MAD_TAU)
+    res = out.select(
+        "event_id", "event_type", "value",
+        F.col("_med").alias("med"), F.col("_mad").alias("mad"),
+        "robust_z",
+    )
+    res._cached_inputs = getattr(out, "_cached_inputs", [])
+    return res
+
+
+SQL_Q140 = f"""
+WITH med AS (
+  SELECT event_type, {sql_rnd('quantile_cont(value, 0.5)', 4)} AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, {sql_rnd('quantile_cont(adev, 0.5)', 4)} AS mad
+  FROM dev GROUP BY event_type),
+scored AS (
+  SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+         {sql_rnd('0.6745 * (d.value - d.med) / m.mad', 4)} AS robust_z
+  FROM dev d JOIN mad m USING (event_type) WHERE m.mad > 0)
+SELECT event_id, event_type, value, med, mad, robust_z
+FROM scored WHERE abs(robust_z) > {MAD_TAU}
+"""
+
+
+def q141_moments_merge(spark, sf_dir):
+    """Incremental corpus statistics (operators/stats.py:
+    moments_merge, r9; Chan et al. 1979 parallel variance): the old
+    snapshot (doc_id % 10 != 9) and the arriving batch (% 10 == 9)
+    each reduce to (n, mean, mean-of-squares) per source — three
+    persisted scalars — and merge into exact combined mean/variance
+    of per-doc word counts WITHOUT rescanning the old corpus. The
+    merge arithmetic runs on the 8-digit-rounded part summaries, so
+    both engines derive identical doubles; a source present in only
+    one part passes through (both branches live at gate scale only
+    if a source is single-sided — the pytest plants that case).
+    Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.regexp_count(F.col("text"), F.lit(TX.WS_TOKEN_PATTERN))
+        .cast("double").alias("n_words"),
+    )
+    old = docs.where(F.col("doc_id") % 10 != 9)
+    new = docs.where(F.col("doc_id") % 10 == 9)
+    return ST.moments_merge(old, new, "n_words", ["source"])
+
+
+SQL_Q141 = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}'))::DOUBLE AS v
+  FROM documents),
+a AS (
+  SELECT source, count(*)::DOUBLE AS n_a,
+         {sql_rnd('avg(v)', 8)} AS m_a, {sql_rnd('avg(v*v)', 8)} AS q_a
+  FROM base WHERE doc_id % 10 != 9 GROUP BY source),
+b AS (
+  SELECT source, count(*)::DOUBLE AS n_b,
+         {sql_rnd('avg(v)', 8)} AS m_b, {sql_rnd('avg(v*v)', 8)} AS q_b
+  FROM base WHERE doc_id % 10 = 9 GROUP BY source),
+j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         coalesce(n_a, 0.0) AS n_a, coalesce(m_a, 0.0) AS m_a,
+         coalesce(q_a, 0.0) AS q_a, coalesce(n_b, 0.0) AS n_b,
+         coalesce(m_b, 0.0) AS m_b, coalesce(q_b, 0.0) AS q_b
+  FROM a FULL OUTER JOIN b ON a.source = b.source)
+SELECT source, n_a::BIGINT AS n_old, n_b::BIGINT AS n_new,
+       (n_a + n_b)::BIGINT AS n_total,
+       {sql_rnd('(n_a * m_a + n_b * m_b) / (n_a + n_b)', 4)} AS mean_merged,
+       {sql_rnd(
+           'CASE WHEN n_a + n_b > 1 THEN '
+           '((q_a - m_a*m_a)*n_a + (q_b - m_b*m_b)*n_b '
+           ' + (m_b - m_a)*(m_b - m_a)*n_a*n_b/(n_a + n_b)) '
+           '/ (n_a + n_b - 1.0) ELSE 0.0 END', 4)} AS var_merged
+FROM j
+"""
+
+
 CPPL_WORDS, CPPL_V, CPPL_Q = 16, 20, 0.9
 
 
@@ -6124,6 +6218,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
     "q138_trend_fit": (q138_trend_fit, SQL_Q138),
     "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
+    "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
+    "q141_moments_merge": (q141_moments_merge, SQL_Q141),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

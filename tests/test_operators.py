@@ -311,3 +311,62 @@ def test_trend_fit_degenerate_series_guarded(spark):
     assert out["flat"]["slope_per_day"] == 0.0
     assert out["flat"]["intercept"] == 7.0
     assert out["flat"]["r2"] == 0.0
+
+
+def test_mad_outliers_robust_to_the_spike_zscore_misses(spark):
+    """A 1000x spike drags the mean/stddev enough that plain z-score
+    (tau=3) can miss a secondary 50x spike; the median/MAD flag both.
+    Also: the spike must not flag any of the quiet samples."""
+    quiet = [("cpu", float(v)) for v in
+             [10, 11, 9, 10, 12, 10, 9, 11, 10, 10, 11, 9]]
+    rows = quiet + [("cpu", 10000.0), ("cpu", 500.0)]
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "event_id long, k string, value double",
+    )
+    out = ST.mad_outliers(df, "value", ["k"], threshold=3.5)
+    flagged = {r["event_id"] for r in out.collect()}
+    assert 12 in flagged and 13 in flagged     # both spikes
+    assert all(e >= 12 for e in flagged)       # no quiet sample flagged
+
+
+def test_mad_outliers_zero_mad_group_flags_nothing(spark):
+    """Over half the samples identical -> MAD = 0 -> no division, no
+    flags (the documented convention)."""
+    rows = [(i, "flat", 5.0) for i in range(8)] + [(8, "flat", 9999.0)]
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    assert ST.mad_outliers(df, "value", ["k"]).count() == 0
+
+
+def test_moments_merge_equals_direct_stats(spark):
+    """Merged (n, mean, var) from two parts equals the single-pass
+    stats over the union — including a group present in only ONE
+    part."""
+    old = spark.createDataFrame(
+        [("s1", 10.0), ("s1", 12.0), ("s1", 14.0), ("s2", 5.0), ("s2", 7.0)],
+        "source string, v double",
+    )
+    new = spark.createDataFrame(
+        [("s1", 20.0), ("s1", 22.0), ("s3", 100.0), ("s3", 104.0)],
+        "source string, v double",
+    )
+    got = {r["source"]: r for r in
+           ST.moments_merge(old, new, "v", ["source"]).collect()}
+    direct = {r["source"]: r for r in
+              old.unionByName(new).groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n"),
+                  F.avg("v").alias("m"),
+                  F.var_samp("v").alias("s2"),
+              ).collect()}
+    for s in ("s1", "s2", "s3"):
+        assert got[s]["n_total"] == direct[s]["n"]
+        assert abs(got[s]["mean_merged"] - direct[s]["m"]) < 1e-6
+        assert abs(got[s]["var_merged"] - direct[s]["s2"]) < 1e-6
+    assert got["s2"]["n_new"] == 0 and got["s3"]["n_old"] == 0
+    # single-sample group: var 0 by convention
+    one = ST.moments_merge(
+        spark.createDataFrame([("x", 3.0)], "source string, v double"),
+        spark.createDataFrame([], "source string, v double"),
+        "v", ["source"],
+    ).collect()[0]
+    assert one["n_total"] == 1 and one["var_merged"] == 0.0
