@@ -1826,3 +1826,76 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/codebooks"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+def ann_topk_ivf_portable(emb: DataFrame, id_col: str, vec_col: str,
+                          query_max_id: int, k: int = 5,
+                          k_lists: int = 8, iters: int = 2,
+                          nprobe: int = 2,
+                          round_to: int = 4) -> DataFrame:
+    """SUB-exhaustive IVF search on the engine-portable rounding
+    ladder — the oracle-replayable twin of :func:`ann_topk_ivf`'s
+    Arrow production path at ``nprobe < k_lists``. The exhaustive
+    configurations are hash-gated elsewhere (q41/q100 probe all
+    lists, reducing to the exact ranking); THIS operator pins the
+    actual production regime — partial probing, where recall < 1 is
+    the designed trade — with every step (centroid chain, corpus
+    assignment, query routing, in-list ranking) on the rounded-cosine
+    ladder so DuckDB replays the identical candidate set.
+
+    Routing and assignment both rank by the ROUNDED cosine with
+    cluster-ascending tie order (the :func:`kmeans_lloyd_exact`
+    contract), so an ulp at the nprobe cut cannot flip engines.
+
+    Shape at scale: the k_lists-row centroid frame broadcasts into
+    both the corpus assignment and the query routing; in-list search
+    touches ~n·nprobe/k_lists corpus rows per query — the IVF
+    contract — and the rank window emits k rows per query.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    cent = kmeans_centroids(emb, id_col, vec_col, k=k_lists, iters=iters)
+    cosc = rnd(cosine(F.col("e"), F.col("c")), round_to)
+    wa = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cosc)
+        .withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "cluster",
+                F.col("e").alias("ce"))
+    )
+    qv = v.where(F.col(id_col) <= query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("qe")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cluster").asc()
+    )
+    route = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", rnd(cosine(F.col("qe"), F.col("c")), round_to))
+        .withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") <= nprobe)
+        .select("query_id", "qe", "cluster")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        route.join(assigned, "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            rnd(cosine(F.col("qe"), F.col("ce")), round_to).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+    )

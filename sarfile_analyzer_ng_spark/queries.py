@@ -5789,6 +5789,111 @@ FROM j GROUP BY status, source
 """
 
 
+IVF_NPROBE = 2
+
+
+def q142_ivf_recall(spark, sf_dir):
+    """Sub-exhaustive IVF recall audit (functions/similarity.py:
+    ann_topk_ivf_portable, r9): the production ANN regime — partial
+    probing, nprobe=2 of 8 lists — finally under the full value-hash
+    gate (q41/q100 gate the exhaustive configurations that reduce to
+    exact ranking; the sub-exhaustive path was pytest-only until
+    now). Every step rides the rounded-cosine ladder (the q72 Lloyd
+    chain), so the oracle replays the identical probed candidate set
+    and the per-query recall@k against the q35 brute-force truth is
+    deterministic cross-engine — recall < 1 here is the designed
+    trade being MEASURED, not a failure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = S.ann_topk_ivf_portable(
+        emb, "vec_id", "embedding", ANN_NUM_QUERIES, k=ANN_K,
+        k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE,
+    )
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    brute = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding",
+                                  ANN_K)
+    hits = ivf.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        brute.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            rnd(
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.lit(float(ANN_K)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _sql_ivf_sub() -> str:
+    """The q72 Lloyd chain + sub-exhaustive probe/rank CTEs shared by
+    SQL_Q142."""
+    cos_qc = sql_rnd(
+        "list_dot_product(q.e, c.c) / "
+        "(sqrt(list_sum(list_transform(q.e, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(c.c, x -> x * x))))",
+        4,
+    )
+    cos_ra = sql_rnd(
+        "list_dot_product(r.qe, a.e) / "
+        "(sqrt(list_sum(list_transform(r.qe, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(a.e, x -> x * x))))",
+        4,
+    )
+    return f"""cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+{_sql_kmeans_assign('cent2', 'a3')},
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id <= {ANN_NUM_QUERIES}),
+route AS (
+  SELECT query_id, qe, cluster FROM (
+    SELECT q.query_id, q.e AS qe, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.cluster ASC) AS rk
+    FROM q CROSS JOIN cent2 c) WHERE rk <= {IVF_NPROBE}),
+cand AS (
+  SELECT r.query_id, a.vec_id AS neighbor_id, {cos_ra} AS cosine
+  FROM route r JOIN a3 a USING (cluster)
+  WHERE a.vec_id != r.query_id),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM cand) WHERE rk <= {ANN_K})"""
+
+
+SQL_Q142 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+{_sql_ivf_sub()},
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+bscored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(CAST((list_dot_product(qq.e, c.e) / (qq.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+  FROM n qq JOIN n c ON c.vec_id != qq.vec_id
+  WHERE qq.vec_id <= {ANN_NUM_QUERIES}),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bscored) WHERE rk <= {ANN_K})
+SELECT b.query_id, count(i.neighbor_id)::BIGINT AS n_hit,
+       {sql_rnd(f'count(i.neighbor_id) / {ANN_K}.0', 4)} AS recall
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 MAD_TAU = 3.5
 
 
@@ -6220,6 +6325,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
     "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
     "q141_moments_merge": (q141_moments_merge, SQL_Q141),
+    "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

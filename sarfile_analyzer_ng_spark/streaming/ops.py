@@ -935,3 +935,40 @@ def snapshot_status_stream(stream: DataFrame, ref: DataFrame,
         .otherwise(F.lit("unchanged"))
     )
     return joined.withColumn("status", status).drop("_rid", "_rh", "_h")
+
+
+def cms_stream(stream: DataFrame, key_col: str, width: int = 16,
+               depth: int = 4) -> DataFrame:
+    """Streaming count-min sketch maintenance (ST21): the live twin of
+    ``operators.sketches.cms_build`` — the d×w counter matrix stays
+    continuously current as keys arrive, queryable at any instant for
+    "how often has this token/URL occurred so far" without a batch
+    recount.
+
+    THE textbook case for an unwatermarked streaming aggregation: the
+    running-agg state is the sketch itself — ``depth·width`` cells by
+    construction, corpus-rate independent — so state never needs
+    expiry to stay bounded (contrast ST5's digest set, which grows
+    with distinct arrivals and needs its watermark). Each arrival
+    explodes to its ``depth`` (j, bucket) cells (the portable bloom
+    md5 family — ``cms_build``'s exact hash, so stream and batch
+    counters are value-identical) and one groupBy sums them;
+    complete/update output modes both serve it.
+    """
+    from ..operators.sketches import _bloom_positions
+
+    pos = stream.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"), h.alias("b")
+                )
+                for j, h in enumerate(
+                    _bloom_positions(key_col, width, depth)
+                )
+            ])
+        ).alias("_p")
+    ).select(F.col("_p.j").alias("j"), F.col("_p.b").alias("b"))
+    return pos.groupBy("j", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )

@@ -1320,3 +1320,45 @@ def test_snapshot_status_stream_is_stateless(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["status"] for r in spark.table("cdc2_stream").collect())
     assert got == ["changed", "unchanged"]  # both rows classified
+
+
+def test_cms_stream_counters_match_batch_sketch(spark, tmp_path):
+    """ST21: the streaming CMS counter state after all micro-batches
+    equals cms_build over the same rows (shared hash family), and the
+    state is at most depth*width cells regardless of arrivals."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.operators import sketches as SK
+
+    words = (["spark"] * 5 + ["flink"] * 3 + ["duck"] * 2 +
+             ["iceberg", "arrow", "parquet"])
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src)
+    for i, sl in enumerate((words[:6], words[6:])):
+        pdf = pd.DataFrame({"t": sl})
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    W, D = 16, 4
+    out = SO.cms_stream(stream, "t", width=W, depth=D)
+    q = (
+        out.writeStream.format("memory").queryName("cms_stream_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["j"], r["b"]): r["cnt"]
+           for r in spark.table("cms_stream_t").collect()}
+    batch = {(r["j"], r["b"]): r["cnt"]
+             for r in SK.cms_build(
+                 spark.read.parquet(src), "t", width=W, depth=D
+             ).collect()}
+    assert got == batch
+    assert len(got) <= W * D
