@@ -419,3 +419,110 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 10,
         .select("query_id", "rank", "doc_id", "rrf", "lex_rank",
                 "sem_rank")
     )
+
+
+def mmr_rerank(pool: DataFrame, vecs: DataFrame, k: int = 3,
+               lam: float = 0.7, round_to: int = 8) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` documents from each query's candidate
+    pool maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-
+    selected`` — the diversity-aware context selection a RAG pipeline
+    runs on its retrieval pool so the k passages aren't k near-copies
+    of the same best hit.
+
+    ``pool``: (query_id, doc_id, rel) — a bounded per-query candidate
+    list (the q134 RRF pool). ``vecs``: (doc_id, embedding) for
+    similarity. Greedy selection is inherently sequential, but k is
+    small and the pool is query-bounded: the plan pre-computes the
+    per-query pool×pool cosine matrix ONCE (≤ pool² tiny rows per
+    query, never corpus-sized) and unrolls the k selection steps as
+    k rank windows — fully declarative, no driver loop over data, and
+    every step on the rounded ladder so an oracle replays the exact
+    selection.
+
+    Ties at every argmax break by ascending doc_id. Emits
+    ``(query_id, step, doc_id, mmr)`` with ``step`` 1-based;
+    step 1's penalty term is 0 by definition.
+    """
+    from .similarity import cosine  # local: avoid module cycle at import
+
+    p = pool.select(
+        "query_id", "doc_id",
+        F.col("rel").cast("double").alias("rel"),
+    )
+    v = vecs.select(
+        F.col("doc_id").alias("_vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("_e"),
+    )
+    pv = p.join(v, p["doc_id"] == v["_vid"]).drop("_vid")
+    # pool x pool cosine matrix per query (bounded by pool size)
+    a = pv.select("query_id", F.col("doc_id").alias("da"),
+                  F.col("_e").alias("ea"))
+    b = pv.select("query_id", F.col("doc_id").alias("db"),
+                  F.col("_e").alias("eb"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "query_id", "da", "db",
+            rnd(cosine(F.col("ea"), F.col("eb")), 4).alias("sim"),
+        )
+    )
+    lam_c, one_m = F.lit(float(lam)), F.lit(1.0 - lam)
+    selected = None
+    out_parts = []
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = p.select(
+                "query_id", "doc_id",
+                rnd(lam_c * F.col("rel"), round_to).alias("mmr"),
+            )
+        else:
+            pen = (
+                sims.join(
+                    selected.select(
+                        F.col("query_id").alias("_q"),
+                        F.col("doc_id").alias("_sel"),
+                    ),
+                    (sims["query_id"] == F.col("_q"))
+                    & (sims["db"] == F.col("_sel")),
+                )
+                .groupBy("query_id", F.col("da").alias("doc_id"))
+                .agg(F.max("sim").alias("_pen"))
+            )
+            remaining = p.join(
+                selected.select("query_id", "doc_id"),
+                ["query_id", "doc_id"], "left_anti",
+            )
+            scored = (
+                remaining.join(pen, ["query_id", "doc_id"], "left")
+                .select(
+                    "query_id", "doc_id",
+                    rnd(
+                        lam_c * F.col("rel")
+                        - one_m * F.coalesce("_pen", F.lit(0.0)),
+                        round_to,
+                    ).alias("mmr"),
+                )
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("query_id", "doc_id", "mmr")
+            .withColumn("step", F.lit(step).cast("long"))
+        )
+        out_parts.append(pick)
+        selected = (
+            pick.select("query_id", "doc_id") if selected is None
+            else selected.select("query_id", "doc_id").unionByName(
+                pick.select("query_id", "doc_id")
+            )
+        )
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
+    return out.select("query_id", "step", "doc_id", "mmr")

@@ -5157,11 +5157,13 @@ def q124_bm25_topk(spark, sf_dir):
     return RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
 
 
-def _sql_bm25(champions: int | None = None, k: int | None = None) -> str:
+def _sql_bm25(champions: int | None = None, k: int | None = None,
+              qmax: int | None = None) -> str:
     from .functions.retrieval import BM25_B, BM25_K1
 
     if k is None:
         k = BM25_TOPK
+    qcap = f" AND doc_id < {qmax}" if qmax is not None else ""
 
     idf = (
         f"ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))"
@@ -5187,7 +5189,7 @@ WITH docs0 AS (SELECT doc_id, text FROM documents),
 qs AS (
   SELECT doc_id AS qid,
          (string_split_regex(lower(trim(text)), '\\s+'))[1:{QUERY_PREFIX_TOKENS}] AS qw
-  FROM docs0 WHERE doc_id % 50 = 0),
+  FROM docs0 WHERE doc_id % 50 = 0{qcap}),
 qterms AS (SELECT DISTINCT qid, unnest(qw) AS w FROM qs),
 words AS (
   SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -5789,6 +5791,100 @@ FROM j GROUP BY status, source
 """
 
 
+MMR_K, MMR_LAM = 3, 0.7
+
+
+def q143_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking over the hybrid pool (functions/
+    retrieval.py:mmr_rerank, r9; Carbonell & Goldstein 1998): the k=3
+    RAG context selection — greedy λ·relevance − (1−λ)·max-sim-to-
+    selected over q134's RRF top-10, so the selected passages aren't
+    near-copies of the same best hit. Greedy is sequential, but k is
+    small and the pool query-bounded: the pool×pool cosine matrix
+    precomputes once and the 3 steps unroll as rank windows — no
+    driver loop over data; the oracle unrolls the same 3 steps as
+    CTEs (the q104/q123 chain pattern). Fully value-hash oracled."""
+    from pyspark import StorageLevel
+
+    from .functions import retrieval as RV
+
+    # the pool is eval-suite-sized (≤ 10·|queries| rows) but its plan
+    # is the whole hybrid chain; the unrolled MMR steps consume it ~5
+    # times — persist the tiny frame, not re-run the chain per step
+    pool = q134_hybrid_rrf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rrf").alias("rel")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    out = RV.mmr_rerank(pool, emb, k=MMR_K, lam=MMR_LAM)
+    out._cached_inputs = [pool]  # see functions.dedup.release
+    return out
+
+
+def _sql_mmr() -> str:
+    lam, om = repr(float(MMR_LAM)), repr(round(1.0 - MMR_LAM, 8))
+    cos_ab = sql_rnd(
+        "list_dot_product(a.e, b.e) / "
+        "(sqrt(list_sum(list_transform(a.e, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(b.e, x -> x * x))))",
+        4,
+    )
+
+    def pen_step(sel: str, out: str) -> str:
+        return f"""{out}_pen AS (
+  SELECT s.query_id, s.da AS doc_id, max(s.sim) AS pen
+  FROM sims s JOIN {sel} t
+    ON s.query_id = t.query_id AND s.db = t.doc_id
+  GROUP BY s.query_id, s.da),
+{out}_sc AS (
+  SELECT p.query_id, p.doc_id,
+         {sql_rnd(f'{lam} * p.rel - {om} * coalesce(x.pen, 0.0)', 8)} AS mmr
+  FROM pool p
+  LEFT JOIN {out}_pen x
+    ON p.query_id = x.query_id AND p.doc_id = x.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {sel} t
+    WHERE t.query_id = p.query_id AND t.doc_id = p.doc_id)),
+{out} AS (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id ASC) AS rk
+    FROM {out}_sc) WHERE rk = 1)"""
+
+    return f"""
+WITH pool0 AS ({SQL_Q134}),
+pool AS (SELECT query_id, doc_id, rrf AS rel FROM pool0),
+ve AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+pv AS (
+  SELECT p.query_id, p.doc_id, p.rel, v.e
+  FROM pool p JOIN ve v USING (doc_id)),
+sims AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db, {cos_ab} AS sim
+  FROM pv a JOIN pv b
+    ON a.query_id = b.query_id AND a.doc_id != b.doc_id),
+s1 AS (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id,
+           {sql_rnd(f'{lam} * rel', 8)} AS mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {sql_rnd(f'{lam} * rel', 8)} DESC,
+                                       doc_id ASC) AS rk
+    FROM pool) WHERE rk = 1),
+{pen_step('s1', 's2')},
+sel12 AS (SELECT query_id, doc_id FROM s1
+          UNION ALL SELECT query_id, doc_id FROM s2),
+{pen_step('sel12', 's3')}
+SELECT query_id, 1::BIGINT AS step, doc_id, mmr FROM s1
+UNION ALL SELECT query_id, 2::BIGINT AS step, doc_id, mmr FROM s2
+UNION ALL SELECT query_id, 3::BIGINT AS step, doc_id, mmr FROM s3
+"""
+
+
 IVF_NPROBE = 2
 
 
@@ -6216,23 +6312,34 @@ FROM truec tr JOIN est e ON tr.t = e.t
 
 
 RRF_POOL, RRF_TOPK, RRF_RK = 20, 10, 60
+# the eval-suite contract made explicit: the hybrid query set is
+# BOUNDED (id < cap), never corpus-proportional — without it both
+# pools grow with |queries| ∝ |corpus| and the whole hybrid goes
+# quadratic (measured 27.9× at 10× before the cap + champion cut;
+# 1.6× after — docs/SCALING.md r9 wave-2 table)
+RRF_QMAX = 5_000
 
 
 def q134_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval with reciprocal-rank fusion (functions/
-    retrieval.py:rrf_fuse, r9; Cormack et al. 2009): the q124 BM25
-    lexical pool and the q35-style embedding-cosine pool (depth 20
-    each, same %50 eval split, doc_id ≡ vec_id in the synthetic
-    corpus) fused by ``Σ 1/(60 + rank)`` — the standard RAG hybrid
-    ranker, and the first key that joins the sparse and dense
-    retrieval families end to end. Both pools are query-bounded, so
-    fusion shuffles eval-suite-sized frames only; fully value-hash
-    oracled (the oracle nests the BM25 CTE chain and the SQL_Q35
-    cosine expression)."""
+    retrieval.py:rrf_fuse, r9; Cormack & Clarke & Buettcher 2009):
+    the champion-cut BM25 pool (q131's bounded scale path — per-term
+    work ≤ 64 postings, the exact scorer's hot-term blow-up is the
+    measured q124 16.7× cliff) and the exact-cosine pool over the
+    BOUNDED eval query set (≤ 100 queries at any sf — the eval-suite
+    contract; the corpus side stays linear), depth 20 each, fused by
+    ``Σ 1/(60 + rank)`` — the standard RAG hybrid ranker joining the
+    sparse and dense retrieval families end to end. Fusion shuffles
+    eval-suite-sized frames only; fully value-hash oracled (the
+    oracle nests the champion BM25 CTE chain and the SQL_Q35 cosine
+    expression). For corpora where even the linear exact-cosine pool
+    is too hot, swap in ann_topk_ivf_portable (oracled by q142)."""
     from .functions import retrieval as RV
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+    qs = docs.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < RRF_QMAX)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(
             " ",
@@ -6242,14 +6349,16 @@ def q134_hybrid_rrf(spark, sf_dir):
             ),
         ).alias("query"),
     )
-    lex = RV.bm25_topk(
+    lex = RV.bm25_topk_champions(
         docs.where(F.col("doc_id") % 50 != 0), qs, "text", "doc_id",
-        k=RRF_POOL,
+        k=RRF_POOL, champions=BM25_CHAMPIONS,
     ).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
     sem = S.ann_topk_bruteforce(
         emb.where(F.col("vec_id") % 50 != 0),
-        emb.where(F.col("vec_id") % 50 == 0),
+        emb.where(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < RRF_QMAX)
+        ),
         "vec_id", "embedding", RRF_POOL,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return RV.rrf_fuse(lex, sem, k=RRF_TOPK, rrf_k=RRF_RK)
@@ -6261,7 +6370,7 @@ _RRF_U = (
 )
 
 SQL_Q134 = f"""
-WITH lex0 AS ({_sql_bm25(k=RRF_POOL)}),
+WITH lex0 AS ({_sql_bm25(champions=BM25_CHAMPIONS, k=RRF_POOL, qmax=RRF_QMAX)}),
 lex AS (SELECT query_id, doc_id, "rank" AS lr FROM lex0),
 v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -6272,7 +6381,7 @@ semsc AS (
   SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
          round(CAST(CAST((list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
   FROM nv q JOIN nv c ON c.vec_id % 50 != 0
-  WHERE q.vec_id % 50 = 0),
+  WHERE q.vec_id % 50 = 0 AND q.vec_id < {RRF_QMAX}),
 sem AS (
   SELECT query_id, doc_id, rnk AS sr FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -6292,6 +6401,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM u)
 WHERE rnk <= {RRF_TOPK}
 """
+
+# materialized here, AFTER SQL_Q134 (its pool CTE) exists in module
+# order — _sql_mmr() itself is defined beside q143 above
+SQL_Q143 = _sql_mmr()
 
 # key -> (spark callable, oracle SQL)
 #
@@ -6326,6 +6439,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
     "q141_moments_merge": (q141_moments_merge, SQL_Q141),
     "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
+    "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

@@ -573,3 +573,70 @@ def test_bm25_score_rows_is_pure_projection(spark):
     p = plan(out)
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hybrid_rrf_pools_join_without_corpus_shuffle_surprises(spark):
+    """q134: both retrieval pools are query-bounded, so the fusion
+    layer must contain no cartesian and no Python; the BM25 side's
+    query frames broadcast as in q124."""
+    from sarfile_analyzer_ng_spark.queries import q134_hybrid_rrf
+
+    p = plan(q134_hybrid_rrf(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_snapshot_diff_projects_fingerprints_before_join(spark):
+    """q135: document text must never cross the diff join — the scan
+    projects (id, source, md5, length) and the join's output carries
+    no text column."""
+    from sarfile_analyzer_ng_spark.queries import q135_snapshot_diff
+
+    df = q135_snapshot_diff(spark, SF_DIR)
+    text = formatted(df)
+    join_lines = [l for l in text.splitlines() if "SortMergeJoin" in l
+                  or "ShuffledHashJoin" in l]
+    assert join_lines, text
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the full-outer join operates on hashed columns, not raw text
+    assert "md5" in p
+
+
+def test_cms_counters_are_two_combinable_aggs(spark):
+    """q136: the sketch build must be partial-agg combinable (HashAgg
+    pairs around one exchange per stage) with no window, no sort, no
+    Python anywhere."""
+    from sarfile_analyzer_ng_spark.queries import q136_count_min
+
+    p = plan(q136_count_min(spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # counters broadcast into the probe
+
+
+def test_boilerplate_cut_no_pair_join_no_window(spark):
+    """q137: df-threshold removal never enumerates pairs — the plan
+    must contain no cartesian and no window (reassembly is a groupBy
+    collect_list, the q94 shape)."""
+    from sarfile_analyzer_ng_spark.queries import q137_boilerplate_cut
+
+    p = plan(q137_boilerplate_cut(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_trend_fit_single_shuffle_window_then_agg(spark):
+    """q138: the min window and the moment agg share the series key —
+    exactly one exchange for the fact table, everything JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q138_trend_fit
+
+    df = q138_trend_fit(spark, SF_DIR)
+    p = plan(df)
+    assert "BatchEvalPython" not in p
+    # one exchange feeding the window; the groupBy reuses its output
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, p  # window + (AQE-coalesced) final agg

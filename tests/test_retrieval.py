@@ -450,3 +450,42 @@ def test_rrf_fuse_tie_breaks_by_doc_id(spark):
     got = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
     # rank-1 contributions tie (docs 5 and 20), rank-2 tie (7 and 30)
     assert got == [(1, 5), (2, 20), (3, 7), (4, 30)]
+
+
+def test_mmr_rerank_diversity_beats_near_copy(spark):
+    """Pool: A (rel 1.0), B (rel 0.95, near-copy of A), C (rel 0.6,
+    orthogonal). Step 1 takes A; step 2 must take C — B's similarity
+    penalty (0.3 * ~1.0) outweighs its relevance edge; step 3 takes B.
+    Hand-checked: mmr2(B) = .7*.95 - .3*sim(A,B) ≈ .368 < mmr2(C) =
+    .7*.6 = .42."""
+    pool = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 0.95), (1, 30, 0.6)],
+        "query_id long, doc_id long, rel double",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.999, 0.045]), (30, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    rows = {r["step"]: r for r in
+            RV.mmr_rerank(pool, vecs, k=3, lam=0.7).collect()}
+    assert rows[1]["doc_id"] == 10
+    assert rows[2]["doc_id"] == 30
+    assert rows[3]["doc_id"] == 20
+    assert abs(rows[1]["mmr"] - 0.7) < 1e-9
+    assert abs(rows[2]["mmr"] - 0.42) < 1e-9
+
+
+def test_mmr_rerank_lam1_is_pure_relevance_order(spark):
+    """λ = 1 disables the penalty: selection order must equal the rel
+    ranking (ties by doc id)."""
+    pool = spark.createDataFrame(
+        [(1, 5, 0.9), (1, 6, 0.9), (1, 7, 0.8)],
+        "query_id long, doc_id long, rel double",
+    )
+    vecs = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [1.0, 0.01]), (7, [1.0, 0.02])],
+        "doc_id long, embedding array<double>",
+    )
+    rows = sorted(RV.mmr_rerank(pool, vecs, k=3, lam=1.0).collect(),
+                  key=lambda r: r["step"])
+    assert [r["doc_id"] for r in rows] == [5, 6, 7]
