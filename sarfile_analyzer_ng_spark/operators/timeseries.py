@@ -520,3 +520,97 @@ def trend_fit(df: DataFrame, ts_col: str, value_col: str,
         rnd(intercept, round_to).alias("intercept"),
         rnd(r2, round_to).alias("r2"),
     )
+
+
+def threshold_runs(df: DataFrame, ts_col: str, value_col: str,
+                   by: list[str], threshold: float, min_run: int = 3,
+                   tiebreak: str | None = None) -> DataFrame:
+    """Sustained-saturation detection: maximal runs of CONSECUTIVE
+    samples above ``threshold`` per series, keeping runs of ≥
+    ``min_run`` samples — "the disk was pegged for 40 straight
+    minutes", which a point filter (q20-style) can't distinguish from
+    40 scattered spikes. The classic gaps-and-islands shape: island
+    id = global row_number − row_number among hot rows (both over the
+    same (ts, tiebreak) order, so ties can't split an island).
+
+    Shape at scale: two rank windows sharing one series-keyed
+    exchange + one island-keyed agg; output is |runs| rows.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w_all = Window.partitionBy(*by).orderBy(*order)
+    hot = (
+        df.withColumn("_rn", F.row_number().over(w_all))
+        .where(F.col(value_col) > threshold)
+    )
+    w_hot = Window.partitionBy(*by).orderBy("_rn")
+    runs = (
+        hot.withColumn("_grp", F.col("_rn") - F.row_number().over(w_hot))
+        .groupBy(*by, "_grp")
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.max(value_col).alias("peak_value"),
+        )
+        .where(F.col("n_samples") >= min_run)
+        .drop("_grp")
+    )
+    return runs
+
+
+def cusum_alarms(df: DataFrame, ts_col: str, value_col: str,
+                 by: list[str], slack_sigmas: float = 0.5,
+                 h_sigmas: float = 4.0, tiebreak: str | None = None,
+                 round_to: int = 4) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954): alarm when the
+    cumulative excess over ``mean + slack·σ`` exceeds ``h·σ`` — the
+    sequential test that catches a SMALL persistent shift long before
+    any per-sample threshold fires (each sample is individually
+    unremarkable; their cumulative sum is not). The recursion
+    ``S_t = max(0, S_{t−1} + dev_t)`` is rewritten in its closed
+    prefix form ``S_t = cum_t − min_{i≤t}(cum_i, 0)`` — two windows,
+    fully declarative, no stateful recursion.
+
+    Determinism: per-series mean/σ are rounded scalars; each deviation
+    term pre-rounds at 8; the running sum re-rounds at ``round_to``
+    BEFORE the prefix-min window, so both engines take mins over
+    identical values regardless of how their window aggregation trees
+    associate the float sums (the q24 running-sum contract).
+
+    Shape at scale: one broadcast stats join + two windows sharing
+    the series-keyed exchange. Alarm rows only leave the shuffle.
+    """
+    stats = df.groupBy(*by).agg(
+        rnd(F.avg(value_col), round_to).alias("_mu"),
+        rnd(F.stddev_samp(value_col), round_to).alias("_sd"),
+    )
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w_cum = (
+        Window.partitionBy(*by).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = rnd(
+        F.col(value_col) - F.col("_mu")
+        - F.lit(float(slack_sigmas)) * F.col("_sd"),
+        8,
+    )
+    cummed = (
+        df.join(F.broadcast(stats), by)
+        .withColumn("_cum", rnd(F.sum(dev).over(w_cum), round_to))
+    )
+    w_min = (
+        Window.partitionBy(*by).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = cummed.withColumn(
+        "cusum",
+        rnd(
+            F.col("_cum")
+            - F.least(F.lit(0.0), F.min("_cum").over(w_min)),
+            round_to,
+        ),
+    )
+    return scored.where(
+        F.col("cusum") > rnd(F.lit(float(h_sigmas)) * F.col("_sd"),
+                             round_to)
+    ).drop("_mu", "_sd", "_cum")

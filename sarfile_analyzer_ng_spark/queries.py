@@ -5791,6 +5791,80 @@ FROM j GROUP BY status, source
 """
 
 
+RUN_TAU, RUN_MIN = 80.0, 3
+
+
+def q144_threshold_runs(spark, sf_dir):
+    """Sustained-saturation runs (operators/timeseries.py:
+    threshold_runs, r9): maximal runs of ≥ 3 CONSECUTIVE samples
+    above 80 per event_type — "pegged for 40 straight minutes", which
+    q20's point filter can't distinguish from scattered spikes. The
+    gaps-and-islands shape on the (ts, event_id) deterministic order;
+    fully value-hash oracled."""
+    return TS.threshold_runs(_t(spark, sf_dir, "events"), "ts", "value",
+                             ["event_type"], threshold=RUN_TAU,
+                             min_run=RUN_MIN, tiebreak="event_id")
+
+
+SQL_Q144 = f"""
+WITH ordered AS (
+  SELECT event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+isl AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY event_type
+                                    ORDER BY rn) AS grp
+  FROM ordered WHERE value > {RUN_TAU!r})
+SELECT event_type, start_ts, end_ts, n_samples, peak_value FROM (
+  SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+         count(*)::BIGINT AS n_samples, max(value) AS peak_value
+  FROM isl GROUP BY event_type, grp)
+WHERE n_samples >= {RUN_MIN}
+"""
+
+
+CUSUM_SLACK, CUSUM_H = 0.5, 4.0
+
+
+def q145_cusum_alarms(spark, sf_dir):
+    """One-sided CUSUM drift alarms (operators/timeseries.py:
+    cusum_alarms, r9; Page 1954): cumulative excess over mean+0.5σ
+    exceeding 4σ per event_type — catches the small persistent shift
+    no per-sample threshold sees. The max(0, S+dev) recursion in its
+    closed prefix form (running sum − running min), both windows on
+    the rounded ladder so the engines' window-tree float association
+    can't diverge (the q24 contract). Fully value-hash oracled."""
+    return TS.cusum_alarms(_t(spark, sf_dir, "events"), "ts", "value",
+                           ["event_type"], slack_sigmas=CUSUM_SLACK,
+                           h_sigmas=CUSUM_H, tiebreak="event_id")
+
+
+SQL_Q145 = f"""
+WITH stats AS (
+  SELECT event_type, {sql_rnd('avg(value)', 4)} AS mu,
+         {sql_rnd('stddev_samp(value)', 4)} AS sd
+  FROM events GROUP BY event_type),
+cum AS (
+  SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+         s.sd,
+         {sql_rnd(
+             f"sum({sql_rnd(f'e.value - s.mu - {CUSUM_SLACK!r} * s.sd', 8)})"
+             " OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id"
+             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)}
+           AS c
+  FROM events e JOIN stats s USING (event_type)),
+scored AS (
+  SELECT *, {sql_rnd(
+      'c - least(0.0, min(c) OVER (PARTITION BY event_type'
+      ' ORDER BY ts, event_id'
+      ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))', 4)} AS cusum
+  FROM cum)
+SELECT event_id, ts, user_id, event_type, value, props, cusum
+FROM scored WHERE cusum > {sql_rnd(f'{CUSUM_H!r} * sd', 4)}
+"""
+
+
 MMR_K, MMR_LAM = 3, 0.7
 
 
@@ -6421,12 +6495,13 @@ SQL_Q143 = _sql_mmr()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation: (1) keys NEW or CHANGED this round lead — the
-    # fourteen r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN;
-    # q127-q129 EWMA/novelty/quantile-gate; q130-q133 hashed-gram
-    # classifier / champion BM25 / risk report / source perplexity;
-    # q134-q137 hybrid RRF / snapshot diff / count-min sketch /
-    # boilerplate cut), q119 (oracle SQL dtype fix: BIGINT casts on
+    # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
+    # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
+    # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
+    # champion BM25 / risk report / source perplexity; q134-q143
+    # hybrid RRF / snapshot diff / count-min / boilerplate cut /
+    # trend fit / chunk-ppl cut / MAD outliers / moment merge / IVF
+    # recall / MMR), q119 (oracle SQL dtype fix: BIGINT casts on
     # every UNION branch), and the MinHash hot-band-cap family:
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
     # gate over the capped memo), q56 (takes candidates from it), and
@@ -6440,6 +6515,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q141_moments_merge": (q141_moments_merge, SQL_Q141),
     "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
     "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
+    "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
+    "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

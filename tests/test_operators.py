@@ -370,3 +370,48 @@ def test_moments_merge_equals_direct_stats(spark):
         "v", ["source"],
     ).collect()[0]
     assert one["n_total"] == 1 and one["var_merged"] == 0.0
+
+
+def test_threshold_runs_islands_and_min_run(spark):
+    """Two hot islands (lengths 3 and 2) separated by a cool sample:
+    only the >= min_run island survives, with correct bounds/peak."""
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), 90.0),
+        (2, ts("2024-01-01 00:01:00"), 95.0),
+        (3, ts("2024-01-01 00:02:00"), 91.0),
+        (4, ts("2024-01-01 00:03:00"), 10.0),   # breaks the run
+        (5, ts("2024-01-01 00:04:00"), 99.0),
+        (6, ts("2024-01-01 00:05:00"), 99.0),
+    ]
+    df = spark.createDataFrame(
+        [("cpu", *r) for r in rows],
+        "k string, event_id long, ts timestamp, value double",
+    )
+    runs = TS.threshold_runs(df, "ts", "value", ["k"], threshold=80.0,
+                             min_run=3, tiebreak="event_id").collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert r["n_samples"] == 3 and r["peak_value"] == 95.0
+    assert r["start_ts"] == ts("2024-01-01 00:00:00")
+    assert r["end_ts"] == ts("2024-01-01 00:02:00")
+
+
+def test_cusum_catches_small_persistent_shift_zscore_misses(spark):
+    """A +1.5σ persistent shift in the second half: no single sample
+    crosses a 4σ point threshold, but the CUSUM accumulates and
+    alarms; the pre-shift half must stay quiet."""
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.5, 9.5] * 3
+    shifted = [v + 2.0 for v in base]
+    vals = base + shifted
+    rows = [("m", i, ts(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp, value double")
+    alarms = TS.cusum_alarms(df, "ts", "value", ["k"], slack_sigmas=0.5,
+                             h_sigmas=4.0, tiebreak="event_id").collect()
+    assert alarms, "persistent shift must alarm"
+    assert min(a["event_id"] for a in alarms) >= len(base)
+    # no sample individually crosses mean + 4*sigma (z-score silent)
+    import statistics
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert max(vals) < mu + 4 * sd
