@@ -5791,6 +5791,62 @@ FROM j GROUP BY status, source
 """
 
 
+PROTO_DROP_FRAC = 0.2
+
+
+def q146_proto_prune(spark, sf_dir):
+    """D4-style prototypicality pruning (Tirumala et al. 2023 §3:
+    after SemDeDup, drop the most PROTOTYPICAL points — those closest
+    to their cluster centroid carry the least marginal information;
+    keeping only them is how semantic dedup over-prunes diversity):
+    the oracled q72 Lloyd assignment already carries each vector's
+    rounded cosine to its centroid, so prototypicality is a per-
+    cluster percent_rank on that cosine (peer-based — ties share a
+    rank, the q129 convention) and the top 20 % per cluster drop.
+    Composes the cluster geometry gate into an actual curation
+    verdict; one extra cluster-keyed window over the assignment.
+    Fully value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = S.kmeans_lloyd_exact(emb, "vec_id", "embedding",
+                                    k=KMEANS_K, iters=KMEANS_ITERS)
+    w = Window.partitionBy("cluster").orderBy(F.col("cos").asc())
+    thr = repr(round(1.0 - PROTO_DROP_FRAC, 8))
+    return (
+        assigned.withColumn(
+            "proto_rank", rnd(F.percent_rank().over(w), 4)
+        )
+        .select(
+            "vec_id", F.col("cluster").cast("long").alias("cluster"),
+            "cos", "proto_rank",
+            (F.col("proto_rank") < F.lit(float(thr)))
+            .cast("integer").alias("keep"),
+        )
+    )
+
+
+SQL_Q146 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+{_sql_kmeans_assign('cent2', 'a3')},
+ranked AS (
+  SELECT vec_id, cluster, cos,
+         {sql_rnd('percent_rank() OVER (PARTITION BY cluster ORDER BY cos ASC)', 4)}
+           AS proto_rank
+  FROM a3)
+SELECT vec_id, cluster::BIGINT AS cluster, cos, proto_rank,
+       (proto_rank < {round(1.0 - PROTO_DROP_FRAC, 8)!r})::INTEGER AS keep
+FROM ranked
+"""
+
+
 RUN_TAU, RUN_MIN = 80.0, 3
 
 
@@ -6517,6 +6573,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
     "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
     "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
+    "q146_proto_prune": (q146_proto_prune, SQL_Q146),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),

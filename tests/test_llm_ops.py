@@ -2190,3 +2190,26 @@ def test_chunk_ppl_cut_cuts_garbled_chunk_keeps_fluent(spark):
     for i in range(10):
         assert out[i]["n_cut"] == 0
         assert out[i]["clean_text"] == f"{fluent} {fluent}"
+
+
+def test_proto_prune_drops_highest_cosine_per_cluster(spark):
+    """q146: within every cluster the dropped (most prototypical)
+    vectors must all sit at cosine >= every kept vector's cosine, and
+    the drop fraction is ~20% (peer ties may shift the boundary)."""
+    from sarfile_analyzer_ng_spark.queries import q146_proto_prune
+
+    from .conftest import SF_DIR
+
+    rows = q146_proto_prune(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert by_cluster
+    n_drop = sum(1 for r in rows if r["keep"] == 0)
+    assert 0 < n_drop < len(rows)
+    assert abs(n_drop / len(rows) - 0.2) < 0.1
+    for members in by_cluster.values():
+        kept = [r["cos"] for r in members if r["keep"] == 1]
+        dropped = [r["cos"] for r in members if r["keep"] == 0]
+        if kept and dropped:
+            assert min(dropped) >= max(kept) - 1e-9
