@@ -469,6 +469,12 @@ def mmr_rerank(pool: DataFrame, vecs: DataFrame, k: int = 3,
             rnd(cosine(F.col("ea"), F.col("eb")), 4).alias("sim"),
         )
     )
+    # pool² rows per query — tiny; every selection step's plan consumes
+    # it (and its pool⨝vecs parent), so persist once instead of
+    # recompiling/re-running the matrix subtree per unrolled step
+    from pyspark import StorageLevel
+
+    sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     lam_c, one_m = F.lit(float(lam)), F.lit(1.0 - lam)
     selected = None
     out_parts = []
@@ -525,4 +531,6 @@ def mmr_rerank(pool: DataFrame, vecs: DataFrame, k: int = 3,
     out = out_parts[0]
     for part in out_parts[1:]:
         out = out.unionByName(part)
-    return out.select("query_id", "step", "doc_id", "mmr")
+    res = out.select("query_id", "step", "doc_id", "mmr")
+    res._cached_inputs = [sims]  # see functions.dedup.release
+    return res

@@ -5948,7 +5948,9 @@ def q143_mmr_rerank(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     out = RV.mmr_rerank(pool, emb, k=MMR_K, lam=MMR_LAM)
-    out._cached_inputs = [pool]  # see functions.dedup.release
+    # pool + the operator's own persisted sims matrix, both released
+    # together (see functions.dedup.release)
+    out._cached_inputs = [pool] + getattr(out, "_cached_inputs", [])
     return out
 
 
