@@ -972,3 +972,85 @@ def cms_stream(stream: DataFrame, key_col: str, width: int = 16,
     return pos.groupBy("j", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def threshold_run_stream(stream: DataFrame, ts_col: str, key_col: str,
+                         value_col: str, threshold: float,
+                         min_run: int = 3) -> DataFrame:
+    """Streaming sustained-saturation detection (ST22): the live twin
+    of ``operators.timeseries.threshold_runs`` — a completed run of ≥
+    ``min_run`` consecutive over-threshold samples is emitted the
+    moment its first cool sample arrives, instead of waiting for the
+    batch sweep ("the disk has been pegged for the last 40 minutes —
+    page someone NOW").
+
+    ``applyInPandasWithState`` carries four scalars per series
+    (run start, length, peak, open/closed) forever; a run spanning
+    any number of micro-batches closes correctly because the state
+    rides across them (the ST4/ST19 in-order-arrival contract: one
+    series' samples arrive time-ordered, which the per-batch sort
+    plus ordered sources guarantee). Still-open runs stay in state —
+    only COMPLETED runs are emitted, matching the batch operator's
+    semantics for every closed run (pytest pins the parity).
+    """
+    out_schema = T.StructType([
+        T.StructField("series", T.StringType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("peak", T.DoubleType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        start_us, end_us, n, peak = (
+            state.get if state.exists else (None, None, 0, None)
+        )
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        done = []
+        for ts_v, v in zip(pdf[ts_col], pdf[value_col]):
+            if v > threshold:
+                us = int(pd.Timestamp(ts_v).value // 1000)
+                if n == 0:
+                    start_us, n, peak = us, 1, float(v)
+                else:
+                    n += 1
+                    peak = max(peak, float(v))
+                end_us = us
+            else:
+                if n >= min_run:
+                    done.append((start_us, end_us, n, peak))
+                start_us, end_us, n, peak = None, None, 0, None
+        if n > 0:
+            state.update((start_us, end_us, int(n), float(peak)))
+        else:
+            state.update((None, None, 0, None))
+        if done:
+            yield pd.DataFrame(
+                {
+                    "series": series,
+                    "start_ts": pd.to_datetime(
+                        [d[0] for d in done], unit="us"
+                    ),
+                    "end_ts": pd.to_datetime(
+                        [d[1] for d in done], unit="us"
+                    ),
+                    "n_samples": [d[2] for d in done],
+                    "peak_value": [d[3] for d in done],
+                }
+            )
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -1362,3 +1362,71 @@ def test_cms_stream_counters_match_batch_sketch(spark, tmp_path):
              ).collect()}
     assert got == batch
     assert len(got) <= W * D
+
+
+def test_threshold_run_stream_emits_completed_runs_across_batches(spark, tmp_path):
+    """ST22: a run spanning two micro-batches closes on the first cool
+    sample and matches the batch operator; a still-open run stays in
+    state (not emitted); a short run (< min_run) emits nothing."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS2
+
+    t0 = 1_700_000_000
+    rows = [
+        # run of 4 spanning the batch boundary, then a cool closer
+        ("cpu", t0 + 0, 90.0), ("cpu", t0 + 60, 92.0),
+        ("cpu", t0 + 120, 95.0),                       # batch 1 ends mid-run
+        ("cpu", t0 + 180, 91.0), ("cpu", t0 + 240, 10.0),
+        # short run (2 < min_run): must NOT emit
+        ("cpu", t0 + 300, 99.0), ("cpu", t0 + 360, 99.0),
+        ("cpu", t0 + 420, 5.0),
+        # still-open run at stream end: must NOT emit
+        ("cpu", t0 + 480, 93.0), ("cpu", t0 + 540, 94.0),
+        ("cpu", t0 + 600, 95.0),
+    ]
+    src = str(tmp_path / "run_src")
+    os.makedirs(src)
+    for i, sl in enumerate((rows[:3], rows[3:])):
+        pdf = pd.DataFrame(
+            {
+                "k": [r[0] for r in sl],
+                "ts": pd.to_datetime([r[1] for r in sl], unit="s"),
+                "value": [r[2] for r in sl],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.threshold_run_stream(stream, "ts", "k", "value",
+                                  threshold=80.0, min_run=3)
+    q = (
+        out.writeStream.format("memory").queryName("run_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("run_stream").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_samples"] == 4 and r["peak_value"] == 95.0
+
+    # batch parity on CLOSED runs: the batch operator over the same
+    # rows reports this run identically (plus the stream-open tail
+    # run, which only the batch sweep can close)
+    batch = TS2.threshold_runs(
+        spark.read.parquet(src), "ts", "value", ["k"],
+        threshold=80.0, min_run=3,
+    ).collect()
+    closed = [b for b in batch
+              if b["start_ts"] == r["start_ts"]]
+    assert closed and closed[0]["n_samples"] == 4
+    assert closed[0]["peak_value"] == 95.0
