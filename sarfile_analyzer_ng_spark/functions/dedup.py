@@ -1261,6 +1261,46 @@ def dedup_apply(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights(df: DataFrame, clusters: DataFrame,
+                       id_col: str, round_to: int = 6) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicate cluster
+    members (:func:`dedup_apply`), DOWNWEIGHT them — every member of a
+    k-document cluster gets sampling weight 1/k, unclustered documents
+    weight 1.0, so the corpus-level expected token mass per distinct
+    content piece is constant (SoftDeDup, He et al. 2024,
+    arXiv:2407.06654: reweighting recovers the quality loss of hard
+    removal while keeping the data diversity; the reference engine has
+    no dedup at all — this is the q68 cluster map's third consumer
+    beside keep-one/keep-best).
+
+    Weight = rnd(1/cluster_size): one rounded scalar division from an
+    exact BIGINT count, so the value-hash contract holds in any
+    engine. Output keeps ALL documents (same row count as the corpus).
+
+    Shape at scale: cluster sizes are one agg over the (bounded,
+    near-dup-doc-sized) cluster map, then a broadcast-sized LEFT join
+    against the corpus scan — the corpus itself never shuffles.
+    """
+    sizes = clusters.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    member = clusters.join(sizes, "rep").select(
+        F.col("doc_id").alias(id_col), "cluster_size"
+    )
+    return (
+        df.join(member, id_col, "left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"),
+        )
+        .withColumn(
+            "sample_weight",
+            rnd(F.lit(1.0) / F.col("cluster_size").cast("double"),
+                round_to),
+        )
+    )
+
+
 def passage_dedup(df: DataFrame, text_col: str, id_col: str,
                   passage_words: int = 8) -> DataFrame:
     """Passage-level exact substring dedup: C4's "previously-seen

@@ -534,3 +534,151 @@ def mmr_rerank(pool: DataFrame, vecs: DataFrame, k: int = 3,
     res = out.select("query_id", "step", "doc_id", "mmr")
     res._cached_inputs = [sims]  # see functions.dedup.release
     return res
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """Per-rank DCG discounts 1/log2(rank+1) for ranks 1..k, computed
+    ONCE in Python and embedded as literals in both engines — so no
+    cross-engine log() ulp can ever touch the value-hash contract."""
+    import math
+
+    return [round(1.0 / math.log2(i + 1), 12) for i in range(1, k + 1)]
+
+
+def ndcg_audit(approx: DataFrame, exact: DataFrame,
+               k: int, round_to: int = 6) -> DataFrame:
+    """Approximation-quality audit for a top-k retrieval scale path:
+    per-query nDCG@k of the ``approx`` ranking against the ``exact``
+    ranking as ground truth (graded gain k−rank+1 for the exact top-k,
+    0 otherwise) — the retrieval twin of q142's IVF recall audit, and
+    the number a curator checks before switching the 100 TB pipeline
+    from exact scoring to the champion-list path.
+
+    Both inputs are (query_id, rank, doc_id) frames. Discounts are
+    Python-literal per-rank constants (:func:`ndcg_discounts`);
+    contributions ride the 8-digit rnd ladder and ndcg divides two
+    ROUNDED sums, so operands are engine-identical bit patterns.
+    Queries where the exact side returned fewer than k rows get the
+    correspondingly smaller IDCG — ndcg stays in [0, 1] by
+    construction.
+
+    Shape at scale: both inputs are |queries|·k rows (the ranked
+    RESULTS, not the corpus); one equi-join on (query_id, doc_id) and
+    two query-keyed aggs. Cost is independent of corpus size.
+    """
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
+    # fully renamed so approx == exact (a self-join lineage) is legal
+    gains = exact.select(
+        F.col("query_id").alias("_gq"),
+        F.col("doc_id").alias("_gd"),
+        (F.lit(int(k)) - F.col("rank") + 1).cast("double").alias("_gain"),
+    )
+    idcg = (
+        exact.select(
+            "query_id",
+            rnd(
+                (F.lit(int(k)) - F.col("rank") + 1).cast("double")
+                * F.element_at(disc, F.col("rank").cast("int")),
+                8,
+            ).alias("_ic"),
+        )
+        .groupBy("query_id")
+        .agg(rnd(F.sum("_ic"), round_to).alias("idcg"))
+    )
+    dcg = (
+        approx.join(
+            gains,
+            (F.col("query_id") == F.col("_gq"))
+            & (F.col("doc_id") == F.col("_gd")),
+            "left",
+        )
+        .select(
+            "query_id",
+            rnd(
+                F.coalesce(F.col("_gain"), F.lit(0.0))
+                * F.element_at(disc, F.col("rank").cast("int")),
+                8,
+            ).alias("_c"),
+            F.when(F.col("_gain").isNotNull(), F.lit(1))
+             .otherwise(F.lit(0)).alias("_hit"),
+        )
+        .groupBy("query_id")
+        .agg(
+            rnd(F.sum("_c"), round_to).alias("dcg"),
+            F.sum("_hit").cast("long").alias("n_hits"),
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_hits",
+        "dcg",
+        "idcg",
+        rnd(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+             .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("ndcg"),
+    )
+
+
+def rm3_expansion(corpus: DataFrame, queries: DataFrame, text_col: str,
+                  id_col: str, k: int = 5, m: int = 5,
+                  round_to: int = 6) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft 2001 relevance models; Abdul-Jaleel et al. 2004 RM3): the
+    top-``k`` BM25 documents per query act as implicit relevance
+    feedback — each feedback doc votes for its terms with weight
+    ``P(w|d) · w_d`` where ``w_d`` is the doc's score share of the
+    feedback set — and the top-``m`` candidate terms NOT already in
+    the query come back as expansion terms. This is the standard
+    recall lever of sparse retrieval, and in a curation pipeline the
+    "what ELSE does the corpus call this benchmark topic?" probe that
+    widens a q62-style decontamination sweep beyond literal overlap.
+
+    Cross-engine: score shares, ``tf/dl`` term likelihoods and their
+    products all pre-round at 8 digits; the final per-(query, term)
+    sum rounds at ``round_to``; the top-m cut ranks (weight DESC,
+    term ASC).
+
+    Shape at scale: the feedback frame is |queries|·k rows (broadcast
+    side); it joins the postings of ONLY those docs — one doc-keyed
+    equi-join against the inverted index, one (query, term) agg, one
+    query-keyed rank window. The corpus is touched exactly as often
+    as plain BM25.
+    """
+    topk = bm25_topk(corpus, queries, text_col, id_col, k=k,
+                     round_to=4)
+    postings, doclen, _, _ = _index_frames(corpus, text_col, id_col)
+    wsum = Window.partitionBy("query_id")
+    fb = topk.select(
+        "query_id",
+        F.col("doc_id").alias("doc"),
+        rnd(F.col("score") / F.sum("score").over(wsum), 8).alias("_wd"),
+    )
+    pl = postings.join(doclen, "doc").select(
+        "doc", "w", rnd(F.col("tf") / F.col("dl"), 8).alias("_pwd")
+    )
+    contrib = pl.join(F.broadcast(fb), "doc").select(
+        "query_id", "w",
+        rnd(F.col("_wd") * F.col("_pwd"), 8).alias("_c"),
+    )
+    rm = contrib.groupBy("query_id", "w").agg(
+        rnd(F.sum("_c"), round_to).alias("rm_weight")
+    )
+    qt = _qterms(queries, "query_id", "query").select(
+        F.col("qid").alias("query_id"), "w"
+    )
+    cand = rm.join(qt, ["query_id", "w"], "left_anti")
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("rm_weight").desc(), F.col("w").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= m)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("term"),
+            "rm_weight",
+        )
+    )

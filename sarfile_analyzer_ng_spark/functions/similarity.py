@@ -1899,3 +1899,185 @@ def ann_topk_ivf_portable(emb: DataFrame, id_col: str, vec_col: str,
         .withColumn("rank", F.row_number().over(wk).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def cluster_silhouette(emb: DataFrame, id_col: str, vec_col: str,
+                       k: int = 8, iters: int = 2,
+                       round_to: int = 6,
+                       assign_round: int = 4) -> DataFrame:
+    """Per-cluster simplified silhouette over the oracled Lloyd
+    k-means geometry — the cluster-quality report a curator reads
+    before trusting q86's cluster routing or q146's prototypicality
+    pruning: is each cluster actually separated, or an artifact of k?
+
+    Simplified (centroid-based) silhouette: with cosine distance
+    d = 1 − cos, a point's a = distance to its OWN centroid, b =
+    distance to the nearest OTHER centroid, s = (b − a) / max(a, b)
+    — the standard O(n·k) approximation of the O(n²) pairwise
+    silhouette (the all-pairs form is the exact-but-unscalable twin,
+    like q34 vs q31). Both cosines come from the SAME rounded
+    assignment ranking the k-means twin pins, so an ulp can't flip
+    which centroid is "second"; the per-point score rides the rnd
+    ladder into a per-cluster mean.
+
+    Shape at scale: the k-row centroid frame broadcasts into the
+    scoring cross join (the q72 assignment shape — one corpus map
+    stage), then ONE id-keyed reduction and ONE k-row agg. No
+    pairwise work anywhere.
+    """
+    from ..util import rnd
+
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    cent = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
+    cos = rnd(cosine(F.col("e"), F.col("c")), assign_round)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("cluster").asc()
+    )
+    top2 = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cluster"))).alias("cluster"),
+            F.max(F.when(F.col("rk") == 1, F.col("cos"))).alias("cos1"),
+            F.max(F.when(F.col("rk") == 2, F.col("cos"))).alias("cos2"),
+        )
+    )
+    den = F.greatest(F.lit(1.0) - F.col("cos1"), F.lit(1.0) - F.col("cos2"))
+    s = rnd(
+        F.when(den > 0, (F.col("cos1") - F.col("cos2")) / den)
+         .otherwise(F.lit(0.0)),
+        8,
+    )
+    return (
+        top2.withColumn("_s", s)
+        .groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            rnd(F.avg("_s"), round_to).alias("mean_silhouette"),
+            F.min("_s").alias("min_silhouette"),
+        )
+    )
+
+
+def jl_project(emb: DataFrame, id_col: str, vec_col: str,
+               out_dim: int = 16, seed_tag: str = "jl") -> DataFrame:
+    """Seeded Johnson–Lindenstrauss random projection (Achlioptas
+    2003: ±1 entries suffice) to ``out_dim`` components — the cheap
+    dimensionality cut in front of ANN indexing or dedup blocking
+    when 64 dims of float are still too wide to shuffle at 100 TB.
+
+    The projection matrix is never materialized as data: entry
+    sign(i, j) derives from ``md5(seed_tag_i_j)`` (first hex nibble
+    < '8' → +1 else −1), the portable-hash family of Z66/Z68, so ANY
+    engine replays the exact matrix from three literals. Output
+    components are ``rnd8(rnd8(Σ_i x_i·s_ij) / sqrt(out_dim))`` —
+    with out_dim a perfect square the scale is an exact double and
+    the ladder keeps both engines bit-equal.
+
+    Shape at scale: one posexplode (rows × D), a broadcast-sized
+    cross with the out_dim literal range, and ONE (id, j)-keyed
+    combinable agg — linear in corpus size, no pairwise anything.
+
+    Returns the LONG component frame ``(id, j, y)`` (1-based j) —
+    the shape downstream joins want; assemble arrays only at the
+    edge if needed.
+    """
+    import math
+
+    from ..util import rnd
+
+    scale = math.sqrt(float(out_dim))
+    if abs(scale - round(scale)) > 1e-12:
+        raise ValueError("out_dim must be a perfect square so the "
+                         "1/sqrt scale is an exact double")
+    scale = float(round(scale))
+    comp = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_p", "_x"),
+    ).select(F.col(id_col), (F.col("_p") + 1).alias("_i"), "_x")
+    jdim = (
+        comp.sparkSession.range(1, int(out_dim) + 1)
+        .select(F.col("id").alias("j"))
+    )
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed_tag), F.col("_i"),
+                              F.col("j"))),
+            1, 1,
+        ).isin(*list("01234567")),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        comp.crossJoin(F.broadcast(jdim))
+        .select(F.col(id_col), "j", rnd(F.col("_x") * sign, 8).alias("_t"))
+        .groupBy(id_col, "j")
+        .agg(rnd(rnd(F.sum("_t"), 8) / F.lit(scale), 8).alias("y"))
+    )
+
+
+def jl_distortion_audit(emb: DataFrame, id_col: str, vec_col: str,
+                        out_dim: int = 16, max_id: int = 20,
+                        round_to: int = 6) -> DataFrame:
+    """Distortion audit for :func:`jl_project`: for every pair in a
+    bounded id-sample, the ratio of projected to original squared
+    Euclidean distance — the number that decides whether out_dim is
+    high enough before the projection replaces the raw vectors in a
+    dedup/ANN stage (JL lemma: ratios concentrate around 1 as
+    out_dim grows; the pytest pins concentration tightening from 4
+    to 36 dims).
+
+    Pairwise ON PURPOSE and bounded by the ``max_id`` literal — the
+    audit is sample²-sized, the projection itself stays linear.
+    Squared-diff terms pre-round at 8; sums round at ``round_to``;
+    zero-distance pairs report NULL distortion.
+    """
+    from ..util import rnd
+
+    sample = emb.where(F.col(id_col) <= max_id)
+    comp = sample.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_p", "_x"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    orig = (
+        a.join(b, (F.col("a._p") == F.col("b._p"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            rnd((F.col("a._x") - F.col("b._x"))
+                * (F.col("a._x") - F.col("b._x")), 8).alias("_d"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(rnd(F.sum("_d"), round_to).alias("orig_d2"))
+    )
+    y = jl_project(sample, id_col, vec_col, out_dim=out_dim)
+    ya, yb = y.alias("ya"), y.alias("yb")
+    proj = (
+        ya.join(yb, (F.col("ya.j") == F.col("yb.j"))
+                & (F.col(f"ya.{id_col}") < F.col(f"yb.{id_col}")))
+        .select(
+            F.col(f"ya.{id_col}").alias("id_a"),
+            F.col(f"yb.{id_col}").alias("id_b"),
+            rnd((F.col("ya.y") - F.col("yb.y"))
+                * (F.col("ya.y") - F.col("yb.y")), 8).alias("_d"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(rnd(F.sum("_d"), round_to).alias("proj_d2"))
+    )
+    return orig.join(proj, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "orig_d2", "proj_d2",
+        F.when(
+            F.col("orig_d2") > 0,
+            rnd(F.col("proj_d2") / F.col("orig_d2"), round_to),
+        ).alias("distortion"),
+    )

@@ -2044,3 +2044,132 @@ def chunk_ppl_cut(df: DataFrame, text_col: str, id_col: str,
     )
     out._cached_inputs = getattr(thr, "_cached_inputs", [])
     return out
+
+
+def budget_allocation(weights: DataFrame, key_col: str, weight_col: str,
+                      budget: int, avail_col: str | None = None) -> DataFrame:
+    """Integer token-budget allocation by the largest-remainder
+    (Hamilton) method: split an exact ``budget`` across sources
+    proportionally to ``weight_col`` such that the parts are integers
+    and sum EXACTLY to the budget — the step between a mixture policy
+    (q64/q93/q123 weights) and a concrete sampling plan ("train on
+    100 M tokens: how many from each source?"). Plain proportional
+    rounding over- or under-shoots by up to |sources|/2 tokens;
+    largest-remainder distributes the shortfall to the largest
+    fractional parts, ties broken by key so the plan is deterministic.
+
+    Cross-engine: weights renormalize on the 8-digit rnd ladder, the
+    quota is one double multiply by an integer literal, floor is
+    exact, and the leftover count is integer arithmetic — so the
+    (frac DESC, key ASC) rank cut is engine-stable. With the
+    renormalized weights, 0 ≤ leftover ≤ |sources| by construction.
+
+    If ``avail_col`` is given (available tokens per source), a
+    ``fully_funded`` audit flag marks sources whose allocation
+    exceeds their inventory — the signal to either repeat that
+    source (q102's epoch schedule) or re-run with capped weights.
+
+    Shape at scale: every window here is over the |sources|-row
+    WEIGHTS frame (dozens of rows — the model, not the corpus);
+    unpartitioned windows are deliberate and bounded.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    everything = Window.partitionBy()
+    w8 = rnd(
+        F.col(weight_col).cast("double")
+        / F.sum(F.col(weight_col).cast("double")).over(everything),
+        8,
+    )
+    quota = w8 * F.lit(float(int(budget)))
+    scored = weights.select(
+        "*",
+        F.floor(quota).cast("long").alias("_base"),
+        (quota - F.floor(quota)).alias("_frac"),
+    )
+    rank_w = Window.partitionBy().orderBy(
+        F.col("_frac").desc(), F.col(key_col).asc()
+    )
+    alloc = (
+        scored.withColumn(
+            "_leftover",
+            F.lit(int(budget)) - F.sum("_base").over(everything),
+        )
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .withColumn(
+            "alloc_tokens",
+            (F.col("_base")
+             + F.when(F.col("_rk") <= F.col("_leftover"), F.lit(1))
+                .otherwise(F.lit(0))).cast("long"),
+        )
+    )
+    cols = [key_col, weight_col, "alloc_tokens"]
+    if avail_col is not None:
+        alloc = alloc.withColumn(
+            "fully_funded",
+            (F.col("alloc_tokens") <= F.col(avail_col)).cast("long"),
+        )
+        cols = [key_col, weight_col, avail_col, "alloc_tokens",
+                "fully_funded"]
+    return alloc.select(*cols)
+
+
+def word_entropy(df: DataFrame, text_col: str, id_col: str,
+                 round_to: int = 4) -> DataFrame:
+    """Per-document unigram word entropy (nats) + type/token ratio —
+    the smooth repetitiveness signal beside the hard ratios of
+    repetition_signals: templated or looping text collapses toward 0,
+    diverse prose approaches ln(n_types). CCNet-style pipelines use
+    exactly this family to rank shards before perplexity filtering
+    (Wenzek et al. 2020 §4).
+
+    Entropy terms ride the rnd ladder: p = cnt/n pre-rounded at 8
+    digits, each −p·ln(p) term pre-rounded at 8 before the sum (the
+    q84 ln() precedent — both engines' ln is ≤1 ulp, collapsed by the
+    final 4-digit round). Empty/whitespace-only/NULL documents emit
+    n_tokens=0 with entropy 0 and ttr 0 — a verdict, not a vanish.
+
+    Shape at scale: one explode → (doc, word) agg → doc agg chain;
+    both shuffles are combinable and keyed by the doc id, so skew is
+    bounded by the longest single document.
+    """
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.col(text_col).alias("_t"))
+    toks = _ws_tokens(
+        base.where(F.length(F.trim(F.coalesce(F.col("_t"), F.lit("")))) > 0),
+        "_t", "doc",
+    ).where(F.col("w") != "")
+    wc = toks.groupBy("doc", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    per = wc.groupBy("doc").agg(
+        F.sum("cnt").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = rnd(F.col("cnt") / F.col("_n"), 8)
+    ent = (
+        wc.join(per.select("doc", "_n"), "doc")
+        .select("doc", rnd(-p * F.log(p), 8).alias("_term"))
+        .groupBy("doc")
+        .agg(rnd(F.sum("_term"), round_to).alias("word_entropy"))
+    )
+    out = (
+        base.select("doc")
+        .join(per, "doc", "left")
+        .join(ent, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0.0)).cast("long")
+             .alias("n_tokens"),
+            F.coalesce(F.col("n_types"), F.lit(0)).cast("long")
+             .alias("n_types"),
+            F.coalesce(
+                rnd(F.col("n_types") / F.col("_n"), round_to), F.lit(0.0)
+            ).alias("ttr"),
+            F.coalesce(F.col("word_entropy"), F.lit(0.0))
+             .alias("word_entropy"),
+        )
+    )
+    return out

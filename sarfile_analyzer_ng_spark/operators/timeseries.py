@@ -614,3 +614,137 @@ def cusum_alarms(df: DataFrame, ts_col: str, value_col: str,
         F.col("cusum") > rnd(F.lit(float(h_sigmas)) * F.col("_sd"),
                              round_to)
     ).drop("_mu", "_sd", "_cum")
+
+
+def capacity_forecast(df: DataFrame, ts_col: str, value_col: str,
+                      by: list[str], limit: float,
+                      round_to: int = 6) -> DataFrame:
+    """Time-to-threshold forecast: per series, extrapolate the
+    :func:`trend_fit` OLS line to the point it crosses ``limit`` —
+    "this filesystem fills in 12 days", the question the reference's
+    trend charts (code/dia_compute_pl.py renders the raw series)
+    leave the operator to answer by eye.
+
+    Built on the SAME rounded-moment contract as trend_fit: the five
+    moments are pre-rounded on the 8-digit rnd ladder, then slope /
+    intercept / the fitted value at the series' LAST sample derive
+    from them with identical scalar IEEE arithmetic in both engines.
+    ``days_to_limit`` divides the ROUNDED headroom by the ROUNDED
+    slope so the quotient's operands are engine-identical bit
+    patterns.  Status taxonomy: ``breached`` (fitted value already ≥
+    limit), ``rising`` (positive slope, will cross), ``flat``
+    (non-positive slope — never crosses, days_to_limit NULL).
+
+    Shape at scale: one series-keyed window (min, exact) + one agg on
+    the same key — Catalyst reuses the exchange, one shuffle total;
+    output is |series| rows.  The time axis is centered per series
+    and expressed in days so the x-moments stay inside the rnd parity
+    domain on any time range (util.RND_PARITY_MAX_SCALED).
+    """
+    w = Window.partitionBy(*by)
+    xsec = F.unix_timestamp(F.col(ts_col))
+    x = (xsec - F.min(xsec).over(w)).cast("double") / F.lit(86400.0)
+    y = F.col(value_col).cast("double")
+    m = (
+        df.select(*by, x.alias("_x"), y.alias("_y"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            rnd(F.avg("_x"), 8).alias("mx"),
+            rnd(F.avg("_y"), 8).alias("my"),
+            rnd(F.avg(F.col("_x") * F.col("_y")), 8).alias("mxy"),
+            rnd(F.avg(F.col("_x") * F.col("_x")), 8).alias("mx2"),
+            # per-row doubles are engine-identical (integer seconds /
+            # the same literal), and max is arithmetic-free — exact
+            F.max("_x").alias("_xmax"),
+        )
+    )
+    varx = F.col("mx2") - F.col("mx") * F.col("mx")
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    slope = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    fit_now = (F.col("my") - slope * F.col("mx")) + slope * F.col("_xmax")
+    lim = F.lit(float(limit))
+    scored = m.select(
+        *by,
+        "n_samples",
+        rnd(slope, round_to).alias("slope_per_day"),
+        rnd(fit_now, round_to).alias("fit_now"),
+    )
+    rising = (F.col("fit_now") < lim) & (F.col("slope_per_day") > 0)
+    return scored.select(
+        *by,
+        "n_samples",
+        "slope_per_day",
+        "fit_now",
+        F.when(rising, rnd((lim - F.col("fit_now"))
+                           / F.col("slope_per_day"), 4))
+         .otherwise(F.lit(None).cast("double")).alias("days_to_limit"),
+        F.when(F.col("fit_now") >= lim, F.lit("breached"))
+         .when(F.col("slope_per_day") > 0, F.lit("rising"))
+         .otherwise(F.lit("flat")).alias("status"),
+    )
+
+
+def lag_correlation(df: DataFrame, ts_col: str, value_col: str,
+                    series_col: str, series_a: str, series_b: str,
+                    max_lag: int = 6, bucket_seconds: int = 3600,
+                    round_to: int = 6) -> DataFrame:
+    """Lead/lag cross-correlation between two metric series:
+    corr(A(t), B(t − k·bucket)) for k = 0..max_lag — "does I/O wait
+    lead CPU steal by two hours?", the causal-direction question the
+    reference's overlay charts (multi_files_pl.py stacks the series
+    visually) leave to the eye.
+
+    Both series first resample to a shared integer bucket grid
+    (mean per bucket, pre-rounded at 8 digits), so the join key is
+    exact BIGINT arithmetic: A.bucket − k·bucket_seconds = B.bucket.
+    The per-lag correlation derives from rnd-ladder moments exactly
+    like :func:`trend_fit` (sqrt is IEEE-exact, so corr's operands
+    are engine-identical).  Lags with < 2 grid pairs or a
+    zero-variance side report NULL corr rather than a fabricated 0.
+
+    Shape at scale: ONE bucket-keyed agg over the fact table (the
+    only full-data shuffle); the lag fan-out explodes a literal
+    (max_lag+1)-element array against the |days·24|-row GRID, not
+    the facts, and the self-join is an equi-join on the bucket int.
+    Output is max_lag+1 rows.
+    """
+    bsec = F.lit(int(bucket_seconds))
+    grid = (
+        df.where(F.col(series_col).isin([series_a, series_b]))
+        .groupBy(
+            series_col,
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / bsec)
+             .cast("long") * bsec).alias("_bucket"),
+        )
+        .agg(rnd(F.avg(F.col(value_col).cast("double")), 8).alias("_v"))
+    )
+    a = grid.where(F.col(series_col) == series_a).select(
+        F.col("_bucket").alias("_ab"), F.col("_v").alias("_av"))
+    b = grid.where(F.col(series_col) == series_b).select(
+        F.col("_bucket").alias("_bb"), F.col("_v").alias("_bv"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(int(max_lag) + 1)])
+    ).alias("lag")
+    pairs = (
+        a.select("*", lags)
+        .join(b, F.col("_ab") - F.col("lag") * bsec == F.col("_bb"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        rnd(F.avg("_av"), 8).alias("mx"),
+        rnd(F.avg("_bv"), 8).alias("my"),
+        rnd(F.avg(F.col("_av") * F.col("_bv")), 8).alias("mxy"),
+        rnd(F.avg(F.col("_av") * F.col("_av")), 8).alias("mx2"),
+        rnd(F.avg(F.col("_bv") * F.col("_bv")), 8).alias("my2"),
+    )
+    varx = F.col("mx2") - F.col("mx") * F.col("mx")
+    vary = F.col("my2") - F.col("my") * F.col("my")
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    ok = (F.col("n_pairs") >= 2) & (varx > 0) & (vary > 0)
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.when(ok, rnd(cov / F.sqrt(varx * vary), round_to))
+         .otherwise(F.lit(None).cast("double")).alias("lag_corr"),
+    ).orderBy("lag")

@@ -1101,6 +1101,47 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> rep)
 """
 
 
+def q149_soft_dedup(spark, sf_dir):
+    """Soft deduplication weights (functions/dedup.py:
+    soft_dedup_weights, r9; SoftDeDup, He et al. 2024,
+    arXiv:2407.06654): every member of a k-document near-dup cluster
+    gets sampling weight 1/k instead of being dropped — the q68
+    cluster map's third consumer beside keep-one (q69) and keep-best
+    (q96), and the policy modern pipelines prefer when hard removal
+    costs diversity. Corpus row count is preserved; the weight is one
+    rounded division from an exact BIGINT size. Fully value-hash
+    oracled."""
+    corpus = _planted_corpus(spark, sf_dir)
+    clusters = _dup_clusters_shared(spark, sf_dir)
+    return D.soft_dedup_weights(corpus, clusters, "doc_id").select(
+        "doc_id", "cluster_size", "sample_weight"
+    )
+
+
+SQL_Q149 = f"""
+WITH RECURSIVE corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.doc, e.d FROM reach w JOIN edges e ON e.s = w.r),
+clusters AS (
+  SELECT doc AS doc_id, min(r) AS rep FROM reach GROUP BY doc),
+csizes AS (
+  SELECT rep, count(*)::BIGINT AS sz FROM clusters GROUP BY rep),
+member AS (
+  SELECT c.doc_id, s.sz FROM clusters c JOIN csizes s USING (rep))
+SELECT corpus.doc_id,
+       coalesce(m.sz, 1)::BIGINT AS cluster_size,
+       {sql_rnd('1.0 / coalesce(m.sz, 1)', 6)} AS sample_weight
+FROM corpus LEFT JOIN member m ON corpus.doc_id = m.doc_id
+"""
+
+
 JACCARD_MAX_DF = 8
 
 
@@ -1914,6 +1955,115 @@ cent0 AS (
 {_sql_kmeans_update('a2', 'cent1', 'cent2')},
 {_sql_kmeans_assign('cent2', 'a3')}
 SELECT vec_id, cluster::BIGINT AS cluster, cos FROM a3
+"""
+
+
+JL_DIM, JL_SAMPLE_MAX = 16, 20
+
+
+def q155_jl_distortion(spark, sf_dir):
+    """Seeded JL random-projection distortion audit (functions/
+    similarity.py:jl_project + jl_distortion_audit, r9; Achlioptas
+    2003 ±1 entries): 64 → 16 dims with the projection matrix derived
+    from md5 literals (the Z66/Z68 portable-hash family — any engine
+    replays the exact matrix), audited as the ratio of projected to
+    original squared distance over a bounded id-sample's pairs. The
+    projection is one explode + broadcast cross + combinable agg
+    (linear); the pairwise audit is sample²-bounded by a literal.
+    Fully value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.jl_distortion_audit(emb, "vec_id", "embedding",
+                                 out_dim=JL_DIM, max_id=JL_SAMPLE_MAX)
+
+
+_JL_SIGN = (
+    "CASE WHEN substr(md5('jl_' || i::VARCHAR || '_' || j::VARCHAR), 1, 1)"
+    " IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END"
+)
+
+SQL_Q155 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id <= {JL_SAMPLE_MAX}),
+comp AS (SELECT vec_id, i, e[i] AS x FROM v, range(1, {EMB_DIM + 1}) t(i)),
+tt AS (
+  SELECT vec_id, j, {sql_rnd(f'x * ({_JL_SIGN})', 8)} AS t
+  FROM comp, range(1, {JL_DIM + 1}) t2(j)),
+y AS (
+  SELECT vec_id, j, {sql_rnd(f"({sql_rnd('sum(t)', 8)}) / 4.0", 8)} AS y
+  FROM tt GROUP BY vec_id, j),
+od AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_rnd(f"sum({sql_rnd('(a.x - b.x) * (a.x - b.x)', 8)})", 6)}
+           AS orig_d2
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+pd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_rnd(f"sum({sql_rnd('(a.y - b.y) * (a.y - b.y)', 8)})", 6)}
+           AS proj_d2
+  FROM y a JOIN y b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT od.id_a, od.id_b, orig_d2, proj_d2,
+       CASE WHEN orig_d2 > 0
+            THEN {sql_rnd('proj_d2 / orig_d2', 6)} END AS distortion
+FROM od JOIN pd ON od.id_a = pd.id_a AND od.id_b = pd.id_b
+"""
+
+
+def q151_cluster_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (functions/similarity.py:
+    cluster_silhouette, r9): centroid-based s = (b − a)/max(a, b)
+    with cosine distance over the SAME oracled Lloyd geometry as
+    q72/q86 — "is this clustering real?" before q86's routing or
+    q146's prototypicality pruning trusts it. O(n·k) broadcast
+    scoring (the q72 assignment shape), never pairwise. Fully
+    value-hash oracled via the unrolled k-means CTE chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cluster_silhouette(emb, "vec_id", "embedding",
+                                k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+_SIL_COS = sql_rnd(
+    "list_dot_product(v.e, c.c) / "
+    "(sqrt(list_sum(list_transform(v.e, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.c, x -> x * x))))",
+    4,
+)
+
+SQL_Q151 = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster, e AS c
+  FROM v ORDER BY vec_id LIMIT {KMEANS_K}),
+{_sql_kmeans_assign('cent0', 'a1')},
+{_sql_kmeans_update('a1', 'cent0', 'cent1')},
+{_sql_kmeans_assign('cent1', 'a2')},
+{_sql_kmeans_update('a2', 'cent1', 'cent2')},
+sc AS (
+  SELECT v.vec_id, c.cluster, {_SIL_COS} AS cos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_SIL_COS} DESC, c.cluster ASC) AS rk
+  FROM v CROSS JOIN cent2 c),
+pt AS (
+  SELECT vec_id,
+         max(CASE WHEN rk = 1 THEN cluster END) AS cluster,
+         max(CASE WHEN rk = 1 THEN cos END) AS cos1,
+         max(CASE WHEN rk = 2 THEN cos END) AS cos2
+  FROM sc WHERE rk <= 2 GROUP BY vec_id),
+sil AS (
+  SELECT cluster,
+         {sql_rnd(
+             'CASE WHEN greatest(1.0 - cos1, 1.0 - cos2) > 0 '
+             'THEN (cos1 - cos2) / greatest(1.0 - cos1, 1.0 - cos2) '
+             'ELSE 0.0 END', 8)} AS s
+  FROM pt)
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+       {sql_rnd('avg(s)', 6)} AS mean_silhouette,
+       min(s) AS min_silhouette
+FROM sil GROUP BY cluster
 """
 
 
@@ -3405,6 +3555,90 @@ SELECT source, n_docs, n_tokens,
        {sql_rnd('(tshare / share) / max(tshare / share) OVER ()', 6)}
          AS sample_weight
 FROM q
+"""
+
+
+ALLOC_BUDGET = 100_000
+
+
+def q152_budget_allocation(spark, sf_dir):
+    """Largest-remainder token-budget allocation (functions/text.py:
+    budget_allocation, r9; Hamilton's method): split an exact 100k
+    token budget across sources proportionally to q93's temperature
+    shares so the integer parts sum EXACTLY to the budget — the step
+    between a mixture policy and a concrete sampling plan, with a
+    fully_funded audit flag where the allocation exceeds a source's
+    inventory. Every window is over the |sources|-row weights frame.
+    Fully value-hash oracled."""
+    mix = q93_temperature_mix(spark, sf_dir)
+    return TX.budget_allocation(mix, "source", "temp_share",
+                                budget=ALLOC_BUDGET,
+                                avail_col="n_tokens")
+
+
+SQL_Q152 = f"""
+WITH mix AS ({SQL_Q93}),
+norm AS (
+  SELECT source, n_tokens, temp_share,
+         {sql_rnd('temp_share / sum(temp_share) OVER ()', 8)} AS w8
+  FROM mix),
+qta AS (
+  SELECT source, n_tokens, temp_share,
+         floor(w8 * {ALLOC_BUDGET}.0)::BIGINT AS base,
+         w8 * {ALLOC_BUDGET}.0 - floor(w8 * {ALLOC_BUDGET}.0) AS frac
+  FROM norm),
+rk AS (
+  SELECT *, ({ALLOC_BUDGET} - sum(base) OVER ())::BIGINT AS leftover,
+         row_number() OVER (ORDER BY frac DESC, source ASC) AS rn
+  FROM qta)
+SELECT source, temp_share, n_tokens,
+       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT
+         AS alloc_tokens,
+       CASE WHEN base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                 <= n_tokens
+            THEN 1 ELSE 0 END::BIGINT AS fully_funded
+FROM rk
+"""
+
+
+def q153_word_entropy(spark, sf_dir):
+    """Per-document unigram word entropy + type/token ratio
+    (functions/text.py:word_entropy, r9): the smooth repetitiveness
+    signal beside q61's hard ratios — templated/looping text
+    collapses toward 0, diverse prose approaches ln(n_types); the
+    CCNet-family shard-ranking diagnostic (Wenzek et al. 2020 §4).
+    Entropy terms ride the rnd ladder (the q84 ln() precedent); empty
+    documents report 0, not NULL. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.word_entropy(docs, "text", "doc_id")
+
+
+_WE_P = sql_rnd("cnt / n", 8)
+
+SQL_Q153 = rf"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+wc AS (
+  SELECT doc, w, count(*)::DOUBLE AS cnt
+  FROM toks WHERE w != '' GROUP BY doc, w),
+per AS (
+  SELECT doc, sum(cnt) AS n, count(*)::BIGINT AS n_types
+  FROM wc GROUP BY doc),
+ent AS (
+  SELECT wc.doc,
+         {sql_rnd(f'sum({sql_rnd(f"-({_WE_P}) * ln({_WE_P})", 8)})', 4)}
+           AS we
+  FROM wc JOIN per ON per.doc = wc.doc GROUP BY wc.doc)
+SELECT d.doc_id,
+       coalesce(per.n, 0.0)::BIGINT AS n_tokens,
+       coalesce(per.n_types, 0)::BIGINT AS n_types,
+       coalesce({sql_rnd('per.n_types / per.n', 4)}, 0.0) AS ttr,
+       coalesce(ent.we, 0.0) AS word_entropy
+FROM documents d
+LEFT JOIN per ON per.doc = d.doc_id
+LEFT JOIN ent ON ent.doc = d.doc_id
 """
 
 
@@ -5259,6 +5493,129 @@ def q131_bm25_champions(spark, sf_dir):
 SQL_Q131 = _sql_bm25(champions=BM25_CHAMPIONS)
 
 
+def q150_bm25_ndcg_audit(spark, sf_dir):
+    """Champion-list nDCG audit (functions/retrieval.py:ndcg_audit,
+    r9): per-query nDCG@5 of q131's champion-list BM25 against q124's
+    exact BM25 as graded ground truth — the retrieval twin of q142's
+    IVF recall audit, the number a curator reads before switching the
+    100 TB pipeline to the bounded-postings path. Rank discounts are
+    Python-literal constants in BOTH engines (no cross-engine log
+    ulp); both inputs are |queries|·k-row RESULT frames, so cost is
+    corpus-size independent. Fully value-hash oracled."""
+    from .functions import retrieval as RV
+
+    exact = q124_bm25_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id")
+    approx = q131_bm25_champions(spark, sf_dir).select(
+        "query_id", "rank", "doc_id")
+    return RV.ndcg_audit(approx, exact, k=BM25_TOPK)
+
+
+def _sql_ndcg() -> str:
+    from .functions.retrieval import ndcg_discounts
+
+    disc = "[" + ", ".join(repr(d) for d in ndcg_discounts(BM25_TOPK)) + "]"
+    k = BM25_TOPK
+    return f"""
+WITH exact AS ({_sql_bm25()}),
+approx AS ({_sql_bm25(champions=BM25_CHAMPIONS)}),
+gains AS (
+  SELECT query_id, doc_id, ({k} - "rank" + 1)::DOUBLE AS gain
+  FROM exact),
+idcg AS (
+  SELECT query_id,
+         {sql_rnd(f'''sum({sql_rnd(f'({k} - "rank" + 1)::DOUBLE * ({disc})["rank"]', 8)})''', 6)}
+           AS idcg
+  FROM exact GROUP BY query_id),
+dcg AS (
+  SELECT a.query_id,
+         {sql_rnd(f'''sum({sql_rnd(f'coalesce(g.gain, 0.0) * ({disc})[a."rank"]', 8)})''', 6)}
+           AS dcg,
+         sum(CASE WHEN g.gain IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits
+  FROM approx a LEFT JOIN gains g
+    ON a.query_id = g.query_id AND a.doc_id = g.doc_id
+  GROUP BY a.query_id)
+SELECT query_id, n_hits, dcg, idcg,
+       {sql_rnd('CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END', 6)}
+         AS ndcg
+FROM dcg JOIN idcg USING (query_id)
+"""
+
+
+SQL_Q150 = _sql_ndcg()
+
+RM3_TERMS = 5
+
+
+def q154_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback expansion (functions/
+    retrieval.py:rm3_expansion, r9; Lavrenko & Croft 2001, RM3
+    interpolation of Abdul-Jaleel et al. 2004): q124's top-5 docs
+    vote for their terms with P(w|d)·score-share weights, top-5
+    non-query terms come back per query — the recall lever of sparse
+    retrieval and the "what ELSE does the corpus call this benchmark
+    topic?" probe that widens q62's decontamination sweep beyond
+    literal overlap. Feedback frame is |queries|·k rows; the corpus
+    is touched exactly as often as plain BM25. Fully value-hash
+    oracled."""
+    from .functions import retrieval as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1, QUERY_PREFIX_TOKENS,
+            ),
+        ).alias("query"),
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return RV.rm3_expansion(corpus, qs, "text", "doc_id",
+                            k=BM25_TOPK, m=RM3_TERMS)
+
+
+SQL_Q154 = f"""
+WITH exact AS ({_sql_bm25()}),
+qs2 AS (
+  SELECT doc_id AS qid,
+         (string_split_regex(lower(trim(text)), '\\s+'))[1:{QUERY_PREFIX_TOKENS}] AS qw
+  FROM documents WHERE doc_id % 50 = 0),
+qt2 AS (SELECT DISTINCT qid, unnest(qw) AS w FROM qs2),
+tok2 AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE doc_id % 50 != 0),
+post2 AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok2 GROUP BY w, doc),
+dl2 AS (SELECT doc, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc),
+fb AS (
+  SELECT query_id, doc_id AS doc,
+         {sql_rnd('score / sum(score) OVER (PARTITION BY query_id)', 8)}
+           AS wd
+  FROM exact),
+pl AS (
+  SELECT p.doc, p.w, {sql_rnd('p.tf / l.dl', 8)} AS pwd
+  FROM post2 p JOIN dl2 l USING (doc)),
+contrib AS (
+  SELECT f.query_id, p.w, {sql_rnd('f.wd * p.pwd', 8)} AS c
+  FROM pl p JOIN fb f ON p.doc = f.doc),
+rm AS (
+  SELECT query_id, w, {sql_rnd('sum(c)', 6)} AS rm_weight
+  FROM contrib GROUP BY query_id, w),
+cand AS (
+  SELECT r.query_id, r.w, r.rm_weight
+  FROM rm r LEFT JOIN qt2 q ON q.qid = r.query_id AND q.w = r.w
+  WHERE q.w IS NULL)
+SELECT query_id, rn::BIGINT AS "rank", w AS term, rm_weight FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rm_weight DESC, w ASC) AS rn
+  FROM cand)
+WHERE rn <= {RM3_TERMS}
+"""
+
+
 def q125_zipf_stats(spark, sf_dir):
     """One-row Zipf corpus diagnostics (functions/text.py:zipf_stats,
     r9): vocabulary size, token total, head share, and the log-log
@@ -6538,6 +6895,106 @@ WHERE rnk <= {RRF_TOPK}
 # order — _sql_mmr() itself is defined beside q143 above
 SQL_Q143 = _sql_mmr()
 
+
+CAP_LIMIT = 150.0
+
+
+def q147_capacity_forecast(spark, sf_dir):
+    """Time-to-threshold capacity forecast (operators/timeseries.py:
+    capacity_forecast, r9): extrapolate q138's per-series OLS line to
+    the day it crosses 150 — "this filesystem fills in 12 days", the
+    question the reference's trend charts (code/dia_compute_pl.py)
+    leave the operator to answer by eye. Same rounded-moment parity
+    contract as q138; days_to_limit divides ROUNDED headroom by the
+    ROUNDED slope so both engines divide identical bit patterns.
+    Fully value-hash oracled."""
+    return TS.capacity_forecast(_t(spark, sf_dir, "events"), "ts",
+                                "value", ["event_type"],
+                                limit=CAP_LIMIT)
+
+
+_CF_SLOPE = "CASE WHEN mx2 - mx*mx > 0 THEN (mxy - mx*my)/(mx2 - mx*mx) ELSE 0.0 END"
+_CF_FIT = f"(my - ({_CF_SLOPE}) * mx) + ({_CF_SLOPE}) * xmax"
+
+SQL_Q147 = f"""
+WITH base AS (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT
+            - min(floor(epoch(ts))::BIGINT)
+                OVER (PARTITION BY event_type)) / 86400.0 AS x,
+         value::DOUBLE AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n_samples,
+         {sql_rnd('avg(x)', 8)} AS mx, {sql_rnd('avg(y)', 8)} AS my,
+         {sql_rnd('avg(x*y)', 8)} AS mxy, {sql_rnd('avg(x*x)', 8)} AS mx2,
+         max(x) AS xmax
+  FROM base GROUP BY event_type),
+d AS (
+  SELECT event_type, n_samples,
+         {sql_rnd(_CF_SLOPE, 6)} AS slope_per_day,
+         {sql_rnd(_CF_FIT, 6)} AS fit_now
+  FROM m)
+SELECT event_type, n_samples, slope_per_day, fit_now,
+       CASE WHEN fit_now < {CAP_LIMIT!r} AND slope_per_day > 0
+            THEN {sql_rnd(f'({CAP_LIMIT!r} - fit_now) / slope_per_day', 4)}
+       END AS days_to_limit,
+       CASE WHEN fit_now >= {CAP_LIMIT!r} THEN 'breached'
+            WHEN slope_per_day > 0 THEN 'rising'
+            ELSE 'flat' END AS status
+FROM d
+"""
+
+
+LAGC_A, LAGC_B, LAGC_MAX = "click", "view", 6
+
+
+def q148_lag_correlation(spark, sf_dir):
+    """Lead/lag cross-correlation (operators/timeseries.py:
+    lag_correlation, r9): corr(click(t), view(t − k h)) for k = 0..6
+    over a shared hourly mean grid — "does one metric lead the
+    other?", the causal-direction question the reference's overlay
+    charts (multi_files_pl.py) leave to the eye. One fact-table
+    shuffle (the grid agg); the lag fan-out explodes a 7-element
+    literal against the grid, and corr derives from rnd-ladder
+    moments (q138 contract). Fully value-hash oracled."""
+    return TS.lag_correlation(_t(spark, sf_dir, "events"), "ts",
+                              "value", "event_type", LAGC_A, LAGC_B,
+                              max_lag=LAGC_MAX)
+
+
+_LAGC_CORR = ("(mxy - mx*my) / sqrt((mx2 - mx*mx) * (my2 - my*my))")
+
+SQL_Q148 = f"""
+WITH grid AS (
+  SELECT event_type,
+         (floor(floor(epoch(ts))::BIGINT / 3600) * 3600)::BIGINT AS bucket,
+         {sql_rnd('avg(value::DOUBLE)', 8)} AS v
+  FROM events
+  WHERE event_type IN ({LAGC_A!r}, {LAGC_B!r})
+  GROUP BY event_type, bucket),
+a AS (SELECT bucket AS ab, v AS av FROM grid
+      WHERE event_type = {LAGC_A!r}),
+b AS (SELECT bucket AS bb, v AS bv FROM grid
+      WHERE event_type = {LAGC_B!r}),
+pairs AS (
+  SELECT lag, av, bv
+  FROM a CROSS JOIN unnest([{', '.join(str(k) for k in range(LAGC_MAX + 1))}]) AS t(lag)
+  JOIN b ON a.ab - t.lag * 3600 = b.bb),
+m AS (
+  SELECT lag, count(*)::BIGINT AS n_pairs,
+         {sql_rnd('avg(av)', 8)} AS mx, {sql_rnd('avg(bv)', 8)} AS my,
+         {sql_rnd('avg(av*bv)', 8)} AS mxy,
+         {sql_rnd('avg(av*av)', 8)} AS mx2,
+         {sql_rnd('avg(bv*bv)', 8)} AS my2
+  FROM pairs GROUP BY lag)
+SELECT lag::INTEGER AS lag, n_pairs,
+       CASE WHEN n_pairs >= 2 AND mx2 - mx*mx > 0 AND my2 - my*my > 0
+            THEN {sql_rnd(_LAGC_CORR, 6)}
+       END AS lag_corr
+FROM m ORDER BY lag
+"""
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -6553,6 +7010,13 @@ SQL_Q143 = _sql_mmr()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
+    # r9 rotation (second wave): the 9 operators added after the
+    # first r9 recording lead — q147 capacity forecast, q148 lag
+    # correlation, q149 soft dedup, q150 nDCG audit, q151 silhouette,
+    # q152 budget allocation, q153 word entropy, q154 RM3 expansion,
+    # q155 JL distortion; then the first-wave ordering continues (its
+    # trailing r7-recorded fills dropped to the tail, re-pinned by
+    # snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -6564,6 +7028,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
     # gate over the capped memo), q56 (takes candidates from it), and
     # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
+    "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
+    "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
+    "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
+    "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
+    "q153_word_entropy": (q153_word_entropy, SQL_Q153),
+    "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
+    "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
+    "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),
     "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),

@@ -1054,3 +1054,94 @@ def threshold_run_stream(stream: DataFrame, ts_col: str, key_col: str,
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def cusum_stream(stream: DataFrame, ts_col: str, key_col: str,
+                 value_col: str, stats: DataFrame,
+                 slack_sigmas: float = 0.5, h_sigmas: float = 4.0,
+                 round_to: int = 4) -> DataFrame:
+    """Streaming one-sided CUSUM drift alarms (ST23): the live twin of
+    q145's batch ``cusum_alarms`` — the small persistent mean shift no
+    per-sample threshold sees, caught the moment the cumulative excess
+    crosses h·σ instead of at the next batch run.
+
+    ``stats`` is the FROZEN per-series baseline ``(series, mu, sd)``
+    (the batch operator's stats agg, or any commissioning-period
+    model) joined stream-static onto arriving samples — a stream
+    can't see corpus-global statistics, so the baseline is a model
+    input by construction, exactly like ST15's seasonal profile and
+    ST12's classifier weights.
+
+    State per series is ONE float: the textbook recursion
+    ``S_t = max(0, S_{t−1} + (x_t − μ − kσ))`` (Page 1954), continuous
+    across micro-batch boundaries — mathematically identical to the
+    batch prefix form (running sum − running min). The batch twin
+    rounds per step on the oracle ladder while the stream carries the
+    raw recursion (rounding only JVM-side on emit, the ST4 contract),
+    so the pytest pins alarm-set equality and value agreement to the
+    ladder's tolerance, like ST19's EWMA contract.
+
+    Only alarm rows (cusum > h·σ) are emitted — alert traffic, not a
+    full-corpus echo.
+    """
+    from ..util import rnd
+
+    out_schema = T.StructType([
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("raw_cusum", T.DoubleType()),
+        T.StructField("sd", T.DoubleType()),
+    ])
+    state_schema = T.StructType([T.StructField("s", T.DoubleType())])
+    slack = float(slack_sigmas)
+
+    enriched = stream.join(
+        F.broadcast(stats.select(
+            F.col("series").alias("_skey"), F.col("mu").cast("double"),
+            F.col("sd").cast("double"),
+        )),
+        F.col(key_col) == F.col("_skey"),
+    ).select(
+        F.col(key_col).alias("series"), F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        "mu", "sd",
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        (s,) = state.get if state.exists else (0.0,)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("_ts")
+        out_ts, out_v, out_c, out_sd = [], [], [], []
+        for _, row in pdf.iterrows():
+            dev = row["_v"] - row["mu"] - slack * row["sd"]
+            s = max(0.0, s + dev)
+            if s > float(h_sigmas) * row["sd"]:
+                out_ts.append(row["_ts"])
+                out_v.append(row["_v"])
+                out_c.append(s)
+                out_sd.append(row["sd"])
+        state.update((float(s),))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "series": series,
+                    "ts": out_ts,
+                    "value": out_v,
+                    "raw_cusum": out_c,
+                    "sd": out_sd,
+                }
+            )
+
+    out = enriched.groupBy(F.col("series")).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out.select(
+        "series", "ts", "value",
+        rnd(F.col("raw_cusum"), round_to).alias("cusum"),
+    )

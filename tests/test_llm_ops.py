@@ -2213,3 +2213,153 @@ def test_proto_prune_drops_highest_cosine_per_cluster(spark):
         dropped = [r["cos"] for r in members if r["keep"] == 0]
         if kept and dropped:
             assert min(dropped) >= max(kept) - 1e-9
+
+
+def test_soft_dedup_weights_inverse_cluster_size(spark):
+    """A 3-doc cluster gets weight 1/3 for EVERY member, unclustered
+    docs keep weight 1.0, and the corpus row count is preserved."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 1)], "doc_id long, rep long")
+    out = {r["doc_id"]: r for r in D.soft_dedup_weights(
+        corpus, clusters, "doc_id").collect()}
+    assert len(out) == 6
+    for d in (1, 2, 5):
+        assert out[d]["cluster_size"] == 3
+        assert abs(out[d]["sample_weight"] - 1.0 / 3) < 1e-6
+    for d in (3, 4, 6):
+        assert out[d]["cluster_size"] == 1
+        assert out[d]["sample_weight"] == 1.0
+
+
+def test_soft_dedup_preserves_expected_mass_per_cluster(spark):
+    """Sum of weights over a cluster is ~1.0 — the invariant that
+    makes soft dedup equivalent in expectation to keep-one."""
+    corpus = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (7, 7), (8, 7)],
+        "doc_id long, rep long")
+    out = D.soft_dedup_weights(corpus, clusters, "doc_id")
+    sums = {r["rep"]: r["s"] for r in (
+        out.join(clusters, "doc_id")
+        .groupBy("rep").agg(F.sum("sample_weight").alias("s"))
+    ).collect()}
+    assert abs(sums[0] - 1.0) < 1e-5 and abs(sums[7] - 1.0) < 1e-5
+
+
+def test_budget_allocation_exact_sum_and_largest_remainder(spark):
+    """Allocations are integers summing EXACTLY to the budget; the
+    extra token goes to the largest fractional remainder."""
+    w = spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 1.0, 10), ("c", 1.0, 2)],
+        "source string, wt double, avail long")
+    out = {r["source"]: r for r in TX.budget_allocation(
+        w, "source", "wt", budget=10, avail_col="avail").collect()}
+    assert sum(r["alloc_tokens"] for r in out.values()) == 10
+    # 10/3 = 3.33.. each; equal fracs -> tie broken by source asc
+    assert out["a"]["alloc_tokens"] == 4
+    assert [out[s]["alloc_tokens"] for s in "bc"] == [3, 3]
+    assert out["c"]["fully_funded"] == 0  # needs 3, has 2
+    assert out["a"]["fully_funded"] == 1
+
+
+def test_budget_allocation_zero_weight_source_gets_zero(spark):
+    w = spark.createDataFrame(
+        [("a", 3.0), ("b", 0.0), ("c", 1.0)], "source string, wt double")
+    out = {r["source"]: r["alloc_tokens"] for r in TX.budget_allocation(
+        w, "source", "wt", budget=100).collect()}
+    assert out == {"a": 75, "b": 0, "c": 25}
+
+
+def test_word_entropy_uniform_vs_repetitive_vs_empty(spark):
+    """All-distinct words -> entropy ln(n); one repeated word -> 0;
+    empty/whitespace text -> a 0-row verdict, not a vanish."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x"), (3, "   "), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.word_entropy(
+        df, "text", "doc_id").collect()}
+    assert len(out) == 4
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 4
+    assert abs(out[1]["word_entropy"] - math.log(4)) < 1e-3
+    assert out[1]["ttr"] == 1.0
+    assert out[2]["word_entropy"] == 0.0 and out[2]["n_types"] == 1
+    assert out[2]["ttr"] == 0.2
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["word_entropy"] == 0.0 and out[d]["ttr"] == 0.0
+
+
+def test_cluster_silhouette_separated_vs_merged(spark):
+    """Two tight, well-separated direction bundles: k=2 silhouettes
+    must be strongly positive for both clusters."""
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0, float(i % 3) * 0.1, 0.0, 0.0]))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.0, 10.0, float(i % 3) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.cluster_silhouette(emb, "vec_id", "embedding", k=2, iters=2)
+    rows_out = out.collect()
+    assert len(rows_out) == 2
+    assert sum(r["n_members"] for r in rows_out) == 12
+    for r in rows_out:
+        assert r["mean_silhouette"] > 0.9
+        assert r["min_silhouette"] > 0.8
+
+
+def _jl_corpus(spark, n=16):
+    import math
+
+    rows = []
+    for i in range(1, n + 1):
+        vec = [math.sin(i * 3.1 + d * 0.77) for d in range(64)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_jl_projection_is_deterministic_and_seeded(spark):
+    emb = _jl_corpus(spark, 4)
+    a = {(r["vec_id"], r["j"]): r["y"]
+         for r in S.jl_project(emb, "vec_id", "embedding", 16).collect()}
+    b = {(r["vec_id"], r["j"]): r["y"]
+         for r in S.jl_project(emb, "vec_id", "embedding", 16).collect()}
+    assert a == b
+    c = {(r["vec_id"], r["j"]): r["y"]
+         for r in S.jl_project(emb, "vec_id", "embedding", 16,
+                               seed_tag="other").collect()}
+    assert a != c  # the seed tag really parameterizes the matrix
+
+
+def test_jl_distortion_concentrates_with_more_dims(spark):
+    """The JL lemma in action: distortion ratios spread shrinks as
+    out_dim grows (4 -> 36), and at 16 dims the mean is near 1."""
+    emb = _jl_corpus(spark, 12)
+
+    def spread(dim):
+        rows = S.jl_distortion_audit(
+            emb, "vec_id", "embedding", out_dim=dim, max_id=12
+        ).collect()
+        ds = [r["distortion"] for r in rows if r["distortion"] is not None]
+        assert ds
+        return max(ds) - min(ds), sum(ds) / len(ds)
+
+    s4, _ = spread(4)
+    s16, m16 = spread(16)
+    s36, _ = spread(36)
+    assert s36 < s4
+    assert 0.5 < m16 < 1.5
+
+
+def test_jl_distortion_zero_distance_pair_is_null(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<float>")
+    out = S.jl_distortion_audit(emb, "vec_id", "embedding",
+                                out_dim=16, max_id=5).collect()
+    assert len(out) == 1
+    assert out[0]["orig_d2"] == 0.0 and out[0]["distortion"] is None

@@ -415,3 +415,54 @@ def test_cusum_catches_small_persistent_shift_zscore_misses(spark):
     import statistics
     mu, sd = statistics.mean(vals), statistics.stdev(vals)
     assert max(vals) < mu + 4 * sd
+
+
+def test_capacity_forecast_statuses_and_days(spark):
+    """A rising series crossing the limit in a known number of days, a
+    flat series (never crosses), and an already-breached series."""
+    rows = []
+    # rising: y = 100 + 10*x_days -> fit_now at day 4 = 140; limit 200
+    # => headroom 60 / slope 10 = 6.0 days
+    for d in range(5):
+        rows.append(("up", ts(f"2024-01-0{d + 1} 00:00:00"),
+                     100.0 + 10.0 * d))
+    # flat: constant 50
+    for d in range(5):
+        rows.append(("flat", ts(f"2024-01-0{d + 1} 00:00:00"), 50.0))
+    # breached: already above 200 and rising
+    for d in range(5):
+        rows.append(("hot", ts(f"2024-01-0{d + 1} 00:00:00"),
+                     250.0 + d))
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = {r["k"]: r for r in TS.capacity_forecast(
+        df, "t", "v", ["k"], limit=200.0).collect()}
+    assert out["up"]["status"] == "rising"
+    assert out["up"]["days_to_limit"] == 6.0
+    assert out["up"]["slope_per_day"] == 10.0
+    assert out["flat"]["status"] == "flat"
+    assert out["flat"]["days_to_limit"] is None
+    assert out["hot"]["status"] == "breached"
+    assert out["hot"]["days_to_limit"] is None
+
+
+def test_lag_correlation_finds_planted_lead(spark):
+    """B leads A by exactly 2 hours (A(t) = B(t-2h)): lag 2 must be a
+    perfect 1.0 correlation and lag 0 must not be."""
+    import math
+
+    vals = [math.sin(i * 0.7) * 10 + 20 for i in range(48)]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(("b", ts(f"2024-01-{1 + i // 24:02d} "
+                             f"{i % 24:02d}:30:00"), v))
+    for i, v in enumerate(vals):
+        j = i + 2  # A at hour i+2 equals B at hour i
+        if j < 48:
+            rows.append(("a", ts(f"2024-01-{1 + j // 24:02d} "
+                                 f"{j % 24:02d}:15:00"), v))
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = {r["lag"]: r for r in TS.lag_correlation(
+        df, "t", "v", "k", "a", "b", max_lag=4).collect()}
+    assert out[2]["lag_corr"] == 1.0
+    assert out[2]["n_pairs"] == 46
+    assert abs(out[0]["lag_corr"]) < 0.99

@@ -640,3 +640,91 @@ def test_trend_fit_single_shuffle_window_then_agg(spark):
     # one exchange feeding the window; the groupBy reuses its output
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, p  # window + (AQE-coalesced) final agg
+
+
+def test_capacity_forecast_single_shuffle_no_python(spark):
+    """q147: same contract as q138 — the min window and the moment agg
+    share the series key; everything JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q147_capacity_forecast
+
+    p = plan(q147_capacity_forecast(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_lag_correlation_explodes_grid_not_facts(spark):
+    """q148: the lag fan-out (Generate/explode) must sit ABOVE the
+    grid aggregation — the literal lag array multiplies the hourly
+    grid, never the fact scan — and the pair join is an equi-join
+    (no cartesian), all JVM-side."""
+    from sarfile_analyzer_ng_spark.queries import q148_lag_correlation
+
+    p = plan(q148_lag_correlation(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # explode feeds on the aggregated grid: in the plan tree the
+    # Generate node's subtree must contain the first HashAggregate
+    gen_at = p.index("Generate explode")
+    agg_at = p.index("HashAggregate")
+    assert agg_at < gen_at or "partial" in p[:gen_at].lower(), p
+
+
+def test_ndcg_audit_joins_result_frames_without_corpus_rescan(spark):
+    """q150 consumes two ranked RESULT frames; the final fuse is an
+    equi-join + two aggs with no Python and no cartesian."""
+    from sarfile_analyzer_ng_spark.queries import q150_bm25_ndcg_audit
+
+    p = plan(q150_bm25_ndcg_audit(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_soft_dedup_weights_corpus_side_never_shuffles(spark):
+    """q149: the corpus joins the (bounded) member->size map; the big
+    side must stream through a broadcast join, not shuffle."""
+    from pyspark.sql import functions as F
+
+    from sarfile_analyzer_ng_spark.functions import dedup as D
+
+    corpus = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    clusters = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("rep"))
+    p = plan(D.soft_dedup_weights(corpus, clusters, "doc_id"))
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_cluster_silhouette_broadcasts_centroids(spark):
+    """q151: the k-row centroid frame broadcasts into the scoring
+    join (BroadcastNestedLoopJoin over a k-row side is the intended
+    cross-join shape); no Python in the scoring path."""
+    from sarfile_analyzer_ng_spark.queries import q151_cluster_silhouette
+
+    p = plan(q151_cluster_silhouette(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_rm3_feedback_frame_broadcasts_no_python(spark):
+    """q154: the |queries|*k feedback frame must broadcast into the
+    postings join; no cartesian, no Python."""
+    from sarfile_analyzer_ng_spark.queries import q154_rm3_expansion
+
+    p = plan(q154_rm3_expansion(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_jl_projection_out_dim_cross_is_broadcast(spark):
+    """q155's projection half: the out_dim literal range broadcasts
+    into the component cross (BroadcastNestedLoopJoin over a 16-row
+    side), and the whole thing stays JVM-side."""
+    from sarfile_analyzer_ng_spark.catalog import load_table
+    from sarfile_analyzer_ng_spark.functions import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p = plan(S.jl_project(emb, "vec_id", "embedding", 16))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "BatchEvalPython" not in p

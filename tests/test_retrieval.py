@@ -489,3 +489,88 @@ def test_mmr_rerank_lam1_is_pure_relevance_order(spark):
     rows = sorted(RV.mmr_rerank(pool, vecs, k=3, lam=1.0).collect(),
                   key=lambda r: r["step"])
     assert [r["doc_id"] for r in rows] == [5, 6, 7]
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, rank integer, doc_id long")
+
+
+def test_ndcg_audit_identical_ranking_is_one(spark):
+    exact = _rank_df(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    out = RV.ndcg_audit(exact, exact, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ndcg"] == 1.0 and r["n_hits"] == 5 and r["dcg"] == r["idcg"]
+
+
+def test_ndcg_audit_disjoint_ranking_is_zero(spark):
+    exact = _rank_df(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    approx = _rank_df(spark, [(1, r, 900 + r) for r in range(1, 6)])
+    out = RV.ndcg_audit(approx, exact, k=5).collect()[0]
+    assert out["ndcg"] == 0.0 and out["n_hits"] == 0 and out["dcg"] == 0.0
+
+
+def test_ndcg_audit_swap_at_bottom_beats_swap_at_top(spark):
+    """nDCG is rank-sensitive: swapping ranks 4/5 must cost less than
+    swapping ranks 1/2."""
+    exact = _rank_df(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    swap_top = _rank_df(
+        spark, [(1, 1, 102), (1, 2, 101), (1, 3, 103), (1, 4, 104),
+                (1, 5, 105)])
+    swap_bot = _rank_df(
+        spark, [(1, 1, 101), (1, 2, 102), (1, 3, 103), (1, 4, 105),
+                (1, 5, 104)])
+    top = RV.ndcg_audit(swap_top, exact, k=5).collect()[0]["ndcg"]
+    bot = RV.ndcg_audit(swap_bot, exact, k=5).collect()[0]["ndcg"]
+    assert bot > top
+    assert 0 < top < 1 and 0 < bot < 1
+
+
+def test_ndcg_audit_short_exact_list_keeps_ndcg_in_unit_range(spark):
+    """A query whose exact side returned < k rows gets the smaller
+    IDCG — ndcg stays <= 1 even when approx ranks more rows."""
+    exact = _rank_df(spark, [(1, 1, 101), (1, 2, 102)])
+    approx = _rank_df(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    out = RV.ndcg_audit(approx, exact, k=5).collect()[0]
+    assert out["n_hits"] == 2
+    assert out["ndcg"] == 1.0  # both hits at their ideal positions
+
+
+def test_rm3_expansion_excludes_query_terms_and_ranks_feedback_terms(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple apple"),
+            (2, "apple banana durian durian"),
+            (3, "zebra yak xylophone walrus"),
+            (4, "apple banana elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(100, "apple banana")],
+                               "query_id long, query string")
+    out = RV.rm3_expansion(corpus, qs, "text", "doc_id", k=3, m=3).collect()
+    terms = [r["term"] for r in sorted(out, key=lambda r: r["rank"])]
+    # original query terms never come back as expansions
+    assert "apple" not in terms and "banana" not in terms
+    # expansion terms come from the feedback (apple/banana) docs only
+    assert set(terms) <= {"cherry", "durian", "elderberry"}
+    # weights are positive and ranked descending
+    ws = [r["rm_weight"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert all(w > 0 for w in ws) and ws == sorted(ws, reverse=True)
+
+
+def test_rm3_expansion_terms_only_from_topk_docs(spark):
+    """A term exclusive to a non-retrieved doc cannot be suggested."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana durian"),
+            (3, "quokka quokka quokka"),  # shares no query term
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(100, "apple")],
+                               "query_id long, query string")
+    out = RV.rm3_expansion(corpus, qs, "text", "doc_id", k=5, m=10).collect()
+    assert "quokka" not in {r["term"] for r in out}

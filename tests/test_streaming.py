@@ -1430,3 +1430,89 @@ def test_threshold_run_stream_emits_completed_runs_across_batches(spark, tmp_pat
               if b["start_ts"] == r["start_ts"]]
     assert closed and closed[0]["n_samples"] == 4
     assert closed[0]["peak_value"] == 95.0
+
+
+def test_cusum_stream_matches_batch_alarms_across_batches(spark, tmp_path):
+    """ST23: the streamed one-sided CUSUM recursion with a frozen
+    (mu, sd) baseline must raise exactly the batch operator's alarm
+    set — including alarms whose accumulation spans a micro-batch
+    boundary — with cusum values agreeing to the batch ladder's
+    rounding tolerance."""
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    t0 = 1_700_000_000
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.5, 9.5] * 3
+    shifted = [v + 2.0 for v in base]
+    vals = base + shifted
+    rows = [("m", i, t0 + 60 * i, v) for i, v in enumerate(vals)]
+
+    import datetime as dt
+
+    batch_df = spark.createDataFrame(
+        [(k, e, dt.datetime.fromtimestamp(s, dt.timezone.utc)
+          .replace(tzinfo=None), v) for k, e, s, v in rows],
+        "series string, event_id long, ts timestamp, value double",
+    )
+    batch_alarms = {
+        r["event_id"]: r["cusum"]
+        for r in TS.cusum_alarms(batch_df, "ts", "value", ["series"],
+                                 slack_sigmas=0.5, h_sigmas=4.0,
+                                 tiebreak="event_id").collect()
+    }
+    assert batch_alarms, "the planted shift must alarm in batch"
+
+    import statistics
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    stats = spark.createDataFrame([("m", mu, sd)],
+                                  "series string, mu double, sd double")
+
+    src = str(tmp_path / "cusum_src")
+    os.makedirs(src)
+    # boundary INSIDE the alarm run (batch alarms start at event 33
+    # for this series), so alarms land on both sides of it
+    split = len(base) + 11
+    for i, sl in enumerate((rows[:split], rows[split:])):
+        pdf = pd.DataFrame(
+            {
+                "series": [r[0] for r in sl],
+                "ts": pd.to_datetime([r[2] for r in sl], unit="s",
+                                     utc=True),
+                "value": [r[3] for r in sl],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.cusum_stream(stream, "ts", "series", "value", stats,
+                          slack_sigmas=0.5, h_sigmas=4.0)
+    q = (
+        out.writeStream.format("memory").queryName("cusum_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cusum_stream").orderBy("ts").collect()
+
+    ts_to_eid = {t0 + 60 * i: i for i in range(len(vals))}
+    got_map = {
+        ts_to_eid[int(r["ts"].timestamp())]: r["cusum"] for r in got
+    }
+    assert set(got_map) == set(batch_alarms)
+    for eid, c in got_map.items():
+        # batch rounds per-step on the oracle ladder, stream carries
+        # the raw recursion — agree to ladder tolerance
+        assert abs(c - batch_alarms[eid]) < 1e-3
+    # alarms must span the micro-batch boundary (some before, some
+    # after the split), or the test isn't exercising state carry-over
+    assert min(got_map) < split <= max(got_map)
