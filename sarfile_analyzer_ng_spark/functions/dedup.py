@@ -1655,3 +1655,68 @@ def boilerplate_cut(df: DataFrame, text_col: str, id_col: str,
             "clean_text",
         )
     )
+
+
+def pair_pagerank(pairs: DataFrame, iters: int = 3,
+                  damping: float = 0.85, round_to: int = 6) -> DataFrame:
+    """PageRank over the near-duplicate pair graph — "which documents
+    are template HUBS?": a doc tied to many well-connected near-dups
+    ranks far above one in an isolated pair, which cluster size alone
+    (q68/q149) can't see. The curation read: hubs are boilerplate
+    families worth a targeted rule, not just per-pair dedup.
+
+    ``pairs`` is any (doc_a, doc_b) frame (q33/q31 output). The walk
+    runs on the symmetrized edge set, restricted to documents that
+    appear in pairs (the dup graph — the corpus complement has no
+    edges and would uniformly hold 1/N). A fixed ``iters`` unrolls
+    declaratively — each step is one edge-keyed join + one dst-keyed
+    combinable agg, the exact shape of the oracle's CTE chain and of
+    a 100 TB Pregel round. Every rank pre-rounds at 8 digits per
+    step, so both engines iterate from identical inputs (the q72
+    Lloyd ladder applied to a graph walk). Symmetric edges mean no
+    dangling mass: out-degree ≥ 1 for every node.
+
+    Shape at scale: |edges| is bounded by the banded candidate
+    generation upstream (never all-pairs); the node-count scalar
+    rides a broadcast one-row frame, not a driver collect.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).distinct()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    pr = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "doc_id", rnd(F.lit(1.0) / F.col("_n"), 8).alias("pr")
+    )
+    d = float(damping)
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                rnd(F.col("pr") / F.col("outdeg"), 8).alias("_c"),
+            )
+            .groupBy("doc_id")
+            .agg(rnd(F.sum("_c"), 8).alias("_in"))
+        )
+        pr = (
+            nodes.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "doc_id",
+                rnd(
+                    (F.lit(1.0) - d) / F.col("_n")
+                    + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    8,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))

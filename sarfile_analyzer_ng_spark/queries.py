@@ -1142,6 +1142,60 @@ FROM corpus LEFT JOIN member m ON corpus.doc_id = m.doc_id
 """
 
 
+PR_ITERS, PR_DAMPING = 3, 0.85
+
+
+def q158_dup_pagerank(spark, sf_dir):
+    """PageRank over the near-dup pair graph (functions/dedup.py:
+    pair_pagerank, r9): which documents are template HUBS — tied to
+    many well-connected near-dups — vs isolated-pair members, which
+    cluster size alone (q68/q149) can't distinguish. 3 damped
+    power-iteration rounds unrolled declaratively over the q33 pair
+    memo (edge-keyed join + dst-keyed combinable agg per round — a
+    Pregel round's exact shape); every rank pre-rounds at 8 per step
+    (the q72 Lloyd ladder on a graph walk); node count rides a
+    broadcast one-row frame, no driver collect. Fully value-hash
+    oracled."""
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    return D.pair_pagerank(pairs, iters=PR_ITERS, damping=PR_DAMPING)
+
+
+def _sql_pagerank() -> str:
+    d = repr(float(PR_DAMPING))
+    steps = []
+    prev = "p0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""c{i} AS (
+  SELECT e.dst AS doc_id,
+         {sql_rnd(f"sum({sql_rnd(f'p.pr / d.outdeg', 8)})", 8)} AS inw
+  FROM e JOIN {prev} p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+p{i} AS (
+  SELECT n0.doc_id,
+         {sql_rnd(f"(1.0 - {d}) / nn.n + {d} * coalesce(c{i}.inw, 0.0)", 8)}
+           AS pr
+  FROM nodes n0 LEFT JOIN c{i} USING (doc_id), nn)""")
+        prev = f"p{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+p0 AS (SELECT doc_id, {sql_rnd('1.0 / nn.n', 8)} AS pr FROM nodes, nn),
+{chain}
+SELECT doc_id, {sql_rnd('pr', 6)} AS pagerank FROM {prev}
+"""
+
+
+SQL_Q158 = _sql_pagerank()
+
+
 JACCARD_MAX_DF = 8
 
 
@@ -5175,6 +5229,64 @@ WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
 SQL_Q117 = _sql_image_dup_pairs()
 
 
+def q156_media_inventory(spark, sf_dir):
+    """Media-corpus inventory audit (r9): the checked-in media corpus
+    decoded DISTRIBUTIVELY through the real codec layer (functions/
+    multimodal.py:image_phash — netpbm/PNG/BMP here), rolled up per
+    (kind, fmt): payload / decoded / corrupt counts, distinct hash
+    count, and the dimension envelope — the "what's actually in this
+    bucket and does it decode?" report a multimodal pipeline runs
+    before any training job, and the second driver gate (after q117)
+    holding the decode stage itself to a stored-truth oracle: the
+    DuckDB side aggregates the generator's media_hashes table, so a
+    decoder that silently mis-sizes or mis-hashes ANY payload flips
+    the value hash. Decode is one Arrow map stage; the rollup is a
+    |formats|-row agg."""
+    from .functions import multimodal as MM
+
+    media = spark.read.parquet(
+        _os.path.join(_DATA_DIR, "media", "media.parquet")
+    )
+    hashes = MM.image_phash(media)
+    meta = media.select("media_id", "kind", "fmt")
+    return (
+        hashes.join(meta, "media_id")
+        .groupBy("kind", "fmt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.count("phash").cast("long").alias("n_decoded"),
+            F.sum(F.when(F.col("phash").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_corrupt"),
+            F.countDistinct("phash").cast("long").alias("n_distinct_hashes"),
+            F.min("width").cast("long").alias("min_w"),
+            F.max("width").cast("long").alias("max_w"),
+            F.min("height").cast("long").alias("min_h"),
+            F.max("height").cast("long").alias("max_h"),
+        )
+    )
+
+
+def _sql_media_inventory() -> str:
+    hpath = _os.path.join(_DATA_DIR, "media", "media_hashes.parquet")
+    mpath = _os.path.join(_DATA_DIR, "media", "media.parquet")
+    return f"""
+SELECT m.kind, m.fmt,
+       count(*)::BIGINT AS n_payloads,
+       count(h.phash)::BIGINT AS n_decoded,
+       sum(CASE WHEN h.phash IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_corrupt,
+       count(DISTINCT h.phash)::BIGINT AS n_distinct_hashes,
+       min(h.width)::BIGINT AS min_w, max(h.width)::BIGINT AS max_w,
+       min(h.height)::BIGINT AS min_h, max(h.height)::BIGINT AS max_h
+FROM read_parquet('{hpath}') h
+JOIN read_parquet('{mpath}') m USING (media_id)
+GROUP BY m.kind, m.fmt
+"""
+
+
+SQL_Q156 = _sql_media_inventory()
+
+
 ASM_K, ASM_BUDGET, ASM_EPOCHS = 20, 600, 2
 
 
@@ -6520,6 +6632,79 @@ FROM scored WHERE abs(robust_z) > {MAD_TAU}
 """
 
 
+def q157_anomaly_ensemble(spark, sf_dir):
+    """Anomaly-detector ensemble verdict (r9): an event is flagged
+    only when ≥ 2 of 3 independent detectors agree — q20's z-score
+    (mean/σ), q140's MAD robust z (median/MAD), q145's CUSUM drift
+    alarm — the standard alert-fatigue reducer: a detector family's
+    false positives are mostly disjoint, real anomalies co-fire. Pure
+    composition of three individually-oracled chains (each already
+    emits only its flagged rows) + one event-keyed vote agg + one
+    join back for context; votes ride as int64 flag columns. Fully
+    value-hash oracled by nesting the three SQL chains."""
+    z = q20_outliers(spark, sf_dir).select(
+        "event_id", F.lit(1).alias("_vz"), F.lit(0).alias("_vm"),
+        F.lit(0).alias("_vc"))
+    m = q140_mad_outliers(spark, sf_dir)
+    mm = m.select(
+        "event_id", F.lit(0).alias("_vz"), F.lit(1).alias("_vm"),
+        F.lit(0).alias("_vc"))
+    c = q145_cusum_alarms(spark, sf_dir).select(
+        "event_id", F.lit(0).alias("_vz"), F.lit(0).alias("_vm"),
+        F.lit(1).alias("_vc"))
+    votes = (
+        z.unionByName(mm).unionByName(c)
+        .groupBy("event_id")
+        .agg(F.max("_vz").alias("vote_z"),
+             F.max("_vm").alias("vote_mad"),
+             F.max("_vc").alias("vote_cusum"))
+        .withColumn(
+            "n_votes",
+            (F.col("vote_z") + F.col("vote_mad")
+             + F.col("vote_cusum")).cast("long"),
+        )
+        .where(F.col("n_votes") >= 2)
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    out = ev.join(votes, "event_id").select(
+        "event_id", "event_type", "value",
+        F.col("vote_z").cast("long").alias("vote_z"),
+        F.col("vote_mad").cast("long").alias("vote_mad"),
+        F.col("vote_cusum").cast("long").alias("vote_cusum"),
+        "n_votes",
+    )
+    out._cached_inputs = getattr(m, "_cached_inputs", [])
+    return out
+
+
+def _sql_anomaly_ensemble() -> str:
+    return f"""
+WITH za AS ({SQL_Q20}),
+ma AS ({SQL_Q140}),
+ca AS ({SQL_Q145}),
+votes AS (
+  SELECT event_id, max(vz) AS vote_z, max(vm) AS vote_mad,
+         max(vc) AS vote_cusum
+  FROM (
+    SELECT event_id, 1 AS vz, 0 AS vm, 0 AS vc FROM za
+    UNION ALL SELECT event_id, 0, 1, 0 FROM ma
+    UNION ALL SELECT event_id, 0, 0, 1 FROM ca)
+  GROUP BY event_id),
+flagged AS (
+  SELECT event_id, vote_z::BIGINT AS vote_z, vote_mad::BIGINT AS vote_mad,
+         vote_cusum::BIGINT AS vote_cusum,
+         (vote_z + vote_mad + vote_cusum)::BIGINT AS n_votes
+  FROM votes WHERE vote_z + vote_mad + vote_cusum >= 2)
+SELECT e.event_id, e.event_type, e.value,
+       f.vote_z, f.vote_mad, f.vote_cusum, f.n_votes
+FROM events e JOIN flagged f USING (event_id)
+"""
+
+
+SQL_Q157 = _sql_anomaly_ensemble()
+
+
 def q141_moments_merge(spark, sf_dir):
     """Incremental corpus statistics (operators/stats.py:
     moments_merge, r9; Chan et al. 1979 parallel variance): the old
@@ -7010,13 +7195,14 @@ FROM m ORDER BY lag
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation (second wave): the 9 operators added after the
+    # r9 rotation (second wave): the 12 operators added after the
     # first r9 recording lead — q147 capacity forecast, q148 lag
     # correlation, q149 soft dedup, q150 nDCG audit, q151 silhouette,
     # q152 budget allocation, q153 word entropy, q154 RM3 expansion,
-    # q155 JL distortion; then the first-wave ordering continues (its
-    # trailing r7-recorded fills dropped to the tail, re-pinned by
-    # snapshot_tail).
+    # q155 JL distortion, q156 media inventory, q157 anomaly
+    # ensemble, q158 dup PageRank; then the first-wave ordering
+    # continues (its trailing r7-recorded fills dropped to the tail,
+    # re-pinned by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7036,6 +7222,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q153_word_entropy": (q153_word_entropy, SQL_Q153),
     "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
     "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
+    "q156_media_inventory": (q156_media_inventory, SQL_Q156),
+    "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
+    "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

@@ -2363,3 +2363,19 @@ def test_jl_distortion_zero_distance_pair_is_null(spark):
                                 out_dim=16, max_id=5).collect()
     assert len(out) == 1
     assert out[0]["orig_d2"] == 0.0 and out[0]["distortion"] is None
+
+
+def test_pair_pagerank_hub_outranks_leaves(spark):
+    """Star graph: the hub must outrank every leaf; an isolated pair
+    splits rank evenly; total mass stays ~1."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (8, 9)],
+        "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["pagerank"] for r in D.pair_pagerank(
+        pairs, iters=3).collect()}
+    assert len(out) == 7
+    hub, leaves = out[1], [out[i] for i in (2, 3, 4, 5)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    assert abs(out[8] - out[9]) < 1e-9
+    assert abs(sum(out.values()) - 1.0) < 1e-3

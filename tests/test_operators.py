@@ -466,3 +466,30 @@ def test_lag_correlation_finds_planted_lead(spark):
     assert out[2]["lag_corr"] == 1.0
     assert out[2]["n_pairs"] == 46
     assert abs(out[0]["lag_corr"]) < 0.99
+
+
+def test_anomaly_ensemble_consistent_with_member_detectors(spark):
+    """q157's flagged set must be exactly the events at least two of
+    q20/q140/q145 flag, with vote flags matching membership."""
+    from sarfile_analyzer_ng_spark.queries import (
+        q20_outliers,
+        q140_mad_outliers,
+        q145_cusum_alarms,
+        q157_anomaly_ensemble,
+    )
+
+    from .conftest import SF_DIR
+
+    z = {r["event_id"] for r in q20_outliers(spark, SF_DIR).collect()}
+    m = {r["event_id"] for r in q140_mad_outliers(spark, SF_DIR).collect()}
+    c = {r["event_id"] for r in q145_cusum_alarms(spark, SF_DIR).collect()}
+    expect = {e for e in z | m | c
+              if (e in z) + (e in m) + (e in c) >= 2}
+    got = q157_anomaly_ensemble(spark, SF_DIR).collect()
+    assert {r["event_id"] for r in got} == expect
+    for r in got:
+        assert r["vote_z"] == int(r["event_id"] in z)
+        assert r["vote_mad"] == int(r["event_id"] in m)
+        assert r["vote_cusum"] == int(r["event_id"] in c)
+        assert r["n_votes"] == r["vote_z"] + r["vote_mad"] + r["vote_cusum"]
+    assert got, "the gate corpus must produce at least one co-fire"

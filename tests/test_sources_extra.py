@@ -1501,3 +1501,19 @@ def test_image_phash_bit_exact_with_corrupt_row_in_batch(spark):
     ).coalesce(1)
     vrows = {r["media_id"]: r["phash"] for r in MM.video_phash(vid).collect()}
     assert vrows[1] == expect and vrows[2] is None
+
+
+def test_media_inventory_counts_and_corrupt_row(spark):
+    """q156: every payload is accounted for, exactly one corrupt
+    payload exists (the planted broken PNG), and all decoded images
+    share the generator's 48x40 dimensions."""
+    from sarfile_analyzer_ng_spark.queries import q156_media_inventory
+
+    rows = q156_media_inventory(spark, "unused").collect()
+    assert sum(r["n_payloads"] for r in rows) == 66  # 20*3 + 5 + 1
+    assert sum(r["n_corrupt"] for r in rows) == 1
+    for r in rows:
+        assert r["n_decoded"] + r["n_corrupt"] == r["n_payloads"]
+        if r["n_decoded"]:
+            assert (r["min_w"], r["max_w"]) == (48, 48)
+            assert (r["min_h"], r["max_h"]) == (40, 40)
