@@ -242,3 +242,59 @@ def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
             for j in range(buckets)
         ],
     )
+
+
+def auc_score(scored: DataFrame, score_col: str, label_col: str,
+              round_to: int = 6) -> DataFrame:
+    """ROC-AUC as the Mann–Whitney rank statistic with average ranks
+    for ties — the one-number discrimination audit of a quality
+    classifier ("does p_good actually order good above bad?"),
+    complementing the calibration report's honesty check.
+
+    ``AUC = (Σ_{pos} rank − n_pos(n_pos+1)/2) / (n_pos · n_neg)``
+    where tied scores share their tie group's AVERAGE rank (the
+    correction that keeps AUC = 0.5 for a constant classifier).
+
+    Scalable by construction: scores arrive ROUNDED (the oracle
+    ladder), so ranking happens on the DISTINCT-score frame — counts
+    per score, a cumulative "how many strictly below" over that
+    model-sized frame, average rank = below + (n+1)/2 — and the
+    corpus itself never sorts. Returns one row (n_pos, n_neg, auc);
+    degenerate single-class inputs return NULL auc rather than a
+    fabricated number.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    vals = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("_np"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "_below", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    tot = ranked.agg(
+        F.sum("_np").cast("double").alias("np"),
+        (F.sum("_n") - F.sum("_np")).cast("double").alias("nn"),
+        rnd(
+            F.sum(
+                F.col("_np")
+                * (F.col("_below") + (F.col("_n") + 1) / F.lit(2.0))
+            ),
+            6,
+        ).alias("_rsum"),
+    )
+    return tot.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("np") > 0) & (F.col("nn") > 0),
+            rnd(
+                (F.col("_rsum") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
+                / (F.col("np") * F.col("nn")),
+                round_to,
+            ),
+        ).alias("auc"),
+    )

@@ -7180,6 +7180,171 @@ SELECT lag::INTEGER AS lag, n_pairs,
 FROM m ORDER BY lag
 """
 
+
+def q159_packing_report(spark, sf_dir):
+    """Sequence-packing efficiency report (r9): per shard of q73's
+    GPT-style concatenate-then-split layout — chunk/token totals,
+    sequences produced, boundary STRADDLES (chunks cut by a sequence
+    boundary: the attention-contamination statistic packing papers
+    track), and the tail sequence's fill ratio (the only waste this
+    packing can produce). Pure |shards|-row rollup of the oracled q73
+    layout. Fully value-hash oracled."""
+    packed = q73_pack_sequences(spark, sf_dir)
+    cap = F.lit(PACK_CAPACITY)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.countDistinct("seq_id")).cast("long").alias("n_seqs"),
+            F.sum(
+                F.when(F.col("seq_offset") + F.col("n_tokens") > cap, 1)
+                 .otherwise(0)
+            ).cast("long").alias("n_straddles"),
+        )
+        .select(
+            "shard", "n_chunks", "total_tokens", "n_seqs", "n_straddles",
+            rnd(
+                (F.col("total_tokens") % cap).cast("double")
+                / cap.cast("double"),
+                4,
+            ).alias("tail_fill"),
+        )
+    )
+
+
+SQL_Q159 = f"""
+WITH packed AS ({SQL_Q73})
+SELECT shard, count(*)::BIGINT AS n_chunks,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       count(DISTINCT seq_id)::BIGINT AS n_seqs,
+       sum(CASE WHEN seq_offset + n_tokens > {PACK_CAPACITY}
+                THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
+       {sql_rnd(f'(sum(n_tokens) % {PACK_CAPACITY})::DOUBLE / {PACK_CAPACITY}', 4)}
+         AS tail_fill
+FROM packed GROUP BY shard
+"""
+
+
+def q160_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic (operators/
+    stats.py:ks_two_sample, r9): D = max |ECDF_old − ECDF_new| of the
+    per-document word count between the corpus snapshot (doc_id % 10
+    != 9) and the arriving batch (% 10 == 9, the q141 split) — the
+    metric-distribution drift gate beside q114's token-distribution
+    JS divergence and q135's identity diff: "does the new crawl's
+    length profile even look like the old one?". ECDFs accumulate
+    over the DISTINCT-value frame (bounded by the value domain, not
+    the corpus — word counts round to integers), so no corpus-wide
+    sort exists anywhere. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(TX.WS_TOKEN_PATTERN))
+        .cast("double").alias("v"),
+    )
+    old = docs.where(F.col("doc_id") % 10 != 9)
+    new = docs.where(F.col("doc_id") % 10 == 9)
+    return ST.ks_two_sample(old, new, "v")
+
+
+SQL_Q160 = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TX.WS_TOKEN_PATTERN}'))::DOUBLE AS v
+  FROM documents),
+a AS (SELECT v FROM base WHERE doc_id % 10 != 9),
+b AS (SELECT v FROM base WHERE doc_id % 10 = 9),
+na AS (SELECT count(*)::DOUBLE AS n FROM a),
+nb AS (SELECT count(*)::DOUBLE AS n FROM b),
+vals AS (
+  SELECT v,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM (SELECT v, 'a' AS side FROM a
+        UNION ALL SELECT v, 'b' FROM b)
+  GROUP BY v),
+ecdf AS (
+  SELECT v,
+         {sql_rnd('sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)'
+                  ' / na.n', 8)} AS fa,
+         {sql_rnd('sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)'
+                  ' / nb.n', 8)} AS fb
+  FROM vals, na, nb)
+SELECT na.n::BIGINT AS n_old, nb.n::BIGINT AS n_new,
+       {sql_rnd('max(abs(fa - fb))', 6)} AS ks_d
+FROM ecdf, na, nb GROUP BY na.n, nb.n
+"""
+
+
+def q161_classifier_auc(spark, sf_dir):
+    """Classifier ROC-AUC by rank statistic (functions/classify.py:
+    auc_score, r9; Mann–Whitney U with average ranks for ties): the
+    one-number discrimination audit of the q104 quality classifier
+    against its provenance labels, beside q120's calibration report
+    ("sharp AND honest"). Scalable by construction: scores are
+    ROUNDED (4 digits), so ranks accumulate over the DISTINCT-score
+    frame (model-sized) and broadcast back — no corpus-wide sort or
+    single-partition window anywhere. Fully value-hash oracled by
+    nesting the q104 chain."""
+    from .functions import classify as C
+
+    scored = q104_quality_classifier(spark, sf_dir)
+    out = C.auc_score(scored, "p_good", "label")
+    out._cached_inputs = getattr(scored, "_cached_inputs", [])
+    return out
+
+
+SQL_Q161 = f"""
+WITH scored AS ({SQL_Q104}),
+vals AS (
+  SELECT p_good AS s, count(*)::BIGINT AS n,
+         sum(label)::BIGINT AS n_pos
+  FROM scored GROUP BY p_good),
+ranked AS (
+  SELECT s, n, n_pos,
+         coalesce(sum(n) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below
+  FROM vals),
+tot AS (
+  SELECT sum(n_pos)::DOUBLE AS np,
+         (sum(n) - sum(n_pos))::DOUBLE AS nn,
+         {sql_rnd('sum(n_pos * (below + (n + 1) / 2.0))', 6)} AS rsum
+  FROM ranked)
+SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       {sql_rnd('(rsum - np * (np + 1) / 2.0) / (np * nn)', 6)} AS auc
+FROM tot
+"""
+
+
+BAND_PROBS = (0.05, 0.5, 0.95)
+
+
+def q162_hourly_bands(spark, sf_dir):
+    """Hour-of-day percentile bands (O3's distributed-rank percentile
+    over the q22 profile keys, r9): exact p5/p50/p95 of value per
+    (event_type, hour) — the chartable envelope the reference's
+    hourly views draw as a line (dataframe_funcs_pl.py:39 buckets by
+    hour; this adds the spread the mean hides). 120 groups, one
+    range-exchange, no single-task group anywhere (the O3/Y15
+    machinery). Fully value-hash oracled vs quantile_cont."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts")).cast("long").alias("hour"),
+        "value",
+    )
+    return ST.percentiles(ev, "value", ["event_type", "hour"],
+                          probs=BAND_PROBS)
+
+
+SQL_Q162 = f"""
+SELECT event_type, hour(ts)::BIGINT AS hour,
+       {sql_rnd('quantile_cont(value, 0.05)', 4)} AS p5,
+       {sql_rnd('quantile_cont(value, 0.50)', 4)} AS p50,
+       {sql_rnd('quantile_cont(value, 0.95)', 4)} AS p95
+FROM events GROUP BY event_type, hour(ts)
+"""
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -7195,14 +7360,15 @@ FROM m ORDER BY lag
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation (second wave): the 12 operators added after the
+    # r9 rotation (second wave): the 16 operators added after the
     # first r9 recording lead — q147 capacity forecast, q148 lag
     # correlation, q149 soft dedup, q150 nDCG audit, q151 silhouette,
     # q152 budget allocation, q153 word entropy, q154 RM3 expansion,
     # q155 JL distortion, q156 media inventory, q157 anomaly
-    # ensemble, q158 dup PageRank; then the first-wave ordering
-    # continues (its trailing r7-recorded fills dropped to the tail,
-    # re-pinned by snapshot_tail).
+    # ensemble, q158 dup PageRank, q159 packing report, q160 KS
+    # drift, q161 classifier AUC, q162 hourly bands; then the
+    # first-wave ordering continues (its trailing r7-recorded fills
+    # dropped to the tail, re-pinned by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7225,6 +7391,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q156_media_inventory": (q156_media_inventory, SQL_Q156),
     "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
     "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
+    "q159_packing_report": (q159_packing_report, SQL_Q159),
+    "q160_ks_drift": (q160_ks_drift, SQL_Q160),
+    "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
+    "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

@@ -2379,3 +2379,32 @@ def test_pair_pagerank_hub_outranks_leaves(spark):
     assert len(set(leaves)) == 1  # symmetric leaves tie exactly
     assert abs(out[8] - out[9]) < 1e-9
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_auc_perfect_constant_reversed_and_single_class(spark):
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "p double, label int")
+
+    perfect = mk([(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+    assert C.auc_score(perfect, "p", "label").collect()[0]["auc"] == 1.0
+    constant = mk([(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])
+    assert C.auc_score(constant, "p", "label").collect()[0]["auc"] == 0.5
+    reverse = mk([(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)])
+    assert C.auc_score(reverse, "p", "label").collect()[0]["auc"] == 0.0
+    single = mk([(0.4, 1), (0.6, 1)])
+    r = C.auc_score(single, "p", "label").collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_auc_ties_average_rank_hand_value(spark):
+    """pos scores {0.8, 0.5}, neg {0.5, 0.2}: the 0.5 tie contributes
+    half a win -> AUC = (1 + 0.5 + 1 + 0) / 4 = 0.875... wait:
+    pairs: (0.8 vs 0.5)=1, (0.8 vs 0.2)=1, (0.5 vs 0.5)=0.5,
+    (0.5 vs 0.2)=1 -> 3.5/4 = 0.875."""
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    df = spark.createDataFrame(
+        [(0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)], "p double, label int")
+    assert C.auc_score(df, "p", "label").collect()[0]["auc"] == 0.875

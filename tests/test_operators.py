@@ -493,3 +493,22 @@ def test_anomaly_ensemble_consistent_with_member_detectors(spark):
         assert r["vote_cusum"] == int(r["event_id"] in c)
         assert r["n_votes"] == r["vote_z"] + r["vote_mad"] + r["vote_cusum"]
     assert got, "the gate corpus must produce at least one co-fire"
+
+
+def test_ks_two_sample_identical_zero_disjoint_one(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = ST.ks_two_sample(a, b, "v").collect()[0]
+    assert r["ks_d"] == 0.0 and r["n_old"] == 10 and r["n_new"] == 10
+    c = spark.createDataFrame([(float(i + 100),) for i in range(10)],
+                              "v double")
+    r2 = ST.ks_two_sample(a, c, "v").collect()[0]
+    assert r2["ks_d"] == 1.0
+
+
+def test_ks_two_sample_hand_value(spark):
+    """a = {1,2,3,4}, b = {3,4,5,6}: ECDFs diverge most at v=2
+    (a: 0.5, b: 0.0) -> D = 0.5."""
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    assert ST.ks_two_sample(a, b, "v").collect()[0]["ks_d"] == 0.5
