@@ -2081,3 +2081,45 @@ def jl_distortion_audit(emb: DataFrame, id_col: str, vec_col: str,
             rnd(F.col("proj_d2") / F.col("orig_d2"), round_to),
         ).alias("distortion"),
     )
+
+
+def embedding_card(emb: DataFrame, id_col: str, vec_col: str,
+                   round_to: int = 6) -> DataFrame:
+    """One-row embedding-corpus card — the sanity audit run before
+    ANY vector stage (ANN, SemDeDup, PCA, quantization) trusts the
+    table: vector count, NULL rows, dimension envelope (min ≠ max ⇒
+    ragged arrays, the bug every downstream matmul hides as a crash),
+    zero-norm count (cosine poison), and the norm envelope/mean —
+    the embedding twin of q101's text corpus card.
+
+    Norms use the in-order fold (:func:`norm` ≡ DuckDB list_sum) and
+    pre-round at 8; only the mean needs the ladder — min/max of
+    rounded norms are arithmetic-free.
+
+    Shape at scale: one codegen map stage + one global combinable
+    agg. Nothing shuffles but the 1-row aggregate tree.
+    """
+    from ..util import rnd
+
+    e = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_e"),
+        F.when(F.col(vec_col).isNull(), 1).otherwise(0).alias("_isnull"),
+        F.size(F.col(vec_col)).alias("_dim"),
+    ).withColumn(
+        "_nrm",
+        F.when(F.col("_isnull") == 0, rnd(norm(F.col("_e")), 8)),
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("_isnull").cast("long").alias("n_null"),
+        F.min(F.when(F.col("_isnull") == 0, F.col("_dim")))
+         .cast("long").alias("min_dim"),
+        F.max(F.when(F.col("_isnull") == 0, F.col("_dim")))
+         .cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("_nrm") == 0.0, 1).otherwise(0))
+         .cast("long").alias("n_zero_norm"),
+        F.min("_nrm").alias("min_norm"),
+        F.max("_nrm").alias("max_norm"),
+        rnd(F.avg("_nrm"), round_to).alias("mean_norm"),
+    )

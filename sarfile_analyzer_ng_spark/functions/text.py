@@ -2173,3 +2173,83 @@ def word_entropy(df: DataFrame, text_col: str, id_col: str,
         )
     )
     return out
+
+
+def heaps_law(df: DataFrame, text_col: str, id_col: str,
+              buckets: int = 10, round_to: int = 6) -> DataFrame:
+    """Heaps'-law vocabulary growth curve V(N) ≈ k·N^b — the companion
+    diagnostic to :func:`zipf_stats`: how fast does the vocabulary
+    grow as the corpus grows? A curation stage that collapses b
+    (vocab stops growing) signals dedup/boilerplate saturation; one
+    that inflates it signals noise injection.
+
+    The corpus splits into ``buckets`` deterministic id-prefixes
+    (shard_hash order — any stable order works; the id hash avoids
+    crawl-order bias). The naive "count distinct vocab per prefix"
+    is quadratic in passes; instead each token type reduces to its
+    FIRST-occurrence bucket (one min-agg over the token stream), and
+    the cumulative count of first occurrences per bucket IS V(prefix)
+    — one pass, combinable aggs, a |buckets|-row cumulation.
+
+    Output: one row per prefix (bucket, cum docs, cum tokens, cum
+    vocab) with the fitted log-log slope ``heaps_b`` and intercept
+    ``heaps_logk`` attached (constant columns — the q101 corpus-card
+    convention); moments ride the 8-digit rnd ladder.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd, shard_hash
+
+    toks = _ws_tokens(df, text_col, id_col).where(F.col("w") != "")
+    b = shard_hash(F.col("doc"), buckets)
+    per_tok = toks.select(b.alias("_b"), "w")
+    first = per_tok.groupBy("w").agg(F.min("_b").alias("_fb"))
+    new_types = first.groupBy(F.col("_fb").alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_new_types")
+    )
+    doc_b = df.select(shard_hash(F.col(id_col), buckets).alias("_b"),
+                      F.col(id_col))
+    docs_per = doc_b.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"))
+    toks_per = per_tok.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_toks"))
+    base = (
+        docs_per.join(toks_per, "_b", "left")
+        .join(new_types, "_b", "left")
+        .select(
+            F.col("_b").alias("bucket"),
+            F.coalesce("_docs", F.lit(0)).alias("_docs"),
+            F.coalesce("_toks", F.lit(0)).alias("_toks"),
+            F.coalesce("_new_types", F.lit(0)).alias("_new"),
+        )
+    )
+    # |buckets|-row frame: the unpartitioned cumulation is bounded
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = base.select(
+        "bucket",
+        F.sum("_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("_toks").over(w).cast("long").alias("cum_tokens"),
+        F.sum("_new").over(w).cast("long").alias("cum_vocab"),
+    ).where(F.col("cum_tokens") > 0)
+    pts = cum.select(
+        "bucket", "cum_docs", "cum_tokens", "cum_vocab",
+        rnd(F.log(F.col("cum_tokens").cast("double")), 8).alias("_x"),
+        rnd(F.log(F.col("cum_vocab").cast("double")), 8).alias("_y"),
+    )
+    m = pts.agg(
+        rnd(F.avg("_x"), 8).alias("mx"), rnd(F.avg("_y"), 8).alias("my"),
+        rnd(F.avg(F.col("_x") * F.col("_y")), 8).alias("mxy"),
+        rnd(F.avg(F.col("_x") * F.col("_x")), 8).alias("mx2"),
+    )
+    varx = F.col("mx2") - F.col("mx") * F.col("mx")
+    slope = F.when(varx > 0,
+                   (F.col("mxy") - F.col("mx") * F.col("my")) / varx
+                   ).otherwise(F.lit(0.0))
+    fit = m.select(
+        rnd(slope, round_to).alias("heaps_b"),
+        rnd(F.col("my") - slope * F.col("mx"), round_to)
+        .alias("heaps_logk"),
+    )
+    return pts.select("bucket", "cum_docs", "cum_tokens", "cum_vocab") \
+        .crossJoin(F.broadcast(fit))

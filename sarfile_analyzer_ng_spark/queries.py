@@ -7317,6 +7317,107 @@ FROM tot
 """
 
 
+HEAPS_BUCKETS = 10
+_HB = ("(((doc_id % 1000003) * 2654435761) % "
+       f"{HEAPS_BUCKETS} + {HEAPS_BUCKETS}) % {HEAPS_BUCKETS}")
+
+
+def q163_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (functions/text.py:
+    heaps_law, r9): V(N) ≈ k·N^b over 10 deterministic id-hash
+    corpus prefixes — the companion to q125's Zipf diagnostics
+    ("is vocabulary still growing, or has boilerplate saturated
+    it?"). The quadratic per-prefix distinct count collapses to ONE
+    pass: each token type reduces to its first-occurrence bucket and
+    the cumulation of first occurrences IS V(prefix); log-log OLS on
+    the rnd ladder. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.heaps_law(docs, "text", "doc_id", buckets=HEAPS_BUCKETS)
+
+
+_HL_SLOPE = "CASE WHEN mx2 - mx*mx > 0 THEN (mxy - mx*my)/(mx2 - mx*mx) ELSE 0.0 END"
+
+SQL_Q163 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+t2 AS (SELECT {_HB} AS b, w FROM toks WHERE w != ''),
+firsts AS (SELECT w, min(b) AS fb FROM t2 GROUP BY w),
+newt AS (SELECT fb AS b, count(*)::BIGINT AS new_types
+         FROM firsts GROUP BY fb),
+docs AS (SELECT {_HB} AS b, count(*)::BIGINT AS n_docs
+         FROM documents GROUP BY 1),
+tks AS (SELECT b, count(*)::BIGINT AS n_toks FROM t2 GROUP BY b),
+base AS (
+  SELECT d.b AS bucket, d.n_docs,
+         coalesce(t.n_toks, 0) AS n_toks,
+         coalesce(n.new_types, 0) AS new_types
+  FROM docs d LEFT JOIN tks t ON t.b = d.b
+  LEFT JOIN newt n ON n.b = d.b),
+cum AS (
+  SELECT bucket,
+         sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS cum_docs,
+         sum(n_toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS cum_tokens,
+         sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS cum_vocab
+  FROM base),
+pts AS (
+  SELECT bucket, cum_docs, cum_tokens, cum_vocab,
+         {sql_rnd('ln(cum_tokens::DOUBLE)', 8)} AS x,
+         {sql_rnd('ln(cum_vocab::DOUBLE)', 8)} AS y
+  FROM cum WHERE cum_tokens > 0),
+m AS (
+  SELECT {sql_rnd('avg(x)', 8)} AS mx, {sql_rnd('avg(y)', 8)} AS my,
+         {sql_rnd('avg(x*y)', 8)} AS mxy, {sql_rnd('avg(x*x)', 8)} AS mx2
+  FROM pts),
+fit AS (
+  SELECT {sql_rnd(_HL_SLOPE, 6)} AS heaps_b,
+         {sql_rnd(f'my - ({_HL_SLOPE}) * mx', 6)} AS heaps_logk
+  FROM m)
+SELECT bucket, cum_docs, cum_tokens, cum_vocab, heaps_b, heaps_logk
+FROM pts, fit
+"""
+
+
+def q164_embedding_card(spark, sf_dir):
+    """One-row embedding-corpus card (functions/similarity.py:
+    embedding_card, r9): vector/NULL counts, dimension envelope
+    (ragged-array detector), zero-norm count (cosine poison), norm
+    envelope/mean — the sanity audit before ANN/SemDeDup/PCA/PQ
+    trusts the table; the embedding twin of q101's text corpus card.
+    One map stage + one global combinable agg. Fully value-hash
+    oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_card(emb, "vec_id", "embedding")
+
+
+_EC_NRM = sql_rnd(
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)"
+    " * CAST(x AS DOUBLE))))", 8)
+
+SQL_Q164 = f"""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE len(embedding) END AS dim,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE {_EC_NRM} END AS nrm
+  FROM embeddings)
+SELECT count(*)::BIGINT AS n_vectors,
+       sum(is_null)::BIGINT AS n_null,
+       min(dim)::BIGINT AS min_dim, max(dim)::BIGINT AS max_dim,
+       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_zero_norm,
+       min(nrm) AS min_norm, max(nrm) AS max_norm,
+       {sql_rnd('avg(nrm)', 6)} AS mean_norm
+FROM e
+"""
+
+
 BAND_PROBS = (0.05, 0.5, 0.95)
 
 
@@ -7366,9 +7467,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q152 budget allocation, q153 word entropy, q154 RM3 expansion,
     # q155 JL distortion, q156 media inventory, q157 anomaly
     # ensemble, q158 dup PageRank, q159 packing report, q160 KS
-    # drift, q161 classifier AUC, q162 hourly bands; then the
-    # first-wave ordering continues (its trailing r7-recorded fills
-    # dropped to the tail, re-pinned by snapshot_tail).
+    # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
+    # q164 embedding card (18 total); then the first-wave ordering
+    # continues (its trailing r7-recorded fills dropped to the tail,
+    # re-pinned by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7395,6 +7497,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q160_ks_drift": (q160_ks_drift, SQL_Q160),
     "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
     "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
+    "q163_heaps_law": (q163_heaps_law, SQL_Q163),
+    "q164_embedding_card": (q164_embedding_card, SQL_Q164),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

@@ -2408,3 +2408,35 @@ def test_auc_ties_average_rank_hand_value(spark):
     df = spark.createDataFrame(
         [(0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)], "p double, label int")
     assert C.auc_score(df, "p", "label").collect()[0]["auc"] == 0.875
+
+
+def test_heaps_law_cumulative_vocab_and_duplication_collapse(spark):
+    """Cumulative vocab must equal the true distinct count per prefix;
+    a fully duplicated corpus flattens the fitted exponent versus a
+    vocabulary-growing one."""
+    grow = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(40)],
+        "doc_id long, text string")
+    flat = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(40)],
+        "doc_id long, text string")
+    g = TX.heaps_law(grow, "text", "doc_id", buckets=5).collect()
+    f = TX.heaps_law(flat, "text", "doc_id", buckets=5).collect()
+    # every doc contributes 20 fresh types: cum_vocab == 20 * cum_docs
+    for r in g:
+        assert r["cum_vocab"] == 20 * r["cum_docs"]
+    assert f[0]["cum_vocab"] == 6 and f[-1]["cum_vocab"] == 6
+    assert g[0]["heaps_b"] > 0.9
+    assert f[0]["heaps_b"] < 0.1
+
+
+def test_embedding_card_flags_ragged_null_and_zero_norm(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None),
+         (4, [1.0, 2.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    r = S.embedding_card(emb, "vec_id", "embedding").collect()[0]
+    assert r["n_vectors"] == 4 and r["n_null"] == 1
+    assert (r["min_dim"], r["max_dim"]) == (2, 3)  # ragged detected
+    assert r["n_zero_norm"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
