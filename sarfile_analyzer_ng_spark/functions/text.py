@@ -2253,3 +2253,129 @@ def heaps_law(df: DataFrame, text_col: str, id_col: str,
     )
     return pts.select("bucket", "cum_docs", "cum_tokens", "cum_vocab") \
         .crossJoin(F.broadcast(fit))
+
+
+def bigram_entropy(df: DataFrame, text_col: str, id_col: str,
+                   source_col: str, round_to: int = 4) -> DataFrame:
+    """Per-source bigram CONDITIONAL entropy H(w₂|w₁) in nats — the
+    one-number predictability diagnostic per corpus slice: templated
+    or machine-generated sources collapse toward 0 (the next word is
+    determined), diverse prose sits high. Complements the per-doc
+    scores (q84/q95/q126 score documents under a corpus LM; this
+    scores the SLICE itself) and q114's JS divergence (which compares
+    slices, but can't say either is internally repetitive).
+
+    ``H = − Σ p(w₁,w₂) · ln p(w₂|w₁)``, computed per source from the
+    exact bigram/context counts. Every term rides the ladder as a
+    SHARE (count/total pre-rounded at 8) times a log of a rounded
+    ratio — shares sum to 1, so term magnitudes stay inside the rnd
+    parity domain at ANY corpus size (the Z99 averages-not-sums
+    rule).
+
+    Shape at scale: one per-doc lead window (doc-keyed), a
+    (source, w₁, w₂)-keyed combinable agg, a (source, w₁) rollup,
+    and a broadcast per-source total — no pairwise work, skew
+    bounded by the hottest bigram.
+    """
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(source_col).alias("src"),
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    win = Window.partitionBy("doc").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(win))
+        .where(F.col("w2").isNotNull())
+        .groupBy("src", "w", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("n12"))
+    )
+    ctx = big.groupBy("src", "w").agg(
+        F.sum("n12").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("_pairs"),
+    )
+    tot = ctx.groupBy("src").agg(
+        F.sum("n1").alias("nb"),
+        F.sum("_pairs").cast("long").alias("n_unique_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_contexts"),
+    )
+    share = rnd(F.col("n12") / F.col("nb"), 8)
+    ratio = rnd(F.col("n12") / F.col("n1"), 8)
+    terms = (
+        big.join(ctx.select("src", "w", "n1"), ["src", "w"])
+        .join(F.broadcast(tot.select("src", "nb")), "src")
+        .select("src", rnd(-share * F.log(ratio), 8).alias("_t"))
+    )
+    ent = terms.groupBy("src").agg(
+        rnd(F.sum("_t"), round_to).alias("cond_entropy")
+    )
+    return tot.join(ent, "src").select(
+        F.col("src").alias(source_col),
+        F.col("nb").cast("long").alias("n_bigrams"),
+        "n_unique_bigrams",
+        "n_unique_contexts",
+        "cond_entropy",
+    )
+
+
+def coverage_curve(df: DataFrame, text_col: str, id_col: str,
+                   cutoffs: tuple[int, ...] = (100, 300, 1000, 3000),
+                   round_to: int = 6) -> DataFrame:
+    """Token-coverage curve: for each vocabulary-size cutoff K, the
+    fraction of all token OCCURRENCES covered by the K most frequent
+    types — the tokenizer-sizing diagnostic ("is a 32k vocab enough
+    for this corpus, or does the tail matter?") that turns q110's
+    single-vocab OOV audit into the curve a tokenizer designer
+    actually reads. Frequency ranks tie-break by token (the q125
+    Zipf convention) so the cut is engine-stable; a cutoff beyond
+    the vocabulary clamps to the full vocabulary (coverage 1.0).
+
+    Shape at scale: the token stream reduces to the model-sized
+    vocabulary frame (one combinable agg); the rank/cumulation
+    windows run over THAT frame only (the q125 convention), and the
+    output is |cutoffs| rows.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    toks = _ws_tokens(df, text_col, id_col).where(F.col("w") != "")
+    vc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    order = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    cum = vc.select(
+        F.row_number().over(order).alias("rk"),
+        F.sum("c").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cumc"),
+    )
+    tot = vc.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    cuts = (
+        df.sparkSession.range(0, len(cutoffs))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(int(k)) for k in cutoffs]),
+                (F.col("id") + 1).cast("int"),
+            ).alias("cutoff")
+        )
+    )
+    sel = cuts.crossJoin(F.broadcast(tot)).select(
+        "cutoff", "_n",
+        F.least(F.col("cutoff").cast("long"), F.col("_v")).alias("_rk"),
+    )
+    return (
+        sel.join(cum, sel["_rk"] == cum["rk"])
+        .select(
+            "cutoff",
+            F.col("_rk").cast("long").alias("vocab_used"),
+            F.col("cumc").cast("long").alias("covered_tokens"),
+            rnd(F.col("cumc").cast("double") / F.col("_n"), round_to)
+            .alias("coverage"),
+        )
+        .orderBy("cutoff")
+    )

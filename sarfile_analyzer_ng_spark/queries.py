@@ -7382,6 +7382,99 @@ FROM pts, fit
 """
 
 
+def q165_bigram_entropy(spark, sf_dir):
+    """Per-source bigram conditional entropy H(w₂|w₁) (functions/
+    text.py:bigram_entropy, r9): the slice-level predictability
+    diagnostic — templated/machine-generated sources collapse toward
+    0, diverse prose sits high; complements q84/q95/q126 (which score
+    DOCUMENTS under a corpus LM) and q114 (which compares slices but
+    can't see internal repetitiveness). Entropy terms ride the ladder
+    as shares (the Z99 averages rule), so the parity domain holds at
+    any corpus size. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return TX.bigram_entropy(docs, "text", "doc_id", "source")
+
+
+SQL_Q165 = rf"""
+WITH words AS (
+  SELECT source, doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents),
+big0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(l)),
+                i -> struct_pack(w := l[i], w2 := l[i+1]))) AS pr
+  FROM words WHERE len(l) >= 2),
+big AS (
+  SELECT source, pr.w AS w, pr.w2 AS w2, count(*)::DOUBLE AS n12
+  FROM big0 WHERE pr.w != '' AND pr.w2 != ''
+  GROUP BY source, pr.w, pr.w2),
+ctx AS (
+  SELECT source, w, sum(n12) AS n1, count(*)::BIGINT AS pairs
+  FROM big GROUP BY source, w),
+tot AS (
+  SELECT source, sum(n1) AS nb, sum(pairs)::BIGINT AS n_unique_bigrams,
+         count(*)::BIGINT AS n_unique_contexts
+  FROM ctx GROUP BY source),
+terms AS (
+  SELECT b.source,
+         {sql_rnd(f"-({sql_rnd('b.n12 / t.nb', 8)}) * ln({sql_rnd('b.n12 / c.n1', 8)})", 8)}
+           AS tt
+  FROM big b JOIN ctx c ON c.source = b.source AND c.w = b.w
+  JOIN tot t ON t.source = b.source),
+ent AS (
+  SELECT source, {sql_rnd('sum(tt)', 4)} AS cond_entropy
+  FROM terms GROUP BY source)
+SELECT t.source, t.nb::BIGINT AS n_bigrams, t.n_unique_bigrams,
+       t.n_unique_contexts, e.cond_entropy
+FROM tot t JOIN ent e USING (source)
+"""
+
+
+COVERAGE_CUTOFFS = (10, 20, 30, 50)
+
+
+def q166_coverage_curve(spark, sf_dir):
+    """Token-coverage curve (functions/text.py:coverage_curve, r9):
+    fraction of token occurrences covered by the top-K types at
+    several vocab cutoffs — the tokenizer-sizing diagnostic turning
+    q110's single-vocab OOV audit into the curve a designer reads
+    (cutoffs sized to the synthetic corpus's ~31-type vocab so the
+    clamp path is exercised live). Ranks tie-break by token (the
+    q125 convention); windows run over the model-sized vocab frame
+    only. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.coverage_curve(docs, "text", "doc_id",
+                             cutoffs=COVERAGE_CUTOFFS)
+
+
+SQL_Q166 = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+vc AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks WHERE w != '' GROUP BY w),
+cum AS (
+  SELECT row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+         sum(c) OVER (ORDER BY c DESC, w ASC
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM vc),
+tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::BIGINT AS v FROM vc),
+cuts AS (
+  SELECT unnest([{', '.join(str(int(k)) for k in COVERAGE_CUTOFFS)}])
+           AS cutoff),
+sel AS (
+  SELECT cutoff, t.n, least(cutoff, t.v)::BIGINT AS rk
+  FROM cuts, tot t)
+SELECT s.cutoff::INTEGER AS cutoff, s.rk AS vocab_used,
+       c.cumc::BIGINT AS covered_tokens,
+       {sql_rnd('c.cumc::DOUBLE / s.n', 6)} AS coverage
+FROM sel s JOIN cum c ON c.rk = s.rk
+ORDER BY s.cutoff
+"""
+
+
 def q164_embedding_card(spark, sf_dir):
     """One-row embedding-corpus card (functions/similarity.py:
     embedding_card, r9): vector/NULL counts, dimension envelope
@@ -7468,9 +7561,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q155 JL distortion, q156 media inventory, q157 anomaly
     # ensemble, q158 dup PageRank, q159 packing report, q160 KS
     # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
-    # q164 embedding card (18 total); then the first-wave ordering
-    # continues (its trailing r7-recorded fills dropped to the tail,
-    # re-pinned by snapshot_tail).
+    # q164 embedding card, q165 bigram entropy, q166 coverage curve
+    # (20 total); then the first-wave ordering continues (its
+    # trailing r7-recorded fills dropped to the tail, re-pinned by
+    # snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7499,6 +7593,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
     "q163_heaps_law": (q163_heaps_law, SQL_Q163),
     "q164_embedding_card": (q164_embedding_card, SQL_Q164),
+    "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
+    "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

@@ -1145,3 +1145,89 @@ def cusum_stream(stream: DataFrame, ts_col: str, key_col: str,
         "series", "ts", "value",
         rnd(F.col("raw_cusum"), round_to).alias("cusum"),
     )
+
+
+def trend_stream(stream: DataFrame, ts_col: str, key_col: str,
+                 value_col: str, round_to: int = 6) -> DataFrame:
+    """Streaming incremental OLS trend (ST24): the live twin of
+    ``operators.timeseries.trend_fit`` — per-series slope (units per
+    DAY) continuously current as samples arrive, so "which disk is
+    trending toward full" never waits for the next batch run.
+
+    State per series is SIX floats: the series' first-seen timestamp
+    (the centering origin — raw epoch seconds squared would burn
+    double precision at ~3e18; days-since-first keeps x² tiny, the
+    batch operator's same trick via its window MIN) plus the running
+    (n, Σx, Σy, Σxy, Σx²). Each arrival updates the sums and emits
+    the current slope estimate — an O(1) update, continuous across
+    micro-batch boundaries. Slope agrees with the batch fit on any
+    prefix up to the batch ladder's rounding (the ST19/ST23
+    tolerance contract, pytest-pinned); series still at n < 2 emit
+    NULL slope rather than a fabricated 0.
+    """
+    from ..util import rnd
+
+    out_schema = T.StructType([
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("raw_slope", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("n", T.DoubleType()),
+        T.StructField("sx", T.DoubleType()),
+        T.StructField("sy", T.DoubleType()),
+        T.StructField("sxy", T.DoubleType()),
+        T.StructField("sxx", T.DoubleType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        x0, n, sx, sy, sxy, sxx = (
+            state.get if state.exists else (None, 0.0, 0.0, 0.0, 0.0, 0.0)
+        )
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        out = []
+        for _, row in pdf.iterrows():
+            t = row[ts_col].timestamp()
+            if x0 is None:
+                x0 = t
+            x = (t - x0) / 86400.0
+            y = float(row[value_col])
+            n += 1.0
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+            varx = sxx / n - (sx / n) ** 2
+            slope = (
+                (sxy / n - (sx / n) * (sy / n)) / varx
+                if n >= 2 and varx > 0 else None
+            )
+            out.append((row[ts_col], y, int(n), slope))
+        state.update((float(x0), float(n), float(sx), float(sy),
+                      float(sxy), float(sxx)))
+        yield pd.DataFrame(
+            {
+                "series": series,
+                "ts": [r[0] for r in out],
+                "value": [r[1] for r in out],
+                "n_samples": [r[2] for r in out],
+                "raw_slope": [r[3] for r in out],
+            }
+        )
+
+    out = stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out.select(
+        "series", "ts", "value", "n_samples",
+        rnd(F.col("raw_slope"), round_to).alias("slope_per_day"),
+    )

@@ -2440,3 +2440,37 @@ def test_embedding_card_flags_ragged_null_and_zero_norm(spark):
     assert (r["min_dim"], r["max_dim"]) == (2, 3)  # ragged detected
     assert r["n_zero_norm"] == 1
     assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+
+
+def test_bigram_entropy_deterministic_vs_diverse_source(spark):
+    """A source whose next word is always determined has H(w2|w1)=0;
+    a source with two equally likely continuations has ln 2."""
+    import math
+
+    det = [(i, "det", "a b a b a b a b") for i in range(4)]
+    # from 'x': continuations y and z equally often; from y/z: always x
+    div = [(100 + i, "div", "x y x z x y x z x") for i in range(4)]
+    df = spark.createDataFrame(det + div,
+                               "doc_id long, source string, text string")
+    out = {r["source"]: r for r in TX.bigram_entropy(
+        df, "text", "doc_id", "source").collect()}
+    assert out["det"]["cond_entropy"] == 0.0
+    # div: 8 bigrams/doc; 'x->y' 2, 'x->z' 2, 'y->x' 2, 'z->x' 2
+    # H = P(x as context)=4/8 * ln2 + 0 = 0.5*ln2
+    assert abs(out["div"]["cond_entropy"] - 0.5 * math.log(2)) < 1e-3
+    assert out["div"]["n_unique_contexts"] == 3
+
+
+def test_coverage_curve_monotone_and_clamped(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d"), (2, "a b c e")],
+        "doc_id long, text string")
+    # counts: a=5 b=3 c=2 d=1 e=1 -> total 12, vocab 5
+    rows = TX.coverage_curve(df, "text", "doc_id",
+                             cutoffs=(1, 2, 100)).collect()
+    by = {r["cutoff"]: r for r in rows}
+    assert by[1]["coverage"] == round(5 / 12, 6)
+    assert by[2]["coverage"] == round(8 / 12, 6)
+    assert by[100]["vocab_used"] == 5 and by[100]["coverage"] == 1.0
+    covs = [by[k]["coverage"] for k in (1, 2, 100)]
+    assert covs == sorted(covs)

@@ -1516,3 +1516,67 @@ def test_cusum_stream_matches_batch_alarms_across_batches(spark, tmp_path):
     # alarms must span the micro-batch boundary (some before, some
     # after the split), or the test isn't exercising state carry-over
     assert min(got_map) < split <= max(got_map)
+
+
+def test_trend_stream_matches_batch_fit_across_batches(spark, tmp_path):
+    """ST24: the streamed incremental OLS slope must agree with the
+    batch trend_fit on the full series (ladder tolerance) even when
+    the series spans micro-batches, and early n<2 rows emit NULL."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+    t0 = 1_700_000_000
+    # y = 5 + 10*x_days + deterministic wiggle
+    vals = [5.0 + 10.0 * (i * 3600 / 86400.0) + ((i * 7) % 5) * 0.01
+            for i in range(30)]
+    rows = [("disk", t0 + 3600 * i, v) for i, v in enumerate(vals)]
+
+    batch_df = spark.createDataFrame(
+        [(k, dt.datetime.fromtimestamp(s, dt.timezone.utc)
+          .replace(tzinfo=None), v) for k, s, v in rows],
+        "series string, ts timestamp, value double",
+    )
+    batch_slope = TS.trend_fit(batch_df, "ts", "value",
+                               ["series"]).collect()[0]["slope_per_day"]
+
+    src = str(tmp_path / "trend_src")
+    os.makedirs(src)
+    for i, sl in enumerate((rows[:13], rows[13:])):
+        pdf = pd.DataFrame(
+            {
+                "series": [r[0] for r in sl],
+                "ts": pd.to_datetime([r[1] for r in sl], unit="s",
+                                     utc=True),
+                "value": [r[2] for r in sl],
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.trend_stream(stream, "ts", "series", "value")
+    q = (
+        out.writeStream.format("memory").queryName("trend_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("trend_stream").orderBy("ts").collect()
+    assert len(got) == len(vals)
+    assert got[0]["slope_per_day"] is None          # n = 1
+    assert got[0]["n_samples"] == 1
+    assert got[-1]["n_samples"] == len(vals)
+    # final streamed slope == batch fit (batch rounds its moments at
+    # 8 before deriving; the stream carries raw sums)
+    assert abs(got[-1]["slope_per_day"] - batch_slope) < 1e-4
+    # slope stabilizes near 10/day well before the end
+    assert abs(got[10]["slope_per_day"] - 10.0) < 0.2
