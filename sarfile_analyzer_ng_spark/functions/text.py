@@ -2379,3 +2379,61 @@ def coverage_curve(df: DataFrame, text_col: str, id_col: str,
         )
         .orderBy("cutoff")
     )
+
+
+def curriculum_order(df: DataFrame, text_col: str, id_col: str,
+                     source_col: str, phases: int = 3,
+                     num_shards: int = 8) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 applied to LLM
+    curation): assign every document a training PHASE by its
+    per-source quality percentile — cleanest third first, noisiest
+    last — and a deterministic shuffled (shard, pos) address WITHIN
+    its phase, so the loader reads phases in order but sees each
+    phase in a reproducible pseudorandom permutation. Composes the
+    two oracled primitives it sits on: :func:`quantile_normalize`
+    (per-source percentile — the cross-source-scale fix, so no
+    source is all-phase-2 just because its classifier scale runs
+    low) and :func:`epoch_shuffle`'s portable hash addressing (phase
+    mixed into the order key exactly like the epoch was).
+
+    Phase boundary arithmetic runs on the ROUNDED percentile
+    (engine-stable); phase = floor((1 − pct) · phases) clamped to
+    phases−1, so percentile 1.0 (best) → phase 0.
+
+    Shape at scale: the q129 source-keyed rank window + one
+    (phase, shard)-keyed row_number window — the q113 shape with
+    phase for epoch. No global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..util import rnd
+
+    scored = quality_score(
+        df.select(id_col, source_col, text_col), text_col
+    ).select(id_col, source_col, "quality")
+    qn = quantile_normalize(scored, "quality", [source_col])
+    p = F.lit(int(phases))
+    phase = F.least(
+        F.floor((F.lit(1.0) - F.col("pct_rank")) * p).cast("long"),
+        (p - 1).cast("long"),
+    )
+    base = qn.select(
+        id_col, source_col, "pct_rank", phase.alias("phase")
+    )
+    okey = F.col(id_col).cast("long") * 17 + F.col("phase") * 104729
+    shard = F.pmod(
+        ((F.col(id_col).cast("long") * 31 + F.col("phase") * 7919)
+         % 1_000_003) * 2654435761,
+        F.lit(int(num_shards)),
+    )
+    ordkey = F.pmod((okey % 999_983) * 2654435761, F.lit(1_000_000_007))
+    w = Window.partitionBy("phase", "shard").orderBy("_ord", id_col)
+    return (
+        base.select(
+            id_col, source_col, "pct_rank", "phase",
+            shard.cast("long").alias("shard"),
+            ordkey.alias("_ord"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ord")
+    )

@@ -6101,6 +6101,59 @@ FROM ranked
 SQL_Q129 = _sql_qnorm()
 
 
+CURR_PHASES, CURR_SHARDS = 3, 8
+
+
+def q167_curriculum_order(spark, sf_dir):
+    """Curriculum data ordering (functions/text.py:curriculum_order,
+    r9; Bengio et al. 2009): phase by per-source quality percentile —
+    cleanest third first — with a deterministic shuffled (shard, pos)
+    address within each phase; composes q129's per-source
+    percent_rank (the cross-source-scale fix) with q113's portable
+    hash addressing (phase mixed in exactly like the epoch). Phase
+    boundaries on the ROUNDED percentile; no global sort anywhere.
+    Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return TX.curriculum_order(docs, "text", "doc_id", "source",
+                               phases=CURR_PHASES,
+                               num_shards=CURR_SHARDS)
+
+
+def _sql_curriculum() -> str:
+    p = CURR_PHASES
+    return f"""
+WITH q38 AS ({SQL_Q38}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q38 q USING (doc_id)),
+ranked AS (
+  SELECT doc_id, source,
+         {sql_rnd("percent_rank() OVER (PARTITION BY source ORDER BY quality ASC)", 4)}
+           AS pct_rank
+  FROM scored),
+phased AS (
+  SELECT doc_id, source, pct_rank,
+         least(floor((1.0 - pct_rank) * {p})::BIGINT, {p - 1})
+           AS phase
+  FROM ranked),
+addressed AS (
+  SELECT doc_id, source, pct_rank, phase,
+         ((((doc_id * 31 + phase * 7919) % 1000003) * 2654435761)
+          % {CURR_SHARDS} + {CURR_SHARDS}) % {CURR_SHARDS} AS shard,
+         ((((doc_id * 17 + phase * 104729) % 999983) * 2654435761)
+          % 1000000007 + 1000000007) % 1000000007 AS okey
+  FROM phased)
+SELECT doc_id, source, pct_rank, phase, shard::BIGINT AS shard,
+       row_number() OVER (PARTITION BY phase, shard
+                          ORDER BY okey, doc_id)::BIGINT AS pos
+FROM addressed
+"""
+
+
+SQL_Q167 = _sql_curriculum()
+
+
 HG_BUCKETS, HG_ITERS, HG_LR = 8, 4, 0.5
 
 
@@ -7561,10 +7614,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q155 JL distortion, q156 media inventory, q157 anomaly
     # ensemble, q158 dup PageRank, q159 packing report, q160 KS
     # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
-    # q164 embedding card, q165 bigram entropy, q166 coverage curve
-    # (20 total); then the first-wave ordering continues (its
-    # trailing r7-recorded fills dropped to the tail, re-pinned by
-    # snapshot_tail).
+    # q164 embedding card, q165 bigram entropy, q166 coverage curve,
+    # q167 curriculum order (21 total); then the first-wave ordering
+    # continues (its trailing r7-recorded fills dropped to the tail,
+    # re-pinned by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7595,6 +7648,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q164_embedding_card": (q164_embedding_card, SQL_Q164),
     "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
     "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
+    "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

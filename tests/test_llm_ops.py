@@ -2474,3 +2474,34 @@ def test_coverage_curve_monotone_and_clamped(spark):
     assert by[100]["vocab_used"] == 5 and by[100]["coverage"] == 1.0
     covs = [by[k]["coverage"] for k in (1, 2, 100)]
     assert covs == sorted(covs)
+
+
+def test_curriculum_order_phases_and_addresses(spark):
+    """Highest per-source quality percentile lands in phase 0; each
+    (phase, shard) position sequence is contiguous from 1; phases
+    partition the corpus."""
+    rows = []
+    for i in range(30):
+        # longer docs score higher on the quality formula
+        words = ["the", "and", "for"] * (2 + (i % 10))
+        rows.append((i, "s" + str(i % 2), " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = TX.curriculum_order(df, "text", "doc_id", "source",
+                              phases=3, num_shards=4).collect()
+    assert len(out) == 30
+    by_phase = {}
+    for r in out:
+        assert 0 <= r["phase"] <= 2 and 0 <= r["shard"] <= 3
+        by_phase.setdefault(r["phase"], []).append(r)
+        if r["pct_rank"] == 1.0:
+            assert r["phase"] == 0
+        if r["pct_rank"] == 0.0:
+            assert r["phase"] == 2
+    assert set(by_phase) == {0, 1, 2}
+    from collections import Counter
+
+    for rows_p in by_phase.values():
+        c = Counter(r["shard"] for r in rows_p)
+        for sh, n in c.items():
+            poss = sorted(r["pos"] for r in rows_p if r["shard"] == sh)
+            assert poss == list(range(1, n + 1))
