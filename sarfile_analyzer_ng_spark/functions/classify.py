@@ -262,6 +262,12 @@ def auc_score(scored: DataFrame, score_col: str, label_col: str,
     corpus itself never sorts. Returns one row (n_pos, n_neg, auc);
     degenerate single-class inputs return NULL auc rather than a
     fabricated number.
+
+    Precision note: the rank sum is integer/half-integer arithmetic,
+    exact in doubles up to 2^52 ≈ 4.5e15 — comfortably past 10⁷
+    positives over a 10⁸-row corpus. Beyond that, split the corpus
+    by hash, AUC per split, and average (AUC is a U-statistic — the
+    split mean is unbiased).
     """
     from pyspark.sql import Window
 

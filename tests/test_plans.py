@@ -728,3 +728,56 @@ def test_jl_projection_out_dim_cross_is_broadcast(spark):
     p = plan(S.jl_project(emb, "vec_id", "embedding", 16))
     assert "BroadcastNestedLoopJoin" in p, p
     assert "BatchEvalPython" not in p
+
+
+def test_pagerank_rounds_are_joins_plus_aggs_no_cartesian(spark):
+    """q158: each unrolled round is an edge-keyed join + combinable
+    agg; the only cross join is the broadcast one-row node count."""
+    from sarfile_analyzer_ng_spark.queries import q158_dup_pagerank
+
+    p = plan(q158_dup_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_auc_ranks_distinct_scores_not_corpus(spark):
+    """q161: the rank cumulation runs over the distinct-score frame —
+    the corpus-sized side must not appear under a Sort/Window."""
+    from sarfile_analyzer_ng_spark.queries import q161_classifier_auc
+
+    df = q161_classifier_auc(spark, SF_DIR)
+    p = plan(df)
+    assert "BatchEvalPython" not in p
+    # exactly one Window (the below-count cumulation on the distinct
+    # frame); a corpus-wide ranking would add per-row windows
+    assert p.count("Window") <= 2, p
+
+
+def test_ks_drift_no_corpus_sort(spark):
+    from sarfile_analyzer_ng_spark.queries import q160_ks_drift
+
+    p = plan(q160_ks_drift(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_heaps_law_single_pass_no_python(spark):
+    from sarfile_analyzer_ng_spark.queries import q163_heaps_law
+
+    p = plan(q163_heaps_law(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_entropy_doc_keyed_window_no_python(spark):
+    """q165: the lead window must partition by the doc id — a global
+    adjacency window would serialize the corpus."""
+    from sarfile_analyzer_ng_spark.queries import q165_bigram_entropy
+
+    df = q165_bigram_entropy(spark, SF_DIR)
+    p = plan(df)
+    assert "BatchEvalPython" not in p
+    import re
+
+    wins = re.findall(r"Window \[.*?partitionBy.*?\]|Window \[[^\]]*\]", p)
+    assert any("doc" in w for w in wins), p
