@@ -54,8 +54,8 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sarfile_analyzer_ng_spark")
     ap.add_argument(
         "command",
-        choices=["files", "sections", "analyze", "stats", "curate", "card",
-                 "classify"],
+        choices=["files", "sections", "analyze", "stats", "forecast",
+                 "curate", "card", "classify"],
     )
     ap.add_argument("path")
     ap.add_argument("--file")
@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> None:
         "--limit", type=int, default=10_000,
         help="max rows printed (default 10000; <=0 means unlimited — "
         "streams batches through the driver instead of collecting)",
+    )
+    ap.add_argument(
+        "--threshold", type=float, default=100.0,
+        help="forecast: the capacity limit the trend is extrapolated "
+        "to (default 100.0 — the natural ceiling of sar %% metrics)",
     )
     ap.add_argument(
         "--pos-sources",
@@ -207,6 +212,27 @@ def main(argv: list[str] | None = None) -> None:
             sys.exit("--section required (see `sections`)")
         f = _first_file(df, args.file)
         show(api.statistics(df, f, args.section, args.device).orderBy("metric"))
+    elif args.command == "forecast":
+        # time-to-threshold per (metric, device) series — q147's
+        # capacity forecast pointed at a live sar section: "this
+        # filesystem fills in N days"
+        if not args.section:
+            sys.exit("--section required (see `sections`)")
+        from pyspark.sql import functions as F
+
+        from .operators.timeseries import capacity_forecast
+
+        f = _first_file(df, args.file)
+        sect = df.where(
+            (F.col("file") == f) & (F.col("section") == args.section)
+        )
+        if args.device is not None and args.device != "all":
+            sect = sect.where(F.col("device") == args.device)
+        show(
+            capacity_forecast(sect, "ts", "value", ["metric", "device"],
+                              limit=args.threshold)
+            .orderBy("metric", "device")
+        )
 
 
 if __name__ == "__main__":

@@ -304,3 +304,53 @@ def auc_score(scored: DataFrame, score_col: str, label_col: str,
             ),
         ).alias("auc"),
     )
+
+
+def kappa_agreement(a: DataFrame, b: DataFrame, id_col: str,
+                    a_col: str, b_col: str,
+                    round_to: int = 6) -> DataFrame:
+    """Cohen's kappa between two binary verdict frames (Cohen 1960):
+    chance-corrected agreement ``κ = (p_o − p_e)/(1 − p_e)`` — the
+    audit that answers "do my rule-based and learned quality filters
+    agree BEYOND the agreement their keep rates alone would produce?"
+    (two filters that each keep 95 % agree 90.5 % by pure chance).
+
+    One doc-keyed equi-join + a single 4-cell contingency aggregate;
+    the probabilities ride the rnd ladder, κ is one division of
+    rounded operands, and a degenerate pe = 1 (both verdicts
+    constant) returns NULL instead of 0/0.
+    """
+    from ..util import rnd
+
+    j = a.select(F.col(id_col), F.col(a_col).cast("long").alias("_x")) \
+         .join(b.select(F.col(id_col), F.col(b_col).cast("long")
+                        .alias("_y")), id_col)
+    c = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when((F.col("_x") == 1) & (F.col("_y") == 1), 1)
+               .otherwise(0)).cast("double").alias("n11"),
+        F.sum(F.when((F.col("_x") == 1) & (F.col("_y") == 0), 1)
+               .otherwise(0)).cast("double").alias("n10"),
+        F.sum(F.when((F.col("_x") == 0) & (F.col("_y") == 1), 1)
+               .otherwise(0)).cast("double").alias("n01"),
+        F.sum(F.when((F.col("_x") == 0) & (F.col("_y") == 0), 1)
+               .otherwise(0)).cast("double").alias("n00"),
+    )
+    po = rnd((F.col("n11") + F.col("n00")) / F.col("n"), 8)
+    pe = rnd(
+        ((F.col("n11") + F.col("n10")) / F.col("n"))
+        * ((F.col("n11") + F.col("n01")) / F.col("n"))
+        + ((F.col("n01") + F.col("n00")) / F.col("n"))
+        * ((F.col("n10") + F.col("n00")) / F.col("n")),
+        8,
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("both_keep"),
+        F.col("n00").cast("long").alias("both_drop"),
+        F.col("n10").cast("long").alias("only_rules"),
+        F.col("n01").cast("long").alias("only_classifier"),
+        rnd(po, round_to).alias("observed_agreement"),
+        F.when(pe < 1.0, rnd((po - pe) / (F.lit(1.0) - pe), round_to))
+         .alias("kappa"),
+    )

@@ -6154,6 +6154,53 @@ FROM addressed
 SQL_Q167 = _sql_curriculum()
 
 
+def q168_filter_agreement(spark, sf_dir):
+    """Cohen's kappa between the two quality filters (functions/
+    classify.py:kappa_agreement, r9; Cohen 1960): does the rule-based
+    C4/Gopher gate (q70 keep) agree with the learned classifier
+    (q104 pred) BEYOND CHANCE? Raw agreement is inflated when both
+    filters keep most documents; kappa removes the chance floor —
+    the audit run before trusting either filter as the other's
+    cheap surrogate. One doc-keyed join of two audited verdict
+    chains + a 4-cell contingency agg. Fully value-hash oracled."""
+    from .functions import classify as C
+
+    a = q70_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    b = q104_quality_classifier(spark, sf_dir).select("doc_id", "pred")
+    out = C.kappa_agreement(a, b, "doc_id", "keep", "pred")
+    out._cached_inputs = getattr(b, "_cached_inputs", [])
+    return out
+
+
+SQL_Q168 = f"""
+WITH a AS ({SQL_Q70}),
+b AS ({SQL_Q104}),
+j AS (
+  SELECT a.keep::BIGINT AS x, b.pred::BIGINT AS y
+  FROM a JOIN b USING (doc_id)),
+c AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::DOUBLE AS n11,
+         sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::DOUBLE AS n10,
+         sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::DOUBLE AS n01,
+         sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::DOUBLE AS n00
+  FROM j),
+p AS (
+  SELECT n, n11, n10, n01, n00,
+         {sql_rnd('(n11 + n00) / n', 8)} AS po,
+         {sql_rnd('((n11 + n10) / n) * ((n11 + n01) / n)'
+                  ' + ((n01 + n00) / n) * ((n10 + n00) / n)', 8)} AS pe
+  FROM c)
+SELECT n::BIGINT AS n_docs, n11::BIGINT AS both_keep,
+       n00::BIGINT AS both_drop, n10::BIGINT AS only_rules,
+       n01::BIGINT AS only_classifier,
+       {sql_rnd('po', 6)} AS observed_agreement,
+       CASE WHEN pe < 1.0
+            THEN {sql_rnd('(po - pe) / (1.0 - pe)', 6)} END AS kappa
+FROM p
+"""
+
+
 HG_BUCKETS, HG_ITERS, HG_LR = 8, 4, 0.5
 
 
@@ -7615,9 +7662,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ensemble, q158 dup PageRank, q159 packing report, q160 KS
     # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
     # q164 embedding card, q165 bigram entropy, q166 coverage curve,
-    # q167 curriculum order (21 total); then the first-wave ordering
-    # continues (its trailing r7-recorded fills dropped to the tail,
-    # re-pinned by snapshot_tail).
+    # q167 curriculum order, q168 filter agreement (22 total); then
+    # the first-wave ordering continues (its trailing r7-recorded
+    # fills dropped to the tail, re-pinned by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7649,6 +7696,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
     "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
     "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
+    "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

@@ -313,3 +313,47 @@ def test_cli_classify_prints_per_source_report(spark, capsys, monkeypatch):
     row = _json.loads(lines[0])
     assert set(row) == {"source", "n_docs", "avg_p_good", "n_pred_good"}
     assert 0.0 <= row["avg_p_good"] <= 1.0
+
+
+def test_cli_forecast_reports_time_to_threshold(spark, tmp_path, capsys,
+                                                monkeypatch):
+    """`forecast` extrapolates each (metric, device) series of a sar
+    section to the --threshold crossing — the q147 operator pointed
+    at live sar data."""
+    import json as _json
+
+    from sarfile_analyzer_ng_spark.__main__ import main
+
+    # a filesystem section trending up 2 %/hour from 50 %
+    lines = [
+        "Linux 5.14.21-default (host1) \t2024-01-15 \t_x86_64_\t(4 CPU)",
+        "",
+        "00:00:01  MBfsfree  %fsused FILESYSTEM",
+    ]
+    for h in range(1, 7):
+        lines.append(
+            f"0{h}:00:01     {1000 - h}    {50 + 2 * h:.2f} /dev/sda1"
+        )
+    d = tmp_path / "sar_fc"
+    d.mkdir()
+    (d / "sa1.txt").write_text("\n".join(lines) + "\n")
+    monkeypatch.setattr(
+        "sarfile_analyzer_ng_spark.session.get_spark", lambda name: spark
+    )
+    main(["forecast", str(d), "--section", "MBfsfree %fsused",
+          "--json", "--threshold", "100"])
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.splitlines() if l.strip()]
+    by = {r["metric"]: r for r in rows}
+    fs = by["%fsused"]
+    # 2 %/hour = 48 %/day; fit_now = 62 % -> crosses 100 % in
+    # (100 - 62) / 48 ≈ 0.79 days
+    assert fs["status"] == "rising"
+    assert abs(fs["slope_per_day"] - 48.0) < 0.01
+    assert abs(fs["days_to_limit"] - (100.0 - 62.0) / 48.0) < 0.01
+    free = by["MBfsfree"]
+    # free-space sits far ABOVE the 100 limit: already-breached, and
+    # no crossing time is fabricated for it
+    # toJSON omits NULL fields: no crossing time is fabricated
+    assert free["status"] == "breached"
+    assert free.get("days_to_limit") is None

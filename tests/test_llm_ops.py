@@ -2505,3 +2505,25 @@ def test_curriculum_order_phases_and_addresses(spark):
         for sh, n in c.items():
             poss = sorted(r["pos"] for r in rows_p if r["shard"] == sh)
             assert poss == list(range(1, n + 1))
+
+
+def test_kappa_perfect_chance_and_disagreement(spark):
+    from sarfile_analyzer_ng_spark.functions import classify as C
+
+    def mk(pairs):
+        a = spark.createDataFrame(
+            [(i, x) for i, (x, _) in enumerate(pairs)], "doc_id long, v int")
+        b = spark.createDataFrame(
+            [(i, y) for i, (_, y) in enumerate(pairs)], "doc_id long, v int")
+        return C.kappa_agreement(a, b, "doc_id", "v", "v").collect()[0]
+
+    perfect = mk([(1, 1), (0, 0), (1, 1), (0, 0)])
+    assert perfect["kappa"] == 1.0 and perfect["observed_agreement"] == 1.0
+    # independent-looking: agreement exactly at chance -> kappa 0
+    chance = mk([(1, 1), (1, 0), (0, 1), (0, 0)])
+    assert chance["kappa"] == 0.0 and chance["observed_agreement"] == 0.5
+    opposite = mk([(1, 0), (0, 1), (1, 0), (0, 1)])
+    assert opposite["kappa"] == -1.0
+    # both constant: pe = 1 -> NULL, not 0/0
+    const = mk([(1, 1), (1, 1), (1, 1)])
+    assert const["kappa"] is None and const["observed_agreement"] == 1.0
