@@ -7575,6 +7575,46 @@ ORDER BY s.cutoff
 """
 
 
+def q169_length_histogram(spark, sf_dir):
+    """Per-source document-length log₂ histogram (r9): counts per
+    power-of-two character-length bin — the "why is my p99 document
+    10 MB" profile every corpus datasheet opens with (q101 gives
+    moments; this gives the SHAPE — bimodal sources, truncation
+    spikes, boilerplate walls all show up as bins). Bin = the
+    integer log₂ band of n_chars (exact integer comparison domain:
+    floor(log2(n)) via bit length is replayed as floor(ln(n)/ln(2))
+    on ROUNDED doubles — both engines floor identical values because
+    the input is an exact integer and the ratio is pre-rounded at 8).
+    Empty docs land in bin −1. One codegen map + one (source, bin)
+    combinable agg. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    n = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    lb = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(rnd(F.log2(n), 8)).cast("int")
+    )
+    return (
+        docs.groupBy("source", lb.alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(n).cast("long").alias("min_chars"),
+            F.max(n).cast("long").alias("max_chars"),
+        )
+    )
+
+
+SQL_Q169 = f"""
+SELECT source,
+       CASE WHEN length(coalesce(text, '')) <= 0 THEN -1
+            ELSE floor({sql_rnd("ln(length(coalesce(text, ''))::DOUBLE) / ln(2.0)", 8)})::INTEGER
+       END AS log2_bin,
+       count(*)::BIGINT AS n_docs,
+       min(length(coalesce(text, '')))::BIGINT AS min_chars,
+       max(length(coalesce(text, '')))::BIGINT AS max_chars
+FROM documents
+GROUP BY source, log2_bin
+"""
+
+
 def q164_embedding_card(spark, sf_dir):
     """One-row embedding-corpus card (functions/similarity.py:
     embedding_card, r9): vector/NULL counts, dimension envelope
@@ -7662,9 +7702,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ensemble, q158 dup PageRank, q159 packing report, q160 KS
     # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
     # q164 embedding card, q165 bigram entropy, q166 coverage curve,
-    # q167 curriculum order, q168 filter agreement (22 total); then
-    # the first-wave ordering continues (its trailing r7-recorded
-    # fills dropped to the tail, re-pinned by snapshot_tail).
+    # q167 curriculum order, q168 filter agreement, q169 length
+    # histogram (23 total); then the first-wave ordering continues
+    # (its trailing r7-recorded fills dropped to the tail, re-pinned
+    # by snapshot_tail).
     # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
     # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
     # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
@@ -7697,6 +7738,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
     "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
     "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
+    "q169_length_histogram": (q169_length_histogram, SQL_Q169),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),

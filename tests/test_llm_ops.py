@@ -2527,3 +2527,28 @@ def test_kappa_perfect_chance_and_disagreement(spark):
     # both constant: pe = 1 -> NULL, not 0/0
     const = mk([(1, 1), (1, 1), (1, 1)])
     assert const["kappa"] is None and const["observed_agreement"] == 1.0
+
+
+def test_length_histogram_bins_hand_case(spark):
+    from sarfile_analyzer_ng_spark.queries import q169_length_histogram
+
+    df = spark.createDataFrame(
+        [("s", ""), ("s", "abcd"), ("s", "abcdefg"), ("s", "x" * 1024),
+         ("s", None)],
+        "source string, text string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    # drive the query function via a parquet dir shaped like testdata
+    df.selectExpr("monotonically_increasing_id() as doc_id", "text",
+                  "'en' as lang", "source",
+                  "length(coalesce(text,'')) as n_chars") \
+      .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {(r["source"], r["log2_bin"]): r
+           for r in q169_length_histogram(spark, d).collect()}
+    # "" and None -> bin -1 (2 docs); "abcd" -> log2(4)=2; "abcdefg"
+    # -> floor(log2 7)=2; 1024 -> bin 10
+    assert out[("s", -1)]["n_docs"] == 2
+    assert out[("s", 2)]["n_docs"] == 2
+    assert out[("s", 2)]["min_chars"] == 4
+    assert out[("s", 2)]["max_chars"] == 7
+    assert out[("s", 10)]["n_docs"] == 1
