@@ -1680,13 +1680,23 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3,
     generation upstream (never all-pairs); the node-count scalar
     rides a broadcast one-row frame, not a driver collect.
     """
+    from pyspark import StorageLevel
+
+    # the symmetric edge set feeds every unrolled round: persist it
+    # (and each round's rank frame) so round i+1's plan references an
+    # InMemoryRelation leaf instead of re-nesting the whole upstream
+    # lineage — without this the 3-round plan tree grows to ~290
+    # nodes and Catalyst compile time dominates wall time (the q143
+    # persisted-sims lesson applied to a graph walk). All persisted
+    # frames ride ``_cached_inputs`` for release().
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    cached = [edges]
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
@@ -1718,5 +1728,8 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3,
                     8,
                 ).alias("pr"),
             )
-        )
-    return pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(pr)
+    out = pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))
+    out._cached_inputs = cached  # see functions.dedup.release
+    return out
