@@ -354,3 +354,62 @@ def kappa_agreement(a: DataFrame, b: DataFrame, id_col: str,
         F.when(pe < 1.0, rnd((po - pe) / (F.lit(1.0) - pe), round_to))
          .alias("kappa"),
     )
+
+
+def threshold_sweep(scored: DataFrame, p_col: str = "p_good",
+                    label_col: str = "label",
+                    taus: tuple[float, ...] = tuple(
+                        round(t * 0.05, 2) for t in range(1, 20)),
+                    round_to: int = 6) -> DataFrame:
+    """Operating-point table for a score-vs-label classifier: for each
+    decision threshold τ, the confusion counts and precision / recall
+    / F1. This is the table a curator actually PICKS the filter
+    threshold from — q161's AUC says "the ranking discriminates",
+    q120's calibration says "the probabilities are honest"; this says
+    "at τ=0.6 you keep 84% of good docs and let 3% of bad ones
+    through" (the FineWeb-Edu-style threshold-selection step).
+
+    Thresholds are exact 2-digit literals and scores arrive already
+    rounded (4 digits upstream), so ``p ≥ τ`` can never straddle an
+    ulp across engines. P/R/F1 divide BIGINT counts and round at
+    ``round_to``; F1 is computed from the two already-rounded ratios
+    (the q84 derived-value contract). Empty cells yield NULL via
+    nullif, identically on both sides.
+
+    Shape at scale: ONE pass — each row contributes to every τ via a
+    |taus|-literal explode (row amplification |taus|×, on a 2-column
+    frame), then a |taus|-group combinable agg. No window, no join,
+    no Python.
+    """
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in taus])
+    ).alias("tau")
+    j = scored.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.col(p_col).alias("p"),
+        t,
+    )
+    pos = (F.col("p") >= F.col("tau")).cast("long")
+    agg = j.groupBy("tau").agg(
+        F.sum(pos * F.col("y")).alias("tp"),
+        F.sum(pos * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - pos) * F.col("y")).alias("fn"),
+        F.sum((1 - pos) * (1 - F.col("y"))).alias("tn"),
+    )
+    prec = rnd(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+               round_to)
+    rec = rnd(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+              round_to)
+    out = agg.select(
+        "tau", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+    f1 = rnd(
+        2 * F.col("precision") * F.col("recall")
+        / F.nullif(F.col("precision") + F.col("recall"), F.lit(0.0)),
+        round_to,
+    )
+    return out.select(
+        "tau", "tp", "fp", "fn", "tn", "precision", "recall",
+        f1.alias("f1"),
+    )

@@ -1733,3 +1733,55 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3,
     out = pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))
     out._cached_inputs = cached  # see functions.dedup.release
     return out
+
+
+def split_leakage(df: DataFrame, text_col: str, id_col: str,
+                  weights: dict[str, int]) -> DataFrame:
+    """Cross-split contamination audit (q175): assign the
+    deterministic hash split (:func:`functions.text.hash_split`),
+    fingerprint content with md5, and count exact-duplicate groups
+    that SPAN split boundaries — the train/test leakage the dedup
+    stack exists to prevent, measured directly at the seam.
+
+    One row per split pair (in ``weights`` order): ``n_groups`` =
+    fingerprint groups present on both sides, ``n_contam`` = docs on
+    the LATER side whose exact content also appears on the earlier
+    side (the eval rows you must drop). Shape at scale: one
+    content-hash groupBy (uniform 128-bit key — skew-free) + one
+    scalar agg per pair over the persisted group frame (released via
+    the ``_cached_inputs`` contract).
+    """
+    from .text import hash_split
+
+    splits = list(weights)
+    sp = hash_split(df.select(id_col, text_col), id_col, dict(weights))
+    g = (
+        sp.groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
+        )
+        .agg(
+            *[
+                F.sum((F.col("split") == s).cast("long")).alias(f"n_{s}")
+                for s in splits
+            ]
+        )
+        .persist()
+    )
+
+    def pair(a: str, b: str) -> DataFrame:
+        both = (F.col(f"n_{a}") > 0) & (F.col(f"n_{b}") > 0)
+        return g.agg(
+            F.lit(f"{a}-{b}").alias("pair"),
+            F.coalesce(F.sum(both.cast("long")), F.lit(0))
+            .cast("long").alias("n_groups"),
+            F.coalesce(F.sum(F.when(both, F.col(f"n_{b}"))), F.lit(0))
+            .cast("long").alias("n_contam"),
+        )
+
+    out = None
+    for i in range(len(splits)):
+        for j in range(i + 1, len(splits)):
+            p = pair(splits[i], splits[j])
+            out = p if out is None else out.unionAll(p)
+    out._cached_inputs = [g]
+    return out

@@ -2123,3 +2123,122 @@ def embedding_card(emb: DataFrame, id_col: str, vec_col: str,
         F.max("_nrm").alias("max_norm"),
         rnd(F.avg("_nrm"), round_to).alias("mean_norm"),
     )
+
+
+def kcenter_select(df: DataFrame, id_col: str, vec_col: str,
+                   k: int = 6, round_to: int = 6) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation; the active-learning coreset of
+    Sener & Savarese 2018): seed with the vector of largest norm, then
+    ``k−1`` times pick the point farthest (squared euclidean) from the
+    chosen set. The classic "cover the embedding space with k
+    exemplars" selection a curator runs to pick maximally-diverse
+    seed documents — the diversity-first complement of q146's
+    prototypicality pruning (which keeps the CENTER of mass; this
+    keeps the HULL).
+
+    The O(n·k) shape, incrementalized: a running ``dmin`` column
+    (distance to the nearest chosen center so far) is updated per
+    round as ``least(dmin, d²(·, newest center))`` — each round is ONE
+    scan + a 1-row TakeOrdered; the only driver state is the newest
+    center's vector (dim floats, model-sized — the Lloyd-iteration
+    contract). d² uses the dot-product identity
+    ``⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩`` with the self-products computed once,
+    rounded at ``round_to`` so IEEE summation-order skew cannot flip
+    an argmax; ties break on (rounded d² DESC, id ASC).
+
+    Returns the selection trace: (sel_round, id, d2) with d2 = the
+    chosen point's distance-to-set at selection (NULL for the seed) —
+    the monotone non-increasing d2 column IS the coverage-radius
+    curve (stop when d2 < tolerance).
+    """
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    ).withColumn("n2", dot(F.col("e"), F.col("e")))
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    seed = (
+        base.select("vid", "e", rnd(F.col("n2"), round_to).alias("r"))
+        .orderBy(F.col("r").desc(), F.col("vid").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    picks = [(1, int(seed.vid), None)]
+    cur = base.withColumn("dmin", F.lit(None).cast("double"))
+    cvec = seed.e
+    handles = []
+    for rno in range(2, int(k) + 1):
+        d2 = rnd(
+            F.col("n2") + dot(lit_arr(cvec), lit_arr(cvec))
+            - 2.0 * dot(F.col("e"), lit_arr(cvec)),
+            round_to,
+        )
+        cur = cur.select(
+            "vid", "e", "n2",
+            F.least(F.coalesce("dmin", F.lit(float("inf"))), d2).alias("dmin"),
+        ).persist()
+        handles.append(cur)
+        top = (
+            cur.orderBy(F.col("dmin").desc(), F.col("vid").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rno, int(top.vid), float(top.dmin)))
+        cvec = top.e
+        # the new round's cache is materialized by the collect above;
+        # everything older is dead lineage — release it eagerly
+        while len(handles) > 1:
+            handles.pop(0).unpersist()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(r, v, d) for r, v, d in picks],
+        "sel_round long, " + id_col + " long, d2 double",
+    )
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
+                       top_k: int = 20, round_to: int = 6) -> DataFrame:
+    """Per-dimension standardized outlier score over an embedding
+    corpus — diagonal Mahalanobis: fit per-dim (μ_d, σ_d) in one
+    explode-agg (D rows — model-sized), then score every vector by
+    ``sqrt(mean_d ((x_d − μ_d)/σ_d)²)`` and return the top-k by score.
+    The "is this embedding from the same distribution as the rest"
+    audit run before SemDeDup/ANN trusts the table: corrupt encoders,
+    wrong-model rows, and truncated vectors all land in the tail
+    (complements q164's envelope card, which sees only norms/dims).
+
+    Degenerate dims (σ_d = 0 — a constant coordinate) contribute 0 by
+    definition. μ/σ are pre-rounded at 8, each per-dim term at 8, the
+    final score at ``round_to`` (the rnd parity contract). Shape at
+    scale: one N·D explode feeding a D-group agg, one broadcast join
+    back, one per-id agg, one top-k TakeOrdered — no window, no
+    Python, no driver state.
+    """
+    ex = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select("vid", "d", F.col("x").cast("double").alias("x"))
+    stats = ex.groupBy("d").agg(
+        rnd(F.avg("x"), 8).alias("mu"),
+        rnd(F.stddev_pop("x"), 8).alias("sd"),
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    # z*z, not pow(z, 2): both engines then run the identical multiply
+    term = F.when(F.col("sd") > 0, rnd(z * z, 8)).otherwise(F.lit(0.0))
+    scored = (
+        ex.join(F.broadcast(stats), "d")
+        .select("vid", term.alias("t"))
+        .groupBy("vid")
+        .agg(rnd(F.sqrt(F.avg("t")), round_to).alias("mah"))
+    )
+    return (
+        scored.orderBy(F.col("mah").desc(), F.col("vid").asc())
+        .limit(int(top_k))
+        .select(F.col("vid").alias(id_col), "mah")
+    )

@@ -2437,3 +2437,240 @@ def curriculum_order(df: DataFrame, text_col: str, id_col: str,
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_ord")
     )
+
+
+def moore_lewis(df: DataFrame, text_col: str, id_col: str,
+                in_domain_col: str, vocab_size: int = 20,
+                delta: float = 0.5, round_to: int = 4) -> DataFrame:
+    """Cross-entropy difference selection (Moore & Lewis 2010,
+    "Intelligent Selection of Language Model Training Data"): train
+    one unigram LM on the in-domain slice and one on its complement,
+    then score EVERY document by the per-token log-prob difference
+    ``avg_lp_in − avg_lp_gen``. Positive means "reads more like the
+    target domain than like the general pool" — the classic cheap
+    domain-selection filter a curator runs before any learned
+    classifier exists (the contrastive complement of
+    :func:`unigram_logprob`'s single-model fluency score).
+
+    Both models share :func:`unigram_logprob`'s vocabulary contract —
+    top-``vocab_size`` tokens by (count DESC, token ASC) with a pooled
+    <unk> mass — plus additive-δ smoothing so a token unseen on one
+    side (unk mass 0) still scores finitely:
+    ``lp = ln((c + δ) / (N + δ·(V+1)))`` with V+1 event classes
+    (V vocabulary types + <unk>). δ and the thresholds live on BOTH
+    engines as exact literals; per-token lps are pre-rounded at 8, the
+    per-doc means at ``round_to``, and ``ce_diff`` is a difference of
+    the two already-rounded means — identical across engines by the
+    rnd contract.
+
+    Shape at scale: ONE token explode (the corpus-sized pass), one
+    token-count agg carrying conditional in/out counts (shuffle keyed
+    by token), two V-row TakeOrdereds + two scalar aggs (the models),
+    then one broadcast-join scoring pass and a per-doc agg. Nothing
+    corpus-sized leaves the executors; no Python in the hot path.
+    ``selected = ce_diff > 0`` is the textbook operating point.
+    """
+    flags = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(in_domain_col).cast("int").alias("ind"),
+    )
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).join(flags, "doc")
+    cnts = toks.groupBy("w").agg(
+        F.sum("ind").cast("double").alias("c_in"),
+        F.sum(1 - F.col("ind")).cast("double").alias("c_gen"),
+    ).persist()  # feeds 2 vocabs + 2 unk masses + 2 totals; released
+    # by the caller via dedup.release (_cached_inputs contract)
+
+    def model(c_col: str):
+        tot = cnts.agg(F.sum(c_col).alias("n"))
+        vocab = (
+            cnts.where(F.col(c_col) > 0)
+            .orderBy(F.col(c_col).desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .select("w", F.col(c_col).alias("c"))
+        )
+        unk = (
+            cnts.join(F.broadcast(vocab.select("w")), "w", "left_anti")
+            .agg(F.coalesce(F.sum(c_col), F.lit(0.0)).alias("cu"))
+        )
+        return vocab, unk, tot
+
+    v_in, u_in, t_in = model("c_in")
+    v_gen, u_gen, t_gen = model("c_gen")
+    d = float(delta)
+    vp1 = float(vocab_size + 1)
+
+    def lp(c, cu, n):
+        return rnd(
+            F.log((F.coalesce(c, cu) + F.lit(d)) / (n + F.lit(d * vp1))), 8
+        )
+
+    scored = (
+        toks.select("doc", "w")
+        .join(F.broadcast(v_in.withColumnRenamed("c", "ci")), "w", "left")
+        .join(F.broadcast(v_gen.withColumnRenamed("c", "cg")), "w", "left")
+        .crossJoin(F.broadcast(u_in.withColumnRenamed("cu", "cui")))
+        .crossJoin(F.broadcast(u_gen.withColumnRenamed("cu", "cug")))
+        .crossJoin(F.broadcast(t_in.withColumnRenamed("n", "ni")))
+        .crossJoin(F.broadcast(t_gen.withColumnRenamed("n", "ng")))
+        .select(
+            "doc",
+            lp(F.col("ci"), F.col("cui"), F.col("ni")).alias("lpi"),
+            lp(F.col("cg"), F.col("cug"), F.col("ng")).alias("lpg"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        rnd(F.avg("lpi"), round_to).alias("avg_lp_in"),
+        rnd(F.avg("lpg"), round_to).alias("avg_lp_gen"),
+    )
+    ce = rnd(F.col("avg_lp_in") - F.col("avg_lp_gen"), round_to)
+    out = agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens", "avg_lp_in", "avg_lp_gen",
+        ce.alias("ce_diff"),
+        (ce > 0).cast("int").cast("long").alias("selected"),
+    )
+    out._cached_inputs = [cnts]  # see functions.dedup.release
+    return out
+
+
+def moore_lewis_model(df: DataFrame, text_col: str, in_domain_col: str,
+                      vocab_size: int = 20, delta: float = 0.5):
+    """Freeze the two Moore-Lewis unigram LMs into a bounded model for
+    row-local scoring (the ST18 ``bm25_model`` pattern): returns
+    ``(entries, unk_lpi, unk_lpg)`` where ``entries`` is one row per
+    union-vocabulary word ``(w, lpi, lpg)`` — at most ``2·vocab_size``
+    rows — and the unk pair scores every out-of-vocabulary token.
+
+    The log-probs are computed IN Spark with the exact expression
+    :func:`moore_lewis` uses (same smoothing, same 8-digit rnd), then
+    collected — so frozen-model scores can never drift from the batch
+    operator's. Driver state is the union vocabulary (model-sized,
+    the Lloyd/BPE collect contract)."""
+    flags = df.select(
+        F.col(in_domain_col).cast("int").alias("ind"),
+        F.col(text_col).alias("_t"),
+    )
+    toks = fan_out(flags).select(
+        "ind",
+        F.explode(F.split(F.lower(F.trim(F.col("_t"))), r"\s+")).alias("w"),
+    )
+    cnts = toks.groupBy("w").agg(
+        F.sum("ind").cast("double").alias("c_in"),
+        F.sum(1 - F.col("ind")).cast("double").alias("c_gen"),
+    ).persist()
+    d = float(delta)
+    vp1 = float(vocab_size + 1)
+
+    def side(c_col: str):
+        tot = cnts.agg(F.sum(c_col).alias("n")).collect()[0].n or 0.0
+        vocab = (
+            cnts.where(F.col(c_col) > 0)
+            .orderBy(F.col(c_col).desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .select("w", F.col(c_col).alias("c"))
+        )
+        vrows = {r.w: r.c for r in vocab.collect()}
+        unk = (
+            cnts.join(
+                F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        [(w,) for w in vrows] or [("",)], "w string"
+                    )
+                ),
+                "w",
+                "left_anti",
+            )
+            .agg(F.coalesce(F.sum(c_col), F.lit(0.0)).alias("cu"))
+            .collect()[0]
+            .cu
+        )
+        return vrows, float(unk), float(tot)
+
+    v_in, cu_in, n_in = side("c_in")
+    v_gen, cu_gen, n_gen = side("c_gen")
+    union = sorted(set(v_in) | set(v_gen))
+
+    # round the lp values with the ENGINE's rnd (not python round —
+    # BigDecimal half-up vs banker's), via one literal-frame select
+    def lp_expr(c: float | None, cu: float, n: float):
+        base = F.lit(c) if c is not None else F.lit(None).cast("double")
+        return rnd(
+            F.log((F.coalesce(base, F.lit(cu)) + F.lit(d))
+                  / (F.lit(n) + F.lit(d * vp1))), 8)
+
+    spark = df.sparkSession
+    sel = [
+        F.struct(
+            F.lit(w).alias("w"),
+            lp_expr(v_in.get(w), cu_in, n_in).alias("lpi"),
+            lp_expr(v_gen.get(w), cu_gen, n_gen).alias("lpg"),
+        ).alias(f"_e{i}")
+        for i, w in enumerate(union)
+    ] + [
+        F.struct(
+            F.lit(None).cast("string").alias("w"),
+            lp_expr(None, cu_in, n_in).alias("lpi"),
+            lp_expr(None, cu_gen, n_gen).alias("lpg"),
+        ).alias("_unk")
+    ]
+    row = spark.range(1).select(*sel).collect()[0]
+    cnts.unpersist()
+    entries = [(e.w, float(e.lpi), float(e.lpg)) for e in row[:-1]]
+    unk = row[-1]
+    return entries, float(unk.lpi), float(unk.lpg)
+
+
+def moore_lewis_score_rows(df: DataFrame, text_col: str, id_col: str,
+                           model, unk_lpi: float, unk_lpg: float,
+                           passthrough: tuple[str, ...] = (),
+                           round_to: int = 4) -> DataFrame:
+    """Row-local Moore-Lewis scoring against a frozen model — a PURE
+    PROJECTION (per-row array HOFs over the token split: no explode,
+    no shuffle, no state), so it runs identically on a batch frame
+    and on a streaming frame (ST25). Same output contract as
+    :func:`moore_lewis` (n_tokens / avg_lp_in / avg_lp_gen / ce_diff
+    / selected), with the model's pre-rounded lps standing in for the
+    join-computed ones."""
+    mi = F.map_from_arrays(
+        F.array(*[F.lit(w) for w, _, _ in model]),
+        F.array(*[F.lit(lpi) for _, lpi, _ in model]),
+    )
+    mg = F.map_from_arrays(
+        F.array(*[F.lit(w) for w, _, _ in model]),
+        F.array(*[F.lit(lpg) for _, _, lpg in model]),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def mean_lp(m, unk):
+        s = F.aggregate(
+            F.transform(
+                toks,
+                lambda w: F.coalesce(F.element_at(m, w), F.lit(unk)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return rnd(s / F.size(toks), round_to)
+
+    ali = mean_lp(mi, unk_lpi)
+    alg = mean_lp(mg, unk_lpg)
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        F.size(toks).cast("long").alias("n_tokens"),
+        ali.alias("avg_lp_in"),
+        alg.alias("avg_lp_gen"),
+    )
+    ce = rnd(F.col("avg_lp_in") - F.col("avg_lp_gen"), round_to)
+    return out.select(
+        id_col, *passthrough, "n_tokens", "avg_lp_in", "avg_lp_gen",
+        ce.alias("ce_diff"),
+        (ce > 0).cast("int").cast("long").alias("selected"),
+    )

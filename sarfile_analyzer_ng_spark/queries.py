@@ -7679,6 +7679,361 @@ SELECT event_type, hour(ts)::BIGINT AS hour,
 FROM events GROUP BY event_type, hour(ts)
 """
 
+# --------------------------------------------------------------------
+# r9 wave 4: contrastive selection, bootstrap CIs, coreset selection,
+# embedding outliers, threshold sweep, split-leakage audit
+# --------------------------------------------------------------------
+
+ML_TARGET_LANG = "en"
+ML_VOCAB = 20
+ML_DELTA = 0.5
+
+
+def q170_moore_lewis(spark, sf_dir):
+    """Cross-entropy difference selection (functions/text.py:
+    moore_lewis; Moore & Lewis 2010): in-domain unigram LM (lang=en
+    docs) vs the complement LM, every doc scored by the per-token
+    log-prob difference — the classic cheap domain filter run before
+    any learned classifier exists (contrastive complement of q84's
+    single-model fluency). One token explode, one conditional count
+    agg, two broadcast V-row models, one scoring pass. Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ind0", (F.col("lang") == ML_TARGET_LANG).cast("int")
+    )
+    return TX.moore_lewis(docs, "text", "doc_id", "ind0",
+                          vocab_size=ML_VOCAB, delta=ML_DELTA)
+
+
+_ML_DEN = ML_DELTA * (ML_VOCAB + 1)
+
+SQL_Q170 = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+         CASE WHEN lang = '{ML_TARGET_LANG}' THEN 1 ELSE 0 END AS ind
+  FROM documents),
+cnts AS (
+  SELECT w, sum(ind)::DOUBLE AS c_in, sum(1 - ind)::DOUBLE AS c_gen
+  FROM toks GROUP BY w),
+ti AS (SELECT sum(c_in) AS n FROM cnts),
+tg AS (SELECT sum(c_gen) AS n FROM cnts),
+vi AS (SELECT w, c_in AS c FROM cnts WHERE c_in > 0
+       ORDER BY c_in DESC, w ASC LIMIT {ML_VOCAB}),
+vg AS (SELECT w, c_gen AS c FROM cnts WHERE c_gen > 0
+       ORDER BY c_gen DESC, w ASC LIMIT {ML_VOCAB}),
+ui AS (SELECT coalesce(sum(c_in), 0) AS cu FROM cnts
+       WHERE w NOT IN (SELECT w FROM vi)),
+ug AS (SELECT coalesce(sum(c_gen), 0) AS cu FROM cnts
+       WHERE w NOT IN (SELECT w FROM vg)),
+scored AS (
+  SELECT t.doc,
+         {sql_rnd(f'ln((coalesce(vi.c, ui.cu) + {ML_DELTA}) / (ti.n + {_ML_DEN}))', 8)} AS lpi,
+         {sql_rnd(f'ln((coalesce(vg.c, ug.cu) + {ML_DELTA}) / (tg.n + {_ML_DEN}))', 8)} AS lpg
+  FROM toks t
+  LEFT JOIN vi ON t.w = vi.w
+  LEFT JOIN vg ON t.w = vg.w, ti, tg, ui, ug),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_tokens,
+         {sql_rnd('avg(lpi)', 4)} AS avg_lp_in,
+         {sql_rnd('avg(lpg)', 4)} AS avg_lp_gen
+  FROM scored GROUP BY doc)
+SELECT doc AS doc_id, n_tokens, avg_lp_in, avg_lp_gen,
+       {sql_rnd('avg_lp_in - avg_lp_gen', 4)} AS ce_diff,
+       CASE WHEN {sql_rnd('avg_lp_in - avg_lp_gen', 4)} > 0
+            THEN 1 ELSE 0 END::BIGINT AS selected
+FROM agg
+"""
+
+
+BOOT_REPS = 200
+# Poisson(1) inverse-CDF thresholds scaled to the integer hash domain
+# [0, 1e6): P(X<=k) for k = 0..7; u >= the last threshold draws 8.
+# Exact integer comparisons — no float CDF can straddle an ulp.
+BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917,
+            999990)
+BOOT_PROBS = (0.05, 0.5, 0.95)
+
+
+def q171_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence bands (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams"): per-source
+    mean document length with a 90% bootstrap band from
+    200 replicates. Each (doc, replicate) draws a
+    DETERMINISTIC Poisson(1) weight via the portable integer hash
+    (inverse-CDF thresholds as exact integer literals), so the
+    resampling itself is engine-replayable — the one-pass,
+    shuffle-free way to put error bars on any corpus statistic at
+    100 TB (no resampled copies of the data, just one weighted agg
+    per replicate over a 3-column frame). Replicate means feed the
+    O3 distributed-rank percentile machinery. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+        .alias("x"),
+    )
+    reps = docs.select(
+        "doc_id", "source", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
+    )
+    u = F.pmod(
+        ((F.col("doc_id") * 131 + F.col("b")) % 1_000_003) * 2654435761,
+        F.lit(1_000_000),
+    )
+    w = F.when(u < BOOT_CDF[0], 0)
+    for i, thr in enumerate(BOOT_CDF[1:], start=1):
+        w = w.when(u < thr, i)
+    w = w.otherwise(len(BOOT_CDF)).cast("double")
+    means = (
+        reps.select("source", "b", w.alias("w"), "x")
+        .groupBy("source", "b")
+        .agg(
+            rnd(
+                F.sum(F.col("w") * F.col("x"))
+                / F.nullif(F.sum("w"), F.lit(0.0)),
+                6,
+            ).alias("mean_b")
+        )
+    )
+    bands = ST.percentiles(means, "mean_b", ["source"], probs=BOOT_PROBS)
+    est = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rnd(F.avg("x"), 6).alias("mean_chars"),
+    )
+    out = est.join(bands, "source")
+    out._cached_inputs = getattr(bands, "_cached_inputs", [])
+    return out
+
+
+def _sql_boot_w() -> str:
+    cases = " ".join(
+        f"WHEN u < {thr} THEN {i}" for i, thr in enumerate(BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE {len(BOOT_CDF)} END::DOUBLE"
+
+
+SQL_Q171 = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         length(coalesce(text, ''))::DOUBLE AS x
+  FROM documents),
+m AS (
+  SELECT source, b, {sql_rnd('sum(w * x) / nullif(sum(w), 0)', 6)} AS mean_b
+  FROM (
+    SELECT source, x, b, {_sql_boot_w()} AS w
+    FROM (
+      SELECT d.source, d.x, t.b,
+             ((((d.doc_id * 131 + t.b) % 1000003) * 2654435761)
+              % 1000000 + 1000000) % 1000000 AS u
+      FROM d, (SELECT unnest(range(0, {BOOT_REPS})) AS b) t))
+  GROUP BY source, b),
+bands AS (
+  SELECT source,
+         {sql_rnd('quantile_cont(mean_b, 0.05)', 4)} AS p5,
+         {sql_rnd('quantile_cont(mean_b, 0.50)', 4)} AS p50,
+         {sql_rnd('quantile_cont(mean_b, 0.95)', 4)} AS p95
+  FROM m GROUP BY source),
+est AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         {sql_rnd('avg(x)', 6)} AS mean_chars
+  FROM d GROUP BY source)
+SELECT est.source, n_docs, mean_chars, p5, p50, p95
+FROM est JOIN bands ON est.source = bands.source
+"""
+
+
+KCENTER_K = 6
+
+
+def _sql_kcenter(k: int = KCENTER_K) -> str:
+    """Unrolled greedy k-center as a CTE chain (the q86/q104/q118
+    iterative-oracle pattern): each round one argmax CTE + one
+    running-min distance CTE — the exact arithmetic kcenter_select
+    runs, including the rounded-then-least composition."""
+    def d2(x: str, c: str) -> str:
+        return (
+            f"list_dot_product({x}.e, {x}.e)"
+            f" + list_dot_product({c}.e, {c}.e)"
+            f" - 2 * list_dot_product({x}.e, {c}.e)"
+        )
+
+    parts = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL),
+c1 AS (
+  SELECT vec_id, e FROM (
+    SELECT vec_id, e, {sql_rnd('list_dot_product(e, e)', 6)} AS r
+    FROM e)
+  ORDER BY r DESC, vec_id ASC LIMIT 1),
+d1 AS (
+  SELECT x.vec_id, x.e, {sql_rnd(d2('x', 'c'), 6)} AS dmin
+  FROM e x, c1 c)"""]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, e, dmin FROM d{r - 1}"
+            f" ORDER BY dmin DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT x.vec_id, x.e,"
+                f" least(x.dmin, {sql_rnd(d2('x', 'c'), 6)}) AS dmin"
+                f" FROM d{r - 1} x, c{r} c)"
+            )
+    sels = ["SELECT 1::BIGINT AS sel_round, vec_id, NULL::DOUBLE AS d2 FROM c1"]
+    sels += [
+        f"SELECT {r}::BIGINT, vec_id, dmin FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def q172_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (functions/similarity.py:
+    kcenter_select; Gonzalez 1985, Sener & Savarese 2018): the
+    k-exemplar diversity cover of the embedding corpus — the
+    hull-first complement of q146's prototypicality pruning. k−1
+    linear scans with a running min-distance column; driver state is
+    one center vector per round (model-sized, the Lloyd contract).
+    The DuckDB twin unrolls all rounds into one CTE chain. Fully
+    value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_select(emb, "vec_id", "embedding", k=KCENTER_K)
+
+
+SQL_Q172 = _sql_kcenter()
+
+
+OUTLIER_TOPK = 20
+
+
+def q173_embedding_outliers(spark, sf_dir):
+    """Diagonal-Mahalanobis embedding outliers (functions/
+    similarity.py:embedding_outliers): per-dim (μ, σ) in one
+    explode-agg, every vector scored sqrt(mean_d z_d²), top-20 by
+    score — the "wrong-encoder / corrupt row" audit beside q164's
+    envelope card. One N·D explode, one D-row broadcast model, one
+    TakeOrdered. Fully value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb, "vec_id", "embedding",
+                                top_k=OUTLIER_TOPK)
+
+
+SQL_Q173 = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings WHERE embedding IS NOT NULL),
+st AS (
+  SELECT d, {sql_rnd('avg(x)', 8)} AS mu,
+         {sql_rnd('stddev_pop(x)', 8)} AS sd
+  FROM ex GROUP BY d),
+t AS (
+  SELECT vec_id,
+         CASE WHEN sd > 0
+              THEN {sql_rnd('((x - mu) / sd) * ((x - mu) / sd)', 8)}
+              ELSE 0.0 END AS t
+  FROM ex JOIN st USING (d)),
+s AS (SELECT vec_id, {sql_rnd('sqrt(avg(t))', 6)} AS mah
+      FROM t GROUP BY vec_id)
+SELECT vec_id, mah FROM s
+ORDER BY mah DESC, vec_id ASC LIMIT {OUTLIER_TOPK}
+"""
+
+
+SWEEP_TAUS = tuple(round(t * 0.05, 2) for t in range(1, 20))
+
+
+def q174_threshold_sweep(spark, sf_dir):
+    """Classifier operating-point table (functions/classify.py:
+    threshold_sweep): confusion counts + precision/recall/F1 at 19
+    thresholds over the q104 scores — the table a curator PICKS the
+    filter threshold from (q161 says the ranking works; q120 says
+    the probabilities are honest; this says what τ costs). One pass,
+    19× row amplification on a 2-column frame, one combinable agg.
+    Fully value-hash oracled by nesting the q104 chain."""
+    from .functions import classify as C
+
+    scored = q104_quality_classifier(spark, sf_dir)
+    out = C.threshold_sweep(scored, "p_good", "label", taus=SWEEP_TAUS)
+    out._cached_inputs = getattr(scored, "_cached_inputs", [])
+    return out
+
+
+_SWEEP_LIST = ", ".join(repr(t) for t in SWEEP_TAUS)
+
+SQL_Q174 = f"""
+WITH scored AS ({SQL_Q104}),
+j AS (
+  SELECT label AS y, p_good AS p, tau
+  FROM scored CROSS JOIN (SELECT unnest([{_SWEEP_LIST}]) AS tau)),
+agg AS (
+  SELECT tau,
+         sum(CASE WHEN p >= tau AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN p >= tau AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN p < tau AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN p < tau AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM j GROUP BY tau),
+pr AS (
+  SELECT tau, tp, fp, fn, tn,
+         {sql_rnd('tp / nullif(tp + fp, 0)', 6)} AS precision,
+         {sql_rnd('tp / nullif(tp + fn, 0)', 6)} AS recall
+  FROM agg)
+SELECT tau, tp, fp, fn, tn, precision, recall,
+       {sql_rnd('2 * precision * recall / nullif(precision + recall, 0)', 6)} AS f1
+FROM pr
+"""
+
+
+SPLIT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+
+
+def q175_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: assign the deterministic X6
+    hash split, fingerprint content (md5), and count exact-duplicate
+    groups that SPAN split boundaries — the train/test leakage the
+    whole dedup stack exists to prevent, measured directly at the
+    split seam (n_contam = docs on the later split side whose exact
+    content also appears on the earlier side). One content-hash
+    groupBy (uniform 128-bit key — skew-free at any scale) + three
+    scalar aggs over the group frame. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.split_leakage(docs, "text", "doc_id", dict(SPLIT_WEIGHTS))
+
+
+def _sql_split_pair(a: str, b: str) -> str:
+    return f"""SELECT '{a}-{b}' AS pair,
+       coalesce(sum(CASE WHEN n_{a} > 0 AND n_{b} > 0 THEN 1 END), 0)::BIGINT
+         AS n_groups,
+       coalesce(sum(CASE WHEN n_{a} > 0 AND n_{b} > 0 THEN n_{b} END), 0)::BIGINT
+         AS n_contam
+FROM g"""
+
+
+SQL_Q175 = f"""
+WITH s AS (
+  SELECT md5(coalesce(text, '')) AS fp,
+         ((((doc_id % 1000003) * 2654435761) % 100) + 100) % 100 AS bkt
+  FROM documents),
+sp AS (
+  SELECT fp, CASE WHEN bkt < 80 THEN 'train'
+                  WHEN bkt < 90 THEN 'val'
+                  ELSE 'test' END AS split
+  FROM s),
+g AS (
+  SELECT fp,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+  FROM sp GROUP BY fp)
+{_sql_split_pair('train', 'val')}
+UNION ALL
+{_sql_split_pair('train', 'test')}
+UNION ALL
+{_sql_split_pair('val', 'test')}
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -7717,6 +8072,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
     # gate over the capped memo), q56 (takes candidates from it), and
     # q32 (NULL-text coalesce in simhash32_portable + its oracle);
+    # r9 rotation (fourth wave): the 6 operators added after the
+    # third recording lead — q170 Moore-Lewis contrastive selection,
+    # q171 Poisson-bootstrap CIs, q172 greedy k-center coreset, q173
+    # embedding outliers, q174 classifier threshold sweep, q175
+    # cross-split leakage audit.
+    "q170_moore_lewis": (q170_moore_lewis, SQL_Q170),
+    "q171_bootstrap_ci": (q171_bootstrap_ci, SQL_Q171),
+    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
+    "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
+    "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
+    "q175_split_leakage": (q175_split_leakage, SQL_Q175),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),

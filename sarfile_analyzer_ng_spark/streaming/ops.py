@@ -1231,3 +1231,36 @@ def trend_stream(stream: DataFrame, ts_col: str, key_col: str,
         "series", "ts", "value", "n_samples",
         rnd(F.col("raw_slope"), round_to).alias("slope_per_day"),
     )
+
+
+def moore_lewis_screen_stream(stream: DataFrame, text_col: str,
+                              id_col: str, model, unk_lpi: float,
+                              unk_lpg: float, ts_col: str = "ts",
+                              min_ce: float | None = None) -> DataFrame:
+    """Streaming Moore-Lewis domain screening (ST25): every ARRIVING
+    document scored by cross-entropy difference against the frozen
+    in-domain / general unigram LM pair — the ingest-side half of
+    q170, answering "does this new document read like the target
+    domain?" as data lands (the contrastive sibling of ST6's quality
+    gate and ST18's relevance screen).
+
+    ``model`` comes from :func:`functions.text.moore_lewis_model`
+    over the static corpus — at most 2·V rows + two unk scalars,
+    frozen at plan time as map literals (the ST8/ST12/ST18 bounded-
+    model pattern). Scoring is :func:`functions.text.
+    moore_lewis_score_rows` — the SAME row-local arithmetic on batch
+    and stream (verdicts cannot drift) and a PURE PROJECTION: per-row
+    array HOFs, no explode, no shuffle, NO STATE — append-safe with
+    zero watermark bookkeeping.
+
+    Emits the q170 contract (n_tokens / avg_lp_in / avg_lp_gen /
+    ce_diff / selected) plus the arrival timestamp; ``min_ce`` cuts
+    to "in-domain enough" rows at the source."""
+    from ..functions.text import moore_lewis_score_rows
+
+    out = moore_lewis_score_rows(stream, text_col, id_col, model,
+                                 unk_lpi, unk_lpg,
+                                 passthrough=(ts_col,))
+    if min_ce is not None:
+        out = out.where(F.col("ce_diff") >= float(min_ce))
+    return out
