@@ -682,3 +682,113 @@ def rm3_expansion(corpus: DataFrame, queries: DataFrame, text_col: str,
             "rm_weight",
         )
     )
+
+
+QL_MU = 300.0
+
+
+def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
+            id_col: str, query_id_col: str = "query_id",
+            query_col: str = "query", mu: float = QL_MU,
+            k: int = 10, round_to: int = 4) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    1998's LM approach with Zhai & Lafferty 2001's Dirichlet prior) —
+    the second classical lexical ranking model beside BM25 (q124):
+    rank documents by ``log p(q|d)`` under each document's smoothed
+    unigram LM, ``p(w|d) = (tf + μ·p(w|C)) / (dl + μ)``.
+
+    Scored via the standard postings-friendly decomposition: for the
+    matched terms ``Σ qtf·log(1 + tf·|C| / (μ·cf))``, plus a
+    doc-length normalizer ``nq·log(μ / (dl + μ))`` and a per-query
+    constant ``Σ qtf·log(cf / |C|)`` (kept, so the score IS the true
+    log-likelihood over in-vocabulary terms, comparable across docs
+    AND queries). Query terms absent from the corpus vocabulary are
+    dropped (they would zero the likelihood; documented contract).
+    Candidate docs = those sharing ≥1 term, the standard top-k
+    practice — a doc matching nothing ranks below every candidate by
+    construction.
+
+    Determinism: per-term logs pre-round at 8, the assembled score at
+    ``round_to``; rank ties break on doc id. Shape at scale: the
+    q124 shape exactly — postings ⨝ broadcast query model ⨝ doc
+    lengths → per-(q, doc) combinable agg → per-query rank window cut
+    at k. cf/|C| are one term-keyed agg + one scalar agg over the
+    SAME postings frame the index already has.
+    """
+    postings, doclen, _df_tbl, _ = _index_frames(corpus, text_col,
+                                                 id_col)
+    cf = postings.groupBy("w").agg(F.sum("tf").alias("cf"))
+    ctot = doclen.agg(F.sum("dl").alias("ct"))
+    qtf = (
+        fan_out(queries)
+        .select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("qid", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    # query-side model: in-vocabulary terms with their collection
+    # stats — |queries|·|terms| rows, broadcast everywhere below
+    qv = qtf.join(cf, "w").crossJoin(F.broadcast(ctot))
+    qmodel = qv.select(
+        "qid", "w", "qtf", "cf",
+        rnd(F.log(F.col("cf") / F.col("ct")), 8).alias("lp_bg"),
+    )
+    qagg = qmodel.groupBy("qid").agg(
+        F.sum("qtf").alias("nq"),
+        rnd(F.sum(F.col("qtf") * F.col("lp_bg")), 6).alias("cq"),
+    )
+    m = float(mu)
+    matched = (
+        postings.join(F.broadcast(qmodel.select("qid", "w", "qtf", "cf")), "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "qid", "doc",
+            (
+                F.col("qtf")
+                * rnd(
+                    F.log(
+                        F.lit(1.0)
+                        + F.col("tf") * F.col("ct") / (F.lit(m) * F.col("cf"))
+                    ),
+                    8,
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("qid", "doc")
+        .agg(
+            rnd(F.sum("contrib"), 6).alias("msum"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    scored = (
+        matched.join(doclen, "doc")
+        .join(F.broadcast(qagg), "qid")
+        .select(
+            "qid", "doc", "n_terms_hit",
+            rnd(
+                F.col("msum")
+                + F.col("nq")
+                * rnd(F.log(F.lit(m) / (F.col("dl") + F.lit(m))), 8)
+                + F.col("cq"),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc").alias("doc_id"),
+            "score",
+            "n_terms_hit",
+        )
+    )

@@ -2242,3 +2242,56 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
         .limit(int(top_k))
         .select(F.col("vid").alias(id_col), "mah")
     )
+
+
+def fisher_separation(df: DataFrame, label_col: str, vec_col: str,
+                      round_to: int = 6) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio over a labeled
+    embedding corpus: between-class variance / within-class variance
+    for every coordinate — the "are these labels even separable in
+    this embedding space" audit a curator runs before training a
+    probe or trusting label-conditioned sampling (high-fisher dims
+    carry the class signal; all-low means the labels are noise to
+    this encoder).
+
+    ``between_d = Σ_l n_l·(μ_{l,d} − μ_d)² / N`` and
+    ``within_d = Σ_l n_l·σ²_{l,d} / N`` (the classic total-variance
+    split), assembled from per-(label, dim) moments — one N·D explode
+    into an (L·D)-group combinable agg (model-sized output), one
+    D-row overall-mean frame broadcast back, one D-group reduction.
+    No window, no Python, no driver state. Per-(label,dim) moments
+    pre-round at 8, the ratio at ``round_to``; within = 0 (constant
+    dim inside every class) yields NULL, identically on both sides.
+    """
+    ex = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select("lbl", "d", F.col("x").cast("double").alias("x"))
+    per_ld = ex.groupBy("lbl", "d").agg(
+        F.count(F.lit(1)).cast("double").alias("nl"),
+        rnd(F.avg("x"), 8).alias("ml"),
+        rnd(F.var_pop("x"), 8).alias("vl"),
+    )
+    per_d = ex.groupBy("d").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        rnd(F.avg("x"), 8).alias("m"),
+    )
+    j = per_ld.join(F.broadcast(per_d), "d")
+    dev = F.col("ml") - F.col("m")
+    out = j.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        rnd(F.sum(F.col("nl") * dev * dev) / F.first("n"), 8)
+        .alias("var_between"),
+        rnd(F.sum(F.col("nl") * F.col("vl")) / F.first("n"), 8)
+        .alias("var_within"),
+    )
+    return out.select(
+        F.col("d").cast("long").alias("d"),
+        "n_classes", "var_between", "var_within",
+        rnd(
+            F.col("var_between") / F.nullif(F.col("var_within"), F.lit(0.0)),
+            round_to,
+        ).alias("fisher"),
+    )

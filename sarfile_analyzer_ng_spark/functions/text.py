@@ -2674,3 +2674,81 @@ def moore_lewis_score_rows(df: DataFrame, text_col: str, id_col: str,
         ce.alias("ce_diff"),
         (ce > 0).cast("int").cast("long").alias("selected"),
     )
+
+
+def unimax_allocation(inv: DataFrame, key_col: str, avail_col: str,
+                      budget: int, max_epochs: int = 4,
+                      round_to: int = 4) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a token budget as UNIFORMLY as possible
+    across sources, subject to a per-source repeat cap — no source is
+    seen more than ``max_epochs`` times. The fairness-first
+    alternative to proportional/temperature mixing (q64/q93) and
+    Hamilton quotas (q152): small sources get their full
+    ``max_epochs·inventory`` and the remaining budget splits equally
+    among the rest.
+
+    Closed-form waterfilling, no iteration: sources sorted ascending
+    by inventory are capped exactly while
+    ``cap_i · (n − i + 1) ≤ budget − Σ_{j<i} cap_j`` — the standard
+    prefix-capped argument (both sides integer-valued doubles, so the
+    comparison is EXACT, no rounding ladder needed); the crossover is
+    enforced as a running boolean min so a later row can never
+    re-enter the capped set. Uncapped sources share the leftover
+    equally; only the final share and the epochs ratio are rounded.
+
+    Every window is over the |sources|-row inventory frame (the
+    model, not the corpus — the q152 contract). Returns per source:
+    the allocation, epochs = alloc/inventory, and the capped flag.
+    """
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    asc = Window.partitionBy().orderBy(
+        F.col(avail_col).asc(), F.col(key_col).asc()
+    )
+    cap = F.col(avail_col).cast("double") * F.lit(float(int(max_epochs)))
+    b = float(int(budget))
+    base = inv.select(
+        key_col,
+        F.col(avail_col).cast("long").alias(avail_col),
+        cap.alias("_cap"),
+        F.row_number().over(asc).alias("_i"),
+        F.count(F.lit(1)).over(everything).alias("_n"),
+    )
+    prefix = F.coalesce(
+        F.sum("_cap").over(
+            asc.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    ok = (
+        F.col("_cap") * (F.col("_n") - F.col("_i") + 1)
+        <= F.lit(b) - prefix
+    ).cast("int")
+    flagged = base.select(
+        "*",
+        F.min(ok).over(
+            asc.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_capped"),
+    )
+    tot_capped = F.coalesce(
+        F.sum(F.when(F.col("_capped") == 1, F.col("_cap"))).over(everything),
+        F.lit(0.0),
+    )
+    n_uncap = (
+        F.col("_n") - F.sum("_capped").over(everything)
+    ).cast("double")
+    share = F.when(
+        n_uncap > 0, (F.lit(b) - tot_capped) / n_uncap
+    )
+    alloc = F.when(F.col("_capped") == 1, F.col("_cap")).otherwise(share)
+    out = flagged.select(
+        key_col,
+        avail_col,
+        rnd(alloc, round_to).alias("alloc_tokens"),
+        rnd(alloc / F.col(avail_col), 6).alias("epochs"),
+        F.col("_capped").cast("long").alias("capped"),
+    )
+    return out

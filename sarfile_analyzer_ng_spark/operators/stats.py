@@ -375,3 +375,42 @@ def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str,
         F.col("_tb").cast("long").alias("n_new"),
         "ks_d",
     )
+
+
+def winsorized_stats(df: DataFrame, value_col: str, by: list[str],
+                     lo: float = 0.05, hi: float = 0.95,
+                     round_to: int = 4) -> DataFrame:
+    """Winsorized per-group moments: clamp values at the group's
+    exact (lo, hi) percentiles, then take mean/stddev — the robust
+    location/scale estimate that, unlike trimming or MAD (q140),
+    keeps every row's vote while bounding any single row's leverage
+    (a 10 GB pathological document moves the winsorized mean by one
+    clamp width, not by its full length).
+
+    Two passes: the group percentiles come from :func:`percentiles`
+    (the skew-free distributed-rank machinery — no per-group
+    buffering), broadcast back onto the facts, then ONE combinable
+    agg over the clamped column. Clamping uses the already-rounded
+    percentile values, so both engines clamp identically; moments
+    round at ``round_to``. The raw mean rides along for the
+    "how much did the tail move me" delta.
+    """
+    pct = percentiles(df, value_col, by, probs=(lo, hi))
+    lo_c = "p" + f"{lo * 100:g}".replace(".", "_")
+    hi_c = "p" + f"{hi * 100:g}".replace(".", "_")
+    j = df.select(*by, value_col).join(F.broadcast(pct), by)
+    xw = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col(lo_c)),
+        F.col(hi_c),
+    )
+    out = j.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(lo_c).alias(lo_c),
+        F.max(hi_c).alias(hi_c),
+        rnd(F.avg(F.col(value_col).cast("double")), round_to)
+        .alias("raw_mean"),
+        rnd(F.avg(xw), round_to).alias("win_mean"),
+        rnd(F.stddev_pop(xw), round_to).alias("win_std"),
+    )
+    out._cached_inputs = getattr(pct, "_cached_inputs", [])
+    return out

@@ -8034,6 +8034,241 @@ UNION ALL
 """
 
 
+# --------------------------------------------------------------------
+# r9 wave 5: UniMax allocation, Dirichlet QL retrieval, Fisher
+# separation, winsorized robust stats
+# --------------------------------------------------------------------
+
+UNIMAX_BUDGET = 90_000
+UNIMAX_EPOCHS = 4
+
+
+def q176_unimax_allocation(spark, sf_dir):
+    """UniMax epoch-capped budget allocation (functions/text.py:
+    unimax_allocation; Chung et al. 2023): split the token budget as
+    uniformly as possible across sources with no source repeated
+    more than 4 epochs — the fairness-first alternative to q93's
+    temperature shares and q152's Hamilton quotas, closing the
+    mixture-policy family (proportional / temperature / quota /
+    DoReMi / UniMax). Closed-form prefix-capped waterfilling over
+    the |sources|-row inventory frame; the cap comparison is exact
+    integer-valued-double arithmetic. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).cast("long").alias("n_tokens")
+    )
+    return TX.unimax_allocation(inv, "source", "n_tokens",
+                                budget=UNIMAX_BUDGET,
+                                max_epochs=UNIMAX_EPOCHS)
+
+
+SQL_Q176 = f"""
+WITH inv AS (
+  SELECT source,
+         sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source),
+base AS (
+  SELECT source, n_tokens,
+         n_tokens::DOUBLE * {UNIMAX_EPOCHS} AS cap,
+         row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+         count(*) OVER () AS n
+  FROM inv),
+prefixed AS (
+  SELECT *,
+         coalesce(sum(cap) OVER (ORDER BY n_tokens ASC, source ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pfx
+  FROM base),
+flagged AS (
+  SELECT *,
+         min(CASE WHEN cap * (n - i + 1) <= {UNIMAX_BUDGET} - pfx
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY n_tokens ASC, source ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS capped
+  FROM prefixed),
+tot AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN capped = 1 THEN cap END) OVER (), 0)
+           AS tot_capped,
+         (n - sum(capped) OVER ())::DOUBLE AS n_uncap
+  FROM flagged),
+alloc AS (
+  SELECT source, n_tokens, capped,
+         CASE WHEN capped = 1 THEN cap
+              WHEN n_uncap > 0
+                THEN ({UNIMAX_BUDGET} - tot_capped) / n_uncap
+         END AS a
+  FROM tot)
+SELECT source, n_tokens,
+       {sql_rnd('a', 4)} AS alloc_tokens,
+       {sql_rnd('a / n_tokens', 6)} AS epochs,
+       capped::BIGINT AS capped
+FROM alloc
+"""
+
+
+def q177_ql_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (functions/
+    retrieval.py:ql_topk; Ponte & Croft 1998, Zhai & Lafferty 2001):
+    the second classical lexical ranking model beside q124's BM25 —
+    documents ranked by log p(query | doc's μ-smoothed unigram LM),
+    same eval-split queries, same postings/broadcast-model/rank-window
+    shape. The two models disagreeing on a doc is itself a curation
+    signal (q150's audit pattern applies). Fully value-hash
+    oracled."""
+    from .functions import retrieval as RV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1, QUERY_PREFIX_TOKENS,
+            ),
+        ).alias("query"),
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+
+
+def _sql_ql(k: int | None = None) -> str:
+    from .functions.retrieval import QL_MU
+
+    if k is None:
+        k = BM25_TOPK
+    mu = f"{QL_MU!r}"
+    return f"""
+WITH docs0 AS (SELECT doc_id, text FROM documents),
+qs AS (
+  SELECT doc_id AS qid,
+         (string_split_regex(lower(trim(text)), '\\s+'))[1:{QUERY_PREFIX_TOKENS}] AS qw
+  FROM docs0 WHERE doc_id % 50 = 0),
+qtf AS (
+  SELECT qid, w, count(*)::DOUBLE AS qtf
+  FROM (SELECT qid, unnest(qw) AS w FROM qs) GROUP BY qid, w),
+words AS (
+  SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM docs0 WHERE doc_id % 50 != 0),
+tok AS (SELECT doc, unnest(w) AS w FROM words),
+postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),
+doclen AS (SELECT doc, count(*)::DOUBLE AS dl FROM tok GROUP BY doc),
+cf AS (SELECT w, sum(tf) AS cf FROM postings GROUP BY w),
+ct AS (SELECT sum(dl) AS ct FROM doclen),
+qmodel AS (
+  SELECT q.qid, q.w, q.qtf, c.cf,
+         {sql_rnd('ln(c.cf / t.ct)', 8)} AS lp_bg
+  FROM qtf q JOIN cf c USING (w), ct t),
+qagg AS (
+  SELECT qid, sum(qtf) AS nq, {sql_rnd('sum(qtf * lp_bg)', 6)} AS cq
+  FROM qmodel GROUP BY qid),
+matched AS (
+  SELECT m.qid, p.doc,
+         {sql_rnd(f'sum(m.qtf * {sql_rnd(f"ln(1.0 + p.tf * t.ct / ({mu} * m.cf))", 8)})', 6)} AS msum,
+         count(*)::BIGINT AS n_terms_hit
+  FROM postings p JOIN qmodel m USING (w), ct t
+  GROUP BY m.qid, p.doc),
+scored AS (
+  SELECT s.qid, s.doc, s.n_terms_hit,
+         {sql_rnd(f's.msum + a.nq * {sql_rnd(f"ln({mu} / (l.dl + {mu}))", 8)} + a.cq', 4)} AS score
+  FROM matched s
+  JOIN doclen l ON l.doc = s.doc
+  JOIN qagg a ON a.qid = s.qid),
+ranked AS (
+  SELECT qid, doc, score, n_terms_hit,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC)
+           AS rnk
+  FROM scored)
+SELECT qid AS query_id, rnk::BIGINT AS "rank", doc AS doc_id, score,
+       n_terms_hit
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+SQL_Q177 = _sql_ql()
+
+
+def q178_fisher_separation(spark, sf_dir):
+    """Per-dimension Fisher discriminant ratio (functions/
+    similarity.py:fisher_separation): between-class over within-class
+    variance of every embedding coordinate against the stored labels
+    — "are these labels separable in this space" audited before any
+    probe training or label-conditioned sampling trusts them (the
+    labeled-data sibling of q151's unsupervised silhouette). One N·D
+    explode into an (L·D)-group combinable agg + a D-row broadcast.
+    Fully value-hash oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.fisher_separation(emb, "label", "embedding")
+
+
+SQL_Q178 = f"""
+WITH ex AS (
+  SELECT label AS lbl, unnest(range(0, len(embedding))) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+per_ld AS (
+  SELECT lbl, d, count(*)::DOUBLE AS nl,
+         {sql_rnd('avg(x)', 8)} AS ml,
+         {sql_rnd('var_pop(x)', 8)} AS vl
+  FROM ex GROUP BY lbl, d),
+per_d AS (
+  SELECT d, count(*)::DOUBLE AS n, {sql_rnd('avg(x)', 8)} AS m
+  FROM ex GROUP BY d),
+agg AS (
+  SELECT p.d, count(*)::BIGINT AS n_classes,
+         {sql_rnd('sum(nl * (ml - m) * (ml - m)) / any_value(n)', 8)}
+           AS var_between,
+         {sql_rnd('sum(nl * vl) / any_value(n)', 8)} AS var_within
+  FROM per_ld p JOIN per_d USING (d) GROUP BY p.d)
+SELECT d::BIGINT AS d, n_classes, var_between, var_within,
+       {sql_rnd('var_between / nullif(var_within, 0)', 6)} AS fisher
+FROM agg
+"""
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q179_winsorized_stats(spark, sf_dir):
+    """Winsorized per-series moments (operators/stats.py:
+    winsorized_stats): clamp each event type's values at its exact
+    p5/p95 (the O3 distributed-rank percentiles), then mean/stddev —
+    the robust location/scale that keeps every row's vote while
+    bounding any one row's leverage (beside q140's MAD, which
+    discards shape; and q20's z-scores, which the tail itself
+    corrupts). Two passes: skew-free percentile + one combinable
+    clamped agg. Fully value-hash oracled."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ST.winsorized_stats(ev, "value", ["event_type"],
+                               lo=WINSOR_LO, hi=WINSOR_HI)
+
+
+SQL_Q179 = f"""
+WITH pct AS (
+  SELECT event_type,
+         {sql_rnd('quantile_cont(value, 0.05)', 4)} AS p5,
+         {sql_rnd('quantile_cont(value, 0.95)', 4)} AS p95
+  FROM events GROUP BY event_type),
+j AS (
+  SELECT e.event_type, e.value, p.p5, p.p95,
+         least(greatest(e.value, p.p5), p.p95) AS xw
+  FROM events e JOIN pct p USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n,
+       min(p5) AS p5, max(p95) AS p95,
+       {sql_rnd('avg(value)', 4)} AS raw_mean,
+       {sql_rnd('avg(xw)', 4)} AS win_mean,
+       {sql_rnd('stddev_pop(xw)', 4)} AS win_std
+FROM j GROUP BY event_type
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8083,6 +8318,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
     "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
     "q175_split_leakage": (q175_split_leakage, SQL_Q175),
+    # r9 wave 5: q176 UniMax allocation, q177 Dirichlet QL retrieval,
+    # q178 Fisher label-separation audit, q179 winsorized moments
+    "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
+    "q177_ql_topk": (q177_ql_topk, SQL_Q177),
+    "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
+    "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),

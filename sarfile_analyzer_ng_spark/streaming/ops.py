@@ -1264,3 +1264,48 @@ def moore_lewis_screen_stream(stream: DataFrame, text_col: str,
     if min_ce is not None:
         out = out.where(F.col("ce_diff") >= float(min_ce))
     return out
+
+
+def split_leak_stream(stream: DataFrame, static_docs: DataFrame,
+                      text_col: str, id_col: str,
+                      weights: dict[str, int],
+                      ts_col: str = "ts") -> DataFrame:
+    """Streaming cross-split leakage sentinel (ST26): every ARRIVING
+    document is assigned its deterministic hash split, content-
+    fingerprinted, and probed against the OTHER splits of the static
+    corpus — the live twin of q175's batch audit, catching "this new
+    crawl doc is byte-identical to something already in the test
+    split" at ingest, before the contamination lands (the ST20 CDC
+    shape pointed at the split seam).
+
+    The static side reduces to (fingerprint, split, n) — one row per
+    distinct content per split, corpus-METADATA sized, with splits
+    assigned by the same :func:`functions.text.hash_split` the batch
+    audit uses (verdicts cannot drift). The probe is a stream-static
+    equi-join on the md5 key; ``split != matched_split`` keeps only
+    cross-split hits. NO stream state, no watermark — pure
+    per-arrival classification; same-split duplicates are ST5's job.
+
+    Emits ``(id, ts, split, matched_split, n_matches)`` per arriving
+    doc × contaminated split."""
+    from ..functions.text import hash_split
+
+    ref = (
+        hash_split(static_docs.select(id_col, text_col), id_col,
+                   dict(weights))
+        .groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+            F.col("split").alias("matched_split"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    arriving = hash_split(
+        stream.select(id_col, text_col, ts_col), id_col, dict(weights)
+    ).withColumn(
+        "fp", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return (
+        arriving.join(ref, "fp")
+        .where(F.col("split") != F.col("matched_split"))
+        .select(id_col, ts_col, "split", "matched_split", "n_matches")
+    )
