@@ -20,6 +20,7 @@ quality → exact-dedup → decontamination funnel per (source, stage):
     python -m sarfile_analyzer_ng_spark card <docs_parquet> [--json]
     python -m sarfile_analyzer_ng_spark classify <docs_parquet>
         [--pos-sources S1,S2,...] [--json]
+    python -m sarfile_analyzer_ng_spark leakage <docs_parquet> [--json]
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "command",
         choices=["files", "sections", "analyze", "stats", "forecast",
-                 "curate", "card", "classify"],
+                 "curate", "card", "classify", "leakage"],
     )
     ap.add_argument("path")
     ap.add_argument("--file")
@@ -177,6 +178,21 @@ def main(argv: list[str] | None = None) -> None:
             )
             .orderBy("source")
         )
+        return
+
+    if args.command == "leakage":
+        # cross-split exact-dup contamination at the 80/10/10 hash
+        # seam (q175 pointed at a live corpus)
+        from .functions.dedup import release, split_leakage
+
+        docs = spark.read.parquet(args.path)
+        for col in ("doc_id", "text"):
+            if col not in docs.columns:
+                sys.exit(f"leakage needs a ({col}) column in {args.path}")
+        out = split_leakage(docs, "text", "doc_id",
+                            {"train": 80, "val": 10, "test": 10})
+        show(out)
+        release(out)
         return
 
     if args.command == "card":

@@ -8269,6 +8269,209 @@ FROM j GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------
+# r9 wave 6: ranker agreement, k-anonymity, Benford audit
+# --------------------------------------------------------------------
+
+
+def q180_ranker_agreement(spark, sf_dir):
+    """BM25 vs query-likelihood agreement audit: per eval query, how
+    much the two classical lexical rankers (q124, q177) agree —
+    top-k overlap share and whether they crown the same top-1. Low
+    overlap marks queries whose retrieval is MODEL-dependent (length
+    normalization is the usual culprit) — exactly the queries a
+    decontamination sweep should hand to the semantic path (q108)
+    instead of trusting either lexical list alone. Both inputs are
+    |queries|·k RESULT frames, so the audit is corpus-cost-free
+    beyond its already-audited parents (the q150 pattern). Fully
+    value-hash oracled by nesting both chains."""
+    bm = q124_bm25_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id")
+    ql = q177_ql_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id")
+    common = bm.join(ql, ["query_id", "doc_id"]).groupBy(
+        "query_id").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    tops = (
+        bm.where(F.col("rank") == 1)
+        .select("query_id", F.col("doc_id").alias("bm_top"))
+        .join(
+            ql.where(F.col("rank") == 1)
+            .select("query_id", F.col("doc_id").alias("ql_top")),
+            "query_id",
+        )
+    )
+    nbm = bm.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bm"))
+    return (
+        nbm.join(common, "query_id", "left")
+        .join(tops, "query_id")
+        .select(
+            "query_id",
+            "n_bm",
+            F.coalesce("n_common", F.lit(0)).cast("long")
+            .alias("n_common"),
+            rnd(
+                F.coalesce("n_common", F.lit(0)) / F.col("n_bm"), 4
+            ).alias("overlap"),
+            (F.col("bm_top") == F.col("ql_top")).cast("int")
+            .cast("long").alias("top1_match"),
+        )
+    )
+
+
+SQL_Q180 = f"""
+WITH bm AS ({SQL_Q124}),
+ql AS ({SQL_Q177}),
+common AS (
+  SELECT bm.query_id, count(*)::BIGINT AS n_common
+  FROM bm JOIN ql ON bm.query_id = ql.query_id
+                 AND bm.doc_id = ql.doc_id
+  GROUP BY bm.query_id),
+nbm AS (
+  SELECT query_id, count(*)::BIGINT AS n_bm FROM bm GROUP BY query_id),
+tops AS (
+  SELECT b.query_id, b.doc_id AS bm_top, q.doc_id AS ql_top
+  FROM bm b JOIN ql q ON b.query_id = q.query_id
+  WHERE b."rank" = 1 AND q."rank" = 1)
+SELECT n.query_id, n.n_bm,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       {sql_rnd('coalesce(c.n_common, 0) / n.n_bm', 4)} AS overlap,
+       (t.bm_top = t.ql_top)::INT::BIGINT AS top1_match
+FROM nbm n
+LEFT JOIN common c ON c.query_id = n.query_id
+JOIN tops t ON t.query_id = n.query_id
+"""
+
+
+KANON_K = 5
+
+
+def q181_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002): group
+    documents by the released quasi-identifier tuple (lang, source,
+    length log₂-bin — the q169 bin) and count, per source, the
+    equivalence classes smaller than k=5 and the documents inside
+    them — rows whose metadata alone re-identifies them, the release
+    audit run before a corpus datasheet ships per-doc metadata. One
+    combinable (lang, source, bin) agg + one |groups|-frame rollup —
+    group-count shaped, corpus-size independent output. Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source", "text")
+    n = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    lb = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(rnd(F.log2(n), 8)).cast("int")
+    )
+    g = docs.groupBy(
+        "lang", "source", lb.alias("log2_bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    small = (F.col("sz") < KANON_K).cast("long")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(small).cast("long").alias("n_small_groups"),
+        F.sum(small * F.col("sz")).cast("long").alias("n_docs_at_risk"),
+        F.min("sz").cast("long").alias("min_group"),
+    )
+
+
+SQL_Q181 = f"""
+WITH g AS (
+  SELECT lang, source,
+         CASE WHEN length(coalesce(text, '')) <= 0 THEN -1
+              ELSE floor({sql_rnd("ln(length(coalesce(text, ''))::DOUBLE) / ln(2.0)", 8)})::INTEGER
+         END AS log2_bin,
+         count(*)::BIGINT AS sz
+  FROM documents GROUP BY lang, source, log2_bin)
+SELECT source, count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END)::BIGINT
+         AS n_small_groups,
+       sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END)::BIGINT
+         AS n_docs_at_risk,
+       min(sz)::BIGINT AS min_group
+FROM g GROUP BY source
+"""
+
+
+# Benford expected shares log10(1 + 1/d), pre-rounded at 8 as shared
+# literals so neither engine computes a log (d = 1..9)
+BENFORD_EXP = (0.30103, 0.17609126, 0.12493874, 0.09691001,
+               0.07918125, 0.06694679, 0.05799195, 0.05115252,
+               0.04575749)
+
+
+def q182_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit (Benford 1938; the
+    fraud/synthetic-data screen of Nigrini 1996) over the event
+    values: per (event_type, digit), the observed first-digit share
+    vs the Benford expectation and its χ² contribution — machine-
+    generated or truncated value columns jump out as flat or spiked
+    digit profiles. The digit is extracted from the value in integer
+    cents cast to a string (int→string is engine-stable; double
+    formatting is not), expected shares are shared pre-rounded
+    literals, so parity holds with no cross-engine log. One codegen
+    map + one 45-group combinable agg. Fully value-hash oracled."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    pos = ev.where(F.col("value") > 0).select(
+        "event_type", d.alias("digit")
+    )
+    cnt = pos.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot")
+    )
+    exp_map = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(9)]),
+        F.array(*[F.lit(v) for v in BENFORD_EXP]),
+    )
+    j = cnt.join(tot, "event_type").withColumn(
+        "exp_share", F.element_at(exp_map, F.col("digit"))
+    )
+    obs = rnd(F.col("n_obs") / F.col("n_tot"), 6)
+    chi = rnd(
+        (obs - F.col("exp_share")) * (obs - F.col("exp_share"))
+        / F.col("exp_share") * F.col("n_tot"),
+        4,
+    )
+    return j.select(
+        "event_type",
+        F.col("digit").cast("long").alias("digit"),
+        "n_obs",
+        obs.alias("obs_share"),
+        F.col("exp_share"),
+        chi.alias("chi2_term"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {i + 1} THEN {v!r}" for i, v in enumerate(BENFORD_EXP)
+)
+
+SQL_Q182 = f"""
+WITH pos AS (
+  SELECT event_type,
+         substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)::INTEGER
+           AS digit
+  FROM events WHERE value > 0),
+cnt AS (
+  SELECT event_type, digit, count(*)::BIGINT AS n_obs
+  FROM pos GROUP BY event_type, digit),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS n_tot
+  FROM pos GROUP BY event_type),
+j AS (
+  SELECT c.event_type, c.digit, c.n_obs, t.n_tot,
+         CASE c.digit {_BENFORD_CASE} END AS exp_share,
+         {sql_rnd('c.n_obs / t.n_tot', 6)} AS obs_share
+  FROM cnt c JOIN tot t USING (event_type))
+SELECT event_type, digit::BIGINT AS digit, n_obs, obs_share, exp_share,
+       {sql_rnd('(obs_share - exp_share) * (obs_share - exp_share) / exp_share * n_tot', 4)}
+         AS chi2_term
+FROM j
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8324,6 +8527,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q177_ql_topk": (q177_ql_topk, SQL_Q177),
     "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
     "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
+    # r9 wave 6: q180 ranker agreement, q181 k-anonymity, q182 Benford
+    "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
+    "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
+    "q182_benford_audit": (q182_benford_audit, SQL_Q182),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
