@@ -1003,6 +1003,12 @@ def memo_builders():
         "_memo_jaccard_pairs": _jaccard_pairs_shared,
         "_memo_minhash_pairs_portable": _minhash_pairs_shared,
         "_memo_simhash_sigs": _planted_simhash_sigs,
+        "_memo_bm25_exact": lambda spark, sf: _retrieval_shared(
+            spark, sf, "bm25"),
+        "_memo_bm25_champs": lambda spark, sf: _retrieval_shared(
+            spark, sf, "champs"),
+        "_memo_ql_topk": lambda spark, sf: _retrieval_shared(
+            spark, sf, "ql"),
     }
 
 
@@ -5476,18 +5482,14 @@ ZIPF_TOP_RANKS = 500
 KN_DISCOUNT = 0.75
 
 
-def q124_bm25_topk(spark, sf_dir):
-    """BM25 top-k retrieval (functions/retrieval.py:bm25_topk, r9):
-    eval docs (doc_id % 50 == 0, the q62 convention) pose their first
-    8 tokens as queries against the remaining corpus — the "what
-    WOULD a search engine return for this benchmark prompt?" audit
-    that complements q108's embedding-space decontamination with the
-    lexical view. Lucene-variant idf, tf saturation, per-term
-    contributions on the 8-digit rnd ladder, rank ties broken by doc
-    id; the full (query, rank, doc, score, hits) table is value-hash
-    oracled."""
-    from .functions import retrieval as RV
+# Result frames of the eval-split retrieval family, memoized per
+# (session, sf_dir) like _MINHASH_PAIR_MEMO: q150 re-reads q124+q131
+# and q180 re-reads q124+q177, so without the memo each audit re-pays
+# its parents' full index build. Bounded: |queries|*k rows per entry.
+_RETRIEVAL_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
+
+def _eval_split_queries(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     qs = docs.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"),
@@ -5499,8 +5501,41 @@ def q124_bm25_topk(spark, sf_dir):
             ),
         ).alias("query"),
     )
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
-    return RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+    return docs.where(F.col("doc_id") % 50 != 0), qs
+
+
+def _retrieval_shared(spark, sf_dir: str, which: str) -> DataFrame:
+    from .functions import retrieval as RV
+
+    key = (id(spark), sf_dir, which)
+    df = _RETRIEVAL_MEMO.get(key)
+    if df is not None:
+        return _ensure_cached(df)
+    corpus, qs = _eval_split_queries(spark, sf_dir)
+    if which == "bm25":
+        df = RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+    elif which == "champs":
+        df = RV.bm25_topk_champions(corpus, qs, "text", "doc_id",
+                                    k=BM25_TOPK,
+                                    champions=BM25_CHAMPIONS)
+    else:
+        df = RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+    df = df.cache()
+    _RETRIEVAL_MEMO[key] = df
+    return df
+
+
+def q124_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (functions/retrieval.py:bm25_topk, r9):
+    eval docs (doc_id % 50 == 0, the q62 convention) pose their first
+    8 tokens as queries against the remaining corpus — the "what
+    WOULD a search engine return for this benchmark prompt?" audit
+    that complements q108's embedding-space decontamination with the
+    lexical view. Lucene-variant idf, tf saturation, per-term
+    contributions on the 8-digit rnd ladder, rank ties broken by doc
+    id; the full (query, rank, doc, score, hits) table is value-hash
+    oracled."""
+    return _retrieval_shared(spark, sf_dir, "bm25")
 
 
 def _sql_bm25(champions: int | None = None, k: int | None = None,
@@ -5584,22 +5619,7 @@ def q131_bm25_champions(spark, sf_dir):
     value-hashes the champion result itself, and the pytest pins the
     sharp contract (df ≤ P query terms → EXACTLY the exact result)
     plus a recall floor in the hot-term regime."""
-    from .functions import retrieval as RV
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qs = docs.where(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                1, QUERY_PREFIX_TOKENS,
-            ),
-        ).alias("query"),
-    )
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
-    return RV.bm25_topk_champions(corpus, qs, "text", "doc_id",
-                                  k=BM25_TOPK, champions=BM25_CHAMPIONS)
+    return _retrieval_shared(spark, sf_dir, "champs")
 
 
 SQL_Q131 = _sql_bm25(champions=BM25_CHAMPIONS)
@@ -8120,21 +8140,7 @@ def q177_ql_topk(spark, sf_dir):
     shape. The two models disagreeing on a doc is itself a curation
     signal (q150's audit pattern applies). Fully value-hash
     oracled."""
-    from .functions import retrieval as RV
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qs = docs.where(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                1, QUERY_PREFIX_TOKENS,
-            ),
-        ).alias("query"),
-    )
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
-    return RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+    return _retrieval_shared(spark, sf_dir, "ql")
 
 
 def _sql_ql(k: int | None = None) -> str:
