@@ -2752,3 +2752,47 @@ def unimax_allocation(inv: DataFrame, key_col: str, avail_col: str,
         F.col("_capped").cast("long").alias("capped"),
     )
     return out
+
+
+def hapax_density(df: DataFrame, text_col: str, id_col: str,
+                  round_to: int = 4) -> DataFrame:
+    """Per-document hapax-legomena density: the share of a document's
+    token occurrences whose CORPUS frequency is exactly 1 — the
+    other tail of :func:`vocab_coverage`'s top-V audit. High hapax
+    share marks OCR garbage, random identifiers, hex dumps, and
+    mangled encodings (every "word" is globally unique); near-zero
+    marks boilerplate assembled entirely from common vocabulary.
+    The classic cheap lexical-novelty signal between q38's surface
+    ratios and q84's LM perplexity.
+
+    One token explode, one token-keyed count agg (the q84 shuffle),
+    one join back on the token key (the count table shards with the
+    tokens — nothing needs to fit anywhere whole), one per-doc
+    combinable agg. A corpus-frequency-1 token can appear in exactly
+    one document, once — so ``n_hapax`` is also "tokens this document
+    contributes to the corpus vocabulary's singleton tail"."""
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    cnts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = (
+        toks.join(cnts, "w")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long")
+            .alias("n_hapax"),
+        )
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "n_hapax",
+        rnd(F.col("n_hapax") / F.col("n_tokens"), round_to)
+        .alias("hapax_share"),
+    )

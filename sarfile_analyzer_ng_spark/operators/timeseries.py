@@ -748,3 +748,89 @@ def lag_correlation(df: DataFrame, ts_col: str, value_col: str,
         F.when(ok, rnd(cov / F.sqrt(varx * vary), round_to))
          .otherwise(F.lit(None).cast("double")).alias("lag_corr"),
     ).orderBy("lag")
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str, start_col: str, end_col: str,
+                  bucket_seconds: int = 3600) -> DataFrame:
+    """Scalable point-in-interval join: each interval is exploded into
+    the fixed-width time buckets it covers, points carry their single
+    bucket, and the match is an EQUI-join on the bucket followed by
+    the exact ``start ≤ ts ≤ end`` refinement. This is the canonical
+    Spark range-join rewrite — a naive ``ON ts BETWEEN start AND end``
+    has no equality key, so Catalyst plans BroadcastNestedLoopJoin
+    (all points × all intervals, the O(N·M) cliff); bucketing restores
+    a shuffle-hash key whose fan-out is bounded by interval length /
+    bucket width.
+
+    Each (point, interval) pair can match in at most ONE bucket (the
+    point's own), so no post-join dedup is needed. Pick
+    ``bucket_seconds`` near the typical interval length: shorter
+    buckets multiply interval replication, longer buckets widen the
+    per-bucket candidate set. Intervals are assumed start ≤ end
+    (upstream contract).
+
+    Returns points' columns + the matched interval's columns.
+    """
+    b = F.lit(int(bucket_seconds))
+    pb = (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    ib = F.explode(
+        F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+            (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+        )
+    )
+    pts = points.withColumn("_bkt", pb)
+    ivs = intervals.withColumn("_bkt", ib)
+    return (
+        pts.join(ivs, "_bkt")
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )
+
+
+def burst_intervals(df: DataFrame, ts_col: str,
+                    bucket_seconds: int = 3600,
+                    min_count: int = 4) -> DataFrame:
+    """Hot-bucket burst windows from an event stream: bucket the
+    stream (one combinable count agg — the only corpus-sized pass),
+    keep buckets with ≥ ``min_count`` events, and merge CONTIGUOUS
+    hot buckets into intervals via gaps-and-islands over the BUCKET
+    frame (bounded by the time range, never by event volume — windows
+    here are safe at any corpus size). Interval endpoints are the
+    actual first/last event timestamps inside the island, not bucket
+    edges, so downstream refinement stays exact.
+
+    Returns (burst_start, burst_end, n_events, n_buckets).
+    """
+    b = int(bucket_seconds)
+    hot = (
+        df.groupBy(
+            (F.unix_timestamp(F.col(ts_col)) / F.lit(b)).cast("long")
+            .alias("bkt")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .where(F.col("cnt") >= int(min_count))
+    )
+    w = Window.partitionBy().orderBy("bkt")
+    isl = hot.withColumn(
+        "grp", F.col("bkt") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.min("first_ts").alias("burst_start"),
+            F.max("last_ts").alias("burst_end"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .drop("grp")
+        .select("burst_start", "burst_end", "n_events", "n_buckets")
+    )

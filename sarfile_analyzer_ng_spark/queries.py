@@ -8478,6 +8478,96 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------
+# r9 wave 7: bucketed interval join, hapax density
+# --------------------------------------------------------------------
+
+BURST_BUCKET_SECONDS = 3600
+BURST_MIN_COUNT = 4
+
+
+def q183_incident_overlap(spark, sf_dir):
+    """Incident-impact analysis via the bucketed interval join
+    (operators/timeseries.py:interval_join + burst_intervals): build
+    error-burst windows (hot hours merged by gaps-and-islands over
+    the BUCKET frame — time-bounded, never event-bounded), then join
+    every purchase event that falls inside a burst — "what did the
+    incident cost us". The join is the canonical Spark range-join
+    rewrite: intervals explode into the hour buckets they cover and
+    the match is an EQUI-join + exact refinement, where a naive
+    BETWEEN join plans BroadcastNestedLoopJoin (the O(N·M) cliff).
+    Per-burst purchase counts and value. Fully value-hash oracled."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("ts")
+    bursts = TS.burst_intervals(errors, "ts",
+                                bucket_seconds=BURST_BUCKET_SECONDS,
+                                min_count=BURST_MIN_COUNT)
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "ts", "value")
+    j = TS.interval_join(buys, bursts, "ts", "burst_start", "burst_end",
+                         bucket_seconds=BURST_BUCKET_SECONDS)
+    return j.groupBy("burst_start", "burst_end", "n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        rnd(F.sum("value"), 2).alias("purchase_value"),
+    )
+
+
+SQL_Q183 = f"""
+WITH errors AS (
+  SELECT ts FROM events WHERE event_type = 'error'),
+hot AS (
+  SELECT floor(floor(epoch(ts)) / {BURST_BUCKET_SECONDS})::BIGINT AS bkt,
+         count(*)::BIGINT AS cnt,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM errors GROUP BY bkt
+  HAVING count(*) >= {BURST_MIN_COUNT}),
+isl AS (
+  SELECT *, bkt - row_number() OVER (ORDER BY bkt) AS grp FROM hot),
+bursts AS (
+  SELECT min(first_ts) AS burst_start, max(last_ts) AS burst_end,
+         sum(cnt)::BIGINT AS n_events
+  FROM isl GROUP BY grp),
+buys AS (
+  SELECT ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT b.burst_start, b.burst_end, b.n_events, p.value
+  FROM buys p JOIN bursts b
+    ON p.ts >= b.burst_start AND p.ts <= b.burst_end)
+SELECT burst_start, burst_end, n_events,
+       count(*)::BIGINT AS n_purchases,
+       {sql_rnd('sum(value)', 2)} AS purchase_value
+FROM j GROUP BY burst_start, burst_end, n_events
+"""
+
+
+def q184_hapax_density(spark, sf_dir):
+    """Hapax-legomena density (functions/text.py:hapax_density): per
+    document, the share of token occurrences whose corpus frequency
+    is exactly 1 — OCR garbage / random-identifier text maxes it,
+    boilerplate zeroes it; the lexical-novelty signal between q38's
+    surface ratios and q84's LM perplexity, and the singleton-tail
+    complement of q110's top-V coverage. One token-keyed count
+    shuffle + join-back (the q84 shape). Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.hapax_density(docs, "text", "doc_id")
+
+
+SQL_Q184 = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+cnts AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+agg AS (
+  SELECT doc, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM toks JOIN cnts USING (w) GROUP BY doc)
+SELECT doc AS doc_id, n_tokens, n_hapax,
+       {sql_rnd('n_hapax / n_tokens', 4)} AS hapax_share
+FROM agg
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8537,6 +8627,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
     "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
     "q182_benford_audit": (q182_benford_audit, SQL_Q182),
+    # r9 wave 7: q183 bucketed interval join, q184 hapax density
+    "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
+    "q184_hapax_density": (q184_hapax_density, SQL_Q184),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
