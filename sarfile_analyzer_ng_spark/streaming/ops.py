@@ -1309,3 +1309,32 @@ def split_leak_stream(stream: DataFrame, static_docs: DataFrame,
         .where(F.col("split") != F.col("matched_split"))
         .select(id_col, ts_col, "split", "matched_split", "n_matches")
     )
+
+
+def incident_tag_stream(stream: DataFrame, intervals: DataFrame,
+                        ts_col: str = "ts",
+                        start_col: str = "burst_start",
+                        end_col: str = "burst_end",
+                        bucket_seconds: int = 3600) -> DataFrame:
+    """Streaming incident tagger (ST27): every ARRIVING event is
+    matched against the static incident/burst windows — the live twin
+    of q183's batch overlap ("this purchase is landing DURING the
+    ongoing incident", tagged at ingest rather than in the nightly
+    report). The static side is the (model-sized) burst-interval
+    frame from :func:`operators.timeseries.burst_intervals`, exploded
+    once into its covered hour buckets; the stream side computes its
+    single bucket per row — so the match is a stream-static EQUI-join
+    on the bucket + the exact BETWEEN refinement, the SAME
+    bucketed-range-join rewrite the batch operator uses (verdicts
+    cannot drift, and Structured Streaming would reject the naive
+    non-equi stream-static join's plan cost anyway). NO stream state,
+    no watermark — pure per-arrival classification (the ST20 shape).
+
+    Emits the arriving row's columns + the matched interval's
+    columns; rows outside every window are dropped (inner join) —
+    compose with a left-anti downstream for "clean" rows if needed.
+    """
+    from ..operators.timeseries import interval_join
+
+    return interval_join(stream, intervals, ts_col, start_col,
+                         end_col, bucket_seconds=bucket_seconds)
