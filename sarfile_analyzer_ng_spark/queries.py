@@ -8568,6 +8568,169 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------
+# r9 wave 8: source vocabulary overlap, length-distribution EMD
+# --------------------------------------------------------------------
+
+
+def q185_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary-overlap matrix: exact Jaccard of
+    the token-TYPE sets of every source pair — the lexical
+    similarity structure a mixture designer reads before weighting
+    ("src3 and src7 are near-duplicates of each other's vocabulary;
+    don't double-count them"), complementing q114's distributional JS
+    divergence (which weighs frequencies; this weighs coverage).
+
+    Shape at scale: distinct (source, token) pairs (one shuffle on
+    the token key), then a token-keyed self-join whose per-token
+    fan-out is bounded by |sources sharing that token|² ≤ |sources|²
+    — sources are dozens-to-hundreds by contract, so candidate work
+    per token is a constant, never corpus-sized. Zero-overlap pairs
+    are kept via the |sources|²-row pair grid (model frame). Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    sv = fan_out(docs).select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).distinct()
+    vs = sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    va = vs.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    vb = vs.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    grid = va.crossJoin(vb).where(F.col("src_a") < F.col("src_b"))
+    j = grid.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b", "v_a", "v_b",
+        F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+    )
+    return j.select(
+        "*",
+        rnd(
+            F.col("inter")
+            / (F.col("v_a") + F.col("v_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+SQL_Q185 = f"""
+WITH sv AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+vs AS (SELECT source, count(*)::BIGINT AS v FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source),
+grid AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.v AS v_a, b.v AS v_b
+  FROM vs a JOIN vs b ON a.source < b.source)
+SELECT g.src_a, g.src_b, g.v_a, g.v_b,
+       coalesce(i.inter, 0)::BIGINT AS inter,
+       {sql_rnd('coalesce(i.inter, 0) / (g.v_a + g.v_b - coalesce(i.inter, 0))', 6)}
+         AS jaccard
+FROM grid g
+LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b
+"""
+
+
+def q186_length_emd(spark, sf_dir):
+    """Pairwise 1-D Wasserstein (earth mover's) distance between
+    source length distributions: W₁ = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·Δvᵢ
+    over the global distinct-length grid — the transport-cost answer
+    to "how differently shaped are these sources' documents" that
+    q160's KS statistic (a supremum) flattens to one point. In
+    characters, so W₁ reads as "average characters you'd have to move
+    per document to reshape a into b".
+
+    Every window here runs over VALUE-DOMAIN-bounded frames (the q160
+    argument): the grid is the distinct lengths (V rows), the ECDF
+    frame is |sources|·V, the pair frame |pairs|·V — none scale with
+    corpus rows; the only corpus-sized pass is one (source, length)
+    count agg. ECDF shares pre-round at 8, W₁ at 4. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    x = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    cnts = docs.select("source", x.alias("x")).groupBy(
+        "source", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = cnts.select("x").distinct()
+    wv = Window.partitionBy().orderBy("x")
+    grid_d = grid.select(
+        "x",
+        (F.coalesce(F.lead("x").over(wv), F.col("x")) - F.col("x"))
+        .cast("double").alias("dx"),
+    )
+    srcs = cnts.select("source").distinct()
+    tot = cnts.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n"))
+    sx = srcs.crossJoin(grid).join(cnts, ["source", "x"], "left").select(
+        "source", "x", F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    wc = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0)
+    ecdf = (
+        sx.withColumn("cum", F.sum("c").over(wc))
+        .join(tot, "source")
+        .select("source", "x", rnd(F.col("cum") / F.col("n"), 8)
+                .alias("f"))
+    )
+    a = ecdf.select(F.col("source").alias("src_a"), "x",
+                    F.col("f").alias("fa"))
+    b = ecdf.select(F.col("source").alias("src_b"), "x",
+                    F.col("f").alias("fb"))
+    pairs = (
+        a.join(b, "x")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(grid_d), "x")
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        rnd(F.sum(F.abs(F.col("fa") - F.col("fb")) * F.col("dx")), 4)
+        .alias("w1_chars")
+    )
+
+
+SQL_Q186 = f"""
+WITH cnts AS (
+  SELECT source, length(coalesce(text, ''))::BIGINT AS x,
+         count(*)::BIGINT AS c
+  FROM documents GROUP BY source, x),
+grid AS (SELECT DISTINCT x FROM cnts),
+grid_d AS (
+  SELECT x,
+         (coalesce(lead(x) OVER (ORDER BY x), x) - x)::DOUBLE AS dx
+  FROM grid),
+srcs AS (SELECT DISTINCT source FROM cnts),
+tot AS (SELECT source, sum(c)::DOUBLE AS n FROM cnts GROUP BY source),
+sx AS (
+  SELECT s.source, g.x, coalesce(c.c, 0)::BIGINT AS c
+  FROM srcs s CROSS JOIN grid g
+  LEFT JOIN cnts c ON c.source = s.source AND c.x = g.x),
+ecdf AS (
+  SELECT sx.source, sx.x,
+         {sql_rnd('sum(sx.c) OVER (PARTITION BY sx.source ORDER BY sx.x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.n', 8)} AS f
+  FROM sx JOIN tot t ON t.source = sx.source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.x,
+         abs(a.f - b.f) AS d, gd.dx
+  FROM ecdf a
+  JOIN ecdf b ON a.x = b.x AND a.source < b.source
+  JOIN grid_d gd ON gd.x = a.x)
+SELECT src_a, src_b, {sql_rnd('sum(d * dx)', 4)} AS w1_chars
+FROM pairs GROUP BY src_a, src_b
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8630,6 +8793,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r9 wave 7: q183 bucketed interval join, q184 hapax density
     "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
     "q184_hapax_density": (q184_hapax_density, SQL_Q184),
+    # r9 wave 8: q185 vocab overlap matrix, q186 length-EMD matrix
+    "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
+    "q186_length_emd": (q186_length_emd, SQL_Q186),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
