@@ -8731,6 +8731,72 @@ FROM pairs GROUP BY src_a, src_b
 """
 
 
+def q187_norm_dedup_lift(spark, sf_dir):
+    """Normalization dedup-lift audit: how many MORE documents become
+    exact-duplicate-deduplicable when content is aggressively
+    normalized (lowercase, collapse every non-alphanumeric run to one
+    space, trim) before hashing — the measurement behind the
+    "normalize before MinHash" decision every dedup pipeline makes
+    (CCNet normalizes; some pipelines skip it to preserve code). One
+    row: raw vs normalized duplicate groups / docs and the lift.
+    Two content-hash groupBys (uniform 128-bit keys — skew-free) +
+    two scalar rollups. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]+", " ")
+    )
+
+    def dup_stats(key, gname, dname):
+        g = docs.groupBy(key.alias("fp")).agg(
+            F.count(F.lit(1)).cast("long").alias("sz"))
+        return g.agg(
+            F.coalesce(
+                F.sum((F.col("sz") >= 2).cast("long")), F.lit(0)
+            ).cast("long").alias(gname),
+            F.coalesce(
+                F.sum(F.when(F.col("sz") >= 2, F.col("sz"))), F.lit(0)
+            ).cast("long").alias(dname),
+        )
+
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    raw = dup_stats(F.md5(F.col("t")), "raw_groups", "raw_dup_docs")
+    nrm = dup_stats(F.md5(norm), "norm_groups", "norm_dup_docs")
+    return (
+        n.crossJoin(raw).crossJoin(nrm)
+        .select(
+            "n_docs", "raw_groups", "raw_dup_docs",
+            "norm_groups", "norm_dup_docs",
+            (F.col("norm_dup_docs") - F.col("raw_dup_docs"))
+            .cast("long").alias("lift_docs"),
+        )
+    )
+
+
+SQL_Q187 = """
+WITH d AS (SELECT coalesce(text, '') AS t FROM documents),
+raw AS (
+  SELECT coalesce(sum(CASE WHEN sz >= 2 THEN 1 END), 0)::BIGINT
+           AS raw_groups,
+         coalesce(sum(CASE WHEN sz >= 2 THEN sz END), 0)::BIGINT
+           AS raw_dup_docs
+  FROM (SELECT md5(t) AS fp, count(*)::BIGINT AS sz FROM d GROUP BY fp)),
+nrm AS (
+  SELECT coalesce(sum(CASE WHEN sz >= 2 THEN 1 END), 0)::BIGINT
+           AS norm_groups,
+         coalesce(sum(CASE WHEN sz >= 2 THEN sz END), 0)::BIGINT
+           AS norm_dup_docs
+  FROM (SELECT md5(trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')))
+               AS fp, count(*)::BIGINT AS sz
+        FROM d GROUP BY fp)),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM d)
+SELECT n_docs, raw_groups, raw_dup_docs, norm_groups, norm_dup_docs,
+       (norm_dup_docs - raw_dup_docs)::BIGINT AS lift_docs
+FROM n, raw, nrm
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8796,6 +8862,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r9 wave 8: q185 vocab overlap matrix, q186 length-EMD matrix
     "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
     "q186_length_emd": (q186_length_emd, SQL_Q186),
+    "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),

@@ -247,3 +247,22 @@ def test_length_emd_shifted_distribution(spark):
                     4).alias("w1")).collect())
     assert len(out) == 1
     assert out[0].w1 == pytest.approx(100.0, abs=1e-3)
+
+
+def test_norm_dedup_lift_hand_case(spark):
+    from sarfile_analyzer_ng_spark.queries import q187_norm_dedup_lift  # noqa: F401
+
+    # raw-distinct but normalization-identical docs produce lift
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    groups = (
+        df.groupBy(F.md5(norm).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("sz")).collect()
+    )
+    sizes = sorted(r.sz for r in groups)
+    assert sizes == [1, 2]  # docs 1+2 collapse after normalization
