@@ -690,7 +690,8 @@ QL_MU = 300.0
 def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
             id_col: str, query_id_col: str = "query_id",
             query_col: str = "query", mu: float = QL_MU,
-            k: int = 10, round_to: int = 4) -> DataFrame:
+            k: int = 10, champions: int | None = None,
+            round_to: int = 4) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
     1998's LM approach with Zhai & Lafferty 2001's Dirichlet prior) —
     the second classical lexical ranking model beside BM25 (q124):
@@ -742,8 +743,23 @@ def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
         rnd(F.sum(F.col("qtf") * F.col("lp_bg")), 6).alias("cq"),
     )
     m = float(mu)
+    # champion cut (IIR §7.1.3, the q131 pattern): the matched-term
+    # contribution log(1 + tf·|C|/(μ·cf)) is increasing in tf, so the
+    # per-term highest-impact postings are exactly the top-tf ones.
+    # The MODEL (cf, |C|, dl) stays exact — only the scoring postings
+    # are cut, bounding per-query work at |terms|·champions.
+    src_postings = postings
+    if champions is not None:
+        champ_win = Window.partitionBy("w").orderBy(
+            F.col("tf").desc(), F.col("doc").asc()
+        )
+        src_postings = (
+            postings.withColumn("_r", F.row_number().over(champ_win))
+            .where(F.col("_r") <= int(champions))
+            .drop("_r")
+        )
     matched = (
-        postings.join(F.broadcast(qmodel.select("qid", "w", "qtf", "cf")), "w")
+        src_postings.join(F.broadcast(qmodel.select("qid", "w", "qtf", "cf")), "w")
         .crossJoin(F.broadcast(ctot))
         .select(
             "qid", "doc",

@@ -8143,12 +8143,25 @@ def q177_ql_topk(spark, sf_dir):
     return _retrieval_shared(spark, sf_dir, "ql")
 
 
-def _sql_ql(k: int | None = None) -> str:
+def _sql_ql(k: int | None = None,
+            champions: int | None = None) -> str:
     from .functions.retrieval import QL_MU
 
     if k is None:
         k = BM25_TOPK
     mu = f"{QL_MU!r}"
+    if champions is None:
+        champ_cte = ""
+        score_src = "postings"
+    else:
+        champ_cte = f"""
+champs AS (
+  SELECT w, doc, tf FROM (
+    SELECT w, doc, tf,
+           row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc ASC)
+             AS cr
+    FROM postings) WHERE cr <= {champions}),"""
+        score_src = "champs"
     return f"""
 WITH docs0 AS (SELECT doc_id, text FROM documents),
 qs AS (
@@ -8162,7 +8175,7 @@ words AS (
   SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM docs0 WHERE doc_id % 50 != 0),
 tok AS (SELECT doc, unnest(w) AS w FROM words),
-postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),
+postings AS (SELECT w, doc, count(*)::DOUBLE AS tf FROM tok GROUP BY w, doc),{champ_cte}
 doclen AS (SELECT doc, count(*)::DOUBLE AS dl FROM tok GROUP BY doc),
 cf AS (SELECT w, sum(tf) AS cf FROM postings GROUP BY w),
 ct AS (SELECT sum(dl) AS ct FROM doclen),
@@ -8177,7 +8190,7 @@ matched AS (
   SELECT m.qid, p.doc,
          {sql_rnd(f'sum(m.qtf * {sql_rnd(f"ln(1.0 + p.tf * t.ct / ({mu} * m.cf))", 8)})', 6)} AS msum,
          count(*)::BIGINT AS n_terms_hit
-  FROM postings p JOIN qmodel m USING (w), ct t
+  FROM {score_src} p JOIN qmodel m USING (w), ct t
   GROUP BY m.qid, p.doc),
 scored AS (
   SELECT s.qid, s.doc, s.n_terms_hit,
@@ -8797,6 +8810,27 @@ FROM n, raw, nrm
 """
 
 
+def q188_ql_champions(spark, sf_dir):
+    """Champion-list query likelihood (functions/retrieval.py:ql_topk
+    champions=; IIR §7.1.3 applied to the Dirichlet LM ranker) —
+    q177's scale path, exactly as q131 is q124's: only the 64
+    highest-tf postings per term are scored (the matched-term
+    contribution is increasing in tf, so these ARE the highest-impact
+    ones), bounding per-query work at |terms|·64 regardless of term
+    hotness; the collection model (cf, |C|, dl) stays exact. The
+    exact build reads 78 s at sf1 where the champion cut reads ~4 s
+    (docs/SCALING.md) — this is the 100 TB route. Fully value-hash
+    oracled."""
+    from .functions import retrieval as RV
+
+    corpus, qs = _eval_split_queries(spark, sf_dir)
+    return RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK,
+                      champions=BM25_CHAMPIONS)
+
+
+SQL_Q188 = _sql_ql(champions=BM25_CHAMPIONS)
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8863,6 +8897,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
     "q186_length_emd": (q186_length_emd, SQL_Q186),
     "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
+    "q188_ql_champions": (q188_ql_champions, SQL_Q188),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),

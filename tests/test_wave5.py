@@ -187,3 +187,34 @@ def test_split_leak_stream_flags_cross_split_arrival(spark, tmp_path):
     assert r.doc_id == arrive_leak
     assert r.split == "train" and r.matched_split == "test"
     assert r.n_matches == 1
+
+
+def test_ql_champions_sharp_contract(spark):
+    """When every term's df <= champions, the champion cut is EXACTLY
+    the exact ranking (the q131 sharp contract, applied to QL)."""
+    corpus = spark.createDataFrame(
+        [(i, f"term{i % 4} shared word{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "term1 shared")], "query_id long, query string"
+    )
+    exact = RV.ql_topk(corpus, qs, "text", "doc_id", k=5)
+    champ = RV.ql_topk(corpus, qs, "text", "doc_id", k=5, champions=20)
+    assert [tuple(r) for r in exact.collect()] == \
+           [tuple(r) for r in champ.collect()]
+
+
+def test_ql_champions_bounds_hot_terms(spark):
+    # a white-hot term (in every doc) must not blow up candidate work:
+    # with champions=2 only 2 postings of 'shared' are scored
+    corpus = spark.createDataFrame(
+        [(i, "shared " + "shared " * (i % 3) + f"rare{i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "shared")], "query_id long, query string"
+    )
+    out = RV.ql_topk(corpus, qs, "text", "doc_id", k=10, champions=2)
+    assert out.count() == 2  # candidate set is the champion list
