@@ -808,3 +808,119 @@ def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
             "n_terms_hit",
         )
     )
+
+
+def ql_model(corpus: DataFrame, queries: DataFrame, text_col: str,
+             id_col: str, query_id_col: str = "query_id",
+             query_col: str = "query", mu: float = QL_MU):
+    """Freeze the Dirichlet-QL collection statistics for row-local
+    scoring: returns ``(terms, qstats, ctot)`` where ``terms`` is
+    [(qid, w, qtf, cf), …] for the in-vocabulary query terms
+    (bounded by the eval-suite contract — the bm25_model collect
+    class), ``qstats`` maps qid → (nq, cq) with cq computed IN Spark
+    on the same rnd ladder :func:`ql_topk` uses (so frozen-model
+    scores can never drift from the batch ranker's), and ``ctot`` is
+    the collection token count."""
+    toks = _tokens(corpus, text_col, id_col)
+    postings = toks.groupBy("w", "doc").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    cf = postings.groupBy("w").agg(F.sum("tf").alias("cf"))
+    ctot = float(
+        toks.groupBy("doc").agg(F.count(F.lit(1)).cast("double")
+                                .alias("dl"))
+        .agg(F.sum("dl").alias("ct")).collect()[0].ct
+    )
+    qtf = (
+        fan_out(queries)
+        .select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("qid", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    qmodel = qtf.join(cf, "w").select(
+        "qid", "w", "qtf", "cf",
+        rnd(F.log(F.col("cf") / F.lit(ctot)), 8).alias("lp_bg"),
+    )
+    rows = qmodel.collect()
+    terms = [(r.qid, r.w, float(r.qtf), float(r.cf)) for r in rows]
+    qagg = (
+        qmodel.groupBy("qid")
+        .agg(F.sum("qtf").alias("nq"),
+             rnd(F.sum(F.col("qtf") * F.col("lp_bg")), 6).alias("cq"))
+        .collect()
+    )
+    qstats = {r.qid: (float(r.nq), float(r.cq)) for r in qagg}
+    return terms, qstats, ctot
+
+
+def ql_score_rows(df: DataFrame, text_col: str, id_col: str,
+                  terms: list, qstats: dict, ctot: float,
+                  mu: float = QL_MU,
+                  passthrough: tuple[str, ...] = (),
+                  round_to: int = 4) -> DataFrame:
+    """Row-local Dirichlet-QL scoring against a frozen model — the
+    stateless form backing ST28, built exactly like
+    :func:`bm25_score_rows` (array HOFs, no explode of tokens, no
+    shuffle, no state; one output row per query sharing ≥ 1 term).
+    The matched-term sum, length normalizer, and per-query constant
+    compose on the same rnd ladder as :func:`ql_topk`, with (nq, cq)
+    arriving as the batch ranker's own collected values — a candidate
+    doc scores bit-identically to its ql_topk score."""
+    m = float(mu)
+    by_q: dict = {}
+    for qid, w, qtf, cf in terms:
+        by_q.setdefault(qid, []).append((w, qtf, cf))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    dl = F.size(words).cast("double")
+    len_norm = rnd(F.log(F.lit(m) / (dl + F.lit(m))), 8)
+
+    def qstruct(qid, qterms):
+        contribs = []
+        for w, qtf, cf in qterms:
+            tf = F.size(
+                F.filter(words, lambda x: x == F.lit(w))
+            ).cast("double")
+            contribs.append(
+                F.when(
+                    tf > 0,
+                    F.lit(qtf)
+                    * rnd(
+                        F.log(
+                            F.lit(1.0)
+                            + tf * F.lit(ctot) / F.lit(m * cf)
+                        ),
+                        8,
+                    ),
+                )
+            )
+        arr = F.filter(F.array(*contribs), lambda c: c.isNotNull())
+        msum = rnd(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+        nq, cq = qstats[qid]
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            rnd(msum + F.lit(nq) * len_norm + F.lit(cq), round_to)
+            .alias("score"),
+            F.size(arr).cast("long").alias("n_terms_hit"),
+        )
+
+    scored = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough],
+        F.explode(
+            F.filter(
+                F.array(*[qstruct(q, ts) for q, ts in sorted(by_q.items())]),
+                lambda s: s["n_terms_hit"] > 0,
+            )
+        ).alias("q"),
+    )
+    return scored.select(
+        id_col, *passthrough,
+        F.col("q.query_id").alias("query_id"),
+        F.col("q.score").alias("score"),
+        F.col("q.n_terms_hit").alias("n_terms_hit"),
+    )

@@ -1338,3 +1338,26 @@ def incident_tag_stream(stream: DataFrame, intervals: DataFrame,
 
     return interval_join(stream, intervals, ts_col, start_col,
                          end_col, bucket_seconds=bucket_seconds)
+
+
+def ql_screen_stream(stream: DataFrame, text_col: str, id_col: str,
+                     terms: list, qstats: dict, ctot: float,
+                     ts_col: str = "ts",
+                     min_score: float | None = None) -> DataFrame:
+    """Streaming Dirichlet-QL relevance screening (ST28): every
+    ARRIVING document scored by log p(query | doc's smoothed LM)
+    against the frozen eval-suite model — the LM-ranker twin of
+    ST18's BM25 screen, closing the family (exact q177 / champion
+    q188 / ingest ST28, mirroring q124 / q131 / ST18). Model from
+    :func:`functions.retrieval.ql_model` (bounded, plan literals);
+    scoring is :func:`functions.retrieval.ql_score_rows` — the SAME
+    row-local arithmetic a batch frame gets (verdicts cannot drift)
+    and a PURE PROJECTION: array HOFs, no explode of tokens, no
+    shuffle, NO STATE — append-safe, zero watermark bookkeeping."""
+    from ..functions.retrieval import ql_score_rows
+
+    out = ql_score_rows(stream, text_col, id_col, terms, qstats,
+                        ctot, passthrough=(ts_col,))
+    if min_score is not None:
+        out = out.where(F.col("score") >= float(min_score))
+    return out

@@ -218,3 +218,75 @@ def test_ql_champions_bounds_hot_terms(spark):
     )
     out = RV.ql_topk(corpus, qs, "text", "doc_id", k=10, champions=2)
     assert out.count() == 2  # candidate set is the champion list
+
+
+def test_ql_screen_stream_matches_batch_and_topk(spark, tmp_path):
+    """ST28: streaming QL screening equals the batch row-local scorer
+    across micro-batches, and candidate docs score bit-identically to
+    ql_topk."""
+    corpus = spark.createDataFrame(
+        [(i, f"indexed corpus doc {i} about topic{i % 4} retrieval")
+         for i in range(16)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "topic2 retrieval"), (2, "absent terms")],
+        "query_id long, query string",
+    )
+    terms, qstats, ctot = RV.ql_model(corpus, qs, "text", "doc_id")
+    assert ctot > 0 and 1 in qstats
+    # query 2's terms are OOV -> dropped from the model entirely
+    assert {q for q, _, _, _ in terms} == {1}
+
+    t0 = 1_700_000_000
+    arriving = [
+        (100, "fresh doc discussing topic2 retrieval quality", t0 + 1),
+        (101, "nothing relevant here", t0 + 2),
+        (102, "retrieval text about topic2 again", t0 + 61),
+    ]
+    src = str(tmp_path / "ql_src")
+    os.makedirs(src)
+    for i, sl in enumerate((arriving[:2], arriving[2:])):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in sl], dtype="int64"),
+                "text": [r[1] for r in sl],
+                "ts": pd.to_datetime([r[2] for r in sl], unit="s",
+                                     utc=True),
+            }
+        )
+        path = f"{src}/chunk{i}.parquet"
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i, t0 + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.ql_screen_stream(stream, "text", "doc_id", terms, qstats,
+                              ctot)
+    q = (
+        out.writeStream.format("memory").queryName("ql_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.query_id): (r.score, r.n_terms_hit)
+           for r in spark.table("ql_stream").collect()}
+    batch = {(r.doc_id, r.query_id): (r.score, r.n_terms_hit)
+             for r in RV.ql_score_rows(
+                 spark.read.parquet(src), "text", "doc_id", terms,
+                 qstats, ctot).collect()}
+    assert got == batch
+    assert (100, 1) in got and (101, 1) not in got
+
+    # a corpus doc scored row-locally == its ql_topk score
+    topk = {(r.doc_id, r.query_id): r.score
+            for r in RV.ql_topk(corpus, qs, "text", "doc_id",
+                                k=16).collect()}
+    rowlocal = {(r.doc_id, r.query_id): r.score
+                for r in RV.ql_score_rows(
+                    corpus, "text", "doc_id", terms, qstats,
+                    ctot).collect()}
+    for key, s in topk.items():
+        assert rowlocal[key] == pytest.approx(s, abs=1e-4)
