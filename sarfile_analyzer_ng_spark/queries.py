@@ -1009,6 +1009,7 @@ def memo_builders():
             spark, sf, "champs"),
         "_memo_ql_topk": lambda spark, sf: _retrieval_shared(
             spark, sf, "ql"),
+        "_memo_qc_scored": _qc_scored_shared,
     }
 
 
@@ -4938,24 +4939,42 @@ def _qc_features(spark, sf_dir):
     ).drop("source")
 
 
+# q104's scored frame feeds q161 (AUC), q168 (kappa) and q174
+# (threshold sweep); without a memo each consumer re-pays the 4-scan
+# training loop + scoring pass. Same contract as _RETRIEVAL_MEMO.
+_QC_SCORED_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _qc_scored_shared(spark, sf_dir) -> DataFrame:
+    from .functions import classify as C
+
+    key = (id(spark), sf_dir)
+    df = _QC_SCORED_MEMO.get(key)
+    if df is not None:
+        return _ensure_cached(df)
+    feats = _qc_features(spark, sf_dir)
+    w = C.logreg_train(feats, QC_FEATURES, "label",
+                       iters=QC_ITERS, lr=QC_LR)
+    df = C.logreg_score(feats, QC_FEATURES, w).select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        "p_good",
+        "pred",
+    ).cache()
+    _QC_SCORED_MEMO[key] = df
+    return df
+
+
 def q104_quality_classifier(spark, sf_dir):
     """Pseudo-labeled quality classifier (functions/classify.py):
     4 full-batch logistic-regression steps over the quality features
     with curated-source provenance labels, then a corpus-wide score —
     the CCNet/GPT-3 quality-filter shape as a distributed, ORACLED
     iterative algorithm (the DuckDB twin unrolls the gradient loop
-    into one CTE chain and reproduces the weights bit-for-bit)."""
-    from .functions import classify as C
-
-    feats = _qc_features(spark, sf_dir)
-    w = C.logreg_train(feats, QC_FEATURES, "label",
-                       iters=QC_ITERS, lr=QC_LR)
-    return C.logreg_score(feats, QC_FEATURES, w).select(
-        "doc_id",
-        F.col("label").cast("long").alias("label"),
-        "p_good",
-        "pred",
-    )
+    into one CTE chain and reproduces the weights bit-for-bit).
+    Result memoized per (session, sf_dir) for its audit consumers
+    (q161/q168/q174)."""
+    return _qc_scored_shared(spark, sf_dir)
 
 
 def _sql_logreg(iters: int = QC_ITERS, lr: float = QC_LR) -> str:
