@@ -8621,12 +8621,15 @@ def q185_vocab_overlap(spark, sf_dir):
     are kept via the |sources|²-row pair grid (model frame). Fully
     value-hash oracled."""
     docs = _t(spark, sf_dir, "documents")
+    # persisted: the distinct (source, token) frame feeds the size agg
+    # AND both self-join sides — one corpus scan, not three (released
+    # via the _cached_inputs contract)
     sv = fan_out(docs).select(
         "source",
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("w"),
-    ).distinct()
+    ).distinct().persist()
     vs = sv.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("v"))
     a = sv.select(F.col("source").alias("src_a"), "w")
@@ -8644,7 +8647,7 @@ def q185_vocab_overlap(spark, sf_dir):
         "src_a", "src_b", "v_a", "v_b",
         F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
     )
-    return j.select(
+    out = j.select(
         "*",
         rnd(
             F.col("inter")
@@ -8652,6 +8655,8 @@ def q185_vocab_overlap(spark, sf_dir):
             6,
         ).alias("jaccard"),
     )
+    out._cached_inputs = [sv]  # see functions.dedup.release
+    return out
 
 
 SQL_Q185 = f"""
@@ -8694,8 +8699,12 @@ def q186_length_emd(spark, sf_dir):
     oracled."""
     docs = _t(spark, sf_dir, "documents")
     x = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    # persisted: the (source, length) count frame (group-count sized —
+    # |sources|·|distinct lengths| rows at ANY corpus size) feeds the
+    # grid, source list, totals, and ECDF — one corpus scan, not four
     cnts = docs.select("source", x.alias("x")).groupBy(
-        "source", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        "source", "x").agg(F.count(F.lit(1)).cast("long").alias("c")) \
+        .persist()
     grid = cnts.select("x").distinct()
     wv = Window.partitionBy().orderBy("x")
     grid_d = grid.select(
@@ -8726,10 +8735,12 @@ def q186_length_emd(spark, sf_dir):
         .where(F.col("src_a") < F.col("src_b"))
         .join(F.broadcast(grid_d), "x")
     )
-    return pairs.groupBy("src_a", "src_b").agg(
+    out = pairs.groupBy("src_a", "src_b").agg(
         rnd(F.sum(F.abs(F.col("fa") - F.col("fb")) * F.col("dx")), 4)
         .alias("w1_chars")
     )
+    out._cached_inputs = [cnts]  # see functions.dedup.release
+    return out
 
 
 SQL_Q186 = f"""
