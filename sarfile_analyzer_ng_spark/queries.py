@@ -8861,6 +8861,51 @@ def q188_ql_champions(spark, sf_dir):
 SQL_Q188 = _sql_ql(champions=BM25_CHAMPIONS)
 
 
+def q189_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size histogram: log₂-binned distribution of
+    near-dup family sizes from the q68 connected components — the
+    "are my duplicates pairs or thousand-member template families"
+    number a datasheet reports and a dedup-capacity planner sizes
+    buckets by (a fat tail here is exactly where the max_df hot-band
+    caps earn their keep). Composes the memoized cluster map with one
+    |clusters|-frame agg — corpus-cost-free beyond its audited
+    parent. Fully value-hash oracled."""
+    clusters = _dup_clusters_shared(spark, sf_dir)
+    sizes = clusters.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("double").alias("sz"))
+    lb = F.floor(rnd(F.log2(F.col("sz")), 8)).cast("long")
+    return sizes.groupBy(lb.alias("log2_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("sz").cast("long")).cast("long").alias("n_docs"),
+        F.min(F.col("sz").cast("long")).cast("long").alias("min_sz"),
+        F.max(F.col("sz").cast("long")).cast("long").alias("max_sz"),
+    )
+
+
+SQL_Q189 = f"""
+WITH RECURSIVE corpus AS ({SQL_PLANTED}),
+{_SQL_JAC_PAIRS},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.doc, e.d FROM reach w JOIN edges e ON e.s = w.r),
+clusters AS (
+  SELECT doc AS doc_id, min(r) AS rep FROM reach GROUP BY doc),
+csz AS (
+  SELECT rep, count(*)::DOUBLE AS sz FROM clusters GROUP BY rep)
+SELECT floor({sql_rnd('ln(sz) / ln(2.0)', 8)})::BIGINT AS log2_bin,
+       count(*)::BIGINT AS n_clusters,
+       sum(sz::BIGINT)::BIGINT AS n_docs,
+       min(sz::BIGINT)::BIGINT AS min_sz,
+       max(sz::BIGINT)::BIGINT AS max_sz
+FROM csz GROUP BY log2_bin
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8928,6 +8973,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q186_length_emd": (q186_length_emd, SQL_Q186),
     "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
     "q188_ql_champions": (q188_ql_champions, SQL_Q188),
+    "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
     "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
