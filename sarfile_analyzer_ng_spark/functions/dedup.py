@@ -1785,3 +1785,120 @@ def split_leakage(df: DataFrame, text_col: str, id_col: str,
             out = p if out is None else out.unionAll(p)
     out._cached_inputs = [g]
     return out
+
+
+def passage_rows(df: DataFrame, text_col: str, id_col: str,
+                 passage_words: int = 8) -> DataFrame:
+    """Split documents into consecutive ``passage_words``-word
+    passages as a (doc, idx, passage) frame — the shared splitter of
+    :func:`passage_dedup` (exact sub-doc dedup) and
+    :func:`passage_near_dup_pairs` (fuzzy sub-doc dedup). One explode
+    over a literal index sequence; passages keep the ORIGINAL word
+    case (consumers lowercase at shingle time, matching the doc-level
+    convention)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.greatest(
+        F.lit(1),
+        F.ceil(F.array_size(words) / F.lit(float(passage_words))).cast("int"),
+    )
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("idx"),
+        )
+        .select(
+            "doc",
+            F.col("idx").cast("long").alias("idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("idx").cast("int") * passage_words + 1,
+                    passage_words,
+                ),
+            ).alias("passage"),
+        )
+    )
+
+
+def passage_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           passage_words: int = 8, shingle_n: int = 3,
+                           num_hashes: int = 16, bands: int = 8,
+                           threshold: float = 0.5,
+                           max_df: int | None = None) -> DataFrame:
+    """Paragraph-granularity MinHash near-dup (Dolma §2.3 and
+    RefinedWeb both run SUB-document fuzzy dedup; until now fuzzy was
+    doc-level only — :func:`minhash_lsh_pairs_portable` — and
+    sub-doc was exact-only — :func:`passage_dedup`): passages become
+    the dedup unit, signed with the portable md5+affine family so
+    every signature, band key, and est_jaccard replays in SQL.
+
+    Returns passage pairs ``(doc_a, idx_a, doc_b, idx_b,
+    est_jaccard)`` with est ≥ ``threshold``, ordered pairs by the
+    (doc, idx) struct — paraphrased boilerplate (a template with one
+    word swapped) lands mid-range where :func:`passage_dedup`'s exact
+    hash sees nothing.
+
+    Shape at scale: passage explode is linear; shingles are per-
+    passage array HOFs (≤ passage_words rows each, no window); the
+    band self-join shuffles on uniform string keys with the standard
+    two-sided ``max_df`` hot-band cap — template passages repeated
+    across millions of pages are exactly the keys the cap drops, so
+    candidate volume stays bounded by ``max_df²`` per surviving band.
+    """
+    pas = passage_rows(df, text_col, id_col, passage_words)
+    w = F.split(F.lower(F.trim(F.col("passage"))), r"\s+")
+    n = int(shingle_n)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    fp = (
+        pas.select("doc", "idx", F.explode(grams).alias("shingle"))
+        .select("doc", "idx", fp32_expr(F.col("shingle")).alias("_fp"))
+    )
+    params = affine_params(num_hashes)
+    sig = fp.groupBy("doc", "idx").agg(
+        *[
+            F.min((F.col("_fp") * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_P))
+            .alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    ).select(
+        "doc", "idx",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    banded = sig.select(
+        "doc", "idx", "sig",
+        F.explode(portable_band_keys("sig", num_hashes, bands)).alias("band"),
+    )
+    if max_df is not None:
+        banded = _drop_hot_bands(banded, max_df)
+    banded = banded.cache()
+    a, b = banded.alias("a"), banded.alias("b")
+    lt = (F.col("a.doc") < F.col("b.doc")) | (
+        (F.col("a.doc") == F.col("b.doc")) & (F.col("a.idx") < F.col("b.idx"))
+    )
+    pairs = (
+        a.join(b, on="band")
+        .where(lt)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.idx").alias("idx_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.idx").alias("idx_b"),
+            sig_agreement(F.col("a.sig"), F.col("b.sig"),
+                          num_hashes).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "idx_a", "doc_b", "idx_b"])
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    pairs._cached_inputs = [banded]  # see release()
+    return pairs

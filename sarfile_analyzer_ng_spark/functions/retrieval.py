@@ -868,8 +868,12 @@ def ql_score_rows(df: DataFrame, text_col: str, id_col: str,
     shuffle, no state; one output row per query sharing ≥ 1 term).
     The matched-term sum, length normalizer, and per-query constant
     compose on the same rnd ladder as :func:`ql_topk`, with (nq, cq)
-    arriving as the batch ranker's own collected values — a candidate
-    doc scores bit-identically to its ql_topk score."""
+    arriving as the batch ranker's own collected values. Contract:
+    agreement with ql_topk to the round_to ladder's 1e-4 tolerance
+    (what the parity test pins), not bit-identity — the matched-term
+    sum here folds left-to-right via F.aggregate while ql_topk sums
+    over a shuffle, and IEEE summation order can flip the last
+    rounded digit at a boundary."""
     m = float(mu)
     by_q: dict = {}
     for qid, w, qtf, cf in terms:

@@ -2160,14 +2160,28 @@ def kcenter_select(df: DataFrame, id_col: str, vec_col: str,
     def lit_arr(xs):
         return F.array(*[F.lit(float(x)) for x in xs])
 
-    seed = (
+    # the id column keeps ITS OWN type in the trace (string ids are
+    # legal); the schema is derived from the input, not hardcoded
+    id_type = df.schema[id_col].dataType.simpleString()
+    spark = df.sparkSession
+    out_schema = f"sel_round long, {id_col} {id_type}, d2 double"
+    seed_rows = (
         base.select("vid", "e", rnd(F.col("n2"), round_to).alias("r"))
         .orderBy(F.col("r").desc(), F.col("vid").asc())
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    picks = [(1, int(seed.vid), None)]
-    cur = base.withColumn("dmin", F.lit(None).cast("double"))
+    if not seed_rows:
+        return spark.createDataFrame([], out_schema)
+    seed = seed_rows[0]
+    picks = [(1, seed.vid, None)]
+    # already-chosen ids leave the candidate pool: with duplicate
+    # points every survivor of a pick has dmin=0, and without the
+    # exclusion the argmax could re-pick a center forever
+    cur = (
+        base.where(F.col("vid") != F.lit(seed.vid))
+        .withColumn("dmin", F.lit(None).cast("double"))
+    )
     cvec = seed.e
     handles = []
     for rno in range(2, int(k) + 1):
@@ -2181,21 +2195,23 @@ def kcenter_select(df: DataFrame, id_col: str, vec_col: str,
             F.least(F.coalesce("dmin", F.lit(float("inf"))), d2).alias("dmin"),
         ).persist()
         handles.append(cur)
-        top = (
+        tops = (
             cur.orderBy(F.col("dmin").desc(), F.col("vid").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
-        picks.append((rno, int(top.vid), float(top.dmin)))
+        if not tops:
+            break  # k > n: the pool is exhausted, trace stays short
+        top = tops[0]
+        picks.append((rno, top.vid, float(top.dmin)))
         cvec = top.e
+        cur = cur.where(F.col("vid") != F.lit(top.vid))
         # the new round's cache is materialized by the collect above;
         # everything older is dead lineage — release it eagerly
         while len(handles) > 1:
             handles.pop(0).unpersist()
-    spark = df.sparkSession
     out = spark.createDataFrame(
-        [(r, v, d) for r, v, d in picks],
-        "sel_round long, " + id_col + " long, d2 double",
+        [(r, v, d) for r, v, d in picks], out_schema
     )
     for h in handles:
         h.unpersist()

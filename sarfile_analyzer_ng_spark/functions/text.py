@@ -2577,11 +2577,18 @@ def moore_lewis_model(df: DataFrame, text_col: str, in_domain_col: str,
             .select("w", F.col(c_col).alias("c"))
         )
         vrows = {r.w: r.c for r in vocab.collect()}
+        # empty vocab ⇒ unk mass = the whole side's total, with NO
+        # anti-join: a sentinel [("",)] row would wrongly exclude
+        # empty-string tokens from the unk mass, diverging from the
+        # batch moore_lewis (whose anti-join against an empty vocab
+        # keeps every token)
+        if not vrows:
+            return vrows, float(tot), float(tot)
         unk = (
             cnts.join(
                 F.broadcast(
                     df.sparkSession.createDataFrame(
-                        [(w,) for w in vrows] or [("",)], "w string"
+                        [(w,) for w in vrows], "w string"
                     )
                 ),
                 "w",

@@ -237,3 +237,91 @@ def cms_estimate(counters: DataFrame, probes: DataFrame, key_col: str,
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias(out_col)
     )
+
+
+def mg_topk(df: DataFrame, col: str, k: int = 20,
+            shards: int = 8) -> DataFrame:
+    """SpaceSaving / Misra-Gries top-k heavy hitters with MERGE
+    (Misra & Gries 1982; Metwally et al. 2005 SpaceSaving; Agarwal et
+    al. 2012 prove the summaries mergeable) — the bounded-state
+    frequent-items twin of the count-min sketch (CMS answers "how
+    often is X?", this answers "WHAT are the top K?"), replacing
+    ``frequent_items``'s Spark-internal approximation with an
+    engine-reproducible summary.
+
+    Two-level construction, exactly the distributed deployment: items
+    shard by portable hash (``util.shard_hash`` over the md5 32-bit
+    fingerprint — each item lives in ONE shard, so shard counts are
+    exact); each shard COMPRESSES its count vector to ≤ k counters by
+    the canonical MG step (subtract the (k+1)-th largest count
+    ``delta_s``, keep strictly-positive survivors — at most k items
+    can exceed the (k+1)-th largest); the ≤ shards·k survivors MERGE
+    and compress once more with the global ``delta_g``. Every delta
+    is exact integer arithmetic on a deterministic (count DESC, item
+    ASC) ranking, so estimates replay bit-for-bit in SQL — unlike a
+    stream-order MG whose counters depend on arrival order.
+
+    Returns ≤ k rows: (item, est, true_cnt, gap, bound_ok) with the
+    MG guarantees as CHECKED columns: est ≤ true always (we only
+    subtract), and gap = delta_s + delta_g ≤ 2N/(k+1) (each
+    compression's delta is bounded by its input mass over k+1).
+
+    Shape at scale: ONE combinable item-count agg (the only
+    corpus-sized pass); the rank windows run over DISTINCT items
+    within a shard — vocabulary-sized, not corpus-sized (a true
+    beyond-memory item domain would swap the window for a per-shard
+    top-(k+1) TakeOrdered; the compression arithmetic is unchanged).
+    The summary itself is ≤ shards·k rows — broadcastable, mergeable,
+    and maintainable incrementally (streaming/ops.py ST29 twin).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.dedup import fp32_expr
+    from ..util import shard_hash
+
+    items = df.select(F.col(col).cast("string").alias("item"))
+    cnt = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cnt = cnt.withColumn("shard", shard_hash(fp32_expr(F.col("item")),
+                                             shards))
+    ws = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    ranked = cnt.withColumn("rn", F.row_number().over(ws))
+    dels = ranked.groupBy("shard").agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("cnt")))
+        .alias("_d")
+    ).select("shard", F.coalesce("_d", F.lit(0)).alias("delta_s"))
+    lvl1 = (
+        ranked.join(F.broadcast(dels), "shard")
+        .where(F.col("cnt") > F.col("delta_s"))
+        .select("item", "cnt", "delta_s",
+                (F.col("cnt") - F.col("delta_s")).alias("est1"))
+    )
+    wg = Window.partitionBy().orderBy(
+        F.col("est1").desc(), F.col("item").asc()
+    )
+    g = lvl1.withColumn("gn", F.row_number().over(wg))
+    dg = g.agg(
+        F.coalesce(F.max(F.when(F.col("gn") == k + 1, F.col("est1"))),
+                   F.lit(0)).alias("delta_g")
+    )
+    n_tot = items.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    out = (
+        g.crossJoin(F.broadcast(dg))
+        .where(F.col("est1") > F.col("delta_g"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "item",
+            (F.col("est1") - F.col("delta_g")).cast("long").alias("est"),
+            F.col("cnt").alias("true_cnt"),
+            (F.col("delta_s") + F.col("delta_g")).cast("long").alias("gap"),
+            "n_total",
+            (
+                (F.col("delta_s") + F.col("delta_g")) * (k + 1)
+                <= 2 * F.col("n_total")
+            ).alias("bound_ok"),
+        )
+    )
+    return out

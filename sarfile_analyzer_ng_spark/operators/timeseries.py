@@ -773,11 +773,15 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     Returns points' columns + the matched interval's columns.
     """
     b = F.lit(int(bucket_seconds))
-    pb = (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    # floor, not cast("long"): cast truncates toward zero, which
+    # diverges from the SQL twin's floor() on pre-1970 (negative
+    # epoch) timestamps — the equi-join itself would stay correct
+    # (truncation is monotone) but hot-bucket grouping would not
+    pb = F.floor(F.unix_timestamp(F.col(ts_col)) / b)
     ib = F.explode(
         F.sequence(
-            (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
-            (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            F.floor(F.unix_timestamp(F.col(start_col)) / b),
+            F.floor(F.unix_timestamp(F.col(end_col)) / b),
         )
     )
     pts = points.withColumn("_bkt", pb)
@@ -809,7 +813,9 @@ def burst_intervals(df: DataFrame, ts_col: str,
     b = int(bucket_seconds)
     hot = (
         df.groupBy(
-            (F.unix_timestamp(F.col(ts_col)) / F.lit(b)).cast("long")
+            # floor (not cast) for negative-epoch parity with the
+            # SQL twin — see interval_join above
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(b))
             .alias("bkt")
         )
         .agg(

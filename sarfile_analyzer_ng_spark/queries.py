@@ -21,6 +21,7 @@ from .util import fan_out, rnd, sql_rnd
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
+from .functions import web as W
 from .operators import relational as R
 from .operators import reshape as RS
 from .operators import stats as ST
@@ -8450,7 +8451,10 @@ def q182_benford_audit(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     cents = F.round(F.col("value") * 100).cast("long")
     d = F.substring(cents.cast("string"), 1, 1).cast("int")
-    pos = ev.where(F.col("value") > 0).select(
+    # gate on cents >= 1, not value > 0: values in (0, 0.005) round
+    # to cents=0, whose "digit" 0 has no Benford expectation — they
+    # must be excluded, not emitted as a NULL-exp_share junk row
+    pos = ev.where(cents >= 1).select(
         "event_type", d.alias("digit")
     )
     cnt = pos.groupBy("event_type", "digit").agg(
@@ -8491,7 +8495,7 @@ WITH pos AS (
   SELECT event_type,
          substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)::INTEGER
            AS digit
-  FROM events WHERE value > 0),
+  FROM events WHERE CAST(round(value * 100, 0) AS BIGINT) >= 1),
 cnt AS (
   SELECT event_type, digit, count(*)::BIGINT AS n_obs
   FROM pos GROUP BY event_type, digit),
@@ -8906,6 +8910,536 @@ FROM csz GROUP BY log2_bin
 """
 
 
+# --------------------------------------------------------------------
+# r10 wave 1: URL/domain-level curation (RefinedWeb §3.1's first
+# stage — the operators that run BEFORE any text op at 100 TB)
+# --------------------------------------------------------------------
+
+def _synth_url_expr():
+    """Deterministic messy-URL column derived from (doc_id, source) —
+    the documents table has no URL column, so the gate synthesizes
+    one IN BOTH ENGINES from the same integer arithmetic, covering
+    every canonicalization rule: mixed-case schemes/hosts, default
+    and non-default ports, ``www.`` prefixes, ``//`` runs, trailing
+    slashes, empty paths, tracking params, unsorted params, and
+    fragments."""
+    m = lambda k: F.col("doc_id") % k  # noqa: E731 — doc_id ≥ 0, both engines' % agree
+    did = F.col("doc_id").cast("string")
+    scheme = (
+        F.when(m(3) == 0, F.lit("HTTP"))
+        .when(m(3) == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    host = (
+        F.when(m(4) == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".COM")))
+        .when(m(4) == 1, F.concat(F.lit("cdn."), F.col("source"), F.lit(".net:443")))
+        .when(m(4) == 2, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk:80")))
+        .otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".Org")))
+    )
+    path = (
+        F.when(m(5) == 0, F.concat(F.lit("/docs//"), did, F.lit("/")))
+        .when(m(5) == 1, F.concat(F.lit("/docs/"), did))
+        .when(m(5) == 2, F.lit(""))
+        .when(m(5) == 3, F.concat(F.lit("//p//"), did, F.lit("//")))
+        .otherwise(F.concat(F.lit("/x/"), did))
+    )
+    qm7 = (F.col("doc_id") % 7).cast("string")
+    query = (
+        F.when(m(6) == 0, F.concat(F.lit("?utm_source=tw&id="), qm7))
+        .when(m(6) == 1, F.concat(F.lit("?id="), qm7, F.lit("&utm_campaign=x&gclid=abc")))
+        .when(m(6) == 2, F.lit("?b=2&a=1"))
+        .when(m(6) == 3, F.lit("?ref=hp"))
+        .when(m(6) == 4, F.lit(""))
+        .otherwise(F.lit("?fbclid=z&z=9"))
+    )
+    frag = F.when(m(2) == 0, F.concat(F.lit("#sec"), (F.col("doc_id") % 5).cast("string"))).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query, frag)
+
+
+# the same synthesis in DuckDB (CAST/CASE chains mirror the Spark
+# whens 1:1; doc_id ≥ 0, so % agrees between engines)
+_SQL_SYNTH_URL = """
+  SELECT doc_id, lang, source, text,
+         (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
+         || '://'
+         || (CASE doc_id % 4
+               WHEN 0 THEN 'WWW.' || source || '.COM'
+               WHEN 1 THEN 'cdn.' || source || '.net:443'
+               WHEN 2 THEN 'www.' || source || '.co.uk:80'
+               ELSE 'blog.' || source || '.Org' END)
+         || (CASE doc_id % 5
+               WHEN 0 THEN '/docs//' || CAST(doc_id AS VARCHAR) || '/'
+               WHEN 1 THEN '/docs/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN ''
+               WHEN 3 THEN '//p//' || CAST(doc_id AS VARCHAR) || '//'
+               ELSE '/x/' || CAST(doc_id AS VARCHAR) END)
+         || (CASE doc_id % 6
+               WHEN 0 THEN '?utm_source=tw&id=' || CAST(doc_id % 7 AS VARCHAR)
+               WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&gclid=abc'
+               WHEN 2 THEN '?b=2&a=1'
+               WHEN 3 THEN '?ref=hp'
+               WHEN 4 THEN ''
+               ELSE '?fbclid=z&z=9' END)
+         || (CASE doc_id % 2 WHEN 0 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+           AS url
+  FROM documents
+"""
+
+# DuckDB replay of functions/web.py's canonical chain, as reusable
+# CTE text (expects a CTE named ``urls`` with (doc_id, url, ...)).
+# regexp_replace carries the 'g' flag ONLY where Spark replaces more
+# than one match (the //-collapse); anchored rules match at most once.
+_SQL_CANON_CTES = rf"""
+u1 AS (
+  SELECT *, regexp_replace(trim(url), '#.*$', '') AS nofrag,
+         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch
+  FROM urls),
+u2 AS (
+  SELECT *, regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
+u3 AS (
+  SELECT *, lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hp,
+         regexp_replace(rest, '^[^/?]+', '') AS tail
+  FROM u2),
+u4 AS (
+  SELECT *, regexp_replace(
+           CASE WHEN sch = 'http'  THEN regexp_replace(hp, ':80$', '')
+                WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+                ELSE hp END, '^www\.', '') AS host
+  FROM u3),
+u5 AS (
+  SELECT *, regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/{{2,}}', '/', 'g') AS coll,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{W.TRACKING_PARAM_RE}'))), '&'), '') AS qc
+  FROM u4),
+u6 AS (
+  SELECT *, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path FROM (
+    SELECT *, CASE WHEN length(coll) > 1 AND coll LIKE '%/'
+                   THEN substr(coll, 1, length(coll) - 1) ELSE coll END AS p0
+    FROM u5)),
+canon AS (
+  SELECT *, CASE WHEN sch = '' THEN lower(trim(url))
+                 ELSE sch || '://' || host || path ||
+                      CASE WHEN qc = '' THEN '' ELSE '?' || qc END END AS canon_url,
+         regexp_replace(host, ':[0-9]+$', '') AS bare_host
+  FROM u6),
+dom AS (
+  SELECT *, CASE WHEN regexp_matches(bare_host, '{W.SECOND_LEVEL_RE}')
+                      AND regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+                 THEN regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                 WHEN regexp_extract(bare_host, '([^.]+\.[^.]+)$', 1) <> ''
+                 THEN regexp_extract(bare_host, '([^.]+\.[^.]+)$', 1)
+                 ELSE bare_host END AS domain
+  FROM canon)
+"""
+
+
+def q190_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/web.py — RefinedWeb §3.1's
+    URL-level stage; the exact-dedup key of every crawl pipeline):
+    scheme/host lowercasing, default-port + www strip, //-collapse,
+    trailing-slash and fragment drop, tracking-param removal with
+    param sorting, and public-suffix-lite registrable-domain
+    extraction — all pure codegen regexp/array expressions (zero
+    UDF, zero shuffle: runs at scan speed on 100 TB of crawl
+    metadata). The gate synthesizes a deterministic messy URL per
+    document IN BOTH ENGINES (no URL column in the testdata), so
+    every rule's output is value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.withColumn("url", _synth_url_expr())
+    host = W.url_host(F.col("url"))
+    return urls.select(
+        "doc_id",
+        "url",
+        W.canonical_url(F.col("url")).alias("canon_url"),
+        host.alias("host"),
+        W.registrable_domain(
+            F.regexp_replace(host, r":[0-9]+$", "")
+        ).alias("domain"),
+    )
+
+
+SQL_Q190 = f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+{_SQL_CANON_CTES}
+SELECT doc_id, url, canon_url, host, domain FROM dom
+"""
+
+
+# domain blocklist for the rollup gate (one per TLD family so the
+# anti-join path is live); a real pipeline broadcast-joins a list of
+# millions — same plan shape
+BLOCKED_DOMAINS = ("src3.com", "src7.net", "src1.co.uk")
+
+
+def q191_domain_rollup(spark, sf_dir):
+    """Host/domain-level rollup + blocklist gating (RefinedWeb §3.1,
+    C4's domain filters): per registrable domain — document count,
+    token mass, distinct hosts/langs, and the keep/drop verdict from
+    a broadcast blocklist anti-pattern (flag, not filter, so the
+    audit sees BOTH sides). This is the table a curator reads to
+    decide domain-level sampling weights before any text op runs;
+    one URL-synth + canon map stage and ONE domain-keyed combinable
+    agg — group-count shaped output, corpus-size independent."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    urls = docs.withColumn("url", _synth_url_expr())
+    host = W.url_host(F.col("url"))
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    enr = urls.select(
+        "doc_id", "lang", "text",
+        host.alias("host"),
+        W.registrable_domain(bare).alias("domain"),
+    )
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string")
+    flagged = enr.join(
+        F.broadcast(blocked.withColumn("_blk", F.lit(1))), "domain", "left")
+    toks = F.size(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"))
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.max(F.coalesce(F.col("_blk"), F.lit(0))).cast("long")
+            .alias("blocked"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("blocked") == 1, F.lit("drop")).otherwise(F.lit("keep")),
+        )
+    )
+
+
+_SQL_BLOCKED = " UNION ALL ".join(
+    f"SELECT '{d}' AS bdom" for d in BLOCKED_DOMAINS
+)
+
+SQL_Q191 = f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+{_SQL_CANON_CTES},
+blk AS ({_SQL_BLOCKED}),
+flagged AS (
+  SELECT d.domain, d.host, d.lang, d.text,
+         CASE WHEN b.bdom IS NULL THEN 0 ELSE 1 END AS _blk
+  FROM dom d LEFT JOIN blk b ON b.bdom = d.domain)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')))::BIGINT
+         AS n_tokens,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       max(_blk)::BIGINT AS blocked,
+       CASE WHEN max(_blk) = 1 THEN 'drop' ELSE 'keep' END AS verdict
+FROM flagged GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------
+# r10 wave 2: paragraph-granularity MinHash near-dup
+# --------------------------------------------------------------------
+
+PNDP_EVERY = 97          # plant boilerplate on every 97th document
+PNDP_HASHES = 16
+PNDP_BANDS = 8
+PNDP_MAX_DF = 60         # two-sided hot-band cap (template passages)
+PNDP_TAU = 0.5
+# 13 words: the first 8 fill one pure-boilerplate passage when the
+# plant is passage-aligned; the last 5 + the per-doc variant token
+# form a 6-word tail passage whose cross-variant pairs land MID-range
+# (the paraphrase signal — one swapped word, est < 1)
+PNDP_BOILER = ("please subscribe to the daily digest newsletter "
+               "and follow the channel every day")
+
+
+def _pndp_corpus(spark, sf_dir):
+    """documents ∪ passage-ALIGNED boilerplate plants: every
+    ``PNDP_EVERY``-th doc contributes a shifted twin made of its own
+    first 8 or 16 words (so plant passages line up with passage
+    boundaries) + the shared boilerplate + a ``v<doc_id mod 3>``
+    variant token. Cross-doc same-variant tails are exact passage
+    dups; cross-VARIANT tails are paraphrases (one word swapped)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    head = F.when(
+        F.col("doc_id") % 2 == 0, F.slice(w, 1, 8)
+    ).otherwise(F.slice(w, 1, 16))
+    planted = docs.where(F.col("doc_id") % PNDP_EVERY == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", head),
+            F.lit(" " + PNDP_BOILER + " v"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+SQL_PNDP_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {{plant_offset}} AS doc_id,
+         array_to_string(CASE WHEN doc_id % 2 = 0 THEN w[1:8]
+                              ELSE w[1:16] END, ' ')
+         || ' {PNDP_BOILER} v' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % {PNDP_EVERY} = 0)
+"""
+
+
+def q192_passage_near_dups(spark, sf_dir):
+    """Paragraph-granularity MinHash near-dup (functions/dedup.py:
+    passage_near_dup_pairs — Dolma/RefinedWeb run SUB-document fuzzy
+    dedup; q94 is sub-doc exact, q31 is doc-level fuzzy, this closes
+    the quadrant): passages are the dedup unit, signed with the
+    portable md5+affine family (16 hashes, 8 string-keyed bands) and
+    the standard two-sided max_df hot-band cap. The planted gate:
+    same-variant boilerplate tails are exact passage dups (est 1.0),
+    cross-variant tails — one swapped word — land mid-range, which is
+    exactly what exact-hash passage dedup cannot see. Fully
+    value-hash oracled (signatures, band keys, est all replay)."""
+    corpus = _pndp_corpus(spark, sf_dir)
+    return D.passage_near_dup_pairs(
+        corpus, "text", "doc_id", passage_words=PASSAGE_WORDS,
+        shingle_n=3, num_hashes=PNDP_HASHES, bands=PNDP_BANDS,
+        threshold=PNDP_TAU, max_df=PNDP_MAX_DF,
+    )
+
+
+def _sql_passage_near_pairs() -> str:
+    """DuckDB replay of the passage-level portable MinHash banding:
+    q94's passage split + q31's md5+affine mins, keyed by (doc, idx)
+    instead of doc."""
+    params = D.affine_params(PNDP_HASHES)
+    rows = PNDP_HASHES // PNDP_BANDS
+    hcols = ",\n         ".join(
+        f"min((fp * {a} + {b}) % {D.PORTABLE_P})::BIGINT AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows))
+        for b in range(PNDP_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(PNDP_HASHES)
+    )
+    est = sql_rnd(f"({match_sum})::DOUBLE / {PNDP_HASHES}", 4)
+    hlist = ", ".join(f"h{i}" for i in range(PNDP_HASHES))
+    corpus = SQL_PNDP_CORPUS.format(plant_offset=PLANT_OFFSET)
+    return rf"""
+WITH corpus AS ({corpus}),
+dwords AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+p0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM dwords),
+pass AS (
+  SELECT doc, idx,
+         array_to_string(list_transform(
+           range(idx * {PASSAGE_WORDS} + 1,
+                 least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
+           j -> w[j]), ' ') AS passage
+  FROM p0),
+pw AS (
+  SELECT doc, idx,
+         string_split_regex(lower(trim(passage)), '\s+') AS pw
+  FROM pass),
+sh AS (
+  SELECT doc, idx,
+         unnest(list_transform(range(1, greatest(len(pw) - 1, 1)),
+                i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])) AS shingle
+  FROM pw WHERE len(pw) >= 3
+  UNION ALL
+  SELECT doc, idx, array_to_string(pw, ' ') AS shingle
+  FROM pw WHERE len(pw) < 3),
+fp AS (SELECT doc, idx,
+              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS fp FROM sh),
+sig AS (SELECT doc, idx, {hcols}
+        FROM fp GROUP BY doc, idx),
+banded0 AS (SELECT doc, idx, {hlist}, unnest([{band_exprs}]) AS band FROM sig),
+hot AS (
+  SELECT band FROM banded0 GROUP BY band
+  HAVING count(*) > {PNDP_MAX_DF}),
+banded AS (
+  SELECT * FROM banded0 b0
+  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.band = b0.band))
+SELECT DISTINCT a.doc AS doc_a, a.idx AS idx_a,
+       b.doc AS doc_b, b.idx AS idx_b, {est} AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band
+ AND (a.doc < b.doc OR (a.doc = b.doc AND a.idx < b.idx))
+WHERE {est} >= {PNDP_TAU}
+"""
+
+
+SQL_Q192 = _sql_passage_near_pairs()
+
+
+# --------------------------------------------------------------------
+# r10 wave 3: Misra-Gries / SpaceSaving heavy hitters
+# --------------------------------------------------------------------
+
+MG_K = 20
+MG_SHARDS = 8
+
+
+def q193_heavy_hitters(spark, sf_dir):
+    """SpaceSaving / Misra-Gries top-k heavy hitters with merge
+    (operators/sketches.py:mg_topk; Misra & Gries 1982, Metwally et
+    al. 2005, Agarwal et al. 2012's merge theorem): the bounded-state
+    frequent-tokens summary over the documents token stream — CMS
+    (q136/ST21) answers "how often is X", this answers "WHAT are the
+    top K" with an engine-reproducible, mergeable summary instead of
+    Spark's internal FreqItems approximation. Two-level shard
+    compress + merge compress; every delta is exact integer
+    arithmetic on a deterministic ranking, so est/true/gap are fully
+    value-hash oracled and the MG error bound rides as a checked
+    boolean (the q50 bound-gate form, but with the estimate itself
+    under the hash too). ST29 (streaming/ops.py:mg_update) maintains
+    the same summary incrementally."""
+    from .operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = fan_out(docs).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    return SK.mg_topk(toks, "tok", k=MG_K, shards=MG_SHARDS)
+
+
+SQL_Q193 = f"""
+WITH items AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+  FROM documents),
+cnt AS (SELECT item, count(*)::BIGINT AS cnt FROM items GROUP BY item),
+sh AS (
+  SELECT *, ((((('0x' || substr(md5(item), 1, 8))::BIGINT % 1000003)
+               * 2654435761) % {MG_SHARDS}) + {MG_SHARDS}) % {MG_SHARDS}
+              AS shard
+  FROM cnt),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY cnt DESC, item ASC) AS rn
+  FROM sh),
+ds AS (
+  SELECT shard, coalesce(max(CASE WHEN rn = {MG_K + 1} THEN cnt END), 0)
+           AS delta_s
+  FROM rk GROUP BY shard),
+l1 AS (
+  SELECT item, cnt, delta_s, cnt - delta_s AS est1
+  FROM rk JOIN ds USING (shard) WHERE cnt > delta_s),
+g AS (
+  SELECT *, row_number() OVER (ORDER BY est1 DESC, item ASC) AS gn
+  FROM l1),
+dg AS (
+  SELECT coalesce(max(CASE WHEN gn = {MG_K + 1} THEN est1 END), 0)
+           AS delta_g
+  FROM g),
+nt AS (SELECT count(*)::BIGINT AS n_total FROM items)
+SELECT item, (est1 - delta_g)::BIGINT AS est, cnt AS true_cnt,
+       (delta_s + delta_g)::BIGINT AS gap, n_total,
+       (delta_s + delta_g) * {MG_K + 1} <= 2 * n_total AS bound_ok
+FROM g, dg, nt WHERE est1 > delta_g
+"""
+
+
+# --------------------------------------------------------------------
+# r10 wave 4: dense-route retrieval-quality audit (nDCG for ANN)
+# --------------------------------------------------------------------
+
+def q194_ann_ndcg_audit(spark, sf_dir):
+    """Rank-quality audit for the dense ANN scale path (functions/
+    retrieval.py:ndcg_audit over functions/similarity.py:
+    ann_topk_ivf_portable): per-query nDCG@k of the sub-exhaustive
+    IVF route (nprobe=2 of 8 lists) against brute-force cosine as
+    graded truth — q142 reports recall@k (did the neighbors show
+    up), this reports nDCG (did they show up IN THE RIGHT ORDER),
+    completing the audit pair the sparse route already has
+    (q150 = champion-BM25 nDCG vs q131's recall-style screens). The
+    number a curator reads before switching SemDeDup/ANN at 100 TB
+    from exact scoring to IVF. Both inputs are |queries|·k ranked
+    RESULT frames; discounts are Python-literal constants in both
+    engines. Fully value-hash oracled over the unrolled Lloyd
+    chain."""
+    from .functions import retrieval as RV
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = S.ann_topk_ivf_portable(
+        emb, "vec_id", "embedding", ANN_NUM_QUERIES, k=ANN_K,
+        k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE,
+    )
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    brute = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding",
+                                  ANN_K)
+    approx = ivf.select(
+        "query_id", "rank", F.col("neighbor_id").alias("doc_id"))
+    exact = brute.select(
+        "query_id", "rank", F.col("neighbor_id").alias("doc_id"))
+    return RV.ndcg_audit(approx, exact, k=ANN_K)
+
+
+def _sql_ann_ndcg() -> str:
+    from .functions.retrieval import ndcg_discounts
+
+    disc = "[" + ", ".join(repr(d) for d in ndcg_discounts(ANN_K)) + "]"
+    k = ANN_K
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+{_sql_ivf_sub()},
+ivf_rk AS (
+  SELECT query_id, neighbor_id, rk AS "rank" FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM cand) WHERE rk <= {k}),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+bscored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(CAST((list_dot_product(qq.e, c.e) / (qq.nrm * c.nrm)) AS VARCHAR) AS DECIMAL(38,8)), 4)::DOUBLE AS cosine
+  FROM n qq JOIN n c ON c.vec_id != qq.vec_id
+  WHERE qq.vec_id <= {ANN_NUM_QUERIES}),
+brute_rk AS (
+  SELECT query_id, neighbor_id, rk AS "rank" FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM bscored) WHERE rk <= {k}),
+gains AS (
+  SELECT query_id, neighbor_id, ({k} - "rank" + 1)::DOUBLE AS gain
+  FROM brute_rk),
+idcg AS (
+  SELECT query_id,
+         {sql_rnd(f'''sum({sql_rnd(f'({k} - "rank" + 1)::DOUBLE * ({disc})["rank"]', 8)})''', 6)}
+           AS idcg
+  FROM brute_rk GROUP BY query_id),
+dcg AS (
+  SELECT a.query_id,
+         {sql_rnd(f'''sum({sql_rnd(f'coalesce(g.gain, 0.0) * ({disc})[a."rank"]', 8)})''', 6)}
+           AS dcg,
+         sum(CASE WHEN g.gain IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits
+  FROM ivf_rk a LEFT JOIN gains g
+    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.query_id)
+SELECT query_id, n_hits, dcg, idcg,
+       {sql_rnd('CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END', 6)}
+         AS ndcg
+FROM dcg JOIN idcg USING (query_id)
+"""
+
+
+SQL_Q194 = _sql_ann_ndcg()
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -8921,113 +9455,46 @@ FROM csz GROUP BY log2_bin
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r9 rotation (second wave): the 16 operators added after the
-    # first r9 recording lead — q147 capacity forecast, q148 lag
-    # correlation, q149 soft dedup, q150 nDCG audit, q151 silhouette,
-    # q152 budget allocation, q153 word entropy, q154 RM3 expansion,
-    # q155 JL distortion, q156 media inventory, q157 anomaly
-    # ensemble, q158 dup PageRank, q159 packing report, q160 KS
-    # drift, q161 classifier AUC, q162 hourly bands, q163 Heaps law,
-    # q164 embedding card, q165 bigram entropy, q166 coverage curve,
-    # q167 curriculum order, q168 filter agreement, q169 length
-    # histogram (23 total); then the first-wave ordering continues
-    # (its trailing r7-recorded fills dropped to the tail, re-pinned
-    # by snapshot_tail).
-    # r9 rotation: (1) keys NEW or CHANGED this round lead — the 21
-    # r9 operators (q123 DoReMi; q124-q126 BM25/Zipf/KN; q127-q129
-    # EWMA/novelty/quantile-gate; q130-q133 hashed-gram classifier /
-    # champion BM25 / risk report / source perplexity; q134-q143
-    # hybrid RRF / snapshot diff / count-min / boilerplate cut /
-    # trend fit / chunk-ppl cut / MAD outliers / moment merge / IVF
-    # recall / MMR), q119 (oracle SQL dtype fix: BIGINT casts on
-    # every UNION branch), and the MinHash hot-band-cap family:
-    # q31/q121 (impl + mirrored hot CTE in the oracle), q51 (recall
-    # gate over the capped memo), q56 (takes candidates from it), and
-    # q32 (NULL-text coalesce in simhash32_portable + its oracle);
-    # r9 rotation (fourth wave): the 6 operators added after the
-    # third recording lead — q170 Moore-Lewis contrastive selection,
-    # q171 Poisson-bootstrap CIs, q172 greedy k-center coreset, q173
-    # embedding outliers, q174 classifier threshold sweep, q175
-    # cross-split leakage audit.
-    "q170_moore_lewis": (q170_moore_lewis, SQL_Q170),
-    "q171_bootstrap_ci": (q171_bootstrap_ci, SQL_Q171),
-    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
-    "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
-    "q175_split_leakage": (q175_split_leakage, SQL_Q175),
-    # r9 wave 5: q176 UniMax allocation, q177 Dirichlet QL retrieval,
-    # q178 Fisher label-separation audit, q179 winsorized moments
-    "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
-    "q177_ql_topk": (q177_ql_topk, SQL_Q177),
-    "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
-    "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
-    # r9 wave 6: q180 ranker agreement, q181 k-anonymity, q182 Benford
-    "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
-    "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
+    # r10 rotation (oldest-recorded-first, see tools/snapshot_tail.py
+    # --check-rotation): (1) the 5 NEW r10 operators lead — q190 URL
+    # canonicalization, q191 domain rollup, q192 passage-level
+    # MinHash near-dup, q193 Misra-Gries heavy hitters, q194 ANN
+    # nDCG audit;
+    "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
+    "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
+    "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
+    "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
+    "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
+    # (2) keys CHANGED by the r10 ADVICE fixes — q182 (benford gate
+    # now cents >= 1 in both engines), q183 (interval_join/
+    # burst_intervals floor() for negative-epoch parity), q172
+    # (kcenter_select schema derivation + picked-id exclusion);
     "q182_benford_audit": (q182_benford_audit, SQL_Q182),
-    # r9 wave 7: q183 bucketed interval join, q184 hapax density
     "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
-    "q184_hapax_density": (q184_hapax_density, SQL_Q184),
-    # r9 wave 8: q185 vocab overlap matrix, q186 length-EMD matrix
-    "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
-    "q186_length_emd": (q186_length_emd, SQL_Q186),
-    "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
-    "q188_ql_champions": (q188_ql_champions, SQL_Q188),
-    "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
-    "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
-    "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
-    "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
-    "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
-    "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
-    "q153_word_entropy": (q153_word_entropy, SQL_Q153),
-    "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
-    "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
-    "q156_media_inventory": (q156_media_inventory, SQL_Q156),
-    "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
-    "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
-    "q159_packing_report": (q159_packing_report, SQL_Q159),
-    "q160_ks_drift": (q160_ks_drift, SQL_Q160),
-    "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
-    "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
-    "q163_heaps_law": (q163_heaps_law, SQL_Q163),
-    "q164_embedding_card": (q164_embedding_card, SQL_Q164),
-    "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
-    "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
-    "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
-    "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
-    "q169_length_histogram": (q169_length_histogram, SQL_Q169),
-    "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
-    "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
-    "q136_count_min": (q136_count_min, SQL_Q136),
-    "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
-    "q138_trend_fit": (q138_trend_fit, SQL_Q138),
-    "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
-    "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
-    "q141_moments_merge": (q141_moments_merge, SQL_Q141),
+    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
+    # (3) the 18 never-driver-green keys (q119's ::BIGINT oracle fix
+    # was verified locally in r9 but the driver never re-recorded it;
+    # q123-q133/q135/q142-q146 were added mid-r9 and rotated out
+    # before the driver ran — judge-replayed green, never recorded);
+    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
+    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
+    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
+    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
+    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
+    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
+    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
+    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
+    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
+    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
+    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
+    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
+    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
     "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
     "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
     "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
     "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
     "q146_proto_prune": (q146_proto_prune, SQL_Q146),
-    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
-    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
-    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
-    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
-    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
-    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
-    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
-    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
-    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
-    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
-    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
-    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
-    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
-    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
-    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
-    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
-    # (2) the r5-recorded block — oldest driver recording on file;
+    # (4) the r5-recorded block — oldest driver recording on file;
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -9038,7 +9505,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q97_pq_codes": (q97_pq_codes, SQL_Q97),
     "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
     "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    # (3) the r6-recorded block;
+    # (5) the r6-recorded block;
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),
@@ -9052,8 +9519,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    # (4) oldest r7-recorded keys fill the remaining 21 slots.
+    # (6) oldest r7-recorded key fills the last slot.
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-recording-first so future rotation = take from
+    # the top. Remaining r7-recorded keys;
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
@@ -9073,8 +9543,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # remaining r7-recorded keys;
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     "q114_source_divergence": (q114_source_divergence, SQL_Q114),
     "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
@@ -9102,7 +9570,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
-    # r8-recorded keys (the previous window, freshest recordings);
+    # r8-recorded keys;
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
@@ -9147,6 +9615,60 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
+    # r9-recorded keys (the freshest recordings — CORRECTNESS_r09).
+    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
+    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
+    "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
+    "q136_count_min": (q136_count_min, SQL_Q136),
+    "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
+    "q138_trend_fit": (q138_trend_fit, SQL_Q138),
+    "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
+    "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
+    "q141_moments_merge": (q141_moments_merge, SQL_Q141),
+    "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
+    "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
+    "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
+    "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
+    "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
+    "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
+    "q153_word_entropy": (q153_word_entropy, SQL_Q153),
+    "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
+    "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
+    "q156_media_inventory": (q156_media_inventory, SQL_Q156),
+    "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
+    "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
+    "q159_packing_report": (q159_packing_report, SQL_Q159),
+    "q160_ks_drift": (q160_ks_drift, SQL_Q160),
+    "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
+    "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
+    "q163_heaps_law": (q163_heaps_law, SQL_Q163),
+    "q164_embedding_card": (q164_embedding_card, SQL_Q164),
+    "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
+    "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
+    "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
+    "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
+    "q169_length_histogram": (q169_length_histogram, SQL_Q169),
+    "q170_moore_lewis": (q170_moore_lewis, SQL_Q170),
+    "q171_bootstrap_ci": (q171_bootstrap_ci, SQL_Q171),
+    "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
+    "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
+    "q175_split_leakage": (q175_split_leakage, SQL_Q175),
+    "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
+    "q177_ql_topk": (q177_ql_topk, SQL_Q177),
+    "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
+    "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
+    "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
+    "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
+    "q184_hapax_density": (q184_hapax_density, SQL_Q184),
+    "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
+    "q186_length_emd": (q186_length_emd, SQL_Q186),
+    "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
+    "q188_ql_champions": (q188_ql_champions, SQL_Q188),
+    "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
+
 }
 
 

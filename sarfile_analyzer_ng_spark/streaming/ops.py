@@ -1361,3 +1361,56 @@ def ql_screen_stream(stream: DataFrame, text_col: str, id_col: str,
     if min_score is not None:
         out = out.where(F.col("score") >= float(min_score))
     return out
+
+
+def mg_update(state: DataFrame | None, batch: DataFrame, col: str,
+              k: int = 20, shards: int = 8) -> DataFrame:
+    """Incremental Misra-Gries / SpaceSaving maintenance (ST29): the
+    streaming twin of ``operators.sketches.mg_topk`` — fold each
+    micro-batch into a bounded ≤ shards·k summary via the MERGE
+    theorem of Agarwal et al. 2012 (add counters item-wise, compress
+    by subtracting the (k+1)-th largest, keep strictly positive):
+    the foreachBatch maintenance loop that keeps "what are the top-K
+    tokens/URLs so far" continuously current while CMS (ST21) keeps
+    "how often is X". State is (item, shard, est) — ≤ shards·k rows
+    by construction, corpus-rate independent (the ST21 bounded-state
+    contract), and the merge is associative, so any micro-batch
+    slicing of the same stream lands within the same N/(k+1)-family
+    error envelope (pytest pins est ≤ true and the two-level
+    2N/(k+1) bound against the batch operator's exact counts).
+
+    Per batch: ONE combinable item-count agg over the batch, a union
+    with the k-bounded state, and vocabulary-bounded per-shard rank
+    windows — no corpus-sized state, no shuffle beyond the count agg.
+    """
+    from ..functions.dedup import fp32_expr
+    from ..util import shard_hash
+    from pyspark.sql import Window
+
+    bc = (
+        batch.select(F.col(col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("est"))
+        .withColumn("shard", shard_hash(fp32_expr(F.col("item")), shards))
+        .select("item", "shard", "est")
+    )
+    if state is not None:
+        bc = (
+            bc.unionByName(state.select("item", "shard", "est"))
+            .groupBy("item", "shard")
+            .agg(F.sum("est").cast("long").alias("est"))
+        )
+    ws = Window.partitionBy("shard").orderBy(
+        F.col("est").desc(), F.col("item").asc()
+    )
+    ranked = bc.withColumn("rn", F.row_number().over(ws))
+    dels = ranked.groupBy("shard").agg(
+        F.coalesce(F.max(F.when(F.col("rn") == k + 1, F.col("est"))),
+                   F.lit(0)).alias("_d")
+    )
+    return (
+        ranked.join(F.broadcast(dels), "shard")
+        .where(F.col("est") > F.col("_d"))
+        .select("item", "shard",
+                (F.col("est") - F.col("_d")).cast("long").alias("est"))
+    )

@@ -88,3 +88,75 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------
+# Rotation rule (r10, VERDICT r9 directive): the window beyond
+# new/changed keys must be filled OLDEST-recorded-first so no key
+# drifts unrecorded. Pure-python (no Spark) — enforced by
+# tests/test_rotation.py on every run.
+# ---------------------------------------------------------------
+
+CHANGED_PATH = "/root/repo/tools/rotation_changed.json"
+
+
+def last_green_rounds(repo: str = "/root/repo") -> dict[str, int]:
+    """key -> newest round whose driver CORRECTNESS artifact records
+    it fully green (rows + schema + hash)."""
+    import glob
+
+    out: dict[str, int] = {}
+    for f in sorted(glob.glob(repo + "/CORRECTNESS_r*.json")):
+        rno = int(re.search(r"_r(\d+)", f).group(1))
+        with open(f) as fh:
+            d = json.load(fh)
+        for k, v in d.items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            ):
+                out[k] = max(out.get(k, 0), rno)
+    return out
+
+
+def check_rotation() -> list[str]:
+    """Violations of the oldest-recorded-first window rule:
+    (a) every never-driver-green key sits in the window (it needs a
+        first recording);
+    (b) a recorded window key must be no NEWER than the oldest tail
+        recording unless it is declared in rotation_changed.json
+        (the per-round list of keys whose impl/oracle changed and so
+        need a fresh green regardless of age);
+    (c) the tail is ordered by recording round, oldest first, so the
+        next rotation is 'take from the top'."""
+    from sarfile_analyzer_ng_spark.queries import REGISTRY
+
+    keys = list(REGISTRY)
+    window, tail = keys[:WINDOW], keys[WINDOW:]
+    lg = last_green_rounds()
+    with open(CHANGED_PATH) as fh:
+        changed = set(json.load(fh)["changed"])
+    errs = []
+    for k in keys:
+        if k not in lg and k not in window:
+            errs.append(f"never-driver-green key {k} is not in the window")
+    tail_lg = [lg[k] for k in tail if k in lg]
+    floor_ = min(tail_lg) if tail_lg else 10**9
+    for k in window:
+        if k in lg and k not in changed and lg[k] > floor_:
+            errs.append(
+                f"window key {k} (last green r{lg[k]}) is newer than the "
+                f"oldest tail recording (r{floor_}) and is not declared in "
+                f"rotation_changed.json — the slot belongs to an older key"
+            )
+    prev = 0
+    for k in tail:
+        if k in lg:
+            if lg[k] < prev:
+                errs.append(
+                    f"tail key {k} (r{lg[k]}) breaks oldest-first tail "
+                    f"order (follows an r{prev} key)"
+                )
+            prev = max(prev, lg[k])
+    return errs
