@@ -2311,3 +2311,130 @@ def fisher_separation(df: DataFrame, label_col: str, vec_col: str,
             round_to,
         ).alias("fisher"),
     )
+
+
+def allpairs_cosine_tfidf(df: DataFrame, text_col: str, id_col: str,
+                          tau: float = 0.6, round_to: int = 4,
+                          max_df_ratio: float | None = 0.5) -> DataFrame:
+    """All-pairs similarity search over sparse TF-IDF vectors with
+    prefix filtering (Bayardo, Ma & Srikant, WWW 2007 — THE exact
+    all-pairs algorithm at web scale): every document pair whose
+    TF-IDF cosine ≥ ``tau``, WITHOUT the O(N²) scoring q34 pays —
+    candidates come only from an inverted index over each document's
+    PREFIX terms, chosen so the un-indexed suffix provably cannot
+    reach ``tau`` on its own.
+
+    Construction (all exact BIGINT/rnd-ladder arithmetic, fully
+    SQL-replayable):
+      1. tf → df → idf = ln((N+1)/(df+1)) rounded 8; unit-normalize
+         per doc (u = tf·idf / ‖·‖, rounded 8).
+      2. per-term max weight mw_t = max_d u_d(t) (one term-keyed agg).
+      3. canonical term order (df ASC, term ASC) per doc; running
+         cum(rn) = Σ_{j≤rn} rnd(u_j·mw_j, 8). A position is INDEXED
+         iff cum(rn) − its own contribution ≤ rnd(full − tau, 8):
+         every pair with cosine ≥ tau must then share an indexed
+         term of at least one side (if all shared terms sit past the
+         boundary of doc a, cos ≤ suffix mass < tau).
+      4. candidates = indexed postings ⋈ ALL postings on term
+         (either orientation, deduped unordered); verify = exact
+         cosine from the shared-term dot product.
+
+    ``max_df_ratio`` drops terms present in more than that fraction
+    of documents from the vectors entirely BEFORE weighting — the
+    standard APSS stopword cut (Bayardo §5 observes the hottest
+    postings dominate candidate volume; their tf-idf weight is
+    near-zero anyway, so the cosine barely moves while the posting
+    join loses its quadratic head). A document whose every term is
+    a stopword drops out (zero vector).
+
+    The suffix holds the high-df / low-idf terms (order step 3), so
+    the candidate join fans out on RARE terms only — the selectivity
+    prefix filtering exists for. Shape at scale: three corpus-linear
+    aggs (tf, df, norm), one term-keyed mw agg, one per-doc window
+    over its OWN terms (doc-bounded, not corpus-bounded), and a
+    candidate-bounded verify join. No all-pairs stage anywhere;
+    cost degrades to q67's max_df-style bound, never to N².
+
+    Returns (doc_a, doc_b, n_shared, cosine ≥ tau), cosine rounded at
+    ``round_to``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df_"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.where(
+            F.col("df_") <= float(max_df_ratio) * float(n_docs))
+    w = (
+        tf.join(dfreq, "t")
+        .withColumn(
+            "idf",
+            rnd(F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + 1)), 8),
+        )
+        .withColumn("w", rnd(F.col("tf") * F.col("idf"), 8))
+    )
+    nrm = w.groupBy("doc").agg(
+        rnd(F.sqrt(F.sum(rnd(F.col("w") * F.col("w"), 8))), 8).alias("nrm"))
+    u = (
+        w.join(nrm, "doc")
+        .where(F.col("nrm") > 0)
+        .select("doc", "t", "df_",
+                rnd(F.col("w") / F.col("nrm"), 8).alias("u"))
+    )
+    u = u.persist()
+    mw = u.groupBy("t").agg(F.max("u").alias("mw"))
+    wd = Window.partitionBy("doc").orderBy(
+        F.col("df_").asc(), F.col("t").asc())
+    scored = (
+        u.join(mw, "t")
+        .withColumn("c1", rnd(F.col("u") * F.col("mw"), 8))
+        .withColumn("cum", rnd(F.sum("c1").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)), 8))
+    )
+    full = scored.groupBy("doc").agg(F.max("cum").alias("full"))
+    post = (
+        scored.join(full, "doc")
+        .withColumn(
+            "indexed",
+            rnd(F.col("cum") - F.col("c1"), 8)
+            <= rnd(F.col("full") - F.lit(float(tau)), 8),
+        )
+        .select("doc", "t", "u", "indexed")
+        .persist()
+    )
+    idx = post.where(F.col("indexed")).select(
+        F.col("doc").alias("xd"), F.col("t").alias("t"))
+    allp = post.select(F.col("doc").alias("yd"), F.col("t").alias("t"))
+    cand = (
+        idx.join(allp, "t")
+        .where(F.col("xd") != F.col("yd"))
+        .select(
+            F.least("xd", "yd").alias("doc_a"),
+            F.greatest("xd", "yd").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = post.select(F.col("doc").alias("doc_a"), "t",
+                     F.col("u").alias("ua"))
+    pb = post.select(F.col("doc").alias("doc_b"), "t",
+                     F.col("u").alias("ub"))
+    out = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            rnd(F.sum(rnd(F.col("ua") * F.col("ub"), 8)), round_to)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= float(tau))
+    )
+    out._cached_inputs = [u, post]  # see dedup.release()
+    return out

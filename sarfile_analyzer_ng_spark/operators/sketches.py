@@ -325,3 +325,106 @@ def mg_topk(df: DataFrame, col: str, k: int = 20,
         )
     )
     return out
+
+
+def rank_sample_quantiles(df: DataFrame, value_col: str, id_col: str,
+                          probs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                      0.9, 0.99),
+                          m: int = 64, shards: int = 4) -> DataFrame:
+    """Mergeable rank-sample quantile summary with an EXACT audit —
+    the quantile member of the mergeable-summaries family next to
+    ``mg_topk`` (Misra-Gries) and ``cms_build`` (count-min): each
+    shard keeps every ``step = ceil(n_s/m)``-th element of its sorted
+    run together with the exact rank gap ``g`` to the previous kept
+    element (a GK-style (value, g) summary, Greenwald & Khanna 2001
+    simplified to deterministic equi-spaced sampling so every kept
+    element and gap replays in SQL); summaries MERGE by interleaving
+    in value order and cumulative-summing the gaps. The merged rank
+    estimate under-counts each foreign shard by < its step, so
+    ``0 ≤ exact_rank − est_rank ≤ Σ_s (step_s − 1)`` — carried as a
+    checked bound column, with the exact rank computed by a
+    broadcast-join count (no global sort; the ≤ |probs| chosen
+    values stream past the corpus once).
+
+    Shape at scale: one per-shard sort-rank window (the q03
+    distributed-rank pattern), a ≤ shards·(m+1)-row merged summary
+    (broadcastable — THE point: ship KiBs, answer any quantile),
+    and one combinable audit pass. Driver state: the total count
+    (one long, the Lloyd-collect contract).
+
+    Returns one row per prob: (p, est_value, target_rank, est_rank,
+    exact_rank, err_bound, within_bound).
+    """
+    from pyspark.sql import Window
+
+    from ..util import shard_hash
+
+    base = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(id_col).cast("long").alias("i"),
+    ).where(F.col("v").isNotNull())
+    base = base.withColumn("s", shard_hash(F.col("i"), shards))
+    wv = Window.partitionBy("s").orderBy(F.col("v").asc(), F.col("i").asc())
+    r = base.withColumn("rn", F.row_number().over(wv))
+    ns = r.groupBy("s").agg(F.max("rn").cast("long").alias("n_s"))
+    r2 = r.join(F.broadcast(ns), "s").withColumn(
+        "step", F.floor((F.col("n_s") + m - 1) / m).cast("long"))
+    kept = r2.where(
+        ((F.col("rn") - 1) % F.col("step") == 0)
+        | (F.col("rn") == F.col("n_s"))
+    )
+    wk = Window.partitionBy("s").orderBy("rn")
+    kept = kept.withColumn(
+        "g", F.col("rn") - F.coalesce(F.lag("rn").over(wk), F.lit(0)))
+    wm = Window.orderBy(F.col("v").asc(), F.col("i").asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    merged = kept.select("v", "i", "g").withColumn(
+        "est_rank", F.sum("g").over(wm).cast("long")).persist()
+    n_tot = base.count()
+    bound = (
+        r2.select("s", "step").distinct()
+        .agg(F.sum(F.col("step") - 1).cast("long").alias("err_bound"))
+    )
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    ).withColumn(
+        "target_rank",
+        F.ceil(F.col("p") * F.lit(float(n_tot))).cast("long"),
+    )
+    pick = (
+        targets.join(merged, F.col("est_rank") >= F.col("target_rank"))
+        .groupBy("p", "target_rank")
+        .agg(F.min(F.struct("est_rank", "v", "i")).alias("_k"))
+        .select(
+            "p", "target_rank",
+            F.col("_k.v").alias("est_value"),
+            F.col("_k.i").alias("_i"),
+            F.col("_k.est_rank").alias("est_rank"),
+        )
+    )
+    exact = (
+        base.crossJoin(F.broadcast(pick))
+        .where(
+            (F.col("v") < F.col("est_value"))
+            | ((F.col("v") == F.col("est_value"))
+               & (F.col("i") <= F.col("_i")))
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rank"))
+    )
+    out = (
+        pick.join(exact, "p")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "p", "est_value", "target_rank", "est_rank", "exact_rank",
+            "err_bound",
+            (
+                (F.col("exact_rank") >= F.col("est_rank"))
+                & (F.col("exact_rank") - F.col("est_rank")
+                   <= F.col("err_bound"))
+            ).alias("within_bound"),
+        )
+    )
+    out._cached_inputs = [merged]
+    return out

@@ -9440,6 +9440,326 @@ FROM dcg JOIN idcg USING (query_id)
 SQL_Q194 = _sql_ann_ndcg()
 
 
+# --------------------------------------------------------------------
+# r10 wave 5: all-pairs similarity search (prefix filtering)
+# --------------------------------------------------------------------
+
+APSS_TAU = 0.9
+APSS_MAX_DF_RATIO = 0.5
+
+
+def q195_allpairs_cosine(spark, sf_dir):
+    """Exact all-pairs TF-IDF cosine ≥ τ via prefix filtering
+    (functions/similarity.py:allpairs_cosine_tfidf; Bayardo, Ma &
+    Srikant WWW 2007): the scale-path answer to q34's all-pairs
+    baseline for SPARSE text vectors — candidates come only from an
+    inverted index over each document's prefix terms (suffix mass
+    provably < τ), so cost is bound by candidate volume, never N².
+    The result is EXACT (no MinHash estimate): the missing member
+    between q31 (estimated, banded) and q34 (exact, quadratic). On
+    this synthetic corpus the 31-word base vocabulary is all
+    stopwords (df ≈ N), so after the standard max-df stopword cut
+    the surviving signal is the RARE-term structure — the planted
+    twins' per-doc markers and the one sub-half-df base word form
+    exact tight clusters; a Zipf-vocabulary corpus exercises the
+    same plan with full vectors. Fully value-hash oracled —
+    idf/norm/prefix boundary all ride the rnd ladder."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return S.allpairs_cosine_tfidf(corpus, "text", "doc_id",
+                                   tau=APSS_TAU,
+                                   max_df_ratio=APSS_MAX_DF_RATIO)
+
+
+def _sql_apss() -> str:
+    r8 = lambda e: sql_rnd(e, 8)  # noqa: E731
+    return f"""
+WITH corpus AS ({SQL_PLANTED}),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM corpus),
+tf AS (SELECT doc, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc, t),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM corpus),
+dfreq AS (
+  SELECT t, count(*)::BIGINT AS df_ FROM tf GROUP BY t
+  HAVING count(*) <= {APSS_MAX_DF_RATIO} * (SELECT n FROM nd)),
+w AS (
+  SELECT tf.doc, tf.t, d.df_,
+         {r8(f"tf.tf * {sql_rnd('ln(((SELECT n FROM nd) + 1.0) / (d.df_ + 1.0))', 8)}")} AS w
+  FROM tf JOIN dfreq d USING (t)),
+nrm AS (
+  SELECT doc, {r8(f"sqrt(sum({r8('w * w')}))")} AS nrm
+  FROM w GROUP BY doc),
+u AS (
+  SELECT w.doc, w.t, w.df_, {r8('w.w / nrm.nrm')} AS u
+  FROM w JOIN nrm USING (doc) WHERE nrm.nrm > 0),
+mw AS (SELECT t, max(u) AS mw FROM u GROUP BY t),
+sc0 AS (SELECT u.doc, u.t, u.df_, u.u, {r8('u.u * mw.mw')} AS c1
+        FROM u JOIN mw USING (t)),
+sc AS (
+  SELECT *, {r8('''sum(c1) OVER (PARTITION BY doc ORDER BY df_ ASC, t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cum
+  FROM sc0),
+fu AS (SELECT doc, max(cum) AS "full" FROM sc GROUP BY doc),
+post AS (
+  SELECT sc.doc, sc.t, sc.u,
+         {r8('cum - c1')} <= {r8(f'"full" - {APSS_TAU}')} AS indexed
+  FROM sc JOIN fu USING (doc)),
+cand AS (
+  SELECT DISTINCT least(i.doc, p.doc) AS doc_a,
+         greatest(i.doc, p.doc) AS doc_b
+  FROM post i JOIN post p ON i.t = p.t AND i.doc <> p.doc
+  WHERE i.indexed),
+verified AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_shared,
+         {sql_rnd(f"sum({r8('a.u * b.u')})", 4)} AS cosine
+  FROM cand c
+  JOIN post a ON a.doc = c.doc_a
+  JOIN post b ON b.doc = c.doc_b AND b.t = a.t
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, n_shared, cosine FROM verified
+WHERE cosine >= {APSS_TAU}
+"""
+
+
+SQL_Q195 = _sql_apss()
+
+
+# --------------------------------------------------------------------
+# r10 wave 6: readability, URL dup-rate
+# --------------------------------------------------------------------
+
+def q196_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (Flesch 1948; the C4/Gopher-style
+    cheap quality signal family — q38 scores length/punct ratios,
+    this scores SENTENCE and SYLLABLE structure): per document,
+    words / sentences / vowel-group syllable estimate and the Flesch
+    score 206.835 − 1.015·(W/S) − 84.6·(Y/W), then a per-(lang,
+    band) rollup — the curator's "is this corpus technical-manual or
+    tabloid" profile. Syllables via regexp_count of '[aeiouy]+'
+    groups (the standard heuristic), sentences via '[.!?]+' runs
+    (min 1) — pure codegen regexp, one map + one group-count agg.
+    Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    words = F.size(F.split(t, r"\s+")).cast("double")
+    sents = F.greatest(F.lit(1.0),
+                       F.regexp_count(t, F.lit(r"[.!?]+")).cast("double"))
+    sylls = F.greatest(F.lit(1.0),
+                       F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("double"))
+    flesch = rnd(
+        F.lit(206.835)
+        - rnd(F.lit(1.015) * words / sents, 8)
+        - rnd(F.lit(84.6) * sylls / words, 8),
+        4,
+    )
+    scored = docs.select(
+        "lang",
+        flesch.alias("flesch"),
+        words.cast("long").alias("_w"),
+        sylls.cast("long").alias("_y"),
+    )
+    band = (
+        F.when(F.col("flesch") >= 90, F.lit("very_easy"))
+        .when(F.col("flesch") >= 70, F.lit("easy"))
+        .when(F.col("flesch") >= 50, F.lit("medium"))
+        .when(F.col("flesch") >= 30, F.lit("hard"))
+        .otherwise(F.lit("very_hard"))
+    )
+    return (
+        scored.groupBy("lang", band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            rnd(F.avg("flesch"), 4).alias("avg_flesch"),
+            rnd(F.avg(F.col("_y") / F.col("_w")), 4)
+            .alias("avg_syll_per_word"),
+        )
+    )
+
+
+_FL_T = "lower(trim(coalesce(text, '')))"
+_FL_W = f"len(string_split_regex({_FL_T}, '\\s+'))::DOUBLE"
+_FL_S = f"greatest(1.0, len(regexp_extract_all({_FL_T}, '[.!?]+'))::DOUBLE)"
+_FL_Y = f"greatest(1.0, len(regexp_extract_all({_FL_T}, '[aeiouy]+'))::DOUBLE)"
+_FL_WS = sql_rnd(f"1.015 * {_FL_W} / {_FL_S}", 8)
+_FL_YW = sql_rnd(f"84.6 * {_FL_Y} / {_FL_W}", 8)
+_FL_SCORE = sql_rnd(f"206.835 - {_FL_WS} - {_FL_YW}", 4)
+
+SQL_Q196 = f"""
+WITH scored AS (
+  SELECT lang,
+         {_FL_SCORE} AS flesch,
+         {_FL_W}::BIGINT AS _w,
+         {_FL_Y}::BIGINT AS _y
+  FROM documents)
+SELECT lang,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 70 THEN 'easy'
+            WHEN flesch >= 50 THEN 'medium'
+            WHEN flesch >= 30 THEN 'hard'
+            ELSE 'very_hard' END AS band,
+       count(*)::BIGINT AS n_docs,
+       {sql_rnd('avg(flesch)', 4)} AS avg_flesch,
+       {sql_rnd('avg(_y::DOUBLE / _w)', 4)} AS avg_syll_per_word
+FROM scored GROUP BY lang, band
+"""
+
+
+def q197_url_dup_rate(spark, sf_dir):
+    """Canonical-URL exact dedup audit (the FIRST dedup any crawl
+    pipeline runs — URL-level, before any text is read): group the
+    synthesized crawl (q190's deterministic messy URLs, REcrawled —
+    a second fetch per doc with different tracking params / case /
+    fragment noise) by canonical form, count each cluster, and roll
+    up per registrable domain: fetches, unique canonical URLs,
+    dup rate — proof the canonicalizer actually collapses the
+    tracking-param noise a real crawler generates. One map + two
+    combinable aggs. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    fetch1 = docs.withColumn("url", _synth_url_expr())
+    # the re-fetch: same resource, different incidental noise —
+    # upper-cased scheme and a mail-campaign fragment (every even
+    # doc_id's synth URL carries a fragment, so the extra one joins
+    # it and the whole tail strips to the same canonical form)
+    refetch = docs.withColumn(
+        "url",
+        F.concat(F.lit("HTTPS://"),
+                 F.regexp_replace(_synth_url_expr(),
+                                  r"^[A-Za-z]+://", ""),
+                 F.lit("#from-newsletter")),
+    ).where(F.col("doc_id") % 2 == 0)
+    crawl = fetch1.unionByName(refetch)
+    host = W.url_host(F.col("url"))
+    enr = crawl.select(
+        W.canonical_url(F.col("url")).alias("canon"),
+        W.registrable_domain(
+            F.regexp_replace(host, r":[0-9]+$", "")).alias("domain"),
+    )
+    return (
+        enr.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.countDistinct("canon").cast("long").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            rnd((F.col("n_fetches") - F.col("n_unique"))
+                / F.col("n_fetches"), 4),
+        )
+    )
+
+
+SQL_Q197 = f"""
+WITH base AS ({_SQL_SYNTH_URL}),
+crawl AS (
+  SELECT doc_id, lang, source, text, url FROM base
+  UNION ALL
+  SELECT doc_id, lang, source, text,
+         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
+         || '#from-newsletter' AS url
+  FROM base WHERE doc_id % 2 = 0),
+urls AS (SELECT * FROM crawl),
+{_SQL_CANON_CTES}
+SELECT domain, count(*)::BIGINT AS n_fetches,
+       count(DISTINCT canon_url)::BIGINT AS n_unique,
+       {sql_rnd('(count(*) - count(DISTINCT canon_url))::DOUBLE / count(*)', 4)}
+         AS dup_rate
+FROM dom GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------
+# r10 wave 6b: mergeable quantile summary
+# --------------------------------------------------------------------
+
+RSQ_M = 64
+RSQ_SHARDS = 4
+RSQ_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q198_quantile_summary(spark, sf_dir):
+    """Mergeable rank-sample quantile summary + exact audit
+    (operators/sketches.py:rank_sample_quantiles; GK 2001 simplified
+    to deterministic equi-spaced sampling — the quantile member of
+    the mergeable-summaries family next to q193's Misra-Gries and
+    q136's count-min): per-shard sorted rank samples with exact rank
+    gaps, merged by value-order gap cumsum, queried at 5 standard
+    probs over events.value — and each answer audited against its
+    EXACT rank by one combinable broadcast-count pass (no global
+    sort), with the Σ(step−1) rank-error bound as a checked column.
+    The ~shards·m-row summary is the broadcastable artifact a 100 TB
+    pipeline ships instead of re-sorting the corpus per quantile
+    question. Fully value-hash oracled (est values, ranks, bound,
+    verdicts)."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.rank_sample_quantiles(
+        ev, "value", "event_id", probs=RSQ_PROBS,
+        m=RSQ_M, shards=RSQ_SHARDS,
+    )
+
+
+_RSQ_TARGETS = " UNION ALL ".join(
+    f"SELECT {p!r}::DOUBLE AS p" for p in RSQ_PROBS
+)
+
+SQL_Q198 = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS v, event_id::BIGINT AS i,
+         (((event_id % 1000003) * 2654435761) % {RSQ_SHARDS}
+          + {RSQ_SHARDS}) % {RSQ_SHARDS} AS s
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY s ORDER BY v ASC, i ASC) AS rn
+  FROM base),
+ns AS (SELECT s, max(rn)::BIGINT AS n_s FROM r GROUP BY s),
+r2 AS (
+  SELECT r.*, ns.n_s,
+         CAST(floor((ns.n_s + {RSQ_M} - 1) / {RSQ_M}.0) AS BIGINT) AS step
+  FROM r JOIN ns USING (s)),
+kept AS (
+  SELECT * FROM r2
+  WHERE (rn - 1) % step = 0 OR rn = n_s),
+kg AS (
+  SELECT *, rn - coalesce(lag(rn) OVER (PARTITION BY s ORDER BY rn), 0)
+              AS g
+  FROM kept),
+merged AS (
+  SELECT v, i, g,
+         CAST(sum(g) OVER (ORDER BY v ASC, i ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS est_rank
+  FROM kg),
+nt AS (SELECT count(*)::BIGINT AS n FROM base),
+tgt AS (
+  SELECT p, CAST(ceil(p * (SELECT n FROM nt)::DOUBLE) AS BIGINT)
+              AS target_rank
+  FROM ({_RSQ_TARGETS})),
+pick0 AS (
+  SELECT t.p, t.target_rank, m.v, m.i, m.est_rank,
+         row_number() OVER (PARTITION BY t.p
+                            ORDER BY m.est_rank, m.v, m.i) AS pr
+  FROM tgt t JOIN merged m ON m.est_rank >= t.target_rank),
+pick AS (
+  SELECT p, target_rank, v AS est_value, i AS _i, est_rank
+  FROM pick0 WHERE pr = 1),
+exact AS (
+  SELECT pk.p, count(*)::BIGINT AS exact_rank
+  FROM pick pk JOIN base b
+    ON (b.v < pk.est_value
+        OR (b.v = pk.est_value AND b.i <= pk._i))
+  GROUP BY pk.p),
+bnd AS (
+  SELECT sum(step - 1)::BIGINT AS err_bound
+  FROM (SELECT DISTINCT s, step FROM r2))
+SELECT p, est_value, target_rank, est_rank, exact_rank, err_bound,
+       (exact_rank >= est_rank AND exact_rank - est_rank <= err_bound)
+         AS within_bound
+FROM pick JOIN exact USING (p) CROSS JOIN bnd
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -9455,27 +9775,27 @@ SQL_Q194 = _sql_ann_ndcg()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r10 rotation (oldest-recorded-first, see tools/snapshot_tail.py
-    # --check-rotation): (1) the 5 NEW r10 operators lead — q190 URL
-    # canonicalization, q191 domain rollup, q192 passage-level
-    # MinHash near-dup, q193 Misra-Gries heavy hitters, q194 ANN
-    # nDCG audit;
+    # r10 rotation (oldest-recorded-first, enforced by
+    # tools/snapshot_tail.py:check_rotation + tests/test_rotation.py):
+    # wave-5/6 additions lead — q195 all-pairs TF-IDF cosine via
+    # Bayardo prefix filtering, q196 Flesch readability, q197
+    # canonical-URL dup-rate, q198 mergeable rank-sample quantile
+    # summary;
+    "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
+    "q196_readability": (q196_readability, SQL_Q196),
+    "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
+    "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
+    # then the r10 wave-1 keys (q190-q194), the ADVICE-changed keys
+    # (q182/q183/q172), the 18 never-driver-green keys (q119 first),
+    # the r5-recorded block, and the oldest r6-recorded keys.
     "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
     "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
     "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
     "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
     "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
-    # (2) keys CHANGED by the r10 ADVICE fixes — q182 (benford gate
-    # now cents >= 1 in both engines), q183 (interval_join/
-    # burst_intervals floor() for negative-epoch parity), q172
-    # (kcenter_select schema derivation + picked-id exclusion);
     "q182_benford_audit": (q182_benford_audit, SQL_Q182),
     "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
     "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    # (3) the 18 never-driver-green keys (q119's ::BIGINT oracle fix
-    # was verified locally in r9 but the driver never re-recorded it;
-    # q123-q133/q135/q142-q146 were added mid-r9 and rotated out
-    # before the driver ran — judge-replayed green, never recorded);
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
     "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
@@ -9494,7 +9814,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
     "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
     "q146_proto_prune": (q146_proto_prune, SQL_Q146),
-    # (4) the r5-recorded block — oldest driver recording on file;
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
     "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
@@ -9505,7 +9824,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q97_pq_codes": (q97_pq_codes, SQL_Q97),
     "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
     "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    # (5) the r6-recorded block;
     "q04_time_filter": (q04_time_filter, SQL_Q04),
     "q05_dedup_first": (q05_dedup_first, SQL_Q05),
     "q07_melt_long": (q07_melt_long, SQL_Q07),
@@ -9516,14 +9834,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-recording-first (r6 displaced fills, the r7
+    # blocks, r8, then the freshest r9 recordings).
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    # (6) oldest r7-recorded key fills the last slot.
     "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-recording-first so future rotation = take from
-    # the top. Remaining r7-recorded keys;
     "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q35_ann_topk": (q35_ann_topk, SQL_Q35),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
@@ -9570,7 +9887,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
-    # r8-recorded keys;
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
@@ -9615,7 +9931,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
     "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
-    # r9-recorded keys (the freshest recordings — CORRECTNESS_r09).
     "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
     "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),

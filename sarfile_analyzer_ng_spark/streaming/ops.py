@@ -1414,3 +1414,34 @@ def mg_update(state: DataFrame | None, batch: DataFrame, col: str,
         .select("item", "shard",
                 (F.col("est") - F.col("_d")).cast("long").alias("est"))
     )
+
+
+def url_screen_stream(stream: DataFrame, url_col: str,
+                      blocked_domains: tuple[str, ...] = ()) -> DataFrame:
+    """Streaming URL canonicalization + domain gate (ST30): the live
+    form of q190/q191's first-stage crawl curation — every arriving
+    record gains its canonical URL, host, registrable domain, and a
+    blocklist verdict as a PURE PROJECTION (functions/web.py is
+    regexp + array HOFs only: no shuffle, no state, no watermark), so
+    it runs identically on a batch frame and a readStream frame and
+    composes in front of ST5's exact-dedup (on canon_url) exactly
+    like the batch pipeline. The blocklist rides as a codegen IN
+    literal — model-sized by the q191 contract (a million-domain
+    list would broadcast-join instead, same plan shape)."""
+    from ..functions import web as W
+
+    host = W.url_host(F.col(url_col))
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    dom = W.registrable_domain(bare)
+    blocked = (
+        dom.isin(*[F.lit(d) for d in blocked_domains])
+        if blocked_domains else F.lit(False)
+    )
+    return stream.select(
+        "*",
+        W.canonical_url(F.col(url_col)).alias("canon_url"),
+        host.alias("host"),
+        dom.alias("domain"),
+        F.when(blocked, F.lit("drop")).otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
