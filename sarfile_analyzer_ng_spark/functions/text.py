@@ -2803,3 +2803,42 @@ def hapax_density(df: DataFrame, text_col: str, id_col: str,
         rnd(F.col("n_hapax") / F.col("n_tokens"), round_to)
         .alias("hapax_share"),
     )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII masking APPLY (Dolma §4 masks emails / phone numbers / IP
+    addresses before release; the scan-only sibling is the q60 PII
+    report): every match becomes a typed ``|||EMAIL|||`` /
+    ``|||PHONE|||`` / ``|||IP|||`` placeholder via one codegen
+    regexp_replace chain, with per-type match counts carried
+    alongside. The patterns stay inside the RE2 ∩ Java-regex common
+    subset (character classes + \\b only — no lookaround), so the
+    whole redaction replays verbatim in the SQL oracle.
+
+    Returns (id, n_emails, n_phones, n_ips, n_pii, redacted_md5) —
+    the md5 pins the FULL redacted text into the value hash without
+    hauling the text through the compare. Map-only: scales with the
+    scan, nothing else.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "|||EMAIL|||"),
+            PII_PHONE_RE, "|||PHONE|||"),
+        PII_IP_RE, "|||IP|||")
+    ne = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    np_ = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+    ni = F.regexp_count(t, F.lit(PII_IP_RE)).cast("long")
+    return df.select(
+        F.col(id_col),
+        ne.alias("n_emails"),
+        np_.alias("n_phones"),
+        ni.alias("n_ips"),
+        (ne + np_ + ni).cast("long").alias("n_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

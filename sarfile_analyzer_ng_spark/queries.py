@@ -9760,6 +9760,191 @@ FROM pick JOIN exact USING (p) CROSS JOIN bnd
 """
 
 
+# --------------------------------------------------------------------
+# r10 wave 7: PII masking, passage containment
+# --------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic PII planted IN BOTH ENGINES (the
+    corpus carries none): every 3rd doc gains an email, every 4th a
+    phone, every 5th an IP — overlapping, so multi-type docs and
+    clean docs both exist."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit(" call 555-010-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" host 10."), (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0.1")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text"))
+
+
+SQL_PII_CORPUS = """
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+              THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def q199_pii_redact(spark, sf_dir):
+    """PII masking apply (functions/text.py:pii_redact — Dolma §4
+    masks emails/phones/IPs before release; q60 only SCANS): every
+    match replaced by a typed placeholder in ONE codegen
+    regexp_replace chain, with per-type counts — the redaction the
+    corpus ships with, not just the audit. The gate plants
+    deterministic PII in both engines (the testdata carries none) and
+    value-hashes the counts AND the md5 of every redacted text, so a
+    drifting regex or a missed second occurrence flips the hash.
+    Map-only; scales with the scan."""
+    from .functions.text import pii_redact
+
+    return pii_redact(_pii_corpus(spark, sf_dir), "text", "doc_id")
+
+
+SQL_Q199 = f"""
+WITH corpus AS ({SQL_PII_CORPUS}),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(text, '{PII_IP_RE}'))::BIGINT AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '|||EMAIL|||', 'g'),
+           '{PII_PHONE_RE}', '|||PHONE|||', 'g'),
+           '{PII_IP_RE}', '|||IP|||', 'g') AS redacted
+  FROM corpus)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       (n_emails + n_phones + n_ips)::BIGINT AS n_pii,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+PCONT_EVERY = 23
+PCONT_MAX_DF = 200
+
+
+def _pcont_corpus(spark, sf_dir):
+    """documents ∪ planted EXCERPTS: every ``PCONT_EVERY``-th doc
+    contributes a shifted twin holding its first 16 words (two full
+    passages) + a unique 8-word tail — a partial-overlap document
+    that doc-level near-dup scores far below any threshold but
+    passage containment nails at 2/3."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    tail = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"xq{j}w"), (F.col("doc_id") % 89).cast("string"))
+          for j in range(8)],
+    )
+    planted = docs.where(F.col("doc_id") % PCONT_EVERY == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(w, 1, 16)), F.lit(" "), tail)
+        .alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+_PCONT_TAIL_SQL = " || ' ' || ".join(
+    f"'xq{j}w' || CAST(doc_id % 89 AS VARCHAR)" for j in range(8)
+)
+
+SQL_PCONT_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {{plant_offset}} AS doc_id,
+         array_to_string(w[1:16], ' ') || ' ' || {_PCONT_TAIL_SQL} AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % {PCONT_EVERY} = 0)
+"""
+
+
+def q200_doc_containment(spark, sf_dir):
+    """Sub-document containment audit (functions/dedup.py:
+    passage_containment_pairs; Lee et al. 2021's ExactSubstr argument
+    at the document-pair level — Broder's containment, not jaccard):
+    document pairs sharing ≥ 1 exact passage, scored
+    shared / min(n_passages) — the excerpt/quote/partial-overlap
+    detector that doc-level MinHash (symmetric jaccard) structurally
+    under-scores: a 3-passage excerpt of a 12-passage doc has
+    jaccard ≤ 0.25 but containment 0.67+. Passage-hash equi-join
+    with the standard max_df hot-passage cap; the planted excerpt
+    twins gate containment ≥ 2/3 while their doc-level jaccard would
+    sit near 0.1. Fully value-hash oracled."""
+    corpus = _pcont_corpus(spark, sf_dir)
+    return D.passage_containment_pairs(
+        corpus, "text", "doc_id", passage_words=PASSAGE_WORDS,
+        max_df=PCONT_MAX_DF,
+    )
+
+
+def _sql_pcont() -> str:
+    corpus = SQL_PCONT_CORPUS.format(plant_offset=PLANT_OFFSET)
+    return rf"""
+WITH corpus AS ({corpus}),
+dwords AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+p0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM dwords),
+pass AS (
+  SELECT doc, idx,
+         md5(array_to_string(list_transform(
+           range(idx * {PASSAGE_WORDS} + 1,
+                 least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
+           j -> w[j]), ' ')) AS h
+  FROM p0),
+np AS (SELECT doc, count(*)::BIGINT AS n_pass FROM pass GROUP BY doc),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT doc, h FROM pass) GROUP BY h
+  HAVING count(*) > {PCONT_MAX_DF}),
+ph AS (
+  SELECT DISTINCT doc, h FROM pass p
+  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = p.h)),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS n_shared
+  FROM ph a JOIN ph b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY a.doc, b.doc)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       na.n_pass AS n_pass_a, nb.n_pass AS n_pass_b,
+       {sql_rnd('s.n_shared::DOUBLE / least(na.n_pass, nb.n_pass)', 4)}
+         AS containment
+FROM shared s
+JOIN np na ON na.doc = s.doc_a
+JOIN np nb ON nb.doc = s.doc_b
+WHERE {sql_rnd('s.n_shared::DOUBLE / least(na.n_pass, nb.n_pass)', 4)} >= 0.5
+"""
+
+
+SQL_Q200 = _sql_pcont()
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -9777,17 +9962,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- driver window (first 50 entries) ----
     # r10 rotation (oldest-recorded-first, enforced by
     # tools/snapshot_tail.py:check_rotation + tests/test_rotation.py):
-    # wave-5/6 additions lead — q195 all-pairs TF-IDF cosine via
-    # Bayardo prefix filtering, q196 Flesch readability, q197
-    # canonical-URL dup-rate, q198 mergeable rank-sample quantile
-    # summary;
+    # wave-7 additions lead — q199 PII masking apply, q200 passage
+    # containment;
+    "q199_pii_redact": (q199_pii_redact, SQL_Q199),
+    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
+    # then waves 5/6 (q195-q198), wave 1 (q190-q194), the ADVICE-
+    # changed keys (q182/q183/q172), the 18 never-driver-green keys
+    # (q119 first), the r5-recorded block, and the oldest r6 keys.
     "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
     "q196_readability": (q196_readability, SQL_Q196),
     "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
     "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
-    # then the r10 wave-1 keys (q190-q194), the ADVICE-changed keys
-    # (q182/q183/q172), the 18 never-driver-green keys (q119 first),
-    # the r5-recorded block, and the oldest r6-recorded keys.
     "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
     "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
     "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
@@ -9832,11 +10017,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-recording-first (displaced r6 fills, then r7,
+    # r8, and the freshest r9 recordings).
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-recording-first (r6 displaced fills, the r7
-    # blocks, r8, then the freshest r9 recordings).
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
