@@ -1445,3 +1445,77 @@ def url_screen_stream(stream: DataFrame, url_col: str,
         F.when(blocked, F.lit("drop")).otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def rank_sample_update(state: DataFrame | None, batch: DataFrame,
+                       value_col: str, id_col: str,
+                       m: int = 64) -> DataFrame:
+    """Incremental rank-sample quantile-summary maintenance (ST31):
+    the streaming twin of ``operators.sketches.rank_sample_quantiles``
+    — fold each micro-batch into a bounded (value, id, g) summary
+    whose gap cumsum under-estimates every true rank by a bounded
+    amount, the GK/mergeable-summaries contract (Greenwald & Khanna
+    2001; Agarwal et al. 2012 §3 merge):
+
+      1. BATCH: sort the micro-batch, keep every ``step``-th element
+         (step = ceil(n/m)) with its exact rank gap — the batch
+         operator's per-shard summary, verbatim.
+      2. MERGE: union with the state; gaps stay valid because each
+         element's g counts items of its OWN source segment only.
+      3. COMPRESS: while the merged summary exceeds 2·m rows, keep
+         every 2nd element in value order and fold each dropped g
+         into the NEXT kept element — ranks stay UNDER-estimates
+         (mass only moves later), state stays ≤ 2·m rows forever.
+
+    Each fold costs one micro-batch sort window + a ≤ (2m + m)-row
+    compress — state is corpus-rate independent (the ST21/ST29
+    bounded-state contract). The pytest pins: est_rank ≤ true rank
+    for every kept element, the p50/p90 answers within the summed
+    step bound of exact, and heavy skew safety (all-equal values).
+    """
+    from pyspark.sql import Window
+
+    bc = batch.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(id_col).cast("long").alias("i"),
+    ).where(F.col("v").isNotNull())
+    w = Window.orderBy(F.col("v").asc(), F.col("i").asc())
+    r = bc.withColumn("rn", F.row_number().over(w))
+    n_b = r.agg(F.max("rn")).collect()[0][0] or 0
+    if n_b:
+        step = -(-n_b // m)
+        kept = r.where(
+            ((F.col("rn") - 1) % step == 0) | (F.col("rn") == n_b))
+        wk = Window.orderBy("rn")
+        kept = kept.select(
+            "v", "i",
+            (F.col("rn")
+             - F.coalesce(F.lag("rn").over(wk), F.lit(0))).alias("g"),
+        )
+        merged = (kept if state is None
+                  else state.select("v", "i", "g").unionByName(kept))
+    elif state is None:
+        return batch.sparkSession.createDataFrame(
+            [], "v double, i long, g long")
+    else:
+        merged = state.select("v", "i", "g")
+    # compress: halve in value order until ≤ 2m rows, folding each
+    # dropped gap into the NEXT kept element (rank stays a lower
+    # bound). The summary is model-sized; the loop runs on ≤ 3m rows.
+    rows = sorted(merged.collect(), key=lambda x: (x.v, x.i))
+    total = len(rows)
+    vals = [(float(x.v), int(x.i), int(x.g)) for x in rows]
+    while len(vals) > 2 * m:
+        out, carry = [], 0
+        for j, (v, i, g) in enumerate(vals):
+            if j % 2 == 0 and j != len(vals) - 1:
+                carry += g          # dropped: mass moves to the next
+            else:
+                out.append((v, i, g + carry))
+                carry = 0
+        vals = out
+    assert sum(g for _, _, g in vals) == sum(g for _, _, g in
+                                             [(x.v, x.i, x.g)
+                                              for x in rows]), total
+    return batch.sparkSession.createDataFrame(
+        vals, "v double, i long, g long")

@@ -1,5 +1,6 @@
 """Round-10 wave-7 operators: PII masking apply (q199) and
-sub-document passage containment (q200)."""
+sub-document passage containment (q200), plus the ST31
+streaming rank-sample quantile maintenance."""
 
 from __future__ import annotations
 
@@ -118,3 +119,113 @@ def test_containment_vs_jaccard_story(spark):
     jrows = jac.collect()
     D.release(jac)
     assert jrows and jrows[0].jaccard < 0.3
+
+
+# ------------------------------------------------------------------ #
+# streaming rank-sample maintenance (ST31)
+# ------------------------------------------------------------------ #
+
+def _fold_batches(spark, batches, m=16):
+    from sarfile_analyzer_ng_spark.streaming import ops as SO
+
+    state = None
+    for rows in batches:
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        state = SO.rank_sample_update(state, df, "value", "event_id",
+                                      m=m)
+    return state
+
+
+def test_rank_sample_update_bounded_state_and_lower_bound(spark):
+    rows = [(i, float((i * 17) % 500)) for i in range(1, 801)]
+    batches = [rows[j::4] for j in range(4)]
+    state = _fold_batches(spark, batches, m=16).collect()
+    assert 0 < len(state) <= 32              # ≤ 2m rows forever
+    total = sum(r.g for r in state)
+    assert total == 800                      # no mass lost or created
+    # est_rank (gap cumsum) is a LOWER bound on the true rank
+    truth = sorted((v, i) for i, v in rows)
+    state = sorted(state, key=lambda r: (r.v, r.i))
+    cum = 0
+    for r in state:
+        cum += r.g
+        true_rank = sum(1 for v, i in truth if (v, i) <= (r.v, r.i))
+        assert cum <= true_rank
+    # the p50 answer lands near the true median
+    target = 400
+    cum, pick = 0, None
+    for r in state:
+        cum += r.g
+        if cum >= target:
+            pick = r
+            break
+    true_rank = sum(1 for v, i in truth if (v, i) <= (pick.v, pick.i))
+    assert abs(true_rank - target) <= 800 // 16 * 4  # fold slack
+
+
+def test_rank_sample_update_all_equal_values(spark):
+    rows = [(i, 7.0) for i in range(1, 201)]
+    state = _fold_batches(spark, [rows[:100], rows[100:]], m=8).collect()
+    assert 0 < len(state) <= 16
+    assert sum(r.g for r in state) == 200
+    assert all(r.v == 7.0 for r in state)
+
+
+def test_rank_sample_update_empty_batch_is_noop(spark):
+    from sarfile_analyzer_ng_spark.streaming import ops as SO
+
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)],
+                               "event_id long, value double")
+    state = SO.rank_sample_update(None, df, "value", "event_id", m=8)
+    empty = spark.createDataFrame([], "event_id long, value double")
+    state2 = SO.rank_sample_update(state, empty, "value", "event_id",
+                                   m=8)
+    assert sorted((r.v, r.i, r.g) for r in state.collect()) == \
+        sorted((r.v, r.i, r.g) for r in state2.collect())
+
+
+# ------------------------------------------------------------------ #
+# curation funnel v2 (q201)
+# ------------------------------------------------------------------ #
+
+def test_funnel_v2_stage_accounting(spark):
+    from sarfile_analyzer_ng_spark.queries import q201_curation_funnel_v2
+
+    rows = {r.stage_no: r for r in
+            q201_curation_funnel_v2(spark, SF_DIR).collect()}
+    assert [rows[i].stage for i in range(1, 6)] == [
+        "url_canonical_dedup", "domain_blocklist", "exact_text_dedup",
+        "boilerplate_passage_audit", "quality_gate"]
+    # the chain composes: each stage starts where the previous ended
+    assert rows[2].n_in == rows[1].n_kept
+    assert rows[3].n_in == rows[2].n_kept
+    assert rows[5].n_in == rows[3].n_kept
+    # every stage balances
+    for i in (1, 2, 3, 5):
+        r = rows[i]
+        assert r.n_in - r.n_kept == r.n_dropped >= 0
+    # the plants fire: re-fetches die at stage 1, blocked domains at
+    # stage 2, mirrors at stage 3, boilerplate shows in the audit
+    assert rows[1].n_dropped > 0
+    assert rows[2].n_dropped > 0
+    assert rows[3].n_dropped > 0
+    assert rows[4].n_dropped > 0
+    assert rows[4].n_kept == rows[4].n_in  # audit, not a cut
+
+
+def test_funnel_v2_mirror_survives_url_dies_at_text(spark):
+    # a cross-domain mirror has a unique canonical URL (stage 1 can't
+    # see it) but identical text (stage 3 must kill it)
+    from sarfile_analyzer_ng_spark.queries import (_funnel2_crawl,
+                                                   FUN2_MIRROR_OFFSET)
+    from sarfile_analyzer_ng_spark.functions import web as W2
+
+    crawl = _funnel2_crawl(spark, SF_DIR)
+    mirrors = crawl.where(
+        F.col("doc_id") >= FUN2_MIRROR_OFFSET)
+    n_mirror = mirrors.count()
+    assert n_mirror > 0
+    canon = crawl.select(
+        W2.canonical_url(F.col("url")).alias("c")).distinct().count()
+    # mirrors add distinct canonical urls (stage 1 keeps them)
+    assert canon > crawl.select("doc_id").distinct().count() - n_mirror
