@@ -9069,7 +9069,11 @@ SELECT doc_id, url, canon_url, host, domain FROM dom
 # domain blocklist for the rollup gate (one per TLD family so the
 # anti-join path is live); a real pipeline broadcast-joins a list of
 # millions — same plan shape
-BLOCKED_DOMAINS = ("src3.com", "src7.net", "src1.co.uk")
+# source = src(doc_id % 20) and the host TLD branches on doc_id % 4,
+# so each source maps to exactly ONE domain: srcN.com for N%4=0,
+# srcN.net for N%4=1, srcN.co.uk for N%4=2, srcN.org for N%4=3 —
+# the list below names domains that EXIST so the drop path is live
+BLOCKED_DOMAINS = ("src0.com", "src5.net", "src6.co.uk", "src3.org")
 
 
 def q191_domain_rollup(spark, sf_dir):
@@ -9945,6 +9949,238 @@ WHERE {sql_rnd('s.n_shared::DOUBLE / least(na.n_pass, nb.n_pass)', 4)} >= 0.5
 SQL_Q200 = _sql_pcont()
 
 
+# --------------------------------------------------------------------
+# r10 wave 8: the modern crawl-curation funnel, end to end
+# --------------------------------------------------------------------
+
+FUN2_REFETCH_OFFSET = 2_000_000
+FUN2_MIRROR_OFFSET = 3_000_000
+# 16 words = exactly two 8-word passages, so the plant is passage-
+# aligned on every doc (appended at the end of the text)
+FUN2_BOILER = ("subscribe to our newsletter for daily updates and "
+               "follow the channel to never miss a story")
+FUN2_MIN_TOKENS = 20
+FUN2_MAX_TOKENS = 2000
+FUN2_MIN_DISTINCT_RATIO = 0.2
+
+
+def _funnel2_crawl(spark, sf_dir):
+    """The synthetic crawl for q201: documents with (a) boilerplate
+    appended to every 11th doc (passage-aligned, two passages), (b) a
+    RE-FETCH of every even doc (same text, noisier URL — the q197
+    plant), (c) a MIRROR of every 7th doc (same text on a different
+    domain — URL dedup cannot see it, exact text dedup must)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    text2 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" " + FUN2_BOILER)),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", "source", text2.alias("text")) \
+        .withColumn("url", _synth_url_expr())
+    refetch = base.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + FUN2_REFETCH_OFFSET).alias("doc_id"),
+        "source", "text",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.regexp_replace(F.col("url"), r"^[A-Za-z]+://", ""),
+            F.lit("#refetch"),
+        ).alias("url"),
+    )
+    mirror = base.where(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + FUN2_MIRROR_OFFSET).alias("doc_id"),
+        "source", "text",
+        F.concat(F.lit("https://mirror-"), F.col("source"),
+                 F.lit(".net/copy/"),
+                 (F.col("doc_id") % 1000).cast("string")).alias("url"),
+    )
+    return base.unionByName(refetch).unionByName(mirror)
+
+
+def q201_curation_funnel_v2(spark, sf_dir):
+    """The MODERN crawl-curation funnel end to end (RefinedWeb Fig. 2
+    / Dolma's pipeline, stage by stage — q85 composes the TEXT-side
+    funnel; this one starts where real pipelines start, at the URL):
+
+      1. canonical-URL exact dedup (q190's canonical form,
+         keep-first) — kills re-fetch noise;
+      2. domain blocklist gate (q191's broadcast list);
+      3. exact text dedup (md5 keep-first) — kills cross-domain
+         mirrors the URL stage cannot see;
+      4. boilerplate passage audit (q94's splitter): count docs
+         carrying cross-doc duplicated passages and the passages
+         that a C4-style cut would remove (docs pass through —
+         passages, not documents, are the unit here);
+      5. quality gate: token count in [20, 2000] and distinct-token
+         ratio ≥ 0.2 (the q38 family's cheap signals).
+
+    Returns one row per stage: (stage_no, stage, n_in, n_kept,
+    n_dropped) — the funnel table a curator publishes with the
+    corpus datasheet. ONE declarative plan (the q85 convention):
+    survivor flags compose through two dedup windows and a codegen
+    gate, one combinable agg counts every stage at once, and the
+    five report rows come from an exploded literal-struct array —
+    no driver-side counting, nothing quadratic. Fully value-hash
+    oracled."""
+    crawl = _funnel2_crawl(spark, sf_dir)
+    host = W.url_host(F.col("url"))
+    dom = W.registrable_domain(F.regexp_replace(host, r":[0-9]+$", ""))
+    w1 = Window.partitionBy(
+        W.canonical_url(F.col("url"))).orderBy("doc_id")
+    f1 = crawl.withColumn("k1", F.row_number().over(w1) == 1) \
+        .withColumn("domain", dom)
+    f2 = f1.withColumn(
+        "k2", F.col("k1") & ~F.col("domain").isin(*BLOCKED_DOMAINS))
+    w3 = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("k2").desc(), F.col("doc_id").asc())
+    f3 = f2.withColumn(
+        "k3", F.col("k2") & (F.row_number().over(w3) == 1))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    distinct_ratio = rnd(
+        F.size(F.array_distinct(toks)) / n_tok.cast("double"), 6)
+    flags = f3.withColumn(
+        "k5",
+        F.col("k3") & (n_tok >= FUN2_MIN_TOKENS)
+        & (n_tok <= FUN2_MAX_TOKENS)
+        & (distinct_ratio >= FUN2_MIN_DISTINCT_RATIO),
+    ).persist()
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("k1").cast("long")).cast("long").alias("n1"),
+        F.sum(F.col("k2").cast("long")).cast("long").alias("n2"),
+        F.sum(F.col("k3").cast("long")).cast("long").alias("n3"),
+        F.sum(F.col("k5").cast("long")).cast("long").alias("n5"),
+    )
+    # stage 4: docs pass through; the AUDIT counts survivors that
+    # carry a cross-doc duplicated passage (what a C4 cut would edit)
+    pd_ = D.passage_dedup(
+        flags.where(F.col("k3")).select("doc_id", "text"),
+        "text", "doc_id", passage_words=PASSAGE_WORDS)
+    cut = pd_.agg(
+        F.coalesce(F.sum((F.col("n_dropped") > 0).cast("long")),
+                   F.lit(0)).cast("long").alias("n4c"))
+
+    def stage(no, name, n_in, n_kept, n_drop):
+        return F.struct(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(n_in).alias("n_in"),
+            F.col(n_kept).alias("n_kept"),
+            n_drop.alias("n_dropped"),
+        )
+
+    out = counts.crossJoin(cut).select(
+        F.explode(F.array(
+            stage(1, "url_canonical_dedup", "n0", "n1",
+                  F.col("n0") - F.col("n1")),
+            stage(2, "domain_blocklist", "n1", "n2",
+                  F.col("n1") - F.col("n2")),
+            stage(3, "exact_text_dedup", "n2", "n3",
+                  F.col("n2") - F.col("n3")),
+            stage(4, "boilerplate_passage_audit", "n3", "n3",
+                  F.col("n4c")),
+            stage(5, "quality_gate", "n3", "n5",
+                  F.col("n3") - F.col("n5")),
+        )).alias("s")
+    ).select("s.*")
+    out._cached_inputs = [flags]
+    return out
+
+
+_SQL_FUN2_CRAWL = f"""
+  WITH d2 AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 11 = 0
+                THEN text || ' {FUN2_BOILER}' ELSE text END AS text
+    FROM documents),
+  synth AS ({{synth}}),
+  base AS (
+    SELECT d2.doc_id, d2.source, d2.text, synth.url
+    FROM d2 JOIN synth USING (doc_id))
+  SELECT doc_id, source, text, url FROM base
+  UNION ALL
+  SELECT doc_id + {FUN2_REFETCH_OFFSET}, source, text,
+         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
+         || '#refetch'
+  FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {FUN2_MIRROR_OFFSET}, source, text,
+         'https://mirror-' || source || '.net/copy/'
+         || CAST(doc_id % 1000 AS VARCHAR)
+  FROM base WHERE doc_id % 7 = 1
+"""
+
+
+def _sql_funnel2() -> str:
+    crawl = _SQL_FUN2_CRAWL.format(synth=_SQL_SYNTH_URL)
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    dr = sql_rnd(f"len(list_distinct({tok}))::DOUBLE / len({tok})", 6)
+    return rf"""
+WITH crawl AS ({crawl}),
+urls AS (SELECT * FROM crawl),
+{_SQL_CANON_CTES},
+s1 AS (
+  SELECT doc_id, source, text, url, canon_url, domain FROM (
+    SELECT dom.*, row_number() OVER (PARTITION BY canon_url
+                                     ORDER BY doc_id) AS _rn
+    FROM dom) WHERE _rn = 1),
+s2 AS (SELECT * FROM s1 WHERE domain NOT IN ({blocked})),
+s3 AS (
+  SELECT * FROM (
+    SELECT s2.*, row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS _rn
+    FROM s2) WHERE _rn = 1),
+pwords AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w
+  FROM s3),
+pp0 AS (
+  SELECT doc, w,
+         unnest(range(0, greatest(
+           CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT), 1))) AS idx
+  FROM pwords),
+ppass AS (
+  SELECT doc, idx,
+         array_to_string(list_transform(
+           range(idx * {PASSAGE_WORDS} + 1,
+                 least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
+           j -> w[j]), ' ') AS passage
+  FROM pp0),
+phashed AS (
+  SELECT doc, idx, md5(passage) AS h, ROW(doc, idx) AS k FROM ppass),
+pfirsts AS (SELECT h, min(k) AS first_k FROM phashed GROUP BY h),
+pcut AS (
+  SELECT doc, sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END)::BIGINT
+           AS n_dropped
+  FROM phashed JOIN pfirsts USING (h) GROUP BY doc),
+cutagg AS (
+  SELECT coalesce(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_docs_cut
+  FROM pcut),
+s5 AS (
+  SELECT * FROM s3
+  WHERE len({tok}) BETWEEN {FUN2_MIN_TOKENS} AND {FUN2_MAX_TOKENS}
+    AND {dr} >= {FUN2_MIN_DISTINCT_RATIO}),
+counts AS (
+  SELECT (SELECT count(*) FROM crawl)::BIGINT AS n0,
+         (SELECT count(*) FROM s1)::BIGINT AS n1,
+         (SELECT count(*) FROM s2)::BIGINT AS n2,
+         (SELECT count(*) FROM s3)::BIGINT AS n3,
+         (SELECT n_docs_cut FROM cutagg) AS n4c,
+         (SELECT count(*) FROM s5)::BIGINT AS n5)
+SELECT 1::BIGINT AS stage_no, 'url_canonical_dedup' AS stage,
+       n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM counts
+UNION ALL SELECT 2, 'domain_blocklist', n1, n2, n1 - n2 FROM counts
+UNION ALL SELECT 3, 'exact_text_dedup', n2, n3, n2 - n3 FROM counts
+UNION ALL SELECT 4, 'boilerplate_passage_audit', n3, n3, n4c FROM counts
+UNION ALL SELECT 5, 'quality_gate', n3, n5, n3 - n5 FROM counts
+"""
+
+
+SQL_Q201 = _sql_funnel2()
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -9962,13 +10198,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- driver window (first 50 entries) ----
     # r10 rotation (oldest-recorded-first, enforced by
     # tools/snapshot_tail.py:check_rotation + tests/test_rotation.py):
-    # wave-7 additions lead — q199 PII masking apply, q200 passage
-    # containment;
+    # the wave-8 funnel leads — q201 end-to-end crawl curation (URL
+    # dedup -> domain gate -> exact text dedup -> boilerplate passage
+    # audit -> quality gate);
+    "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
+    # then waves 7/5/6/1 (q199, q200, q195-q198, q190-q194), the
+    # ADVICE-changed keys (q182/q183/q172), the 18 never-driver-green
+    # keys (q119 first), the r5-recorded block, and the oldest r6
+    # keys.
     "q199_pii_redact": (q199_pii_redact, SQL_Q199),
     "q200_doc_containment": (q200_doc_containment, SQL_Q200),
-    # then waves 5/6 (q195-q198), wave 1 (q190-q194), the ADVICE-
-    # changed keys (q182/q183/q172), the 18 never-driver-green keys
-    # (q119 first), the r5-recorded block, and the oldest r6 keys.
     "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
     "q196_readability": (q196_readability, SQL_Q196),
     "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
@@ -10016,10 +10255,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
     "q39_token_count": (q39_token_count, SQL_Q39),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
     # ordered oldest-recording-first (displaced r6 fills, then r7,
     # r8, and the freshest r9 recordings).
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),
     "q44_json_extract": (q44_json_extract, SQL_Q44),

@@ -149,9 +149,10 @@ def test_q191_blocklist_flags(spark):
                                                    q191_domain_rollup)
 
     rows = {r.domain: r for r in q191_domain_rollup(spark, SF_DIR).collect()}
-    for d in BLOCKED_DOMAINS:
-        if d in rows:
-            assert rows[d].verdict == "drop" and rows[d].blocked == 1
+    hit = [d for d in BLOCKED_DOMAINS if d in rows]
+    assert hit, "blocklist must name domains that actually occur"
+    for d in hit:
+        assert rows[d].verdict == "drop" and rows[d].blocked == 1
     kept = [r for r in rows.values() if r.blocked == 0]
     assert kept and all(r.verdict == "keep" for r in kept)
 

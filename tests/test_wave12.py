@@ -220,12 +220,15 @@ def test_funnel_v2_mirror_survives_url_dies_at_text(spark):
                                                    FUN2_MIRROR_OFFSET)
     from sarfile_analyzer_ng_spark.functions import web as W2
 
-    crawl = _funnel2_crawl(spark, SF_DIR)
-    mirrors = crawl.where(
-        F.col("doc_id") >= FUN2_MIRROR_OFFSET)
+    crawl = _funnel2_crawl(spark, SF_DIR).withColumn(
+        "c", W2.canonical_url(F.col("url")))
+    mirrors = crawl.where(F.col("doc_id") >= FUN2_MIRROR_OFFSET)
     n_mirror = mirrors.count()
     assert n_mirror > 0
-    canon = crawl.select(
-        W2.canonical_url(F.col("url")).alias("c")).distinct().count()
-    # mirrors add distinct canonical urls (stage 1 keeps them)
-    assert canon > crawl.select("doc_id").distinct().count() - n_mirror
+    # every mirror URL canonicalizes to something NO base row has —
+    # URL dedup structurally cannot collapse a cross-domain mirror
+    overlap = mirrors.select("c").join(
+        crawl.where(F.col("doc_id") < FUN2_MIRROR_OFFSET).select("c"),
+        "c").count()
+    assert overlap == 0
+    assert mirrors.select("c").distinct().count() == n_mirror
