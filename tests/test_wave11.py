@@ -208,9 +208,12 @@ def test_url_screen_stream_batch_parity_and_streamability(spark):
     out = SO.url_screen_stream(stream, "url",
                                blocked_domains=("blocked.net",))
     assert out.isStreaming
+    # availableNow: the rate source emits a BOUNDED batch and the
+    # query terminates on its own — processAllAvailable on a live
+    # rate stream can starve forever under a loaded suite
     q = (out.writeStream.format("memory").queryName("st30_smoke")
-         .outputMode("append").start())
+         .outputMode("append").trigger(availableNow=True).start())
     try:
-        q.processAllAvailable()
+        assert q.awaitTermination(120)
     finally:
         q.stop()
