@@ -10181,6 +10181,100 @@ UNION ALL SELECT 5, 'quality_gate', n3, n5, n3 - n5 FROM counts
 SQL_Q201 = _sql_funnel2()
 
 
+# --------------------------------------------------------------------
+# r10 wave 9: incremental crawl-frontier novelty
+# --------------------------------------------------------------------
+
+def q202_url_frontier(spark, sf_dir):
+    """Incremental crawl-frontier novelty (the URL-level sibling of
+    q49's text anti-join — what a crawler asks EVERY batch: which of
+    these candidate URLs have we already fetched?): a new batch of
+    candidate URLs — every 5th doc re-offered with fresh tracking
+    noise (same canonical form → known) plus a ``/v2/`` variant per
+    remaining doc (new canonical form → novel) — anti-joins the
+    existing corpus ON THE CANONICAL FORM, then rolls novelty up per
+    registrable domain. Raw-URL comparison would re-fetch every
+    noisy re-offer; the canonical key is what makes frontier dedup
+    work. One map stage per side + one hash anti-join on uniform
+    string keys + one domain-keyed combinable agg. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    existing = docs.withColumn("url", _synth_url_expr())
+    reoffer = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.regexp_replace(_synth_url_expr(), r"^[A-Za-z]+://", ""),
+            F.lit("#offer"),
+        ).alias("url"),
+    )
+    fresh = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("https://cdn."), F.col("source"), F.lit(".net/v2/"),
+            (F.col("doc_id") % 1000).cast("string"),
+        ).alias("url"),
+    )
+    batch = reoffer.unionByName(fresh)
+    host = W.url_host(F.col("url"))
+    dom = W.registrable_domain(F.regexp_replace(host, r":[0-9]+$", ""))
+    seen = existing.select(
+        W.canonical_url(F.col("url")).alias("canon")).distinct()
+    cand = batch.select(
+        W.canonical_url(F.col("url")).alias("canon"),
+        dom.alias("domain"),
+    )
+    novel = cand.join(seen, "canon", "left_anti") \
+        .groupBy("domain") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    per = cand.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"))
+    return (
+        per.join(novel, "domain", "left")
+        .select(
+            "domain", "n_batch",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            rnd(F.coalesce("n_novel", F.lit(0)) / F.col("n_batch"), 4)
+            .alias("novelty_rate"),
+        )
+    )
+
+
+SQL_Q202 = f"""
+WITH base AS ({_SQL_SYNTH_URL}),
+batch0 AS (
+  SELECT doc_id, source,
+         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
+         || '#offer' AS url
+  FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, source,
+         'https://cdn.' || source || '.net/v2/'
+         || CAST(doc_id % 1000 AS VARCHAR) AS url
+  FROM base WHERE doc_id % 5 != 0),
+urls AS (
+  SELECT doc_id, url FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, url FROM batch0),
+{_SQL_CANON_CTES},
+seen AS (
+  SELECT DISTINCT canon_url AS canon FROM dom WHERE doc_id < 10000000),
+cand AS (
+  SELECT canon_url AS canon, domain FROM dom WHERE doc_id >= 10000000),
+per AS (
+  SELECT domain, count(*)::BIGINT AS n_batch FROM cand GROUP BY domain),
+novel AS (
+  SELECT domain, count(*)::BIGINT AS n_novel
+  FROM cand WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.canon = cand.canon)
+  GROUP BY domain)
+SELECT per.domain, per.n_batch,
+       coalesce(novel.n_novel, 0)::BIGINT AS n_novel,
+       {sql_rnd('coalesce(novel.n_novel, 0)::DOUBLE / per.n_batch', 4)}
+         AS novelty_rate
+FROM per LEFT JOIN novel USING (domain)
+"""
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -10198,14 +10292,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- driver window (first 50 entries) ----
     # r10 rotation (oldest-recorded-first, enforced by
     # tools/snapshot_tail.py:check_rotation + tests/test_rotation.py):
-    # the wave-8 funnel leads — q201 end-to-end crawl curation (URL
-    # dedup -> domain gate -> exact text dedup -> boilerplate passage
-    # audit -> quality gate);
+    # wave-9 lead — q202 incremental crawl-frontier novelty;
+    "q202_url_frontier": (q202_url_frontier, SQL_Q202),
+    # then waves 8/7/5/6/1 (q201, q199-q200, q195-q198, q190-q194),
+    # the ADVICE-changed keys (q182/q183/q172), the 18 never-driver-
+    # green keys (q119 first), the r5 block, and the oldest r6 keys.
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
-    # then waves 7/5/6/1 (q199, q200, q195-q198, q190-q194), the
-    # ADVICE-changed keys (q182/q183/q172), the 18 never-driver-green
-    # keys (q119 first), the r5-recorded block, and the oldest r6
-    # keys.
     "q199_pii_redact": (q199_pii_redact, SQL_Q199),
     "q200_doc_containment": (q200_doc_containment, SQL_Q200),
     "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
@@ -10254,10 +10346,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
-    "q39_token_count": (q39_token_count, SQL_Q39),
     # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
     # ordered oldest-recording-first (displaced r6 fills, then r7,
     # r8, and the freshest r9 recordings).
+    "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
     "q43_hash_split": (q43_hash_split, SQL_Q43),

@@ -232,3 +232,18 @@ def test_funnel_v2_mirror_survives_url_dies_at_text(spark):
         "c").count()
     assert overlap == 0
     assert mirrors.select("c").distinct().count() == n_mirror
+
+
+# ------------------------------------------------------------------ #
+# crawl-frontier novelty (q202)
+# ------------------------------------------------------------------ #
+
+def test_url_frontier_reoffers_vs_fresh(spark):
+    from sarfile_analyzer_ng_spark.queries import q202_url_frontier
+
+    rows = q202_url_frontier(spark, SF_DIR).collect()
+    assert rows and all(0.0 <= r.novelty_rate <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_batch for r in rows)
+    # fresh /v2/ candidates are all-novel; re-offers mostly collapse
+    assert any(r.novelty_rate == 1.0 for r in rows)
+    assert any(r.novelty_rate < 1.0 for r in rows)
