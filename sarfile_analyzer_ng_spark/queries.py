@@ -10290,65 +10290,17 @@ FROM per LEFT JOIN novel USING (domain)
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r10 rotation (oldest-recorded-first, enforced by
-    # tools/snapshot_tail.py:check_rotation + tests/test_rotation.py):
-    # wave-9 lead — q202 incremental crawl-frontier novelty;
-    "q202_url_frontier": (q202_url_frontier, SQL_Q202),
-    # then waves 8/7/5/6/1 (q201, q199-q200, q195-q198, q190-q194),
-    # the ADVICE-changed keys (q182/q183/q172), the 18 never-driver-
-    # green keys (q119 first), the r5 block, and the oldest r6 keys.
+    # r11 re-pin (tools/repin_window.py): new/changed keys from
+    # rotation_changed.json lead, then oldest-driver-recording-first
+    # (enforced by tools/snapshot_tail.py:check_rotation +
+    # tests/test_rotation.py).
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
-    "q199_pii_redact": (q199_pii_redact, SQL_Q199),
-    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
-    "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
-    "q196_readability": (q196_readability, SQL_Q196),
+    "q202_url_frontier": (q202_url_frontier, SQL_Q202),
     "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
-    "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
-    "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
-    "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
-    "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
-    "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
-    "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
-    "q182_benford_audit": (q182_benford_audit, SQL_Q182),
-    "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
+    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
     "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
-    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
-    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
-    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
-    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
-    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
-    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
-    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
-    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
-    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
-    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
-    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
-    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
-    "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
+    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
-    "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
-    "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
-    "q146_proto_prune": (q146_proto_prune, SQL_Q146),
-    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
-    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
-    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
-    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
-    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
-    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
-    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
-    "q37_lang_id": (q37_lang_id, SQL_Q37),
-    "q38_quality_score": (q38_quality_score, SQL_Q38),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-recording-first (displaced r6 fills, then r7,
-    # r8, and the freshest r9 recordings).
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
@@ -10392,6 +10344,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
     "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q66_mix_apply": (q66_mix_apply, SQL_Q66),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
@@ -10404,7 +10358,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
-    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
@@ -10499,7 +10452,50 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
     "q188_ql_champions": (q188_ql_champions, SQL_Q188),
     "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
-
+    "q199_pii_redact": (q199_pii_redact, SQL_Q199),
+    "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
+    "q196_readability": (q196_readability, SQL_Q196),
+    "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
+    "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
+    "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
+    "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
+    "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
+    "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
+    "q182_benford_audit": (q182_benford_audit, SQL_Q182),
+    "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
+    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
+    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
+    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
+    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
+    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
+    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
+    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
+    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
+    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
+    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
+    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
+    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
+    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
+    "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
+    "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
+    "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
+    "q146_proto_prune": (q146_proto_prune, SQL_Q146),
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
+    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
 }
 
 

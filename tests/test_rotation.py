@@ -36,3 +36,18 @@ def test_changed_keys_are_in_window():
         changed = json.load(fh)["changed"]
     missing = [k for k in changed if k not in keys]
     assert missing == [], missing
+
+
+def test_freshly_recorded_window_awaits_repin(monkeypatch):
+    """VERDICT r10 What's-wrong #1: the driver landing CORRECTNESS_rN
+    for the current window must NOT flip the suite red. Simulate the
+    post-driver state — every window key green at a brand-new round —
+    and assert rule (b)'s awaiting-re-pin carve-out keeps it clean."""
+    from sarfile_analyzer_ng_spark.queries import REGISTRY
+
+    real = snapshot_tail.last_green_rounds()
+    fresh = dict(real)
+    for k in list(REGISTRY)[: snapshot_tail.WINDOW]:
+        fresh[k] = max(real.values()) + 1  # driver just recorded rN+1
+    monkeypatch.setattr(snapshot_tail, "last_green_rounds", lambda: fresh)
+    assert snapshot_tail.check_rotation() == []

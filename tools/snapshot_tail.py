@@ -127,7 +127,12 @@ def check_rotation() -> list[str]:
     (b) a recorded window key must be no NEWER than the oldest tail
         recording unless it is declared in rotation_changed.json
         (the per-round list of keys whose impl/oracle changed and so
-        need a fresh green regardless of age);
+        need a fresh green regardless of age) OR its latest green is
+        the NEWEST recorded round overall — a window key freshly
+        recorded by the driver this round is compliant by
+        construction ("awaiting re-pin", VERDICT r10 What's-wrong #1:
+        the artifact landing must not flip the suite red; the
+        round-start re-pin then rotates the slot to an older key);
     (c) the tail is ordered by recording round, oldest first, so the
         next rotation is 'take from the top'."""
     from sarfile_analyzer_ng_spark.queries import REGISTRY
@@ -143,7 +148,10 @@ def check_rotation() -> list[str]:
             errs.append(f"never-driver-green key {k} is not in the window")
     tail_lg = [lg[k] for k in tail if k in lg]
     floor_ = min(tail_lg) if tail_lg else 10**9
+    newest = max(lg.values(), default=0)
     for k in window:
+        if k in lg and lg[k] == newest:
+            continue  # freshly recorded this round — awaiting re-pin
         if k in lg and k not in changed and lg[k] > floor_:
             errs.append(
                 f"window key {k} (last green r{lg[k]}) is newer than the "
