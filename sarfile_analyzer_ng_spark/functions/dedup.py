@@ -1911,10 +1911,15 @@ def passage_containment_pairs(df: DataFrame, text_col: str, id_col: str,
     """Sub-document CONTAINMENT by exact passage overlap (Broder 1997
     distinguishes resemblance from containment; Lee et al. 2021's
     ExactSubstr motivates the passage unit): document pairs sharing
-    ≥ 1 passage hash, scored ``shared / min(n_passages)`` — the
-    excerpt/quote/partial-overlap detector that symmetric jaccard
-    structurally under-scores (a 3-passage excerpt of a 12-passage
-    doc: jaccard ≤ 0.25, containment 1.0).
+    ≥ 1 passage hash, scored ``shared / min(n_passages)`` with BOTH
+    sides counted over DISTINCT surviving passage hashes (Broder
+    containment is a set ratio: counting raw passages made internally
+    repeated or hot-capped passages deflate the score — two identical
+    docs with a repeated passage scored < 1.0; ADVICE r10 fix, pinned
+    by tests/test_wave13.py) — the excerpt/quote/partial-overlap
+    detector that symmetric jaccard structurally under-scores (a
+    3-passage excerpt of a 12-passage doc: jaccard ≤ 0.25,
+    containment 1.0).
 
     Shape at scale: one passage explode + md5 (linear), a passage-
     hash equi-join with the standard hot-key cap (``max_df`` — a
@@ -1923,8 +1928,6 @@ def passage_containment_pairs(df: DataFrame, text_col: str, id_col: str,
     Never quadratic in the corpus.
     """
     pas = passage_rows(df, text_col, id_col, passage_words)
-    n_pass = pas.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pass"))
     ph = pas.select("doc", F.md5("passage").alias("h")).distinct()
     if max_df is not None:
         hot = (
@@ -1932,6 +1935,11 @@ def passage_containment_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("df_") > int(max_df)).select("h")
         )
         ph = ph.join(F.broadcast(hot), "h", "left_anti")
+    # denominator = DISTINCT SURVIVING hashes (the same set the
+    # numerator joins on), so identical docs score exactly 1.0 even
+    # with internal repeats or capped boilerplate passages
+    n_pass = ph.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass"))
     a = ph.select(F.col("doc").alias("doc_a"), "h")
     b = ph.select(F.col("doc").alias("doc_b"), "h")
     shared = (

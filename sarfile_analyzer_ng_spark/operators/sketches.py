@@ -14,6 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# the mergeable summaries (mg_topk survivors, rank-sample kept rows)
+# finish on a single-task global window by design — fine while the
+# summary is KiB-sized, a silent serialization point if a caller
+# passes huge k/m: fail loudly instead (ADVICE r10)
+_MAX_SUMMARY_ROWS = 1_000_000
+
 
 def approx_distinct(df: DataFrame, col: str, by: list[str],
                     rsd: float = 0.05) -> DataFrame:
@@ -279,6 +285,12 @@ def mg_topk(df: DataFrame, col: str, k: int = 20,
     from ..functions.dedup import fp32_expr
     from ..util import shard_hash
 
+    if k * shards > _MAX_SUMMARY_ROWS:
+        raise ValueError(
+            f"mg_topk summary would be k*shards = {k * shards} rows; the "
+            f"global merge window runs in ONE task, so it is capped at "
+            f"{_MAX_SUMMARY_ROWS} — lower k or shards (ADVICE r10 guard)"
+        )
     items = df.select(F.col(col).cast("string").alias("item"))
     cnt = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -359,6 +371,13 @@ def rank_sample_quantiles(df: DataFrame, value_col: str, id_col: str,
 
     from ..util import shard_hash
 
+    if (m + 1) * shards > _MAX_SUMMARY_ROWS:
+        raise ValueError(
+            f"rank-sample summary would be (m+1)*shards = "
+            f"{(m + 1) * shards} rows; the merged cumsum window runs in "
+            f"ONE task, so it is capped at {_MAX_SUMMARY_ROWS} — lower m "
+            f"or shards (ADVICE r10 guard)"
+        )
     base = df.select(
         F.col(value_col).cast("double").alias("v"),
         F.col(id_col).cast("long").alias("i"),

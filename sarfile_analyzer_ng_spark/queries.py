@@ -7890,7 +7890,12 @@ def _sql_kcenter(k: int = KCENTER_K) -> str:
     """Unrolled greedy k-center as a CTE chain (the q86/q104/q118
     iterative-oracle pattern): each round one argmax CTE + one
     running-min distance CTE — the exact arithmetic kcenter_select
-    runs, including the rounded-then-least composition."""
+    runs, including the rounded-then-least composition AND the
+    picked-id pool exclusion (each d{r} drops the round's center, so
+    with duplicate embeddings — every remaining dmin 0 — or k > n the
+    two engines still select identical centers / trace lengths;
+    ADVICE r10 parity fix, pinned by
+    tests/test_wave13.py::test_kcenter_sql_parity_duplicates)."""
     def d2(x: str, c: str) -> str:
         return (
             f"list_dot_product({x}.e, {x}.e)"
@@ -7908,7 +7913,7 @@ c1 AS (
   ORDER BY r DESC, vec_id ASC LIMIT 1),
 d1 AS (
   SELECT x.vec_id, x.e, {sql_rnd(d2('x', 'c'), 6)} AS dmin
-  FROM e x, c1 c)"""]
+  FROM e x, c1 c WHERE x.vec_id <> c.vec_id)"""]
     for r in range(2, k + 1):
         parts.append(
             f"c{r} AS (SELECT vec_id, e, dmin FROM d{r - 1}"
@@ -7918,7 +7923,7 @@ d1 AS (
             parts.append(
                 f"d{r} AS (SELECT x.vec_id, x.e,"
                 f" least(x.dmin, {sql_rnd(d2('x', 'c'), 6)}) AS dmin"
-                f" FROM d{r - 1} x, c{r} c)"
+                f" FROM d{r - 1} x, c{r} c WHERE x.vec_id <> c.vec_id)"
             )
     sels = ["SELECT 1::BIGINT AS sel_round, vec_id, NULL::DOUBLE AS d2 FROM c1"]
     sels += [
@@ -8956,6 +8961,33 @@ def _synth_url_expr():
     return F.concat(scheme, F.lit("://"), host, path, query, frag)
 
 
+def _refetch_url_expr(url_col, frag: str):
+    """Scheme-PRESERVING re-fetch noise for the q197/q201/q202
+    plants: lowercase the ORIGINAL scheme (case is canonicalization-
+    invariant, rule 2) and append a fragment (stripped by rule 1) —
+    so every re-fetch collapses to its original's canonical form
+    regardless of the original's scheme/port combination. The r10
+    plants hardcoded ``HTTPS://``, which silently broke the collapse
+    for http-scheme docs (scheme differs; an http host ending
+    ``:443`` also keeps its port) — ADVICE r10 fix, gated by
+    tests/test_wave13.py::test_refetch_plants_fully_collapse."""
+    return F.concat(
+        F.lower(F.regexp_extract(url_col, r"^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(url_col, r"^[A-Za-z]+://", ""),
+        F.lit("#" + frag),
+    )
+
+
+def _sql_refetch_url(frag: str) -> str:
+    """DuckDB twin of :func:`_refetch_url_expr` (over a column named
+    ``url``)."""
+    return (
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || "
+        "regexp_replace(url, '^[A-Za-z]+://', '') || '#" + frag + "'"
+    )
+
+
 # the same synthesis in DuckDB (CAST/CASE chains mirror the Spark
 # whens 1:1; doc_id ≥ 0, so % agrees between engines)
 _SQL_SYNTH_URL = """
@@ -9622,15 +9654,11 @@ def q197_url_dup_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     fetch1 = docs.withColumn("url", _synth_url_expr())
     # the re-fetch: same resource, different incidental noise —
-    # upper-cased scheme and a mail-campaign fragment (every even
-    # doc_id's synth URL carries a fragment, so the extra one joins
-    # it and the whole tail strips to the same canonical form)
+    # scheme case flipped (preserving the scheme itself) and a
+    # mail-campaign fragment: canonicalization-invariant noise only,
+    # so EVERY re-fetch collapses with its original
     refetch = docs.withColumn(
-        "url",
-        F.concat(F.lit("HTTPS://"),
-                 F.regexp_replace(_synth_url_expr(),
-                                  r"^[A-Za-z]+://", ""),
-                 F.lit("#from-newsletter")),
+        "url", _refetch_url_expr(_synth_url_expr(), "from-newsletter"),
     ).where(F.col("doc_id") % 2 == 0)
     crawl = fetch1.unionByName(refetch)
     host = W.url_host(F.col("url"))
@@ -9659,8 +9687,7 @@ crawl AS (
   SELECT doc_id, lang, source, text, url FROM base
   UNION ALL
   SELECT doc_id, lang, source, text,
-         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
-         || '#from-newsletter' AS url
+         {_sql_refetch_url('from-newsletter')} AS url
   FROM base WHERE doc_id % 2 = 0),
 urls AS (SELECT * FROM crawl),
 {_SQL_CANON_CTES}
@@ -9892,7 +9919,10 @@ def q200_doc_containment(spark, sf_dir):
     passage_containment_pairs; Lee et al. 2021's ExactSubstr argument
     at the document-pair level — Broder's containment, not jaccard):
     document pairs sharing ≥ 1 exact passage, scored
-    shared / min(n_passages) — the excerpt/quote/partial-overlap
+    shared / min(n_passages) over DISTINCT SURVIVING passage hashes
+    on both sides (r11 ADVICE fix: raw passage counts deflated the
+    score on internally-repetitive or hot-capped docs) — the
+    excerpt/quote/partial-overlap
     detector that doc-level MinHash (symmetric jaccard) structurally
     under-scores: a 3-passage excerpt of a 12-passage doc has
     jaccard ≤ 0.25 but containment 0.67+. Passage-hash equi-join
@@ -9924,13 +9954,13 @@ pass AS (
                  least((idx + 1) * {PASSAGE_WORDS}, len(w)) + 1),
            j -> w[j]), ' ')) AS h
   FROM p0),
-np AS (SELECT doc, count(*)::BIGINT AS n_pass FROM pass GROUP BY doc),
 hot AS (
   SELECT h FROM (SELECT DISTINCT doc, h FROM pass) GROUP BY h
   HAVING count(*) > {PCONT_MAX_DF}),
 ph AS (
   SELECT DISTINCT doc, h FROM pass p
   WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = p.h)),
+np AS (SELECT doc, count(*)::BIGINT AS n_pass FROM ph GROUP BY doc),
 shared AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS n_shared
   FROM ph a JOIN ph b ON a.h = b.h AND a.doc < b.doc
@@ -9981,11 +10011,7 @@ def _funnel2_crawl(spark, sf_dir):
     refetch = base.where(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + FUN2_REFETCH_OFFSET).alias("doc_id"),
         "source", "text",
-        F.concat(
-            F.lit("HTTPS://"),
-            F.regexp_replace(F.col("url"), r"^[A-Za-z]+://", ""),
-            F.lit("#refetch"),
-        ).alias("url"),
+        _refetch_url_expr(F.col("url"), "refetch").alias("url"),
     )
     mirror = base.where(F.col("doc_id") % 7 == 1).select(
         (F.col("doc_id") + FUN2_MIRROR_OFFSET).alias("doc_id"),
@@ -10101,8 +10127,7 @@ _SQL_FUN2_CRAWL = f"""
   SELECT doc_id, source, text, url FROM base
   UNION ALL
   SELECT doc_id + {FUN2_REFETCH_OFFSET}, source, text,
-         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
-         || '#refetch'
+         {{refetch}}
   FROM base WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id + {FUN2_MIRROR_OFFSET}, source, text,
@@ -10113,7 +10138,8 @@ _SQL_FUN2_CRAWL = f"""
 
 
 def _sql_funnel2() -> str:
-    crawl = _SQL_FUN2_CRAWL.format(synth=_SQL_SYNTH_URL)
+    crawl = _SQL_FUN2_CRAWL.format(
+        synth=_SQL_SYNTH_URL, refetch=_sql_refetch_url("refetch"))
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     dr = sql_rnd(f"len(list_distinct({tok}))::DOUBLE / len({tok})", 6)
@@ -10202,11 +10228,7 @@ def q202_url_frontier(spark, sf_dir):
     existing = docs.withColumn("url", _synth_url_expr())
     reoffer = docs.where(F.col("doc_id") % 5 == 0).select(
         "doc_id", "source",
-        F.concat(
-            F.lit("HTTPS://"),
-            F.regexp_replace(_synth_url_expr(), r"^[A-Za-z]+://", ""),
-            F.lit("#offer"),
-        ).alias("url"),
+        _refetch_url_expr(_synth_url_expr(), "offer").alias("url"),
     )
     fresh = docs.where(F.col("doc_id") % 5 != 0).select(
         "doc_id", "source",
@@ -10244,8 +10266,7 @@ SQL_Q202 = f"""
 WITH base AS ({_SQL_SYNTH_URL}),
 batch0 AS (
   SELECT doc_id, source,
-         'HTTPS://' || regexp_replace(url, '^[A-Za-z]+://', '')
-         || '#offer' AS url
+         {_sql_refetch_url('offer')} AS url
   FROM base WHERE doc_id % 5 = 0
   UNION ALL
   SELECT doc_id, source,
