@@ -21,6 +21,7 @@ from .util import fan_out, rnd, sql_rnd
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
+from .functions import html as H
 from .functions import web as W
 from .operators import relational as R
 from .operators import reshape as RS
@@ -9980,6 +9981,135 @@ SQL_Q200 = _sql_pcont()
 
 
 # --------------------------------------------------------------------
+# r11 wave 2: HTML -> text extraction — stage ZERO of the crawl
+# pipeline (functions/html.py documents the contract; VERDICT r10
+# directive #2: RefinedWeb/C4/Dolma all start at markup)
+# --------------------------------------------------------------------
+
+HTML_NAV = ('<nav><a href="/">Home</a> <a href="/about">About</a>'
+            ' <a href="/contact">Contact</a></nav>')
+HTML_PROMO = ('<p class="promo"><a href="/sub">Subscribe now</a>'
+              ' <a href="/feed">Follow us</a> ok</p>')
+HTML_FOOTER = ('<footer><a href="/terms">terms of use</a>'
+               ' <a href="/privacy">privacy</a> (c) 2026</footer>')
+HTML_HEAD = ('<head><title>crawl page</title><style>p {margin:0}</style>'
+             '<script>var trap = "</p> not a block";</script></head>')
+
+
+def _synth_html_expr():
+    """Deterministic messy-HTML page wrapping ``documents.text`` —
+    the documents table has no markup column, so the gate synthesizes
+    one IN BOTH ENGINES from the same string arithmetic, covering
+    every extraction rule: a comment, a head with title/style/script
+    (the script body carries a literal ``</p>`` trap that must vanish
+    BEFORE block segmentation), a pure-link nav, an h1 + the document
+    text as content blocks, an entity-bearing mixed-case DIV, a
+    link-dense promo on every 3rd page, and a link-dense footer."""
+    m5 = (F.col("doc_id") % 5).cast("string")
+    promo = F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(HTML_PROMO)).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<!-- crawler:"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" -->"),
+        F.lit("<html>" + HTML_HEAD + "<body>"),
+        F.lit(HTML_NAV),
+        F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<DIV>Rated &amp; reviewed &#39;"), m5,
+        F.lit("&#39; times &lt;ok&gt;</DIV>"),
+        promo,
+        F.lit(HTML_FOOTER + "</body></html>"),
+    )
+
+
+def q203_html_extract(spark, sf_dir):
+    """HTML → text extraction (functions/html.py:html_extract; the
+    Kohlschütter WSDM'10 link-density rule at threshold 1/2, exact
+    integer compare): strip comments/script/style/head, segment at
+    block tags, decode entities, drop link-dense boilerplate blocks
+    (nav/promo/footer), join survivors — the stage-0 every crawl
+    pipeline runs before q190's URL ops and q38's quality gates.
+    Per page: block counts, boilerplate dropped, extracted length and
+    md5. Pure per-row map (no shuffle, no explode — blocks live in
+    array columns); the planted nav/promo/footer gate n_boiler while
+    the md5 ties the full extracted text. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = docs.withColumn("html", _synth_html_expr())
+    out = H.html_extract(pages, "html", "doc_id")
+    return out.select(
+        "doc_id", "n_blocks", "n_boiler", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_html_clean(expr: str) -> str:
+    """DuckDB twin of functions/html.py:_clean_text over ``expr``."""
+    out = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    for pat, rep in H.ENTITIES:
+        out = f"replace({out}, {_sql_str(pat)}, {_sql_str(rep)})"
+    return "trim(regexp_replace(" + out + ", '\\s+', ' ', 'g'))"
+
+
+_SQL_HTML_STRIP = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?s)<!--.*?-->', ' ', 'g'),"
+    " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?is)<head[^>]*>.*?</head>', ' ', 'g')"
+)
+
+_SQL_SYNTH_HTML = f"""
+  SELECT doc_id,
+         '<!-- crawler:' || CAST(doc_id % 7 AS VARCHAR) || ' -->'
+         || {_sql_str("<html>" + HTML_HEAD + "<body>")}
+         || {_sql_str(HTML_NAV)}
+         || '<h1>' || source || ' report</h1>'
+         || '<p>' || text || '</p>'
+         || '<DIV>Rated &amp; reviewed &#39;' || CAST(doc_id % 5 AS VARCHAR)
+         || '&#39; times &lt;ok&gt;</DIV>'
+         || CASE WHEN doc_id % 3 = 0 THEN {_sql_str(HTML_PROMO)} ELSE '' END
+         || {_sql_str(HTML_FOOTER + "</body></html>")} AS html
+  FROM documents
+"""
+
+
+def _sql_q203() -> str:
+    # DuckDB's array_to_string([]) is NULL, not '' — coalesce, or
+    # every anchor-free block would flunk the boilerplate compare
+    anchor = ("coalesce(array_to_string(regexp_extract_all("
+              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    clean_t = _sql_html_clean("x")
+    clean_l = _sql_html_clean(anchor)
+    block_re = H.BLOCK_TAG_RE
+    return f"""
+WITH pages AS ({_SQL_SYNTH_HTML}),
+c AS (SELECT doc_id, {_SQL_HTML_STRIP} AS body FROM pages),
+b AS (SELECT doc_id, list_filter(list_transform(
+        string_split_regex(body, '{block_re}'),
+        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
+        s -> s.t <> '') AS blk FROM c),
+k AS (SELECT doc_id, blk,
+        list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
+      FROM b),
+t AS (SELECT doc_id, blk, kept,
+        array_to_string(list_transform(kept, s -> s.t), chr(10)) AS txt
+      FROM k)
+SELECT doc_id, len(blk)::BIGINT AS n_blocks,
+       (len(blk) - len(kept))::BIGINT AS n_boiler,
+       length(txt)::BIGINT AS n_chars,
+       md5(txt) AS text_md5
+FROM t
+"""
+
+
+SQL_Q203 = _sql_q203()
+
+
+# --------------------------------------------------------------------
 # r10 wave 8: the modern crawl-curation funnel, end to end
 # --------------------------------------------------------------------
 
@@ -10023,11 +10153,37 @@ def _funnel2_crawl(spark, sf_dir):
     return base.unionByName(refetch).unionByName(mirror)
 
 
+def _funnel2_page_expr():
+    """The funnel's page chrome (stage 0 input): q203's nav/promo/
+    footer boilerplate around the crawl text as the page's SINGLE
+    content block — so the extractor round-trips the text exactly
+    (the corpus is whitespace-normal; round-trip pinned in
+    tests/test_wave14.py) and stages 1–5 are byte-identical to the
+    pre-extraction funnel."""
+    promo = F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(HTML_PROMO)).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<!-- crawler:"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" -->"),
+        F.lit("<html>" + HTML_HEAD + "<body>" + HTML_NAV + "<p>"),
+        F.col("text"), F.lit("</p>"),
+        promo,
+        F.lit(HTML_FOOTER + "</body></html>"),
+    )
+
+
 def q201_curation_funnel_v2(spark, sf_dir):
     """The MODERN crawl-curation funnel end to end (RefinedWeb Fig. 2
     / Dolma's pipeline, stage by stage — q85 composes the TEXT-side
-    funnel; this one starts where real pipelines start, at the URL):
+    funnel; this one starts where real pipelines start, at MARKUP):
 
+      0. HTML → text extraction (q203's contract, functions/html.py):
+         each fetched page is deterministic chrome (nav/promo/footer
+         boilerplate) around the document text as its single content
+         block; the link-density rule drops the chrome and the text
+         round-trips EXACTLY, so stages 1–5 see precisely the corpus
+         they saw pre-r11 (this stage's row counts BLOCKS — n_in =
+         blocks seen, n_dropped = boilerplate blocks cut);
       1. canonical-URL exact dedup (q190's canonical form,
          keep-first) — kills re-fetch noise;
       2. domain blocklist gate (q191's broadcast list);
@@ -10048,7 +10204,17 @@ def q201_curation_funnel_v2(spark, sf_dir):
     five report rows come from an exploded literal-struct array —
     no driver-side counting, nothing quadratic. Fully value-hash
     oracled."""
-    crawl = _funnel2_crawl(spark, sf_dir)
+    crawl0 = _funnel2_crawl(spark, sf_dir)
+    pages = crawl0.withColumn("html", _funnel2_page_expr())
+    blk = H.html_block_structs(F.col("html"))
+    kept = F.filter(blk, lambda s: ~H.is_boiler(s))
+    crawl = pages.select(
+        "doc_id", "source", "url",
+        F.size(blk).cast("long").alias("_nb"),
+        (F.size(blk) - F.size(kept)).cast("long").alias("_nboil"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+        .alias("text"),
+    )
     host = W.url_host(F.col("url"))
     dom = W.registrable_domain(F.regexp_replace(host, r":[0-9]+$", ""))
     w1 = Window.partitionBy(
@@ -10077,6 +10243,9 @@ def q201_curation_funnel_v2(spark, sf_dir):
         F.sum(F.col("k2").cast("long")).cast("long").alias("n2"),
         F.sum(F.col("k3").cast("long")).cast("long").alias("n3"),
         F.sum(F.col("k5").cast("long")).cast("long").alias("n5"),
+        F.sum("_nb").cast("long").alias("b0"),
+        (F.sum("_nb") - F.sum("_nboil")).cast("long").alias("bk"),
+        F.sum("_nboil").cast("long").alias("bd"),
     )
     # stage 4: docs pass through; the AUDIT counts survivors that
     # carry a cross-doc duplicated passage (what a C4 cut would edit)
@@ -10098,6 +10267,7 @@ def q201_curation_funnel_v2(spark, sf_dir):
 
     out = counts.crossJoin(cut).select(
         F.explode(F.array(
+            stage(0, "html_extract", "b0", "bk", F.col("bd")),
             stage(1, "url_canonical_dedup", "n0", "n1",
                   F.col("n0") - F.col("n1")),
             stage(2, "domain_blocklist", "n1", "n2",
@@ -10143,9 +10313,38 @@ def _sql_funnel2() -> str:
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     dr = sql_rnd(f"len(list_distinct({tok}))::DOUBLE / len({tok})", 6)
+    clean_t = _sql_html_clean("x")
+    clean_l = _sql_html_clean(
+        "coalesce(array_to_string(regexp_extract_all("
+        "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    page_pre = _sql_str("<html>" + HTML_HEAD + "<body>" + HTML_NAV + "<p>")
+    page_post = _sql_str(HTML_FOOTER + "</body></html>")
+    promo = _sql_str(HTML_PROMO)
     return rf"""
 WITH crawl AS ({crawl}),
-urls AS (SELECT * FROM crawl),
+pages AS (
+  SELECT doc_id, source, url,
+         '<!-- crawler:' || CAST(doc_id % 7 AS VARCHAR) || ' -->'
+         || {page_pre} || text || '</p>'
+         || CASE WHEN doc_id % 3 = 0 THEN {promo} ELSE '' END
+         || {page_post} AS html
+  FROM crawl),
+pblk AS (
+  SELECT doc_id, source, url, list_filter(list_transform(
+           string_split_regex({_SQL_HTML_STRIP}, '{H.BLOCK_TAG_RE}'),
+           x -> struct_pack(t := {clean_t}, lt := {clean_l})),
+           s -> s.t <> '') AS blk
+  FROM pages),
+pkept AS (
+  SELECT doc_id, source, url, blk,
+         list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
+  FROM pblk),
+urls AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(kept, s -> s.t), chr(10)) AS text,
+         url, len(blk)::BIGINT AS _nb,
+         (len(blk) - len(kept))::BIGINT AS _nboil
+  FROM pkept),
 {_SQL_CANON_CTES},
 s1 AS (
   SELECT doc_id, source, text, url, canon_url, domain FROM (
@@ -10194,9 +10393,12 @@ counts AS (
          (SELECT count(*) FROM s2)::BIGINT AS n2,
          (SELECT count(*) FROM s3)::BIGINT AS n3,
          (SELECT n_docs_cut FROM cutagg) AS n4c,
-         (SELECT count(*) FROM s5)::BIGINT AS n5)
-SELECT 1::BIGINT AS stage_no, 'url_canonical_dedup' AS stage,
-       n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM counts
+         (SELECT count(*) FROM s5)::BIGINT AS n5,
+         (SELECT sum(_nb) FROM urls)::BIGINT AS b0,
+         (SELECT sum(_nboil) FROM urls)::BIGINT AS bd)
+SELECT 0::BIGINT AS stage_no, 'html_extract' AS stage,
+       b0 AS n_in, b0 - bd AS n_kept, bd AS n_dropped FROM counts
+UNION ALL SELECT 1, 'url_canonical_dedup', n0, n1, n0 - n1 FROM counts
 UNION ALL SELECT 2, 'domain_blocklist', n1, n2, n1 - n2 FROM counts
 UNION ALL SELECT 3, 'exact_text_dedup', n2, n3, n2 - n3 FROM counts
 UNION ALL SELECT 4, 'boilerplate_passage_audit', n3, n3, n4c FROM counts
@@ -10296,6 +10498,8 @@ FROM per LEFT JOIN novel USING (domain)
 """
 
 
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -10315,6 +10519,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q203_html_extract": (q203_html_extract, SQL_Q203),
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
     "q202_url_frontier": (q202_url_frontier, SQL_Q202),
     "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
