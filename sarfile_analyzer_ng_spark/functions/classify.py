@@ -196,11 +196,29 @@ def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
     pivot is B conditional sums inside that agg — no pivot shuffle,
     no join); features are O(B) per doc. Fully codegen, no Python.
     """
+    agg = _hashed_gram_agg(docs, text_col, id_col, source_col, buckets)
+    return agg.select(
+        F.col("doc").alias(id_col),
+        F.col("_carry").alias(source_col),
+        F.when(F.col("_carry").isin(*pos_sources), 1).otherwise(0)
+        .alias("label"),
+        *[
+            rnd(F.col(f"c{j}") / F.col("total"), round_to).alias(f"x{j}")
+            for j in range(buckets)
+        ],
+    )
+
+
+def _hashed_gram_agg(docs: DataFrame, text_col: str, id_col: str,
+                     carry_col: str, buckets: int) -> DataFrame:
+    """The shared hashed-gram core (unigrams + word bigrams → portable
+    md5 bucket → per-doc bucket counts): (doc, _carry, total,
+    c0..c{B-1}) — one explode, one doc-keyed agg, fully codegen."""
     from ..util import fan_out
 
     words = fan_out(docs).select(
         F.col(id_col).alias("doc"),
-        F.col(source_col).alias("src"),
+        F.col(carry_col).alias("_carry"),
         F.posexplode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("pos", "w"),
@@ -212,7 +230,7 @@ def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
     # inside a generator's argument in one projection
     paired = words.withColumn("nxt", F.lead("w").over(win))
     grams = paired.select(
-        "doc", "src",
+        "doc", "_carry",
         F.explode(
             F.when(
                 F.col("nxt").isNotNull(),
@@ -222,9 +240,9 @@ def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
     )
     fp = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
     bucketed = grams.select(
-        "doc", "src", F.pmod(fp, F.lit(buckets)).alias("b")
+        "doc", "_carry", F.pmod(fp, F.lit(buckets)).alias("b")
     )
-    agg = bucketed.groupBy("doc", "src").agg(
+    return bucketed.groupBy("doc", "_carry").agg(
         F.count(F.lit(1)).cast("double").alias("total"),
         *[
             F.sum(F.when(F.col("b") == j, 1).otherwise(0))
@@ -232,11 +250,20 @@ def hashed_gram_features(docs: DataFrame, text_col: str, id_col: str,
             for j in range(buckets)
         ],
     )
+
+
+def hashed_gram_features_labeled(docs: DataFrame, text_col: str,
+                                 id_col: str, label_col: str,
+                                 buckets: int = 8,
+                                 round_to: int = 6) -> DataFrame:
+    """:func:`hashed_gram_features` with a caller-supplied INTEGER
+    class label (multi-class: langid, domain routing) instead of the
+    binary provenance rule — the feature map :func:`softmax_train`
+    consumes. Same portable hash, same rnd ladder."""
+    agg = _hashed_gram_agg(docs, text_col, id_col, label_col, buckets)
     return agg.select(
         F.col("doc").alias(id_col),
-        F.col("src").alias(source_col),
-        F.when(F.col("src").isin(*pos_sources), 1).otherwise(0)
-        .alias("label"),
+        F.col("_carry").cast("int").alias("label"),
         *[
             rnd(F.col(f"c{j}") / F.col("total"), round_to).alias(f"x{j}")
             for j in range(buckets)
@@ -413,3 +440,108 @@ def threshold_sweep(scored: DataFrame, p_col: str = "p_good",
         "tau", "tp", "fp", "fn", "tn", "precision", "recall",
         f1.alias("f1"),
     )
+
+
+def softmax_probs(xs: list[Column], W: list[list[float]],
+                  sig_round: int = 8) -> list[Column]:
+    """Per-class softmax probabilities ``p_k = exp(z_k) / Σ exp(z_j)``
+    with each margin z_k pre-rounded at ``sig_round`` (the q104
+    sigmoid contract generalized: identical rounded doubles enter
+    both engines' exp, and the quotient re-rounds at ``sig_round``,
+    collapsing JVM-vs-DuckDB exp ulp skew)."""
+    es = [F.exp(logreg_margin(xs, w_k, sig_round)) for w_k in W]
+    denom: Column = es[0]
+    for e in es[1:]:
+        denom = denom + e
+    return [rnd(e / denom, sig_round) for e in es]
+
+
+def softmax_train(df: DataFrame, feature_cols: list[str], label_col: str,
+                  n_classes: int, iters: int = 3, lr: float = 0.5,
+                  round_to: int = 6,
+                  sig_round: int = 8) -> list[list[float]]:
+    """Multinomial logistic regression (softmax) by full-batch
+    gradient descent from ``W = 0`` — :func:`logreg_train`
+    generalized to K one-vs-all-coupled heads (Bishop PRML §4.3.4:
+    ``∂L/∂w_kj = Σ (p_k − 1[y=k])·x_j / n``). K·(F+1) weights of
+    bounded driver state; each iteration is ONE corpus scan whose
+    agg carries every class's gradient column at once (map-side
+    combinable, keyed by nothing), so k iterations = k linear scans
+    regardless of K. Deterministic by the same rnd ladder as the
+    binary chain, so the full training replays as an unrolled SQL
+    CTE chain (queries.SQL_Q204)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("softmax_train: empty training frame")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("int")
+    W = [[0.0] * len(xs) for _ in range(n_classes)]
+    for _ in range(iters):
+        ps = softmax_probs(xs, W, sig_round)
+        aggs = []
+        for k in range(n_classes):
+            resid = ps[k] - F.when(y == k, F.lit(1.0)).otherwise(F.lit(0.0))
+            aggs.extend(
+                rnd(F.sum(resid * x_j) / F.lit(float(n)), round_to)
+                .alias(f"g{k}_{j}")
+                for j, x_j in enumerate(xs)
+            )
+        g = df.agg(*aggs).first()
+        W = [
+            [
+                float(rnd_np([W[k][j] - lr * float(g[f"g{k}_{j}"])],
+                             round_to)[0])
+                for j in range(len(xs))
+            ]
+            for k in range(n_classes)
+        ]
+    return W
+
+
+def softmax_score(df: DataFrame, feature_cols: list[str],
+                  W: list[list[float]], round_to: int = 4,
+                  sig_round: int = 8) -> DataFrame:
+    """Score every row with a trained weight matrix: per-class
+    probabilities (rounded for the verdict) and ``pred`` = argmax
+    with FIRST-class tie-break (argmax runs over the ``sig_round``-
+    rounded probabilities both engines share, so ties break
+    identically). One codegen map stage, model as literals."""
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    ps = softmax_probs(xs, W, sig_round)
+    arr = F.array(*ps)
+    pred = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return df.withColumns(
+        {
+            **{f"p{k}": rnd(p, round_to) for k, p in enumerate(ps)},
+            "pred": pred,
+        }
+    )
+
+
+def standardize_features(df: DataFrame, feature_cols: list[str],
+                         round_to: int = 6) -> DataFrame:
+    """Per-feature z-scoring with oracle-replayable stats — the
+    preconditioning that lets full-batch GD converge in a handful of
+    scans (raw hashed-gram frequencies are tiny and offset-dominated;
+    softmax from W=0 then crawls toward the majority class — measured
+    0.39 → 0.99 accuracy on the q204 gate corpus at 3 iterations):
+    ``mean = rnd(avg x, 6)``, ``sd = rnd(sqrt(max(avg(x²) − mean², 0)),
+    6)`` (0 → 1 for constant features), ``z = rnd((x − mean)/sd, 6)``.
+    ONE map-combinable corpus agg; the 2·F stat columns come back as a
+    broadcast 1-row frame (no collect, no shuffle beyond the agg)."""
+    aggs = []
+    for c in feature_cols:
+        aggs.append(rnd(F.avg(F.col(c)), round_to).alias(f"_m_{c}"))
+        aggs.append(
+            rnd(F.avg(F.col(c) * F.col(c)), round_to).alias(f"_q_{c}"))
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    newcols = {}
+    for c in feature_cols:
+        m, q = F.col(f"_m_{c}"), F.col(f"_q_{c}")
+        sd = rnd(F.sqrt(F.greatest(q - m * m, F.lit(0.0))), round_to)
+        sd = F.when(sd == 0.0, F.lit(1.0)).otherwise(sd)
+        newcols[c] = rnd((F.col(c) - m) / sd, round_to)
+    drop = [f"_m_{c}" for c in feature_cols] + \
+        [f"_q_{c}" for c in feature_cols]
+    return out.withColumns(newcols).drop(*drop)

@@ -10500,6 +10500,213 @@ FROM per LEFT JOIN novel USING (domain)
 
 
 
+# --------------------------------------------------------------------
+# r11 wave 3: multi-class (softmax) hashed-gram classifier — the
+# langid / domain-routing head (VERDICT r10 directive #3: generalize
+# the oracled binary logreg chain q104/q130 to K classes)
+# --------------------------------------------------------------------
+
+SMX_LANGS = ("de", "en", "es", "fr", "zh")  # the corpus' lang domain
+SMX_MARKERS = {
+    "de": "der und das ist nicht ein",
+    "en": "the and of is not a",
+    "es": "el y la es no una",
+    "fr": "le et la est pas une",
+    "zh": "de shi bu le zai yi",
+}
+SMX_REPEAT = 8
+SMX_BUCKETS = 8
+SMX_ITERS = 3
+SMX_LR = 1.0
+
+
+def _smx_corpus(spark, sf_dir):
+    """The planted K-language corpus: the documents table's lang
+    column becomes the class label (index into the sorted lang
+    domain), and each document gets its language's function-word
+    marker appended ``SMX_REPEAT`` times — the synthetic stand-in for
+    actual per-language vocabulary (the generator writes one shared
+    vocabulary for every lang), built from the same deterministic
+    string arithmetic IN BOTH ENGINES. Overlapping markers are kept
+    deliberately (fr/es share 'la', zh romanization reuses 'de'/'le')
+    so separation requires the joint bucket profile, not one word."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lbl = F.lit(None).cast("int")
+    mk = F.lit(None).cast("string")
+    for i, lang in enumerate(SMX_LANGS):
+        tag = (" " + SMX_MARKERS[lang]) * SMX_REPEAT
+        lbl = F.when(F.col("lang") == lang, i).otherwise(lbl)
+        mk = F.when(F.col("lang") == lang, F.lit(tag)).otherwise(mk)
+    return docs.select(
+        "doc_id",
+        lbl.alias("label"),
+        F.concat(F.col("text"), mk).alias("text"),
+    )
+
+
+def q204_softmax_classifier(spark, sf_dir):
+    """Multi-class softmax langid head (functions/classify.py:
+    softmax_train/softmax_score over hashed_gram_features_labeled;
+    Joulin et al. 2017's fastText shape with Bishop §4.3.4's
+    multinomial gradient): unigram+bigram features hashed into 8
+    portable buckets, K=5 language heads trained jointly by 3
+    full-batch GD scans (each iteration ONE corpus agg carrying all
+    K·9 gradient columns — map-side combinable, model-sized driver
+    state), then every doc scored with per-class probabilities and
+    an argmax routing decision. Replaces q37's stopword-heuristic
+    langid with a TRAINED head; the planted marker corpus gates
+    separation (tests/test_wave15.py: accuracy ≥ 0.9). The oracle
+    unrolls feature hashing AND the full K-class gradient loop.
+    Fully value-hash oracled."""
+    from .functions import classify as C
+
+    corpus = _smx_corpus(spark, sf_dir)
+    cols = [f"x{j}" for j in range(SMX_BUCKETS)]
+    feats = C.standardize_features(
+        C.hashed_gram_features_labeled(
+            corpus, "text", "doc_id", "label", buckets=SMX_BUCKETS),
+        cols,
+    ).persist()
+    W = C.softmax_train(feats, cols, "label", n_classes=len(SMX_LANGS),
+                        iters=SMX_ITERS, lr=SMX_LR)
+    scored = C.softmax_score(feats, cols, W)
+    out = scored.select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        *[f"p{k}" for k in range(len(SMX_LANGS))],
+        F.col("pred").cast("long").alias("pred"),
+    )
+    out._cached_inputs = [feats]  # see release()
+    return out
+
+
+def _sql_softmax(buckets: int = SMX_BUCKETS, iters: int = SMX_ITERS,
+                 lr: float = SMX_LR) -> str:
+    """q204's oracle: the q130 hashed-gram unroll generalized to a
+    K-class weight MATRIX — per iteration one margin/exp CTE, one
+    softmax CTE, one K·(B+1)-column gradient CTE, one weight CTE;
+    every visible number rides the same rnd ladder as the Spark
+    chain (margins/probs at 8, gradients/weights at 6)."""
+    B, K = buckets, len(SMX_LANGS)
+    lbl_case = ("CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {i}" for i, lang in enumerate(SMX_LANGS))
+        + " END")
+    mk_case = ("CASE lang " + " ".join(
+        "WHEN '{}' THEN {}".format(
+            lang, _sql_str((" " + SMX_MARKERS[lang]) * SMX_REPEAT))
+        for lang in SMX_LANGS) + " END")
+    xcols = ",\n         ".join(
+        f"{sql_rnd(f'sum(CASE WHEN b = {j} THEN 1.0 ELSE 0.0 END) / count(*)', 6)} AS x{j}"
+        for j in range(B)
+    )
+    w0_cols = ", ".join(
+        f"0.0 AS w{k}_{j}" for k in range(K) for j in range(B + 1))
+    # z-scoring stats (classify.standardize_features' ladder): mean
+    # and raw second moment at 6, sd at 6 with the 0 -> 1 guard
+    stat_cols = ", ".join(
+        f"{sql_rnd(f'avg(x{j})', 6)} AS m{j}, "
+        f"{sql_rnd(f'avg(x{j} * x{j})', 6)} AS q{j}"
+        for j in range(B)
+    )
+    sd_cols = ", ".join(
+        f"m{j}, CASE WHEN "
+        + sql_rnd(f"sqrt(greatest(q{j} - m{j} * m{j}, 0.0))", 6)
+        + " = 0.0 THEN 1.0 ELSE "
+        + sql_rnd(f"sqrt(greatest(q{j} - m{j} * m{j}, 0.0))", 6)
+        + f" END AS sd{j}"
+        for j in range(B)
+    )
+    z_cols = ", ".join(
+        f"{sql_rnd(f'(f.x{j} - s.m{j}) / s.sd{j}', 6)} AS x{j}"
+        for j in range(B)
+    )
+    parts = [rf"""corpus AS (
+  SELECT doc_id, {lbl_case} AS y, text || {mk_case} AS text
+  FROM documents),
+words AS (
+  SELECT doc_id AS doc, y,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus),
+uni AS (SELECT doc, y, unnest(w) AS g FROM words),
+big AS (
+  SELECT doc, y,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM words WHERE len(w) >= 2),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+bk AS (
+  SELECT doc, y,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS b
+  FROM grams),
+feat0 AS (
+  SELECT doc AS doc_id, any_value(y) AS y,
+         {xcols}
+  FROM bk GROUP BY doc),
+st0 AS (SELECT {stat_cols} FROM feat0),
+st AS (SELECT {sd_cols} FROM st0),
+feat AS (
+  SELECT doc_id, y, {z_cols}
+  FROM feat0 f, st s),
+cnt AS (SELECT count(*)::DOUBLE AS n FROM feat),
+w0 AS (SELECT {w0_cols})"""]
+
+    def zexpr(k: int) -> str:
+        terms = [f"w.w{k}_0 * 1.0"] + [
+            f"w.w{k}_{j + 1} * f.x{j}" for j in range(B)
+        ]
+        return " + ".join(terms)
+
+    fxcols = ", ".join(f"f.x{j}" for j in range(B))
+    esum = " + ".join(f"e{k}" for k in range(K))
+
+    for i in range(1, iters + 1):
+        ecols = ", ".join(
+            f"exp({sql_rnd(zexpr(k), 8)}) AS e{k}" for k in range(K))
+        parts.append(f"""z{i} AS (
+  SELECT f.y, {fxcols}, {ecols}
+  FROM feat f, w{i - 1} w)""")
+        pcols = ", ".join(
+            f"{sql_rnd(f'e{k} / ({esum})', 8)} AS p{k}" for k in range(K))
+        xpass = ", ".join(f"x{j}" for j in range(B))
+        parts.append(f"""s{i} AS (
+  SELECT y, {xpass}, {pcols}
+  FROM z{i})""")
+        gcols = ",\n         ".join(
+            f"{sql_rnd(f'sum((p{k} - CASE WHEN y = {k} THEN 1.0 ELSE 0.0 END) * ' + ('1.0' if j == 0 else f'x{j - 1}') + ') / any_value(c.n)', 6)} AS g{k}_{j}"
+            for k in range(K) for j in range(B + 1)
+        )
+        parts.append(f"""g{i} AS (
+  SELECT {gcols}
+  FROM s{i}, cnt c)""")
+        wcols = ",\n         ".join(
+            f"{sql_rnd(f'w.w{k}_{j} - {lr} * g.g{k}_{j}', 6)} AS w{k}_{j}"
+            for k in range(K) for j in range(B + 1)
+        )
+        parts.append(f"""w{i} AS (
+  SELECT {wcols}
+  FROM w{i - 1} w, g{i} g)""")
+    fecols = ", ".join(
+        f"exp({sql_rnd(zexpr(k), 8)}) AS e{k}" for k in range(K))
+    parts.append(f"""zf AS (
+  SELECT f.doc_id, f.y, {fecols}
+  FROM feat f, w{iters} w)""")
+    fpcols = ", ".join(
+        f"{sql_rnd(f'e{k} / ({esum})', 8)} AS pp{k}" for k in range(K))
+    parts.append(f"""sf AS (
+  SELECT doc_id, y, {fpcols}
+  FROM zf)""")
+    plist = "[" + ", ".join(f"pp{k}" for k in range(K)) + "]"
+    out_p = ", ".join(f"{sql_rnd(f'pp{k}', 4)} AS p{k}" for k in range(K))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id, y::BIGINT AS label, {out_p},
+       (list_indexof({plist}, list_aggregate({plist}, 'max')) - 1)::BIGINT
+         AS pred
+FROM sf""")
+
+
+SQL_Q204 = _sql_softmax()
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -10519,6 +10726,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
     "q203_html_extract": (q203_html_extract, SQL_Q203),
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
     "q202_url_frontier": (q202_url_frontier, SQL_Q202),
