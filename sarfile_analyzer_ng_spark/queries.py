@@ -10110,6 +10110,130 @@ SQL_Q203 = _sql_q203()
 
 
 # --------------------------------------------------------------------
+# r11 wave 4: robots/license/allowlist policy gating (VERDICT r10
+# directive #5 — the provenance audit a dataset release needs)
+# --------------------------------------------------------------------
+
+# license inferred from the registrable domain's suffix (synthetic
+# but deterministic — a stand-in for the license-metadata table a
+# real release joins in); order matters (.co.uk before the generic
+# tail rule)
+POLICY_LICENSE_RULES = (
+    (".co.uk", "all-rights-reserved"),
+    (".org", "cc-by"),
+    (".net", "research-only"),
+)
+POLICY_DEFAULT_LICENSE = "permissive"
+# synthetic robots.txt verdict: domains whose md5 leads with 0/1
+# disallow crawling (~1/8 of the domain universe, deterministic in
+# both engines)
+POLICY_ROBOTS_HEX = ("0", "1")
+
+
+def _policy_cols(domain):
+    """(status, license) for a registrable-domain Column — THE single
+    policy rule shared by q205's rollup and q201's stage-2 gate:
+    blocklist beats robots beats allow; license from the suffix."""
+    status = (
+        F.when(domain.isin(*BLOCKED_DOMAINS), F.lit("block"))
+        .when(F.substring(F.md5(domain), 1, 1).isin(*POLICY_ROBOTS_HEX),
+              F.lit("robots-disallow"))
+        .otherwise(F.lit("allow"))
+    )
+    lic = F.lit(POLICY_DEFAULT_LICENSE)
+    for suf, name in reversed(POLICY_LICENSE_RULES):
+        lic = F.when(domain.endswith(suf), F.lit(name)).otherwise(lic)
+    return status, lic
+
+
+def domain_policy(domains: DataFrame) -> DataFrame:
+    """The broadcastable policy table: one row per distinct domain
+    with (status, license). Domain-cardinality sized — ships to every
+    executor; the fact side joins it instead of hardcoding literal
+    blocklists (q191's anti-pattern generalized)."""
+    d = F.col("domain")
+    status, lic = _policy_cols(d)
+    return domains.select("domain").distinct().select(
+        "domain", status.alias("status"), lic.alias("license"))
+
+
+def q205_license_rollup(spark, sf_dir):
+    """License/robots provenance rollup (the datasheet table a corpus
+    RELEASE publishes — RefinedWeb §3.1's URL gates joined with the
+    license metadata C4/Dolma releases document; robots.txt respect
+    per Dolma §2.1): canonical domains join a broadcast policy table
+    (domain → allow/block/robots-disallow + license class) and the
+    corpus rolls up per (license, status): domains, documents, token
+    mass — the "what are we allowed to train on, and how much of it
+    is there" audit. One URL-synth map, one broadcast hash join (the
+    policy side is domain-cardinality), one combinable agg. Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    urls = docs.withColumn("url", _synth_url_expr())
+    host = W.url_host(F.col("url"))
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    enr = urls.select(
+        "doc_id",
+        W.registrable_domain(bare).alias("domain"),
+        toks.cast("long").alias("n_tok"),
+    )
+    policy = domain_policy(enr)
+    joined = enr.join(F.broadcast(policy), "domain")
+    return (
+        joined.groupBy("license", "status")
+        .agg(
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _sql_policy_case() -> tuple[str, str]:
+    """(status, license) SQL expressions over a column named
+    ``domain`` — the DuckDB twin of :func:`_policy_cols`."""
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    hexes = ", ".join(f"'{h}'" for h in POLICY_ROBOTS_HEX)
+    status = (
+        f"CASE WHEN domain IN ({blocked}) THEN 'block' "
+        f"WHEN substr(md5(domain), 1, 1) IN ({hexes}) "
+        f"THEN 'robots-disallow' ELSE 'allow' END"
+    )
+    lic = f"'{POLICY_DEFAULT_LICENSE}'"
+    for suf, name in reversed(POLICY_LICENSE_RULES):
+        lic = (f"CASE WHEN domain LIKE '%{suf}' THEN '{name}' "
+               f"ELSE {lic} END")
+    return status, lic
+
+
+def _sql_q205() -> str:
+    status, lic = _sql_policy_case()
+    tok = "len(string_split_regex(lower(trim(text)), '\\s+'))"
+    return f"""
+WITH base AS ({_SQL_SYNTH_URL}),
+urls AS (SELECT * FROM base),
+{_SQL_CANON_CTES},
+enr AS (
+  SELECT doc_id, domain,
+         {tok}::BIGINT AS n_tok
+  FROM dom),
+policy AS (
+  SELECT domain, {status} AS status, {lic} AS license
+  FROM (SELECT DISTINCT domain FROM enr))
+SELECT p.license, p.status,
+       count(DISTINCT e.domain)::BIGINT AS n_domains,
+       count(*)::BIGINT AS n_docs,
+       sum(e.n_tok)::BIGINT AS n_tokens
+FROM enr e JOIN policy p USING (domain)
+GROUP BY p.license, p.status
+"""
+
+
+SQL_Q205 = _sql_q205()
+
+
+# --------------------------------------------------------------------
 # r10 wave 8: the modern crawl-curation funnel, end to end
 # --------------------------------------------------------------------
 
@@ -10221,8 +10345,13 @@ def q201_curation_funnel_v2(spark, sf_dir):
         W.canonical_url(F.col("url"))).orderBy("doc_id")
     f1 = crawl.withColumn("k1", F.row_number().over(w1) == 1) \
         .withColumn("domain", dom)
-    f2 = f1.withColumn(
-        "k2", F.col("k1") & ~F.col("domain").isin(*BLOCKED_DOMAINS))
+    # stage 2, generalized (r11): a broadcast POLICY table (q205's
+    # blocklist + robots + license rule) instead of a literal isin —
+    # survivors are status='allow' (blocklisted AND robots-disallowed
+    # domains both drop, as a release pipeline must)
+    policy = domain_policy(f1.select("domain"))
+    f2 = f1.join(F.broadcast(policy), "domain", "left").withColumn(
+        "k2", F.col("k1") & (F.col("status") == "allow"))
     w3 = Window.partitionBy(F.md5("text")).orderBy(
         F.col("k2").desc(), F.col("doc_id").asc())
     f3 = f2.withColumn(
@@ -10270,7 +10399,7 @@ def q201_curation_funnel_v2(spark, sf_dir):
             stage(0, "html_extract", "b0", "bk", F.col("bd")),
             stage(1, "url_canonical_dedup", "n0", "n1",
                   F.col("n0") - F.col("n1")),
-            stage(2, "domain_blocklist", "n1", "n2",
+            stage(2, "domain_policy_gate", "n1", "n2",
                   F.col("n1") - F.col("n2")),
             stage(3, "exact_text_dedup", "n2", "n3",
                   F.col("n2") - F.col("n3")),
@@ -10310,7 +10439,7 @@ _SQL_FUN2_CRAWL = f"""
 def _sql_funnel2() -> str:
     crawl = _SQL_FUN2_CRAWL.format(
         synth=_SQL_SYNTH_URL, refetch=_sql_refetch_url("refetch"))
-    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    pol_status, _pol_lic = _sql_policy_case()
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     dr = sql_rnd(f"len(list_distinct({tok}))::DOUBLE / len({tok})", 6)
     clean_t = _sql_html_clean("x")
@@ -10351,7 +10480,11 @@ s1 AS (
     SELECT dom.*, row_number() OVER (PARTITION BY canon_url
                                      ORDER BY doc_id) AS _rn
     FROM dom) WHERE _rn = 1),
-s2 AS (SELECT * FROM s1 WHERE domain NOT IN ({blocked})),
+policy AS (
+  SELECT domain, {pol_status} AS status
+  FROM (SELECT DISTINCT domain FROM s1)),
+s2 AS (SELECT s1.* FROM s1 JOIN policy USING (domain)
+       WHERE status = 'allow'),
 s3 AS (
   SELECT * FROM (
     SELECT s2.*, row_number() OVER (PARTITION BY md5(text)
@@ -10399,7 +10532,7 @@ counts AS (
 SELECT 0::BIGINT AS stage_no, 'html_extract' AS stage,
        b0 AS n_in, b0 - bd AS n_kept, bd AS n_dropped FROM counts
 UNION ALL SELECT 1, 'url_canonical_dedup', n0, n1, n0 - n1 FROM counts
-UNION ALL SELECT 2, 'domain_blocklist', n1, n2, n1 - n2 FROM counts
+UNION ALL SELECT 2, 'domain_policy_gate', n1, n2, n1 - n2 FROM counts
 UNION ALL SELECT 3, 'exact_text_dedup', n2, n3, n2 - n3 FROM counts
 UNION ALL SELECT 4, 'boilerplate_passage_audit', n3, n3, n4c FROM counts
 UNION ALL SELECT 5, 'quality_gate', n3, n5, n3 - n5 FROM counts
@@ -10707,6 +10840,8 @@ FROM sf""")
 SQL_Q204 = _sql_softmax()
 
 
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -10726,6 +10861,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
     "q203_html_extract": (q203_html_extract, SQL_Q203),
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
