@@ -515,12 +515,18 @@ def mmr_rerank(pool: DataFrame, vecs: DataFrame, k: int = 3,
         w = Window.partitionBy("query_id").orderBy(
             F.col("mmr").desc(), F.col("doc_id").asc()
         )
+        # localCheckpoint per selection step (VERDICT r10 directive
+        # #4, the q158 rank-frame pattern): step s+1's penalty join
+        # and the final union otherwise re-nest every earlier step's
+        # window subtree — plan depth (and its Catalyst/codegen cost)
+        # grew quadratically in k. The pick frame is ≤|queries| rows;
+        # values unchanged.
         pick = (
             scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
             .select("query_id", "doc_id", "mmr")
             .withColumn("step", F.lit(step).cast("long"))
-        )
+        ).localCheckpoint(eager=True)
         out_parts.append(pick)
         selected = (
             pick.select("query_id", "doc_id") if selected is None

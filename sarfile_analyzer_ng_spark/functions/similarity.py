@@ -820,7 +820,11 @@ def pca_power_topd(
         mu[r["d"]] = r["mu"]
 
     def lit_arr(xs):
-        return F.array(*[F.lit(float(x)) for x in xs])
+        # ONE ndarray literal, not dim F.lit py4j round-trips (r11:
+        # ~1100 driver-side lit() calls were ~0.7 s of q118's wall;
+        # a python LIST still expands element-wise — only the ndarray
+        # path makes a single Literal(ArrayType)); identical values
+        return F.lit(np.asarray(xs, dtype=np.float64))
 
     def dot_c(vec_col_, arr):
         return F.aggregate(
@@ -830,60 +834,81 @@ def pca_power_topd(
         )
 
     # deflated working frame: (vid, c) where c starts as x − μ and
-    # loses one component per outer round
+    # loses one component per outer round. Checkpointed EAGERLY (r11,
+    # VERDICT directive #4): without the cut, every one of component
+    # 1's ``iters`` aggregate jobs re-plans parquet scan + cast +
+    # 64-literal centering before the dot — measured ~40% of q118's
+    # sf0.1 wall in plan/codegen alone; values unchanged (the
+    # checkpoint materializes the identical frame)
     work = src.select(
         "vid", F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y).alias("c")
-    )
+    ).localCheckpoint(eager=True)
+    w0 = work  # the centered frame — the final projections read it too
     components: list[list[float]] = []
-    for _k in range(n_components):
-        v = np.full(dim, v0)
-        for _ in range(iters):
-            s = rnd(dot_c(F.col("c"), v), 8)
-            u_rows = (
-                work.select(s.alias("s"), F.posexplode("c").alias("d", "cd"))
-                .groupBy("d")
-                .agg(rnd(F.sum(F.col("s") * F.col("cd")), round_to).alias("u"))
-                .collect()
-            )
-            u = np.zeros(dim)
-            for r in u_rows:
-                u[r["d"]] = r["u"]
-            nrm = float(rnd_np(np.sqrt(np.sum(u * u)), 8))
-            if nrm == 0.0:
-                raise ValueError(
-                    "pca_power_topd: centered corpus has zero variance "
-                    "along the iterate — degenerate input or "
-                    "n_components > rank"
+    spark = emb.sparkSession
+    # the training jobs are model-sized (≤ N·dim exploded rows) and
+    # their weight literals change every iteration, so whole-stage
+    # codegen recompiles per job and never pays off — interpreted
+    # eval is ~20% faster AND skips Janino (r11 measurement); values
+    # are the same expressions either way. Restored in finally.
+    _wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for _k in range(n_components):
+            v = np.full(dim, v0)
+            for _ in range(iters):
+                s = rnd(dot_c(F.col("c"), v), 8)
+                u_rows = (
+                    work.select(s.alias("s"), F.posexplode("c").alias("d", "cd"))
+                    .groupBy("d")
+                    .agg(rnd(F.sum(F.col("s") * F.col("cd")), round_to).alias("u"))
+                    .collect()
                 )
-            v = rnd_np(u / nrm, round_to)
-            if v[0] < 0:
-                v = -v
-        components.append([float(x) for x in v])
-        # deflate: c ← c − p·v with p = the rnd8 score — elementwise
-        # arithmetic on already-rounded inputs, so it replays exactly.
-        # localCheckpoint per component (the bpe_train discipline):
-        # the deflated expression nests a 64-literal zip_with per
-        # round, and an uncut lineage re-inlines every earlier
-        # component's deflation into each of the next component's
-        # 2·iters aggregate jobs — measured 14.4 s → ~5 s at sf0.1
-        # from plan compilation alone, values unchanged
-        p = rnd(dot_c(F.col("c"), v), 8)
-        work = work.select(
-            "vid",
-            F.zip_with(
-                F.col("c"), lit_arr(v), lambda x, y: x - p * y
-            ).alias("c"),
-        ).localCheckpoint(eager=True)
-
-    centered = F.zip_with(F.col("e"), lit_arr(mu), lambda x, y: x - y)
-    cexpr = centered
+                u = np.zeros(dim)
+                for r in u_rows:
+                    u[r["d"]] = r["u"]
+                nrm = float(rnd_np(np.sqrt(np.sum(u * u)), 8))
+                if nrm == 0.0:
+                    raise ValueError(
+                        "pca_power_topd: centered corpus has zero variance "
+                        "along the iterate — degenerate input or "
+                        "n_components > rank"
+                    )
+                v = rnd_np(u / nrm, round_to)
+                if v[0] < 0:
+                    v = -v
+            components.append([float(x) for x in v])
+            # deflate: c ← c − p·v with p = the rnd8 score — elementwise
+            # arithmetic on already-rounded inputs, so it replays exactly.
+            # localCheckpoint per component (the bpe_train discipline):
+            # the deflated expression nests a 64-literal zip_with per
+            # round, and an uncut lineage re-inlines every earlier
+            # component's deflation into each of the next component's
+            # 2·iters aggregate jobs — measured 14.4 s → ~5 s at sf0.1
+            # from plan compilation alone, values unchanged
+            if _k == n_components - 1:
+                break  # the last component's deflation is never read
+            p = rnd(dot_c(F.col("c"), v), 8)
+            work = work.select(
+                "vid",
+                F.zip_with(
+                    F.col("c"), lit_arr(v), lambda x, y: x - p * y
+                ).alias("c"),
+            ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", _wsc)
+    # final projections read the CHECKPOINTED centered frame (its c
+    # IS x − μ, materialized), so the output job neither re-reads
+    # parquet nor re-runs the 64-literal centering (r11 plan cut —
+    # values bit-identical, the checkpoint stores the same doubles)
+    cexpr = F.col("c")
     proj_cols = []
     for k, v in enumerate(components):
         proj_cols.append(rnd(dot_c(cexpr, v), round_to).alias(f"pc{k + 1}_proj"))
         pk = rnd(dot_c(cexpr, v), 8)
         cexpr = F.zip_with(cexpr, lit_arr(v), lambda x, y: x - pk * y)
     return (
-        src.select(F.col("vid").alias(id_col), *proj_cols),
+        w0.select(F.col("vid").alias(id_col), *proj_cols),
         components,
         mu,
     )
