@@ -1417,7 +1417,8 @@ def mg_update(state: DataFrame | None, batch: DataFrame, col: str,
 
 
 def url_screen_stream(stream: DataFrame, url_col: str,
-                      blocked_domains: tuple[str, ...] = ()) -> DataFrame:
+                      blocked_domains: tuple[str, ...] = (),
+                      robots_hex: tuple[str, ...] = ()) -> DataFrame:
     """Streaming URL canonicalization + domain gate (ST30): the live
     form of q190/q191's first-stage crawl curation — every arriving
     record gains its canonical URL, host, registrable domain, and a
@@ -1437,6 +1438,8 @@ def url_screen_stream(stream: DataFrame, url_col: str,
         dom.isin(*[F.lit(d) for d in blocked_domains])
         if blocked_domains else F.lit(False)
     )
+    if robots_hex:
+        blocked = blocked | F.substring(F.md5(dom), 1, 1).isin(*robots_hex)
     return stream.select(
         "*",
         W.canonical_url(F.col(url_col)).alias("canon_url"),
@@ -1444,6 +1447,55 @@ def url_screen_stream(stream: DataFrame, url_col: str,
         dom.alias("domain"),
         F.when(blocked, F.lit("drop")).otherwise(F.lit("keep"))
         .alias("verdict"),
+    )
+
+
+def crawl_screen_stream(stream: DataFrame, url_col: str, text_col: str,
+                        ts_col: str, watermark: str,
+                        blocked_domains: tuple[str, ...] = (),
+                        robots_hex: tuple[str, ...] = (),
+                        min_tokens: int = 20, max_tokens: int = 2000,
+                        min_distinct_ratio: float = 0.2) -> DataFrame:
+    """Streaming head of the q201 URL-first crawl funnel (ST32): the
+    stages that are stateless or watermark-boundable, composed in ONE
+    readStream pipeline —
+
+      1. ST30's URL screen: canonical URL, registrable domain, and
+         the q205 policy verdict (blocklist + robots slice) as a pure
+         projection;
+      2. canonical-URL exact dedup with bounded state
+         (``dropDuplicatesWithinWatermark`` on ``canon_url`` — the
+         ST5 contract keyed on the URL instead of the text digest:
+         batch keeps smallest doc_id, streaming keeps first arrival,
+         the surviving CANONICAL-URL SET is identical);
+      5. q201's quality gate (token count + distinct-token ratio on
+         the rnd ladder).
+
+    Stages 3–4 (cross-doc text dedup, passage audit) need corpus
+    state beyond a watermark horizon and stay batch-side. Policy and
+    quality land as FLAG columns (flag, not filter — the q191 audit
+    convention), so a ``foreachBatch`` counter sink can aggregate
+    per-stage survivorship per micro-batch while the append stream
+    carries the survivors; batch parity pinned in
+    tests/test_streaming.py::test_crawl_screen_stream (ST32)."""
+    from ..util import rnd
+
+    scr = url_screen_stream(stream, url_col, blocked_domains,
+                            robots_hex=robots_hex)
+    dedup = (
+        scr.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canon_url"])
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    dr = rnd(F.size(F.array_distinct(toks)) / n_tok.cast("double"), 6)
+    return dedup.select(
+        "*",
+        (F.col("verdict") == "keep").alias("policy_ok"),
+        (
+            (n_tok >= int(min_tokens)) & (n_tok <= int(max_tokens))
+            & (dr >= float(min_distinct_ratio))
+        ).alias("quality_ok"),
     )
 
 
