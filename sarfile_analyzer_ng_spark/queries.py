@@ -9996,7 +9996,7 @@ HTML_HEAD = ('<head><title>crawl page</title><style>p {margin:0}</style>'
              '<script>var trap = "</p> not a block";</script></head>')
 
 
-def _synth_html_expr():
+def _synth_html_expr(chrome_only_mod: int | None = None):
     """Deterministic messy-HTML page wrapping ``documents.text`` —
     the documents table has no markup column, so the gate synthesizes
     one IN BOTH ENGINES from the same string arithmetic, covering
@@ -10004,19 +10004,30 @@ def _synth_html_expr():
     (the script body carries a literal ``</p>`` trap that must vanish
     BEFORE block segmentation), a pure-link nav, an h1 + the document
     text as content blocks, an entity-bearing mixed-case DIV, a
-    link-dense promo on every 3rd page, and a link-dense footer."""
+    link-dense promo on every 3rd page, and a link-dense footer.
+    With ``chrome_only_mod = m``, every ``doc_id % m == 0`` page
+    carries NO content blocks at all (nav/promo/footer only) — the
+    q206 extraction-failure plant: a page whose extraction comes back
+    empty, the thing the audit exists to count."""
     m5 = (F.col("doc_id") % 5).cast("string")
     promo = F.when(F.col("doc_id") % 3 == 0,
                    F.lit(HTML_PROMO)).otherwise(F.lit(""))
+    content = F.concat(
+        F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<DIV>Rated &amp; reviewed &#39;"), m5,
+        F.lit("&#39; times &lt;ok&gt;</DIV>"),
+    )
+    if chrome_only_mod is not None:
+        content = F.when(
+            F.col("doc_id") % int(chrome_only_mod) == 0, F.lit("")
+        ).otherwise(content)
     return F.concat(
         F.lit("<!-- crawler:"), (F.col("doc_id") % 7).cast("string"),
         F.lit(" -->"),
         F.lit("<html>" + HTML_HEAD + "<body>"),
         F.lit(HTML_NAV),
-        F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
-        F.lit("<p>"), F.col("text"), F.lit("</p>"),
-        F.lit("<DIV>Rated &amp; reviewed &#39;"), m5,
-        F.lit("&#39; times &lt;ok&gt;</DIV>"),
+        content,
         promo,
         F.lit(HTML_FOOTER + "</body></html>"),
     )
@@ -10062,19 +10073,30 @@ _SQL_HTML_STRIP = (
     " '(?is)<head[^>]*>.*?</head>', ' ', 'g')"
 )
 
-_SQL_SYNTH_HTML = f"""
-  SELECT doc_id,
+def _sql_synth_html(chrome_only_mod: int | None = None) -> str:
+    """DuckDB twin of :func:`_synth_html_expr`."""
+    content = (
+        "'<h1>' || source || ' report</h1>'"
+        " || '<p>' || text || '</p>'"
+        " || '<DIV>Rated &amp; reviewed &#39;' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '&#39; times &lt;ok&gt;</DIV>'"
+    )
+    if chrome_only_mod is not None:
+        content = (f"CASE WHEN doc_id % {int(chrome_only_mod)} = 0 "
+                   f"THEN '' ELSE {content} END")
+    return f"""
+  SELECT doc_id, source,
          '<!-- crawler:' || CAST(doc_id % 7 AS VARCHAR) || ' -->'
          || {_sql_str("<html>" + HTML_HEAD + "<body>")}
          || {_sql_str(HTML_NAV)}
-         || '<h1>' || source || ' report</h1>'
-         || '<p>' || text || '</p>'
-         || '<DIV>Rated &amp; reviewed &#39;' || CAST(doc_id % 5 AS VARCHAR)
-         || '&#39; times &lt;ok&gt;</DIV>'
+         || {content}
          || CASE WHEN doc_id % 3 = 0 THEN {_sql_str(HTML_PROMO)} ELSE '' END
          || {_sql_str(HTML_FOOTER + "</body></html>")} AS html
   FROM documents
 """
+
+
+_SQL_SYNTH_HTML = _sql_synth_html()
 
 
 def _sql_q203() -> str:
@@ -10107,6 +10129,77 @@ FROM t
 
 
 SQL_Q203 = _sql_q203()
+
+
+EXA_CHROME_MOD = 17
+
+
+def q206_extraction_audit(spark, sf_dir):
+    """Extraction-quality datasheet rollup — stage 0's audit twin
+    (what q101's corpus card is to the text ops, this is to the
+    markup op): per source, page count, block mass, boilerplate
+    rate, mean extracted length, and EMPTY extractions. The planted
+    failure mode — every ``doc_id % 17 == 0`` page is chrome-only
+    (nav/promo/footer, no content blocks) — models the parked
+    domains / link farms / JS-only apps whose pages extract to
+    nothing; n_empty is the number a curator reads to drop a domain
+    BEFORE any text op spends compute on it. One map stage (the q203
+    extractor inline, no explode) + one combinable source-keyed agg.
+    Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = docs.withColumn("html", _synth_html_expr(EXA_CHROME_MOD))
+    blk = H.html_block_structs(F.col("html"))
+    kept = F.filter(blk, lambda s: ~H.is_boiler(s))
+    txt = F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+    per = pages.select(
+        "source",
+        F.size(blk).cast("long").alias("nb"),
+        (F.size(blk) - F.size(kept)).cast("long").alias("nboil"),
+        F.length(txt).cast("long").alias("nchars"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("nb").cast("long").alias("n_blocks"),
+        F.sum("nboil").cast("long").alias("n_boiler"),
+        rnd(F.sum("nboil") / F.sum("nb").cast("double"), 6)
+        .alias("boiler_rate"),
+        rnd(F.avg("nchars"), 4).alias("mean_chars"),
+        F.sum((F.col("nchars") == 0).cast("long")).cast("long")
+        .alias("n_empty"),
+    )
+
+
+def _sql_q206() -> str:
+    anchor = ("coalesce(array_to_string(regexp_extract_all("
+              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    clean_t = _sql_html_clean("x")
+    clean_l = _sql_html_clean(anchor)
+    return f"""
+WITH pages AS ({_sql_synth_html(EXA_CHROME_MOD)}),
+c AS (SELECT doc_id, source, {_SQL_HTML_STRIP} AS body FROM pages),
+b AS (SELECT doc_id, source, list_filter(list_transform(
+        string_split_regex(body, '{H.BLOCK_TAG_RE}'),
+        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
+        s -> s.t <> '') AS blk FROM c),
+k AS (SELECT doc_id, source, blk,
+        list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
+      FROM b),
+t AS (SELECT source, len(blk)::BIGINT AS nb,
+        (len(blk) - len(kept))::BIGINT AS nboil,
+        length(coalesce(array_to_string(
+          list_transform(kept, s -> s.t), chr(10)), ''))::BIGINT AS nchars
+      FROM k)
+SELECT source, count(*)::BIGINT AS n_pages,
+       sum(nb)::BIGINT AS n_blocks,
+       sum(nboil)::BIGINT AS n_boiler,
+       {sql_rnd('sum(nboil)::DOUBLE / sum(nb)', 6)} AS boiler_rate,
+       {sql_rnd('avg(nchars)', 4)} AS mean_chars,
+       sum(CASE WHEN nchars = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+FROM t GROUP BY source
+"""
+
+
+SQL_Q206 = _sql_q206()
 
 
 # --------------------------------------------------------------------
@@ -10861,6 +10954,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
     "q203_html_extract": (q203_html_extract, SQL_Q203),

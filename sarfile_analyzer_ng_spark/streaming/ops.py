@@ -1455,7 +1455,8 @@ def crawl_screen_stream(stream: DataFrame, url_col: str, text_col: str,
                         blocked_domains: tuple[str, ...] = (),
                         robots_hex: tuple[str, ...] = (),
                         min_tokens: int = 20, max_tokens: int = 2000,
-                        min_distinct_ratio: float = 0.2) -> DataFrame:
+                        min_distinct_ratio: float = 0.2,
+                        html_col: str | None = None) -> DataFrame:
     """Streaming head of the q201 URL-first crawl funnel (ST32): the
     stages that are stateless or watermark-boundable, composed in ONE
     readStream pipeline —
@@ -1480,6 +1481,19 @@ def crawl_screen_stream(stream: DataFrame, url_col: str, text_col: str,
     tests/test_streaming.py::test_crawl_screen_stream (ST32)."""
     from ..util import rnd
 
+    if html_col is not None:
+        # stage 0 on the stream: the q203 extractor is a pure
+        # projection (functions/html.py — regexp + array HOFs), so
+        # the pipeline can start at MARKUP like the batch funnel;
+        # text_col is derived from the kept content blocks
+        from ..functions import html as HT
+
+        blk = HT.html_block_structs(F.col(html_col))
+        kept = F.filter(blk, lambda s: ~HT.is_boiler(s))
+        stream = stream.withColumn(
+            text_col,
+            F.array_join(F.transform(kept, lambda s: s["t"]), "\n"),
+        )
     scr = url_screen_stream(stream, url_col, blocked_domains,
                             robots_hex=robots_hex)
     dedup = (

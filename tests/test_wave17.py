@@ -109,3 +109,53 @@ def test_crawl_screen_stream_matches_batch(spark, tmp_path):
     n2 = sum(b["policy_ok"] for b in batches)
     n5 = sum(b["quality_ok"] for b in batches)
     assert n1 > n2 > n5 > 0
+
+
+def test_crawl_screen_stream_from_markup(spark, tmp_path):
+    """ST32 html mode: starting the stream at MARKUP (stage 0 as a
+    pure projection) must round-trip the text exactly — every
+    survivor's extracted text equals the original crawl text of the
+    document it kept (the q201 round-trip property, live)."""
+    from sarfile_analyzer_ng_spark.queries import (
+        BLOCKED_DOMAINS,
+        POLICY_ROBOTS_HEX,
+        _funnel2_crawl,
+        _funnel2_page_expr,
+    )
+
+    crawl = (
+        _funnel2_crawl(spark, SF_DIR)
+        .withColumn("ts", F.timestamp_seconds(
+            1_700_000_000 + F.pmod("doc_id", 1000)))
+        .withColumn("html", _funnel2_page_expr())
+    )
+    src = str(tmp_path / "crawl_html_src")
+    os.makedirs(src)
+    pdf = crawl.drop("text").toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    pdf.to_parquet(f"{src}/chunk0.parquet", index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = SO.crawl_screen_stream(
+        stream, "url", "text", "ts", "1 hour",
+        blocked_domains=BLOCKED_DOMAINS, robots_hex=POLICY_ROBOTS_HEX,
+        html_col="html",
+    )
+    q = (out.writeStream.format("memory").queryName("st32_html")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("st32_html").select(
+        "doc_id", "text", "policy_ok", "quality_ok").collect()
+    assert len(got) > 0
+    # round-trip: extracted text == the original crawl text per doc
+    orig = {r.doc_id: r.text for r in
+            crawl.select("doc_id", "text").collect()}
+    assert all(orig[r.doc_id] == r.text for r in got)
+    # the policy flag really varies (blocked + robots domains exist)
+    assert {r.policy_ok for r in got} == {True, False}
