@@ -10201,6 +10201,104 @@ FROM t GROUP BY source
 
 SQL_Q206 = _sql_q206()
 
+# --------------------------------------------------------------------
+# r11 wave 6: frequency-based boilerplate-block discovery — the
+# data-driven complement of q203's link-density rule (CleanEval /
+# boilerpipe observation: template text repeats ACROSS pages; Dolma
+# dedups paragraphs corpus-wide for the same reason)
+# --------------------------------------------------------------------
+
+BP_DF_RATIO = 0.15  # a block on >15% of pages is template chrome
+
+
+def q207_boilerplate_blocks(spark, sf_dir):
+    """Cross-page boilerplate-BLOCK audit (functions/html.py blocks +
+    the q94 passage-frequency idea lifted to markup blocks): a block
+    whose cleaned text recurs on more than ``BP_DF_RATIO`` of pages
+    is template chrome no matter what it looks like — the rule that
+    catches the LINK-FREE template (the planted rating DIV recurs on
+    1/5 of pages and carries zero anchors; link-density alone passes
+    it). Per page: blocks, link-rule cuts, frequency-rule cuts, kept
+    blocks (neither rule), surviving char mass.
+
+    Shape at scale: one extractor map (no explode until the block
+    audit itself), one md5-keyed combinable document-frequency agg on
+    uniform keys, the page-count scalar broadcast back, one page-
+    keyed agg. The hot-block set is bounded by construction (at most
+    1/ratio blocks can each sit on > ratio of pages times the mean
+    blocks-per-page — template chrome, not corpus mass). Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = docs.withColumn("html", _synth_html_expr())
+    blk = pages.select(
+        "doc_id", F.explode(H.html_block_structs(F.col("html"))).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.t").alias("t"),
+        (2 * F.length("b.lt") >= F.length("b.t")).alias("link_boiler"),
+        F.md5("b.t").alias("h"),
+    )
+    df_ = blk.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    n_pages = pages.agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    flagged = (
+        blk.join(df_, "h")
+        .crossJoin(F.broadcast(n_pages))
+        .withColumn(
+            "freq_boiler",
+            F.col("df").cast("double")
+            > F.lit(float(BP_DF_RATIO)) * F.col("n_pages"),
+        )
+    )
+    kept = ~F.col("link_boiler") & ~F.col("freq_boiler")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("link_boiler").cast("long")).cast("long")
+        .alias("n_link"),
+        F.sum(F.col("freq_boiler").cast("long")).cast("long")
+        .alias("n_freq"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.length("t")).otherwise(0)).cast("long")
+        .alias("kept_chars"),
+    )
+
+
+def _sql_q207() -> str:
+    anchor = ("coalesce(array_to_string(regexp_extract_all("
+              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    clean_t = _sql_html_clean("x")
+    clean_l = _sql_html_clean(anchor)
+    return f"""
+WITH pages AS ({_sql_synth_html()}),
+c AS (SELECT doc_id, {_SQL_HTML_STRIP} AS body FROM pages),
+b0 AS (SELECT doc_id, list_filter(list_transform(
+        string_split_regex(body, '{H.BLOCK_TAG_RE}'),
+        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
+        s -> s.t <> '') AS blk FROM c),
+blk AS (
+  SELECT doc_id, s.t AS t,
+         (2 * length(s.lt) >= length(s.t)) AS link_boiler,
+         md5(s.t) AS h
+  FROM (SELECT doc_id, unnest(blk) AS s FROM b0)),
+df AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS df FROM blk GROUP BY h),
+np AS (SELECT count(*)::BIGINT AS n_pages FROM pages),
+flagged AS (
+  SELECT blk.doc_id, blk.t, blk.link_boiler,
+         (df.df::DOUBLE > {BP_DF_RATIO} * np.n_pages) AS freq_boiler
+  FROM blk JOIN df USING (h), np)
+SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN link_boiler THEN 1 ELSE 0 END)::BIGINT AS n_link,
+       sum(CASE WHEN freq_boiler THEN 1 ELSE 0 END)::BIGINT AS n_freq,
+       sum(CASE WHEN NOT link_boiler AND NOT freq_boiler
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN NOT link_boiler AND NOT freq_boiler
+                THEN length(t) ELSE 0 END)::BIGINT AS kept_chars
+FROM flagged GROUP BY doc_id
+"""
+
+
+SQL_Q207 = _sql_q207()
+
 
 # --------------------------------------------------------------------
 # r11 wave 4: robots/license/allowlist policy gating (VERDICT r10
@@ -10954,6 +11052,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
     "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
