@@ -104,6 +104,11 @@ def main() -> None:
     # gets its own additional reps against warm memos and the min is
     # reported — a band has to cover EVERY rep to move the headline.
     r1_extra = int(os.environ.get("SPARK_GRAFT_R1_REPS", "2"))
+    # min over the MAIN reps only — the methodology every prior
+    # round's artifact used (min-of-2, cache cleared between reps);
+    # reported alongside so the cross-round comparison isn't biased
+    # by the extra subset draws (r11 review)
+    min2 = {k: v for k, v in timings.items()}
     for rep in range(r1_extra):
         for key in R1_KEYS:
             if key not in REGISTRY:
@@ -155,6 +160,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(REGISTRY),
         "r1_subset_seconds": round(sum(timings[k] for k in r1_keys), 3),
+        "r1_subset_min2_seconds": round(
+            sum(min2[k] for k in r1_keys), 3),
         "r1_subset_reps": reps + r1_extra,
         "memo_seconds": memo_seconds,
         "top_deltas_vs_prev": deltas,

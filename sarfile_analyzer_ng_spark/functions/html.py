@@ -42,15 +42,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Tag names end at whitespace, "/", or ">": the `(?:\s[^>]*)?/?>`
+# tail is the lookahead-free (RE2-safe) boundary — without it
+# `<param>` matched the `p` rule, `<abbr>` matched ANCHOR_RE's `<a`,
+# and `<header>` matched HEAD_RE (r11 review fix, pinned by
+# tests/test_wave14.py boundary cases).
 COMMENT_RE = r"(?s)<!--.*?-->"
-SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
-STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
-HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
+SCRIPT_RE = r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
+STYLE_RE = r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>"
+HEAD_RE = r"(?is)<head(?:\s[^>]*)?>.*?</head\s*>"
 BLOCK_TAG_RE = (
     r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|nav|header|footer|article|"
-    r"section|table|tr|td|th|blockquote|pre|br)[^>]*>"
+    r"section|table|tr|td|th|blockquote|pre|br)(?:\s[^>]*)?/?>"
 )
-ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a\s*>"
 INLINE_TAG_RE = r"<[^>]+>"
 # (entity, replacement) — &amp; decodes LAST so "&amp;lt;" → "&lt;"
 ENTITIES = (

@@ -12,10 +12,17 @@ more than throughput.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..util import rnd, rnd_np
+
+# serializes pca_power_topd's session-wide codegen-conf toggle: two
+# concurrent trainers interleaving get/set could "restore" each
+# other's transient value and leave codegen off for the session
+_CODEGEN_TOGGLE_LOCK = threading.Lock()
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -851,6 +858,12 @@ def pca_power_topd(
     # codegen recompiles per job and never pays off — interpreted
     # eval is ~20% faster AND skips Janino (r11 measurement); values
     # are the same expressions either way. Restored in finally.
+    # CAVEAT: the conf is SESSION-global — anything else executing on
+    # this SparkSession during the loop runs interpreted too; the
+    # lock serializes concurrent trainers so the restore can't race,
+    # but sequential-query contexts (bench, tests, the driver) are
+    # the design point.
+    _CODEGEN_TOGGLE_LOCK.acquire()
     _wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
@@ -897,6 +910,7 @@ def pca_power_topd(
             ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", _wsc)
+        _CODEGEN_TOGGLE_LOCK.release()
     # final projections read the CHECKPOINTED centered frame (its c
     # IS x − μ, materialized), so the output job neither re-reads
     # parquet nor re-runs the 64-literal centering (r11 plan cut —

@@ -10012,10 +10012,14 @@ def _synth_html_expr(chrome_only_mod: int | None = None):
     m5 = (F.col("doc_id") % 5).cast("string")
     promo = F.when(F.col("doc_id") % 3 == 0,
                    F.lit(HTML_PROMO)).otherwise(F.lit(""))
+    # <abbr>/<param> are tag-BOUNDARY traps: under a prefix-matching
+    # rule <param> splits the block as "p" and <abbr> opens an anchor
+    # as "a" (r11 review fix) — the contract strips both as inline
     content = F.concat(
         F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
         F.lit("<p>"), F.col("text"), F.lit("</p>"),
-        F.lit("<DIV>Rated &amp; reviewed &#39;"), m5,
+        F.lit('<DIV>Rated <abbr title="r">R</abbr><param name="m">'
+              " &amp; reviewed &#39;"), m5,
         F.lit("&#39; times &lt;ok&gt;</DIV>"),
     )
     if chrome_only_mod is not None:
@@ -10065,20 +10069,52 @@ def _sql_html_clean(expr: str) -> str:
     return "trim(regexp_replace(" + out + ", '\\s+', ' ', 'g'))"
 
 
-_SQL_HTML_STRIP = (
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,"
-    " '(?s)<!--.*?-->', ' ', 'g'),"
-    " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
-    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
-    " '(?is)<head[^>]*>.*?</head>', ' ', 'g')"
+def _sql_html_strip() -> str:
+    """Rule-1 strip chain, generated from the SAME regex constants the
+    Spark side compiles (functions/html.py) so the twins cannot
+    drift."""
+    out = "html"
+    for pat in (H.COMMENT_RE, H.SCRIPT_RE, H.STYLE_RE, H.HEAD_RE):
+        out = f"regexp_replace({out}, {_sql_str(pat)}, ' ', 'g')"
+    return out
+
+
+_SQL_HTML_STRIP = _sql_html_strip()
+# anchor-text capture over a lambda var x; coalesce because DuckDB's
+# array_to_string([]) is NULL, not ''
+_SQL_HTML_ANCHOR = (
+    "coalesce(array_to_string(regexp_extract_all("
+    "x, " + _sql_str(H.ANCHOR_RE) + ", 1), ' '), '')"
 )
+# rule-5 join of the kept blocks — coalesced for the all-boilerplate
+# page (DuckDB NULL vs Spark '' — r11 review fix)
+_SQL_HTML_TXT = ("coalesce(array_to_string("
+                 "list_transform(kept, s -> s.t), chr(10)), '')")
+
+
+def _sql_html_block_ctes(carry: str = "") -> str:
+    """The shared extraction CTE pair over a ``pages`` CTE with
+    (doc_id{carry}, html): ``b`` = non-empty (t, lt) block structs,
+    ``k`` = + the link-density survivors. ONE definition for the four
+    oracle builders (q203/q206/q207/q201 stage 0) so a rule change
+    lands everywhere at once."""
+    clean_t = _sql_html_clean("x")
+    clean_l = _sql_html_clean(_SQL_HTML_ANCHOR)
+    return f"""b AS (SELECT doc_id{carry}, list_filter(list_transform(
+        string_split_regex({_SQL_HTML_STRIP}, {_sql_str(H.BLOCK_TAG_RE)}),
+        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
+        s -> s.t <> '') AS blk FROM pages),
+k AS (SELECT doc_id{carry}, blk,
+        list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
+      FROM b)"""
 
 def _sql_synth_html(chrome_only_mod: int | None = None) -> str:
     """DuckDB twin of :func:`_synth_html_expr`."""
     content = (
         "'<h1>' || source || ' report</h1>'"
         " || '<p>' || text || '</p>'"
-        " || '<DIV>Rated &amp; reviewed &#39;' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '<DIV>Rated <abbr title=\"r\">R</abbr><param name=\"m\">"
+        " &amp; reviewed &#39;' || CAST(doc_id % 5 AS VARCHAR)"
         " || '&#39; times &lt;ok&gt;</DIV>'"
     )
     if chrome_only_mod is not None:
@@ -10100,26 +10136,10 @@ _SQL_SYNTH_HTML = _sql_synth_html()
 
 
 def _sql_q203() -> str:
-    # DuckDB's array_to_string([]) is NULL, not '' — coalesce, or
-    # every anchor-free block would flunk the boilerplate compare
-    anchor = ("coalesce(array_to_string(regexp_extract_all("
-              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
-    clean_t = _sql_html_clean("x")
-    clean_l = _sql_html_clean(anchor)
-    block_re = H.BLOCK_TAG_RE
     return f"""
 WITH pages AS ({_SQL_SYNTH_HTML}),
-c AS (SELECT doc_id, {_SQL_HTML_STRIP} AS body FROM pages),
-b AS (SELECT doc_id, list_filter(list_transform(
-        string_split_regex(body, '{block_re}'),
-        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
-        s -> s.t <> '') AS blk FROM c),
-k AS (SELECT doc_id, blk,
-        list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
-      FROM b),
-t AS (SELECT doc_id, blk, kept,
-        array_to_string(list_transform(kept, s -> s.t), chr(10)) AS txt
-      FROM k)
+{_sql_html_block_ctes()},
+t AS (SELECT doc_id, blk, kept, {_SQL_HTML_TXT} AS txt FROM k)
 SELECT doc_id, len(blk)::BIGINT AS n_blocks,
        (len(blk) - len(kept))::BIGINT AS n_boiler,
        length(txt)::BIGINT AS n_chars,
@@ -10170,24 +10190,12 @@ def q206_extraction_audit(spark, sf_dir):
 
 
 def _sql_q206() -> str:
-    anchor = ("coalesce(array_to_string(regexp_extract_all("
-              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
-    clean_t = _sql_html_clean("x")
-    clean_l = _sql_html_clean(anchor)
     return f"""
 WITH pages AS ({_sql_synth_html(EXA_CHROME_MOD)}),
-c AS (SELECT doc_id, source, {_SQL_HTML_STRIP} AS body FROM pages),
-b AS (SELECT doc_id, source, list_filter(list_transform(
-        string_split_regex(body, '{H.BLOCK_TAG_RE}'),
-        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
-        s -> s.t <> '') AS blk FROM c),
-k AS (SELECT doc_id, source, blk,
-        list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
-      FROM b),
+{_sql_html_block_ctes(", source")},
 t AS (SELECT source, len(blk)::BIGINT AS nb,
         (len(blk) - len(kept))::BIGINT AS nboil,
-        length(coalesce(array_to_string(
-          list_transform(kept, s -> s.t), chr(10)), ''))::BIGINT AS nchars
+        length({_SQL_HTML_TXT})::BIGINT AS nchars
       FROM k)
 SELECT source, count(*)::BIGINT AS n_pages,
        sum(nb)::BIGINT AS n_blocks,
@@ -10264,22 +10272,14 @@ def q207_boilerplate_blocks(spark, sf_dir):
 
 
 def _sql_q207() -> str:
-    anchor = ("coalesce(array_to_string(regexp_extract_all("
-              "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
-    clean_t = _sql_html_clean("x")
-    clean_l = _sql_html_clean(anchor)
     return f"""
 WITH pages AS ({_sql_synth_html()}),
-c AS (SELECT doc_id, {_SQL_HTML_STRIP} AS body FROM pages),
-b0 AS (SELECT doc_id, list_filter(list_transform(
-        string_split_regex(body, '{H.BLOCK_TAG_RE}'),
-        x -> struct_pack(t := {clean_t}, lt := {clean_l})),
-        s -> s.t <> '') AS blk FROM c),
+{_sql_html_block_ctes()},
 blk AS (
   SELECT doc_id, s.t AS t,
          (2 * length(s.lt) >= length(s.t)) AS link_boiler,
          md5(s.t) AS h
-  FROM (SELECT doc_id, unnest(blk) AS s FROM b0)),
+  FROM (SELECT doc_id, unnest(blk) AS s FROM b)),
 df AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS df FROM blk GROUP BY h),
 np AS (SELECT count(*)::BIGINT AS n_pages FROM pages),
 flagged AS (
@@ -10501,7 +10501,8 @@ def q201_curation_funnel_v2(spark, sf_dir):
          blocks seen, n_dropped = boilerplate blocks cut);
       1. canonical-URL exact dedup (q190's canonical form,
          keep-first) — kills re-fetch noise;
-      2. domain blocklist gate (q191's broadcast list);
+      2. domain policy gate (q205's broadcast policy table — the
+         blocklist generalized with the robots-disallow slice; r11);
       3. exact text dedup (md5 keep-first) — kills cross-domain
          mirrors the URL stage cannot see;
       4. boilerplate passage audit (q94's splitter): count docs
@@ -10633,10 +10634,6 @@ def _sql_funnel2() -> str:
     pol_status, _pol_lic = _sql_policy_case()
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     dr = sql_rnd(f"len(list_distinct({tok}))::DOUBLE / len({tok})", 6)
-    clean_t = _sql_html_clean("x")
-    clean_l = _sql_html_clean(
-        "coalesce(array_to_string(regexp_extract_all("
-        "x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
     page_pre = _sql_str("<html>" + HTML_HEAD + "<body>" + HTML_NAV + "<p>")
     page_post = _sql_str(HTML_FOOTER + "</body></html>")
     promo = _sql_str(HTML_PROMO)
@@ -10649,22 +10646,13 @@ pages AS (
          || CASE WHEN doc_id % 3 = 0 THEN {promo} ELSE '' END
          || {page_post} AS html
   FROM crawl),
-pblk AS (
-  SELECT doc_id, source, url, list_filter(list_transform(
-           string_split_regex({_SQL_HTML_STRIP}, '{H.BLOCK_TAG_RE}'),
-           x -> struct_pack(t := {clean_t}, lt := {clean_l})),
-           s -> s.t <> '') AS blk
-  FROM pages),
-pkept AS (
-  SELECT doc_id, source, url, blk,
-         list_filter(blk, s -> 2 * length(s.lt) < length(s.t)) AS kept
-  FROM pblk),
+{_sql_html_block_ctes(", source, url")},
 urls AS (
   SELECT doc_id, source,
-         array_to_string(list_transform(kept, s -> s.t), chr(10)) AS text,
+         {_SQL_HTML_TXT} AS text,
          url, len(blk)::BIGINT AS _nb,
          (len(blk) - len(kept))::BIGINT AS _nboil
-  FROM pkept),
+  FROM k),
 {_SQL_CANON_CTES},
 s1 AS (
   SELECT doc_id, source, text, url, canon_url, domain FROM (
@@ -11102,13 +11090,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q59_overlay_align": (q59_overlay_align, SQL_Q59),
     "q60_pii_scan": (q60_pii_scan, SQL_Q60),
     "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q62_decontaminate": (q62_decontaminate, SQL_Q62),
     "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
     "q65_top_ngrams": (q65_top_ngrams, SQL_Q65),
     "q66_mix_apply": (q66_mix_apply, SQL_Q66),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q67_jaccard_maxdf": (q67_jaccard_maxdf, SQL_Q67),
     "q68_dup_clusters": (q68_dup_clusters, SQL_Q68),
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),

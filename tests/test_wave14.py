@@ -98,3 +98,46 @@ def test_funnel_stage0_counts(spark):
     assert s0.n_dropped >= 2 * rows[1].n_in
     # stages 1-5 unchanged by stage 0: the funnel still ends non-empty
     assert rows[5].n_kept > 0
+
+
+def test_tag_name_boundaries(spark):
+    """r11 review fix: tag names must end at whitespace, '/', or '>'.
+    <param>/<picture> are NOT block tags (p-prefix), <abbr> is NOT an
+    anchor (a-prefix), <header> is a block tag but NOT the head
+    element, and <link>/<track> are inline."""
+    r = _extract(spark, (
+        '<body><p>alpha <abbr title="x">W3C</abbr> beta '
+        '<param name="m"><link rel="s"> gamma</p>'
+        '<header>real header block</header>'
+        '<picture>inline picture</picture>delta</body>'
+    ))
+    # abbr/param/link/picture strip as inline tags; header splits
+    assert r.text.split("\n") == [
+        "alpha W3C beta gamma",
+        "real header block",
+        "inline picture delta",
+    ]
+    assert r.n_boiler == 0
+
+
+def test_anchor_prefix_not_greedy_across_abbr(spark):
+    """<abbr>X</abbr> before a real link must not be captured as the
+    anchor's opening tag (the old '<a[^>]*>' matched '<abbr>')."""
+    r = _extract(spark, (
+        '<p><abbr>W3C</abbr> see <a href="/">home</a> for more '
+        'surrounding words that keep the block content-heavy</p>'
+    ))
+    # link text is ONLY 'home' — the block survives the density rule
+    assert r.n_boiler == 0
+    assert "W3C see home for more" in r.text
+
+
+def test_all_boilerplate_page_extracts_empty(spark):
+    """A chrome-only page must yield text='' (n_chars 0), not NULL —
+    the q206 empty-extraction signal (and the DuckDB coalesce twin)."""
+    r = _extract(spark, (
+        '<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        '<footer><a href="/t">terms of use</a> (c)</footer></body>'
+    ))
+    assert r.text == "" and r.n_chars == 0
+    assert r.n_blocks == 2 and r.n_boiler == 2

@@ -42,6 +42,13 @@ def main() -> None:
         if m:
             entries[m.group(1)] = line
             order.append(m.group(1))
+    # a registry line that gained a comment or re-wrapped would fail
+    # ENTRY_RE and silently vanish from the rewrite — check the parse
+    # against the IMPORTED registry, not against itself (r11 review)
+    from sarfile_analyzer_ng_spark.queries import REGISTRY
+
+    missing = sorted(set(REGISTRY) ^ set(entries))
+    assert not missing, f"unparsed/unknown registry lines: {missing}"
     lg = last_green_rounds()
     with open(CHANGED_PATH) as fh:
         cfg = json.load(fh)
