@@ -864,9 +864,12 @@ def pca_power_topd(
     # but sequential-query contexts (bench, tests, the driver) are
     # the design point.
     _CODEGEN_TOGGLE_LOCK.acquire()
-    _wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    _wsc = None  # read/toggle inside the try: a py4j failure in
+    # conf.get/conf.set must still release the lock and must not
+    # "restore" a value that was never changed (r11 ADVICE)
     try:
+        _wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
         for _k in range(n_components):
             v = np.full(dim, v0)
             for _ in range(iters):
@@ -909,8 +912,11 @@ def pca_power_topd(
                 ).alias("c"),
             ).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", _wsc)
-        _CODEGEN_TOGGLE_LOCK.release()
+        try:
+            if _wsc is not None:
+                spark.conf.set("spark.sql.codegen.wholeStage", _wsc)
+        finally:
+            _CODEGEN_TOGGLE_LOCK.release()
     # final projections read the CHECKPOINTED centered frame (its c
     # IS x − μ, materialized), so the output job neither re-reads
     # parquet nor re-runs the 64-literal centering (r11 plan cut —

@@ -194,7 +194,7 @@ def test_funnel_v2_stage_accounting(spark):
     rows = {r.stage_no: r for r in
             q201_curation_funnel_v2(spark, SF_DIR).collect()}
     assert [rows[i].stage for i in range(1, 6)] == [
-        "url_canonical_dedup", "domain_blocklist", "exact_text_dedup",
+        "url_canonical_dedup", "domain_policy_gate", "exact_text_dedup",
         "boilerplate_passage_audit", "quality_gate"]
     # the chain composes: each stage starts where the previous ended
     assert rows[2].n_in == rows[1].n_kept

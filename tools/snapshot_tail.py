@@ -128,11 +128,17 @@ def check_rotation() -> list[str]:
         recording unless it is declared in rotation_changed.json
         (the per-round list of keys whose impl/oracle changed and so
         need a fresh green regardless of age) OR its latest green is
-        the NEWEST recorded round overall — a window key freshly
-        recorded by the driver this round is compliant by
-        construction ("awaiting re-pin", VERDICT r10 What's-wrong #1:
-        the artifact landing must not flip the suite red; the
-        round-start re-pin then rotates the slot to an older key);
+        the NEWEST recorded round overall AND the manifest round is
+        not ahead of that recording — a window key freshly recorded
+        by the driver this round is compliant by construction
+        ("awaiting re-pin", VERDICT r10 What's-wrong #1: the artifact
+        landing must not flip the suite red; the round-start re-pin
+        then rotates the slot to an older key). The manifest-round
+        guard (r11 ADVICE) closes the drift hole: once
+        rotation_changed.json is stamped with the NEW round, the
+        carve-out turns off, so a key changed after the last
+        recording must either be declared or yield its slot — it can
+        no longer ride its stale fresh-green past the check;
     (c) the tail is ordered by recording round, oldest first, so the
         next rotation is 'take from the top'."""
     from sarfile_analyzer_ng_spark.queries import REGISTRY
@@ -149,9 +155,16 @@ def check_rotation() -> list[str]:
     tail_lg = [lg[k] for k in tail if k in lg]
     floor_ = min(tail_lg) if tail_lg else 10**9
     newest = max(lg.values(), default=0)
+    manifest_round = int(
+        re.match(r"r(\d+)", json.load(open(CHANGED_PATH))["round"]).group(1)
+    )
     for k in window:
-        if k in lg and lg[k] == newest:
-            continue  # freshly recorded this round — awaiting re-pin
+        # freshly recorded this round — awaiting re-pin (carve-out off
+        # once the manifest stamps a newer round: from then on a
+        # fresh-green window key must be declared or ≤ the tail floor
+        # — r11 ADVICE drift-hole fix)
+        if k in lg and lg[k] == newest and manifest_round <= newest:
+            continue
         if k in lg and k not in changed and lg[k] > floor_:
             errs.append(
                 f"window key {k} (last green r{lg[k]}) is newer than the "
