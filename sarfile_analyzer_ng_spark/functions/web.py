@@ -25,23 +25,81 @@ Canonicalization contract (documented, deterministic):
      (the full WHATWG algorithm needs a UDF; this is the
      crawl-dedup canonical form, not a browser).
 
-The registrable-domain extractor is public-suffix-LITE: the last two
-host labels, or three when the second-level label is a well-known
-country-code second-level (``co.uk``-style) — the bounded literal
-set below, not the full PSL (which is a data file, not logic).
+The registrable-domain extractor derives from a checked-in snapshot
+of the Public Suffix List's ICANN section
+(``data/public_suffix_list.tsv`` — publicsuffix.org is public data;
+the metric-descriptions TSV pattern). The dim table is COMPILED into
+the column expression at plan-build time: the rule sets are
+model-sized (~1k suffix strings), so they become InSet predicates on
+the host's last-k-label extracts — scan-local whole-stage-codegen
+hash probes, no join, no shuffle, nothing to skew at 100 TB. The
+same shape holds at full-PSL size (~9k rules): Catalyst converts the
+IN to a hash-set InSet; a broadcast join would add an operator for
+no benefit on a static reference table this small. Swapping in a
+fresher PSL snapshot (or adding the private section — github.io and
+friends) is a data-file edit, not a code change.
+
+PSL semantics implemented (publicsuffix.org/list/ algorithm):
+exception rule wins, else the longest matching rule (wildcard ``*``
+matches exactly one label), else the default rule ``*`` (the TLD
+itself); registrable domain = public suffix + one label; a host that
+IS a public suffix maps to itself (degenerate input passthrough,
+matching the pre-PSL fallback). Snapshot bounds: exact rules to 3
+labels, wildcards to ``*.<2-label>`` (the deepest rules in the
+ICANN section's core; the US ``k12.<state>.us`` third-level family
+is omitted — documented subset).
 """
 
 from __future__ import annotations
 
+import csv
+from pathlib import Path
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+PSL_PATH = Path(__file__).resolve().parent.parent / (
+    "data/public_suffix_list.tsv"
+)
 
 # tracking parameters dropped by rule 5 (one alternation, anchored)
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
 
-# second-level labels that make a 2-letter ccTLD registrable at the
-# THIRD label (public-suffix-lite; the PSL top offenders)
+# pre-PSL heuristic retained ONLY for the r11-era oracle-twin tests
+# that pin the divergence contract (see registrable_domain_lite)
 SECOND_LEVEL_RE = r"\.(co|com|org|net|ac|gov|edu)\.[a-z][a-z]$"
+
+
+def _psl_rule_sets() -> dict[str, frozenset[str]]:
+    """Parse the checked-in PSL snapshot once per process into the
+    six rule sets the matcher needs: exact rules by label count,
+    wildcard parents by parent label count, exceptions by their own
+    label count."""
+    buckets: dict[str, set[str]] = {
+        "exact2": set(), "exact3": set(),
+        "wild1": set(), "wild2": set(),
+        "exc2": set(), "exc3": set(),
+    }
+    with open(PSL_PATH, newline="") as fh:
+        for row in csv.DictReader(fh, delimiter="\t"):
+            n, kind = int(row["labels"]), row["kind"]
+            key = {"exact": "exact", "wildcard": "wild",
+                   "exception": "exc"}[kind] + str(n)
+            if key in buckets:
+                buckets[key].add(row["suffix"])
+            else:  # exact1 rules are the default rule — no-ops here
+                assert kind == "exact" and n == 1, row
+    return {k: frozenset(v) for k, v in buckets.items()}
+
+
+_PSL_SETS: dict[str, frozenset[str]] | None = None
+
+
+def _psl() -> dict[str, frozenset[str]]:
+    global _PSL_SETS
+    if _PSL_SETS is None:
+        _PSL_SETS = _psl_rule_sets()
+    return _PSL_SETS
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -120,11 +178,49 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", F.lower(F.trim(url))).otherwise(assembled)
 
 
+def _last_labels(host: Column, k: int) -> Column:
+    """The last ``k`` dot-separated labels of ``host`` ('' when the
+    host has fewer than ``k`` labels)."""
+    pat = "(" + r"\.".join([r"[^.]+"] * k) + ")$"
+    return F.regexp_extract(host, pat, 1)
+
+
 def registrable_domain(host: Column) -> Column:
-    """Public-suffix-lite registrable domain of a canonical host:
-    last two labels, or last three when the tail matches the known
-    ``co.uk``-style second-level set; a dot-less host is its own
-    domain."""
+    """PSL registrable domain of a canonical host (module docstring:
+    exception > longest rule > default; wildcard eats one label).
+    Compiled to InSet probes on the last-1..4-label extracts — pure
+    codegen column arithmetic, no join. Reference parity:
+    sarfile_analyzer_ng has no URL layer; the contract is the PSL
+    algorithm itself (publicsuffix.org/list/)."""
+    psl = _psl()
+    s1, s2 = _last_labels(host, 1), _last_labels(host, 2)
+    s3, s4 = _last_labels(host, 3), _last_labels(host, 4)
+
+    def in_set(col: Column, name: str) -> Column:
+        vals = sorted(psl[name])
+        if not vals:
+            return F.lit(False)
+        return col.isin(vals)
+
+    def or_host(col: Column) -> Column:
+        # host shorter than public-suffix+1: the host IS (part of) a
+        # public suffix — passthrough, same as the pre-PSL fallback
+        return F.when(col != "", col).otherwise(host)
+
+    return (
+        F.when(in_set(s3, "exc3"), s3)
+        .when(in_set(s2, "exc2"), s2)
+        .when(in_set(s3, "exact3") | in_set(s2, "wild2"), or_host(s4))
+        .when(in_set(s2, "exact2") | in_set(s1, "wild1"), or_host(s3))
+        .otherwise(or_host(s2))
+    )
+
+
+def registrable_domain_lite(host: Column) -> Column:
+    """The pre-r12 public-suffix-LITE heuristic (last two labels, or
+    three on the ``co.uk``-style literal set) — kept so tests can pin
+    exactly where the PSL upgrade changed verdicts (co.de, *.ck,
+    com.mt, …)."""
     three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return (

@@ -8936,10 +8936,17 @@ def _synth_url_expr():
         .when(m(3) == 1, F.lit("https"))
         .otherwise(F.lit("HTTPS"))
     )
+    # source = src(doc_id % 20) and %20 refines %4, so each source
+    # still maps to exactly ONE domain. The %20==13/19 carve-outs
+    # (r12) route one source through a PSL wildcard TLD (*.ck → the
+    # registrable domain keeps THREE labels) and one through com.au —
+    # the rules the pre-PSL heuristic got wrong / only half-covered.
     host = (
         F.when(m(4) == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".COM")))
+        .when(m(20) == 13, F.concat(F.lit("shop."), F.col("source"), F.lit(".ck")))
         .when(m(4) == 1, F.concat(F.lit("cdn."), F.col("source"), F.lit(".net:443")))
         .when(m(4) == 2, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk:80")))
+        .when(m(20) == 19, F.concat(F.lit("M."), F.col("source"), F.lit(".COM.AU")))
         .otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".Org")))
     )
     path = (
@@ -8995,10 +9002,12 @@ _SQL_SYNTH_URL = """
   SELECT doc_id, lang, source, text,
          (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
          || '://'
-         || (CASE doc_id % 4
-               WHEN 0 THEN 'WWW.' || source || '.COM'
-               WHEN 1 THEN 'cdn.' || source || '.net:443'
-               WHEN 2 THEN 'www.' || source || '.co.uk:80'
+         || (CASE
+               WHEN doc_id % 4 = 0 THEN 'WWW.' || source || '.COM'
+               WHEN doc_id % 20 = 13 THEN 'shop.' || source || '.ck'
+               WHEN doc_id % 4 = 1 THEN 'cdn.' || source || '.net:443'
+               WHEN doc_id % 4 = 2 THEN 'www.' || source || '.co.uk:80'
+               WHEN doc_id % 20 = 19 THEN 'M.' || source || '.COM.AU'
                ELSE 'blog.' || source || '.Org' END)
          || (CASE doc_id % 5
                WHEN 0 THEN '/docs//' || CAST(doc_id AS VARCHAR) || '/'
@@ -9056,14 +9065,30 @@ canon AS (
                       CASE WHEN qc = '' THEN '' ELSE '?' || qc END END AS canon_url,
          regexp_replace(host, ':[0-9]+$', '') AS bare_host
   FROM u6),
+psl AS (
+  SELECT suffix, labels, kind
+  FROM read_csv('{_DATA_DIR}/public_suffix_list.tsv', delim='\t',
+                header=true, quote='')),
+doms AS (
+  SELECT *, regexp_extract(bare_host, '([^.]+)$', 1) AS _s1,
+         regexp_extract(bare_host, '([^.]+\.[^.]+)$', 1) AS _s2,
+         regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS _s3,
+         regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS _s4
+  FROM canon),
 dom AS (
-  SELECT *, CASE WHEN regexp_matches(bare_host, '{W.SECOND_LEVEL_RE}')
-                      AND regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
-                 THEN regexp_extract(bare_host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-                 WHEN regexp_extract(bare_host, '([^.]+\.[^.]+)$', 1) <> ''
-                 THEN regexp_extract(bare_host, '([^.]+\.[^.]+)$', 1)
-                 ELSE bare_host END AS domain
-  FROM canon)
+  SELECT *, CASE
+    WHEN _s3 IN (SELECT suffix FROM psl WHERE kind = 'exception' AND labels = 3)
+    THEN _s3
+    WHEN _s2 IN (SELECT suffix FROM psl WHERE kind = 'exception' AND labels = 2)
+    THEN _s2
+    WHEN _s3 IN (SELECT suffix FROM psl WHERE kind = 'exact' AND labels = 3)
+      OR _s2 IN (SELECT suffix FROM psl WHERE kind = 'wildcard' AND labels = 2)
+    THEN CASE WHEN _s4 <> '' THEN _s4 ELSE bare_host END
+    WHEN _s2 IN (SELECT suffix FROM psl WHERE kind = 'exact' AND labels = 2)
+      OR _s1 IN (SELECT suffix FROM psl WHERE kind = 'wildcard' AND labels = 1)
+    THEN CASE WHEN _s3 <> '' THEN _s3 ELSE bare_host END
+    ELSE CASE WHEN _s2 <> '' THEN _s2 ELSE bare_host END END AS domain
+  FROM doms)
 """
 
 
