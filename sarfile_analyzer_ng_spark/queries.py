@@ -1012,6 +1012,12 @@ def memo_builders():
         "_memo_ql_topk": lambda spark, sf: _retrieval_shared(
             spark, sf, "ql"),
         "_memo_qc_scored": _qc_scored_shared,
+        "_memo_html_blocks": lambda spark, sf: _html_blocks_shared(
+            spark, sf, "plain"),
+        "_memo_html_blocks_audit": lambda spark, sf: _html_blocks_shared(
+            spark, sf, "audit"),
+        "_memo_html_blocks_crawl": lambda spark, sf: _html_blocks_shared(
+            spark, sf, "crawl"),
     }
 
 
@@ -10062,6 +10068,64 @@ def _synth_html_expr(chrome_only_mod: int | None = None):
     )
 
 
+# ONE materialization of stage 0 per session (r11 VERDICT directive
+# #4): q203/q206/q207/q201 each re-ran the chrome synthesis + the
+# regexp-heavy extraction chain independently (~25 s combined at
+# sf0.1). The BLOCK frame — (doc_id, source[, url],
+# array<struct<t,lt>>) — is the shared intermediate every consumer
+# filters/aggregates, so it is memoized per (session, sf_dir,
+# variant) like _MINHASH_PAIR_MEMO and registered in memo_builders()
+# so bench attributes each build as its own _memo_* line. On a real
+# cluster the same cut is a stage-0 parquet materialization the
+# downstream queries all scan — the session cache is the local-mode
+# twin of that shape. Oracles are untouched: DuckDB re-runs the full
+# SQL chain per query, which is exactly why memoizing the Spark side
+# cannot mask a rule change.
+_HTML_BLOCKS_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _html_blocks_shared(spark, sf_dir, variant="plain"):
+    """The extracted block frame for one synthesis variant:
+    ``plain`` (q203/q207), ``audit`` (q206 — derived from plain: the
+    corpus differs ONLY on the chrome-only plant rows, so only the
+    1/17 planted pages re-run the extraction regexps), ``crawl``
+    (q201 — the funnel corpus with urls and re-fetch/mirror plants).
+    """
+    key = (id(spark), sf_dir, variant)
+    df = _HTML_BLOCKS_MEMO.get(key)
+    if df is not None:
+        return df
+    if variant == "plain":
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text")
+        df = docs.withColumn("html", _synth_html_expr()).select(
+            "doc_id", "source",
+            H.html_block_structs(F.col("html")).alias("blk"))
+    elif variant == "audit":
+        plain = _html_blocks_shared(spark, sf_dir, "plain")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text")
+        planted = (
+            docs.where(F.col("doc_id") % EXA_CHROME_MOD == 0)
+            .withColumn("html", _synth_html_expr(EXA_CHROME_MOD))
+            .select("doc_id", "source",
+                    H.html_block_structs(F.col("html")).alias("blk"))
+        )
+        df = plain.where(
+            F.col("doc_id") % EXA_CHROME_MOD != 0).unionByName(planted)
+    elif variant == "crawl":
+        pages = _funnel2_crawl(spark, sf_dir).withColumn(
+            "html", _funnel2_page_expr())
+        df = pages.select(
+            "doc_id", "source", "url",
+            H.html_block_structs(F.col("html")).alias("blk"))
+    else:
+        raise ValueError(f"unknown html-blocks variant {variant!r}")
+    df = df.persist()
+    _HTML_BLOCKS_MEMO[key] = df
+    return df
+
+
 def q203_html_extract(spark, sf_dir):
     """HTML → text extraction (functions/html.py:html_extract; the
     Kohlschütter WSDM'10 link-density rule at threshold 1/2, exact
@@ -10072,13 +10136,18 @@ def q203_html_extract(spark, sf_dir):
     Per page: block counts, boilerplate dropped, extracted length and
     md5. Pure per-row map (no shuffle, no explode — blocks live in
     array columns); the planted nav/promo/footer gate n_boiler while
-    the md5 ties the full extracted text. Fully value-hash oracled."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pages = docs.withColumn("html", _synth_html_expr())
-    out = H.html_extract(pages, "html", "doc_id")
-    return out.select(
-        "doc_id", "n_blocks", "n_boiler", "n_chars",
-        F.md5("text").alias("text_md5"),
+    the md5 ties the full extracted text. Reads the shared stage-0
+    block memo (r12); the boilerplate decision + text join stay in
+    this plan. Fully value-hash oracled."""
+    blkdf = _html_blocks_shared(spark, sf_dir, "plain")
+    kept = F.filter(F.col("blk"), lambda s: ~H.is_boiler(s))
+    txt = F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+    return blkdf.select(
+        "doc_id",
+        F.size("blk").cast("long").alias("n_blocks"),
+        (F.size("blk") - F.size(kept)).cast("long").alias("n_boiler"),
+        F.length(txt).cast("long").alias("n_chars"),
+        F.md5(txt).alias("text_md5"),
     )
 
 
@@ -10191,15 +10260,13 @@ def q206_extraction_audit(spark, sf_dir):
     BEFORE any text op spends compute on it. One map stage (the q203
     extractor inline, no explode) + one combinable source-keyed agg.
     Fully value-hash oracled."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pages = docs.withColumn("html", _synth_html_expr(EXA_CHROME_MOD))
-    blk = H.html_block_structs(F.col("html"))
-    kept = F.filter(blk, lambda s: ~H.is_boiler(s))
+    blkdf = _html_blocks_shared(spark, sf_dir, "audit")
+    kept = F.filter(F.col("blk"), lambda s: ~H.is_boiler(s))
     txt = F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
-    per = pages.select(
+    per = blkdf.select(
         "source",
-        F.size(blk).cast("long").alias("nb"),
-        (F.size(blk) - F.size(kept)).cast("long").alias("nboil"),
+        F.size("blk").cast("long").alias("nb"),
+        (F.size("blk") - F.size(kept)).cast("long").alias("nboil"),
         F.length(txt).cast("long").alias("nchars"),
     )
     return per.groupBy("source").agg(
@@ -10261,10 +10328,9 @@ def q207_boilerplate_blocks(spark, sf_dir):
     1/ratio blocks can each sit on > ratio of pages times the mean
     blocks-per-page — template chrome, not corpus mass). Fully
     value-hash oracled."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pages = docs.withColumn("html", _synth_html_expr())
-    blk = pages.select(
-        "doc_id", F.explode(H.html_block_structs(F.col("html"))).alias("b")
+    blkdf = _html_blocks_shared(spark, sf_dir, "plain")
+    blk = blkdf.select(
+        "doc_id", F.explode("blk").alias("b")
     ).select(
         "doc_id",
         F.col("b.t").alias("t"),
@@ -10273,7 +10339,7 @@ def q207_boilerplate_blocks(spark, sf_dir):
     )
     df_ = blk.groupBy("h").agg(
         F.countDistinct("doc_id").cast("long").alias("df"))
-    n_pages = pages.agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    n_pages = blkdf.agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
     flagged = (
         blk.join(df_, "h")
         .crossJoin(F.broadcast(n_pages))
@@ -10545,14 +10611,12 @@ def q201_curation_funnel_v2(spark, sf_dir):
     five report rows come from an exploded literal-struct array —
     no driver-side counting, nothing quadratic. Fully value-hash
     oracled."""
-    crawl0 = _funnel2_crawl(spark, sf_dir)
-    pages = crawl0.withColumn("html", _funnel2_page_expr())
-    blk = H.html_block_structs(F.col("html"))
-    kept = F.filter(blk, lambda s: ~H.is_boiler(s))
-    crawl = pages.select(
+    blkdf = _html_blocks_shared(spark, sf_dir, "crawl")
+    kept = F.filter(F.col("blk"), lambda s: ~H.is_boiler(s))
+    crawl = blkdf.select(
         "doc_id", "source", "url",
-        F.size(blk).cast("long").alias("_nb"),
-        (F.size(blk) - F.size(kept)).cast("long").alias("_nboil"),
+        F.size("blk").cast("long").alias("_nb"),
+        (F.size("blk") - F.size(kept)).cast("long").alias("_nboil"),
         F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
         .alias("text"),
     )
