@@ -11125,62 +11125,19 @@ SQL_Q204 = _sql_softmax()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r11 re-pin (tools/repin_window.py): new/changed keys from
+    # r12 re-pin (tools/repin_window.py): new/changed keys from
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
-    "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
-    "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
-    "q205_license_rollup": (q205_license_rollup, SQL_Q205),
-    "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
-    "q203_html_extract": (q203_html_extract, SQL_Q203),
+    "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
+    "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
+    "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
     "q202_url_frontier": (q202_url_frontier, SQL_Q202),
-    "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
-    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
-    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
-    "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
-    "q39_token_count": (q39_token_count, SQL_Q39),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
-    "q42_text_clean": (q42_text_clean, SQL_Q42),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
-    "q45_rollup": (q45_rollup, SQL_Q45),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
-    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
-    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
-    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
-    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
-    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
-    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
-    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
-    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
-    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
-    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
-    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
-    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
-    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
-    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
-    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
-    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
-    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
-    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
-    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
-    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
-    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
-    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
-    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
-    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
-    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
-    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
+    "q203_html_extract": (q203_html_extract, SQL_Q203),
+    "q205_license_rollup": (q205_license_rollup, SQL_Q205),
+    "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
+    "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
     "q62_decontaminate": (q62_decontaminate, SQL_Q62),
     "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
@@ -11222,6 +11179,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),
@@ -11296,8 +11255,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
     "q196_readability": (q196_readability, SQL_Q196),
     "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
-    "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
-    "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
     "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
     "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
     "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
@@ -11336,6 +11293,49 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q08_header_inventory": (q08_header_inventory, SQL_Q08),
     "q37_lang_id": (q37_lang_id, SQL_Q37),
     "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
+    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
+    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
+    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
+    "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
+    "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
+    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
+    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
+    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
+    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
+    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
+    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
+    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
+    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
+    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
+    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
+    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
+    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
+    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
+    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
 }
 
 
