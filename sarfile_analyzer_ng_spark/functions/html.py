@@ -35,6 +35,19 @@ Extraction contract (documented, deterministic):
 Scale shape: pure per-row map — no shuffle, no explode (blocks live
 inside array columns), linear in the markup bytes, runs at parquet
 scan speed on 100 TB of crawl HTML.
+
+Intentional divergences from an HTML5 parser (differentially fuzzed
+against a stdlib html.parser reference in
+tests/test_html_differential.py — the clean construct pool agrees
+byte-for-byte; these three are the stated exceptions, each pinned):
+  D1. an attribute value containing a quoted ``>`` ends the tag at
+      that ``>`` (the RE2-safe ``(?:\\s[^>]*)?>`` boundary); the tag
+      remainder leaks as text.
+  D2. ``<![CDATA[ … ]]>`` is not a comment: it strips only to the
+      first ``>`` (full strip when the body has none).
+  D3. an unterminated ``<script>`` (malformed close, no later real
+      close) degrades the open tag to inline and the body leaks;
+      with a later real close both engines swallow through it.
 """
 
 from __future__ import annotations
