@@ -1585,3 +1585,53 @@ def rank_sample_update(state: DataFrame | None, batch: DataFrame,
                                               for x in rows]), total
     return batch.sparkSession.createDataFrame(
         vals, "v double, i long, g long")
+
+
+def hot_block_update(state: DataFrame | None, batch: DataFrame,
+                     html_col: str, id_col: str,
+                     k: int = 32, shards: int = 8) -> DataFrame:
+    """Streaming hot-block boilerplate discovery (ST33): the live
+    twin of q207's frequency rule. The batch operator flags a block
+    whose corpus-global document frequency exceeds ``BP_DF_RATIO`` of
+    pages — a count a stream can never hold exactly without
+    corpus-sized state. This maintenance op composes the extraction
+    block splitter (functions/html.py:html_block_structs — the same
+    projection ST32 runs) with the Misra-Gries summary fold (ST29's
+    ``mg_update``): per micro-batch, one block-split projection, one
+    per-doc DISTINCT on (doc, block-md5) so repeats inside a page
+    count once (q207's countDistinct semantics), then the bounded
+    ≤ shards·k MERGE. State is corpus-rate independent by the ST21
+    contract; est ≤ true document frequency (MG underestimates), so
+    flagging has NO false positives, and every block with true df
+    above ratio·N + N/(k+1) is guaranteed retained and flagged — at
+    the default k=32 that margin is ~3% of pages, far under the
+    ~15-point headroom of real template chrome (nav ~100%, promo
+    ~33%, the link-free rating DIV ~20% vs the 15% rule).
+    Batch parity + the bounded-state invariant are pinned in
+    tests/test_wave19.py."""
+    from ..functions import html as Hh
+
+    rows = (
+        batch.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(Hh.html_block_structs(F.col(html_col))).alias("b"),
+        )
+        .select("_doc", F.md5(F.col("b.t")).alias("h"))
+        .distinct()
+    )
+    return mg_update(state, rows, "h", k=k, shards=shards)
+
+
+def hot_block_flags(state: DataFrame, n_pages: int,
+                    ratio: float = 0.15) -> DataFrame:
+    """The flag read over an ST33 summary: block hashes whose
+    document-frequency ESTIMATE exceeds ratio × pages-seen. Because
+    the Misra-Gries estimate never exceeds the true count, every
+    returned hash is truly above the ratio (no false positives); the
+    caller tracks n_pages (one long per stream — foreachBatch
+    increments it)."""
+    return (
+        state.where(
+            F.col("est").cast("double") > float(ratio) * int(n_pages))
+        .select(F.col("item").alias("h"), "est")
+    )
