@@ -178,6 +178,93 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", F.lower(F.trim(url))).otherwise(assembled)
 
 
+def _or_host(col: Column, host: Column) -> Column:
+    # host shorter than public-suffix+1: the host IS (part of) a
+    # public suffix — passthrough, same as the pre-PSL fallback
+    return F.when(col != "", col).otherwise(host)
+
+
+def _registrable_case(host, s2, s3, s4, exc3, exc2, ex3, w2, ex2, w1):
+    """The ONE precedence chain both implementations share (so the
+    InSet and broadcast-join paths cannot drift): exception beats
+    longest rule beats default; wildcard eats one label."""
+    return (
+        F.when(exc3, s3)
+        .when(exc2, s2)
+        .when(ex3 | w2, _or_host(s4, host))
+        .when(ex2 | w1, _or_host(s3, host))
+        .otherwise(_or_host(s2, host))
+    )
+
+
+# per-session broadcastable PSL flag dims, one frame per suffix
+# length the matcher probes: (sfx, flags...) with unique keys
+_PSL_DIMS_CACHE: dict[int, tuple] = {}
+
+
+def _psl_dims(spark) -> tuple:
+    hit = _PSL_DIMS_CACHE.get(id(spark))
+    if hit is not None:
+        return hit
+    psl = _psl()
+    d1 = spark.createDataFrame(
+        [(s, True) for s in sorted(psl["wild1"])], "_sfx1 string, _w1 boolean")
+    keys2 = sorted(psl["exact2"] | psl["exc2"] | psl["wild2"])
+    d2 = spark.createDataFrame(
+        [(s, s in psl["exact2"], s in psl["exc2"], s in psl["wild2"])
+         for s in keys2],
+        "_sfx2 string, _ex2 boolean, _xc2 boolean, _w2 boolean")
+    keys3 = sorted(psl["exact3"] | psl["exc3"])
+    d3 = spark.createDataFrame(
+        [(s, s in psl["exact3"], s in psl["exc3"]) for s in keys3],
+        "_sfx3 string, _ex3 boolean, _xc3 boolean")
+    out = (d1, d2, d3)
+    _PSL_DIMS_CACHE[id(spark)] = out
+    return out
+
+
+def attach_registrable_domain(df, host: Column, out: str = "domain"):
+    """THE production-path registrable-domain derivation: three
+    BroadcastHashJoins of the host's last-1/2/3-label extracts
+    against the PSL flag dims (rule-count-sized — KBs on the wire),
+    then the shared precedence chain. Plan-build cost is constant
+    and tiny (no literal sets in the tree — the 980-literal InSet of
+    :func:`registrable_domain` cost ~1 s of driver time PER QUERY in
+    expression construction + analysis, r12 measurement); per-row
+    cost is three hash probes inside whole-stage codegen; no
+    shuffle, no state — stream-static safe, 100 TB-safe. Returns
+    ``df`` + the ``out`` column; row count and order preserved
+    (left joins on unique dim keys)."""
+    spark = df.sparkSession
+    d1, d2, d3 = _psl_dims(spark)
+    h = "__psl_host"
+    res = df.withColumn(h, host)
+    hc = F.col(h)
+    res = (
+        res.withColumn("__s1", _last_labels(hc, 1))
+        .withColumn("__s2", _last_labels(hc, 2))
+        .withColumn("__s3", _last_labels(hc, 3))
+        .withColumn("__s4", _last_labels(hc, 4))
+        .join(F.broadcast(d1), F.col("__s1") == F.col("_sfx1"), "left")
+        .join(F.broadcast(d2), F.col("__s2") == F.col("_sfx2"), "left")
+        .join(F.broadcast(d3), F.col("__s3") == F.col("_sfx3"), "left")
+    )
+
+    def flag(name: str) -> Column:
+        return F.coalesce(F.col(name), F.lit(False))
+
+    dom = _registrable_case(
+        hc, F.col("__s2"), F.col("__s3"), F.col("__s4"),
+        flag("_xc3"), flag("_xc2"), flag("_ex3"), flag("_w2"),
+        flag("_ex2"), flag("_w1"),
+    )
+    return res.withColumn(out, dom).drop(
+        h, "__s1", "__s2", "__s3", "__s4",
+        "_sfx1", "_w1", "_sfx2", "_ex2", "_xc2", "_w2",
+        "_sfx3", "_ex3", "_xc3",
+    )
+
+
 def _last_labels(host: Column, k: int) -> Column:
     """The last ``k`` dot-separated labels of ``host`` ('' when the
     host has fewer than ``k`` labels)."""
@@ -186,12 +273,17 @@ def _last_labels(host: Column, k: int) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    """PSL registrable domain of a canonical host (module docstring:
-    exception > longest rule > default; wildcard eats one label).
-    Compiled to InSet probes on the last-1..4-label extracts — pure
-    codegen column arithmetic, no join. Reference parity:
-    sarfile_analyzer_ng has no URL layer; the contract is the PSL
-    algorithm itself (publicsuffix.org/list/)."""
+    """PSL registrable domain as a pure COLUMN expression (module
+    docstring: exception > longest rule > default; wildcard eats one
+    label): InSet probes on the last-1..4-label extracts — no join,
+    usable anywhere a Column fits. CAVEAT: the ~1k-literal InSet
+    costs ~1 s of driver time per query in expression construction +
+    analysis (r12 measurement), so fact-table plans should use
+    :func:`attach_registrable_domain` (broadcast-join; same result,
+    pinned equal in tests/test_wave19.py) — this form is for
+    model-sized frames, tests, and interactive use. Reference
+    parity: sarfile_analyzer_ng has no URL layer; the contract is
+    the PSL algorithm itself (publicsuffix.org/list/)."""
     psl = _psl()
     s1, s2 = _last_labels(host, 1), _last_labels(host, 2)
     s3, s4 = _last_labels(host, 3), _last_labels(host, 4)
@@ -202,17 +294,11 @@ def registrable_domain(host: Column) -> Column:
             return F.lit(False)
         return col.isin(vals)
 
-    def or_host(col: Column) -> Column:
-        # host shorter than public-suffix+1: the host IS (part of) a
-        # public suffix — passthrough, same as the pre-PSL fallback
-        return F.when(col != "", col).otherwise(host)
-
-    return (
-        F.when(in_set(s3, "exc3"), s3)
-        .when(in_set(s2, "exc2"), s2)
-        .when(in_set(s3, "exact3") | in_set(s2, "wild2"), or_host(s4))
-        .when(in_set(s2, "exact2") | in_set(s1, "wild1"), or_host(s3))
-        .otherwise(or_host(s2))
+    return _registrable_case(
+        host, s2, s3, s4,
+        in_set(s3, "exc3"), in_set(s2, "exc2"),
+        in_set(s3, "exact3"), in_set(s2, "wild2"),
+        in_set(s2, "exact2"), in_set(s1, "wild1"),
     )
 
 

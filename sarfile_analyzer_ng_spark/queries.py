@@ -9112,15 +9112,14 @@ def q190_url_canonicalize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     urls = docs.withColumn("url", _synth_url_expr())
     host = W.url_host(F.col("url"))
-    return urls.select(
+    canon = urls.select(
         "doc_id",
         "url",
         W.canonical_url(F.col("url")).alias("canon_url"),
         host.alias("host"),
-        W.registrable_domain(
-            F.regexp_replace(host, r":[0-9]+$", "")
-        ).alias("domain"),
     )
+    return W.attach_registrable_domain(
+        canon, F.regexp_replace(F.col("host"), r":[0-9]+$", ""))
 
 
 SQL_Q190 = f"""
@@ -9153,11 +9152,9 @@ def q191_domain_rollup(spark, sf_dir):
         "doc_id", "lang", "source", "text")
     urls = docs.withColumn("url", _synth_url_expr())
     host = W.url_host(F.col("url"))
-    bare = F.regexp_replace(host, r":[0-9]+$", "")
-    enr = urls.select(
-        "doc_id", "lang", "text",
-        host.alias("host"),
-        W.registrable_domain(bare).alias("domain"),
+    enr = W.attach_registrable_domain(
+        urls.select("doc_id", "lang", "text", host.alias("host")),
+        F.regexp_replace(F.col("host"), r":[0-9]+$", ""),
     )
     blocked = spark.createDataFrame(
         [(d,) for d in BLOCKED_DOMAINS], "domain string")
@@ -9694,11 +9691,13 @@ def q197_url_dup_rate(spark, sf_dir):
     ).where(F.col("doc_id") % 2 == 0)
     crawl = fetch1.unionByName(refetch)
     host = W.url_host(F.col("url"))
-    enr = crawl.select(
-        W.canonical_url(F.col("url")).alias("canon"),
-        W.registrable_domain(
-            F.regexp_replace(host, r":[0-9]+$", "")).alias("domain"),
-    )
+    enr = W.attach_registrable_domain(
+        crawl.select(
+            W.canonical_url(F.col("url")).alias("canon"),
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
     return (
         enr.groupBy("domain")
         .agg(
@@ -10453,13 +10452,15 @@ def q205_license_rollup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     urls = docs.withColumn("url", _synth_url_expr())
     host = W.url_host(F.col("url"))
-    bare = F.regexp_replace(host, r":[0-9]+$", "")
     toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    enr = urls.select(
-        "doc_id",
-        W.registrable_domain(bare).alias("domain"),
-        toks.cast("long").alias("n_tok"),
-    )
+    enr = W.attach_registrable_domain(
+        urls.select(
+            "doc_id",
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+            toks.cast("long").alias("n_tok"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
     policy = domain_policy(enr)
     joined = enr.join(F.broadcast(policy), "domain")
     return (
@@ -10621,11 +10622,12 @@ def q201_curation_funnel_v2(spark, sf_dir):
         .alias("text"),
     )
     host = W.url_host(F.col("url"))
-    dom = W.registrable_domain(F.regexp_replace(host, r":[0-9]+$", ""))
     w1 = Window.partitionBy(
         W.canonical_url(F.col("url"))).orderBy("doc_id")
-    f1 = crawl.withColumn("k1", F.row_number().over(w1) == 1) \
-        .withColumn("domain", dom)
+    f1 = W.attach_registrable_domain(
+        crawl.withColumn("k1", F.row_number().over(w1) == 1),
+        F.regexp_replace(host, r":[0-9]+$", ""),
+    )
     # stage 2, generalized (r11): a broadcast POLICY table (q205's
     # blocklist + robots + license rule) instead of a literal isin —
     # survivors are status='allow' (blocklisted AND robots-disallowed
@@ -10842,13 +10844,15 @@ def q202_url_frontier(spark, sf_dir):
     )
     batch = reoffer.unionByName(fresh)
     host = W.url_host(F.col("url"))
-    dom = W.registrable_domain(F.regexp_replace(host, r":[0-9]+$", ""))
     seen = existing.select(
         W.canonical_url(F.col("url")).alias("canon")).distinct()
-    cand = batch.select(
-        W.canonical_url(F.col("url")).alias("canon"),
-        dom.alias("domain"),
-    )
+    cand = W.attach_registrable_domain(
+        batch.select(
+            W.canonical_url(F.col("url")).alias("canon"),
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
     novel = cand.join(seen, "canon", "left_anti") \
         .groupBy("domain") \
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))

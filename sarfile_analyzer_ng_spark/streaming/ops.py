@@ -1422,29 +1422,39 @@ def url_screen_stream(stream: DataFrame, url_col: str,
     """Streaming URL canonicalization + domain gate (ST30): the live
     form of q190/q191's first-stage crawl curation — every arriving
     record gains its canonical URL, host, registrable domain, and a
-    blocklist verdict as a PURE PROJECTION (functions/web.py is
-    regexp + array HOFs only: no shuffle, no state, no watermark), so
-    it runs identically on a batch frame and a readStream frame and
-    composes in front of ST5's exact-dedup (on canon_url) exactly
-    like the batch pipeline. The blocklist rides as a codegen IN
-    literal — model-sized by the q191 contract (a million-domain
-    list would broadcast-join instead, same plan shape)."""
+    blocklist verdict with no state and no watermark: the
+    canonicalizer is a pure projection (functions/web.py is regexp +
+    array HOFs only) and the PSL registrable-domain derivation is a
+    stream-static BroadcastHashJoin against the rule-count-sized PSL
+    flag dims (r12 — the same
+    ``web.attach_registrable_domain`` the batch queries use, so the
+    two paths cannot drift), so it runs identically on a batch frame
+    and a readStream frame and composes in front of ST5's
+    exact-dedup (on canon_url) exactly like the batch pipeline. The
+    blocklist rides as a codegen IN literal — model-sized by the
+    q191 contract (a million-domain list would broadcast-join
+    instead, same plan shape)."""
     from ..functions import web as W
 
     host = W.url_host(F.col(url_col))
     bare = F.regexp_replace(host, r":[0-9]+$", "")
-    dom = W.registrable_domain(bare)
+    enr = W.attach_registrable_domain(
+        stream.select(
+            "*",
+            W.canonical_url(F.col(url_col)).alias("canon_url"),
+            host.alias("host"),
+        ),
+        bare,
+    )
+    dom = F.col("domain")
     blocked = (
         dom.isin(*[F.lit(d) for d in blocked_domains])
         if blocked_domains else F.lit(False)
     )
     if robots_hex:
         blocked = blocked | F.substring(F.md5(dom), 1, 1).isin(*robots_hex)
-    return stream.select(
+    return enr.select(
         "*",
-        W.canonical_url(F.col(url_col)).alias("canon_url"),
-        host.alias("host"),
-        dom.alias("domain"),
         F.when(blocked, F.lit("drop")).otherwise(F.lit("keep"))
         .alias("verdict"),
     )

@@ -173,3 +173,49 @@ def test_st33_hot_block_screen_batch_parity(spark):
     # the link-free rating DIV (df = N/5) is among them — the block
     # the link-density rule alone cannot catch
     assert any(0.19 <= true_df[h] / n_pages <= 0.21 for h in flagged)
+
+
+def test_attach_registrable_domain_matches_column_form(spark):
+    """The broadcast-join derivation (production path) and the InSet
+    column form must agree on every pinned PSL case AND on the full
+    synthesized URL universe — the guard that keeps the two
+    implementations from drifting."""
+    from sarfile_analyzer_ng_spark.queries import _synth_url_expr, _t
+
+    df = spark.createDataFrame(
+        [(h,) for h, _ in PSL_CASES], "host string")
+    joined = W.attach_registrable_domain(df, F.col("host"), "dom_j")
+    both = joined.withColumn(
+        "dom_c", W.registrable_domain(F.col("host"))).collect()
+    for r in both:
+        assert r.dom_j == r.dom_c, r
+    want = dict(PSL_CASES)
+    for r in both:
+        assert r.dom_j == want[r.host], r
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "source")
+    urls = docs.withColumn("url", _synth_url_expr())
+    host = F.regexp_replace(
+        W.url_host(F.col("url")), r":[0-9]+$", "")
+    enr = W.attach_registrable_domain(
+        urls.withColumn("_bare", host), F.col("_bare"), "dom_j")
+    mism = enr.withColumn(
+        "dom_c", W.registrable_domain(F.col("_bare"))).where(
+        F.col("dom_j") != F.col("dom_c")).count()
+    assert mism == 0
+
+
+def test_attach_registrable_domain_broadcasts(spark):
+    """Plan shape: the PSL dims ride as BroadcastHashJoins (no
+    shuffle on the fact side) and row multiplicity is preserved."""
+    from sarfile_analyzer_ng_spark.queries import _synth_url_expr, _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "source")
+    urls = docs.withColumn("url", _synth_url_expr())
+    enr = W.attach_registrable_domain(
+        urls, W.url_host(F.col("url")), "domain")
+    plan = enr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert enr.count() == urls.count()
