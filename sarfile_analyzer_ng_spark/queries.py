@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .util import fan_out, rnd, sql_rnd
+from .util import fan_out, rnd, shard_hash, sql_rnd
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as TX
 from .functions import html as H
+from .functions import markdown as MD
 from .functions import web as W
 from .operators import relational as R
 from .operators import reshape as RS
@@ -11114,6 +11115,506 @@ SQL_Q204 = _sql_softmax()
 
 
 
+# --------------------------------------------------------------------
+# r12 wave 2: crawl-curation completeness — per-domain quotas, trap
+# detection, markdown extraction, leakage-safe splits, the outlink
+# graph (RefinedWeb §3.1 / Dolma §2's DOMAIN-level machinery)
+# --------------------------------------------------------------------
+
+DOMAIN_QUOTA = 20  # max docs kept per registrable domain
+
+
+def q208_domain_quota(spark, sf_dir):
+    """Per-domain document quota (RefinedWeb/Dolma both cap how much
+    any one registrable domain contributes — without it, template
+    farms dominate the mix): score every doc with the cheap quality
+    signal (distinct-token ratio × log token count), rank within its
+    domain, keep the top ``DOMAIN_QUOTA``; report per domain how many
+    docs and what token mass the cap cuts. One URL-synth map + PSL
+    broadcast joins, ONE domain-keyed rank window (the op IS
+    per-domain ranking — skewed domains are exactly what the cap
+    trims, and the window rows carry only (score, id)), one
+    combinable agg. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    urls = docs.withColumn("url", _synth_url_expr())
+    host = W.url_host(F.col("url"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    score = rnd(
+        (F.size(F.array_distinct(toks)) / n_tok.cast("double"))
+        * F.log(F.lit(1.0) + n_tok), 6)
+    enr = W.attach_registrable_domain(
+        urls.select(
+            "doc_id",
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+            n_tok.cast("long").alias("n_tok"),
+            score.alias("score"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
+    w = Window.partitionBy("domain").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    ranked = enr.withColumn("_kept", F.row_number().over(w) <= DOMAIN_QUOTA)
+    return ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.col("_kept").cast("long")))
+        .cast("long").alias("n_dropped"),
+        rnd(F.sum(F.when(F.col("_kept"), F.col("n_tok")).otherwise(0))
+            / F.sum("n_tok").cast("double"), 4).alias("kept_token_frac"),
+    )
+
+
+_SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_Q208_SCORE = sql_rnd(
+    f"(len(list_distinct({_SQL_TOKS}))::DOUBLE / len({_SQL_TOKS}))"
+    f" * ln(1.0 + len({_SQL_TOKS}))", 6)
+_SQL_Q208_MASS = sql_rnd(
+    f"sum(CASE WHEN rk <= {DOMAIN_QUOTA} THEN n_tok ELSE 0 END)::DOUBLE"
+    " / sum(n_tok)", 4)
+
+SQL_Q208 = f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+{_SQL_CANON_CTES},
+scored AS (
+  SELECT doc_id, domain,
+         len({_SQL_TOKS})::BIGINT AS n_tok,
+         {_SQL_Q208_SCORE} AS score
+  FROM dom),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY domain ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rk <= {DOMAIN_QUOTA} THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       (count(*) - sum(CASE WHEN rk <= {DOMAIN_QUOTA} THEN 1 ELSE 0 END))::BIGINT
+         AS n_dropped,
+       {_SQL_Q208_MASS} AS kept_token_frac
+FROM ranked GROUP BY domain
+"""
+
+
+# trap-URL classification rules (canonical path/query; ``ref`` is a
+# TRACKING param — already dropped by canonicalization — so the
+# session rule keys on sessionid/sid/phpsessid only). RE2 ∩ Java
+# subset, no brace quantifiers so the oracle f-strings stay plain.
+TRAP_PAGE_PATH_RE = r"/page/[0-9]+($|/)"
+TRAP_PAGE_QUERY_RE = r"(^|&)(p|page|start)=[0-9]+"
+TRAP_CAL_PATH_RE = r"/(19|20)[0-9][0-9]/[0-9][0-9]?(/|$)"
+TRAP_SESSION_QUERY_RE = r"(^|&)(sessionid|sid|phpsessid)="
+
+
+def q209_crawl_trap_audit(spark, sf_dir):
+    """Crawl-trap audit (every production crawler ships one —
+    pagination chains, calendar archives, and session-id URL spaces
+    are infinite and content-free; a frontier that cannot see them
+    drowns): candidates are each doc's base URL plus planted trap
+    variants (pagination on every 3rd doc, calendar archive on every
+    5th, session id on every 4th — built from the doc's OWN
+    scheme+host so the audit rolls up per real domain); the rules
+    classify the CANONICAL path/query. Per domain: candidates,
+    per-kind counts, trap rate — the table that sets per-domain
+    frontier budgets. Map + PSL broadcast joins + one combinable
+    agg. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.withColumn("url", _synth_url_expr())
+    prefix = F.regexp_extract(F.col("url"), r"^([A-Za-z]+://[^/?#]+)", 1)
+    pagin = base.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(prefix, F.lit("/list/page/"),
+                 (F.col("doc_id") % 9 + 2).cast("string")).alias("url"),
+    )
+    cal = base.where(F.col("doc_id") % 5 == 1).select(
+        "doc_id",
+        F.concat(prefix, F.lit("/archive/"),
+                 (F.col("doc_id") % 15 + 2010).cast("string"),
+                 F.lit("/"),
+                 (F.col("doc_id") % 12 + 1).cast("string")).alias("url"),
+    )
+    sess = base.where(F.col("doc_id") % 4 == 2).select(
+        "doc_id",
+        F.concat(prefix, F.lit("/item/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?sessionid=s"),
+                 (F.col("doc_id") % 7).cast("string")).alias("url"),
+    )
+    cand = base.select("doc_id", "url").unionByName(pagin) \
+        .unionByName(cal).unionByName(sess)
+    host = W.url_host(F.col("url"))
+    enr = W.attach_registrable_domain(
+        cand.select(
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+            W.url_path(F.col("url")).alias("_path"),
+            W.url_query_canonical(F.col("url")).alias("_q"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
+    pg = F.col("_path").rlike(TRAP_PAGE_PATH_RE) \
+        | F.col("_q").rlike(TRAP_PAGE_QUERY_RE)
+    ca = F.col("_path").rlike(TRAP_CAL_PATH_RE)
+    se = F.col("_q").rlike(TRAP_SESSION_QUERY_RE)
+    return enr.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(pg.cast("long")).cast("long").alias("n_pagination"),
+        F.sum(ca.cast("long")).cast("long").alias("n_calendar"),
+        F.sum(se.cast("long")).cast("long").alias("n_session"),
+        F.sum((pg | ca | se).cast("long")).cast("long").alias("n_trap"),
+        rnd(F.sum((pg | ca | se).cast("long"))
+            / F.count(F.lit(1)).cast("double"), 4).alias("trap_rate"),
+    )
+
+
+_SQL_Q209_RATE = sql_rnd(
+    "sum(CASE WHEN pg OR ca OR se THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)
+
+SQL_Q209 = f"""
+WITH base AS ({_SQL_SYNTH_URL}),
+cand0 AS (
+  SELECT doc_id, url FROM base
+  UNION ALL
+  SELECT doc_id, regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)
+         || '/list/page/' || CAST(doc_id % 9 + 2 AS VARCHAR) AS url
+  FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)
+         || '/archive/' || CAST(doc_id % 15 + 2010 AS VARCHAR)
+         || '/' || CAST(doc_id % 12 + 1 AS VARCHAR) AS url
+  FROM base WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id, regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)
+         || '/item/' || CAST(doc_id AS VARCHAR)
+         || '?sessionid=s' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM base WHERE doc_id % 4 = 2),
+urls AS (SELECT doc_id, url FROM cand0),
+{_SQL_CANON_CTES},
+flags AS (
+  SELECT domain,
+         (regexp_matches(path, '{TRAP_PAGE_PATH_RE}')
+          OR regexp_matches(qc, '{TRAP_PAGE_QUERY_RE}')) AS pg,
+         regexp_matches(path, '{TRAP_CAL_PATH_RE}') AS ca,
+         regexp_matches(qc, '{TRAP_SESSION_QUERY_RE}') AS se
+  FROM dom)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN pg THEN 1 ELSE 0 END)::BIGINT AS n_pagination,
+       sum(CASE WHEN ca THEN 1 ELSE 0 END)::BIGINT AS n_calendar,
+       sum(CASE WHEN se THEN 1 ELSE 0 END)::BIGINT AS n_session,
+       sum(CASE WHEN pg OR ca OR se THEN 1 ELSE 0 END)::BIGINT AS n_trap,
+       {_SQL_Q209_RATE} AS trap_rate
+FROM flags GROUP BY domain
+"""
+
+
+def _synth_md_expr():
+    """Deterministic messy-markdown column wrapping ``documents.text``
+    — the markdown twin of :func:`_synth_html_expr`, covering every
+    extraction rule: an ATX header, the document text, a bullet
+    list, a fenced code block, a link, an image, emphasis."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("# "), F.col("source"), F.lit(" report\n\n"),
+        F.col("text"),
+        F.lit("\n\n- item one\n- item two\n\n```\ncode "), did,
+        F.lit("\n```\n\nsee [docs](https://"), F.col("source"),
+        F.lit(".com/d/"), did,
+        F.lit(") and ![logo](/img/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".png) **bold** and _em_ end"),
+    )
+
+
+def q210_markdown_extract(spark, sf_dir):
+    """Markdown → text extraction (functions/markdown.py — the
+    stage-0 sibling of q203 for README/forum/wiki corpora): fenced
+    code drops with its content, images keep alt text, links keep
+    labels, header/bullet/emphasis markers strip, whitespace
+    normalizes. Per doc: construct counts, extracted length and md5.
+    Pure per-row regexp map — no shuffle, no explode. Fully
+    value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pages = docs.withColumn("md", _synth_md_expr())
+    out = MD.md_extract(pages, "md", "doc_id")
+    return out.select(
+        "doc_id", "n_code", "n_images", "n_links", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_Q210 = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '# ' || source || ' report' || chr(10) || chr(10) || text
+         || chr(10) || chr(10) || '- item one' || chr(10) || '- item two'
+         || chr(10) || chr(10) || '```' || chr(10) || 'code '
+         || CAST(doc_id AS VARCHAR) || chr(10) || '```'
+         || chr(10) || chr(10) || 'see [docs](https://' || source
+         || '.com/d/' || CAST(doc_id AS VARCHAR) || ') and ![logo](/img/'
+         || CAST(doc_id % 5 AS VARCHAR) || '.png) **bold** and _em_ end'
+           AS md
+  FROM documents),
+c1 AS (
+  SELECT doc_id, md,
+         len(regexp_extract_all(md, '{MD.FENCE_RE}'))::BIGINT AS n_code,
+         regexp_replace(md, '{MD.FENCE_RE}', ' ', 'g') AS s1
+  FROM pages),
+c2 AS (
+  SELECT *, len(regexp_extract_all(s1, '{MD.IMAGE_RE}'))::BIGINT AS n_images,
+         regexp_replace(s1, '{MD.IMAGE_RE}', '\\1', 'g') AS s2
+  FROM c1),
+c3 AS (
+  SELECT *, len(regexp_extract_all(s2, '{MD.LINK_RE}'))::BIGINT AS n_links,
+         regexp_replace(s2, '{MD.LINK_RE}', '\\1', 'g') AS s3
+  FROM c2),
+c4 AS (
+  SELECT *, trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(s3, '{MD.HEADER_RE}', '', 'g'),
+               '{MD.BULLET_RE}', '', 'g'),
+             '{MD.EMPHASIS_RE}', '', 'g'),
+           '\\s+', ' ', 'g')) AS txt
+  FROM c3)
+SELECT doc_id, n_code, n_images, n_links,
+       length(txt)::BIGINT AS n_chars, md5(txt) AS text_md5
+FROM c4
+"""
+
+
+SPLIT_MIRROR_OFFSET = 4_000_000
+
+
+def q211_domain_split_leakage(spark, sf_dir):
+    """Split-leakage audit, doc-keyed vs domain-keyed (why serious
+    pipelines split train/val/test BY REGISTRABLE DOMAIN: a doc-id
+    hash split puts pages of the same site on both sides of the eval
+    boundary): the corpus is every doc plus a cross-domain MIRROR of
+    every 7th doc (same text on mirror-<source>.net — the q201
+    plant). Both schemes assign splits with the engine-portable
+    multiplicative hash (q43's contract; the domain scheme hashes
+    the domain's 32-bit md5 fingerprint). Per scheme: split sizes,
+    domains straddling >1 split (domain scheme: ZERO by
+    construction), and exact-text groups leaking across splits —
+    nonzero under BOTH schemes thanks to the mirrors, which is the
+    point: domain splitting fixes same-site leakage, only text-level
+    decontamination (q62/q92) catches mirrors. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.withColumn("url", _synth_url_expr())
+    mirror = base.where(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + SPLIT_MIRROR_OFFSET).alias("doc_id"),
+        "source", "text",
+        F.concat(F.lit("https://mirror-"), F.col("source"),
+                 F.lit(".net/copy/"),
+                 (F.col("doc_id") % 1000).cast("string")).alias("url"),
+    )
+    crawl = base.unionByName(mirror)
+    host = W.url_host(F.col("url"))
+    enr = W.attach_registrable_domain(
+        crawl.select(
+            "doc_id", F.md5("text").alias("h"),
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
+
+    def split_col(bucket):
+        return (
+            F.when(bucket < SPLIT_WEIGHTS["train"], F.lit("train"))
+            .when(bucket < SPLIT_WEIGHTS["train"] + SPLIT_WEIGHTS["val"],
+                  F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    both = enr.select(
+        "doc_id", "h", "domain",
+        split_col(shard_hash(F.col("doc_id"), 100)).alias("by_doc"),
+        split_col(shard_hash(D.fp32_expr(F.col("domain")), 100))
+        .alias("by_domain"),
+    )
+    frames = []
+    for scheme in ("by_doc", "by_domain"):
+        s = F.col(scheme)
+        sizes = both.agg(
+            F.sum((s == "train").cast("long")).cast("long").alias("n_train"),
+            F.sum((s == "val").cast("long")).cast("long").alias("n_val"),
+            F.sum((s == "test").cast("long")).cast("long").alias("n_test"),
+        ).select(F.lit(scheme).alias("scheme"), "*")
+        straddle = (
+            both.groupBy("domain")
+            .agg(F.countDistinct(scheme).alias("ns"))
+            .agg(F.sum((F.col("ns") > 1).cast("long")).cast("long")
+                 .alias("straddling_domains"))
+        )
+        leak = (
+            both.groupBy("h")
+            .agg(F.countDistinct(scheme).alias("ns"))
+            .agg(F.sum((F.col("ns") > 1).cast("long")).cast("long")
+                 .alias("leaking_text_groups"))
+        )
+        frames.append(sizes.crossJoin(straddle).crossJoin(leak))
+    return frames[0].unionByName(frames[1])
+
+
+_SQL_DOC_BUCKET = "((doc_id % 1000003) * 2654435761 % 100 + 100) % 100"
+_SQL_DOM_BUCKET = ("((('0x' || substr(md5(domain), 1, 8))::BIGINT % 1000003)"
+                   " * 2654435761 % 100 + 100) % 100")
+
+SQL_Q211 = f"""
+WITH base AS ({_SQL_SYNTH_URL}),
+crawl AS (
+  SELECT doc_id, text, url FROM base
+  UNION ALL
+  SELECT doc_id + {SPLIT_MIRROR_OFFSET} AS doc_id, text,
+         'https://mirror-' || source || '.net/copy/'
+         || CAST(doc_id % 1000 AS VARCHAR) AS url
+  FROM base WHERE doc_id % 7 = 1),
+urls AS (SELECT doc_id, text, url FROM crawl),
+{_SQL_CANON_CTES},
+keyed AS (
+  SELECT doc_id, md5(text) AS h, domain,
+         {_SQL_DOC_BUCKET} AS bd, {_SQL_DOM_BUCKET} AS bm
+  FROM dom),
+assigned AS (
+  SELECT doc_id, h, domain,
+         CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val'
+              ELSE 'test' END AS by_doc,
+         CASE WHEN bm < 80 THEN 'train' WHEN bm < 90 THEN 'val'
+              ELSE 'test' END AS by_domain
+  FROM keyed),
+u AS (
+  SELECT 'by_doc' AS scheme, by_doc AS split, h, domain FROM assigned
+  UNION ALL
+  SELECT 'by_domain' AS scheme, by_domain AS split, h, domain
+  FROM assigned),
+sizes AS (
+  SELECT scheme,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+           AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+  FROM u GROUP BY scheme),
+str_ AS (
+  SELECT scheme, sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS straddling_domains
+  FROM (SELECT scheme, domain, count(DISTINCT split) AS ns
+        FROM u GROUP BY scheme, domain) GROUP BY scheme),
+lk AS (
+  SELECT scheme, sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS leaking_text_groups
+  FROM (SELECT scheme, h, count(DISTINCT split) AS ns
+        FROM u GROUP BY scheme, h) GROUP BY scheme)
+SELECT s.scheme, s.n_train, s.n_val, s.n_test,
+       str_.straddling_domains, lk.leaking_text_groups
+FROM sizes s JOIN str_ USING (scheme) JOIN lk USING (scheme)
+"""
+
+
+HREF_RE = r'(?i)<a\s[^>]*href="([^"]+)"'
+OUTLINK_OFFSET = 10_000_000
+
+
+def _outlink_frag():
+    """Two planted ABSOLUTE cross-domain anchors per page (the synth
+    chrome's own anchors are all relative = same-domain)."""
+    return F.concat(
+        F.lit('<p>see <a href="https://src'),
+        ((F.col("doc_id") * 3) % 20).cast("string"),
+        F.lit(".com/r/"), F.col("doc_id").cast("string"),
+        F.lit('">ref</a> and <a href="HTTP://www.src'),
+        ((F.col("doc_id") * 7 + 1) % 20).cast("string"),
+        F.lit('.co.uk/p">partner</a></p>'),
+    )
+
+
+def q212_outlink_graph(spark, sf_dir):
+    """Outlink extraction + domain-level link graph (the crawl
+    frontier's prioritization input — RefinedWeb seeds from link
+    structure; q158 pageranks a dup graph, THIS builds the real
+    hyperlink one): hrefs come out of the raw markup in one regexp
+    pass, relative links resolve to the page's own domain, absolute
+    links canonicalize through the same PSL chain as every URL op.
+    Per TARGET domain: in-links, distinct referring domains,
+    external in-links — the in-degree table a frontier ranks by.
+    One href-explode (bounded: links-per-page is a page-format
+    constant, not corpus-scale), PSL broadcast joins, one combinable
+    agg. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    own = W.attach_registrable_domain(
+        docs.withColumn("url", _synth_url_expr()).select(
+            "doc_id", "source", "text",
+            F.regexp_replace(W.url_host(F.col("url")), r":[0-9]+$", "")
+            .alias("_bare"),
+        ),
+        F.col("_bare"), "src_domain",
+    ).drop("_bare")
+    pages = own.withColumn(
+        "html", F.concat(_synth_html_expr(), _outlink_frag()))
+    hrefs = pages.select(
+        "doc_id", "src_domain",
+        F.explode(F.regexp_extract_all(F.col("html"), F.lit(HREF_RE), 1))
+        .alias("href"),
+    )
+    dst_host = F.regexp_replace(W.url_host(F.col("href")), r":[0-9]+$", "")
+    edges = W.attach_registrable_domain(
+        hrefs.withColumn(
+            "_dst_bare",
+            F.when(F.col("href").startswith("/"), F.lit(""))
+            .otherwise(dst_host),
+        ),
+        F.col("_dst_bare"), "_dst_abs",
+    ).select(
+        "src_domain",
+        F.when(F.col("href").startswith("/"), F.col("src_domain"))
+        .otherwise(F.col("_dst_abs")).alias("dst_domain"),
+    )
+    return edges.groupBy("dst_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.countDistinct("src_domain").cast("long").alias("n_referrers"),
+        F.sum((F.col("src_domain") != F.col("dst_domain")).cast("long"))
+        .cast("long").alias("n_external"),
+    )
+
+
+SQL_Q212 = f"""
+WITH pages0 AS ({_SQL_SYNTH_HTML}),
+own0 AS ({_SQL_SYNTH_URL}),
+pages AS (
+  SELECT p.doc_id,
+         p.html || '<p>see <a href="https://src'
+         || CAST((p.doc_id * 3) % 20 AS VARCHAR)
+         || '.com/r/' || CAST(p.doc_id AS VARCHAR)
+         || '">ref</a> and <a href="HTTP://www.src'
+         || CAST((p.doc_id * 7 + 1) % 20 AS VARCHAR)
+         || '.co.uk/p">partner</a></p>' AS html
+  FROM pages0 p),
+hr AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+  FROM pages),
+urls AS (
+  SELECT doc_id, url FROM own0
+  UNION ALL
+  SELECT doc_id + {OUTLINK_OFFSET} AS doc_id, href AS url
+  FROM hr WHERE href NOT LIKE '/%'),
+{_SQL_CANON_CTES},
+own AS (SELECT doc_id, domain FROM dom WHERE doc_id < {OUTLINK_OFFSET}),
+abs_ AS (SELECT doc_id - {OUTLINK_OFFSET} AS doc_id, url AS href, domain
+         FROM dom WHERE doc_id >= {OUTLINK_OFFSET}),
+edges AS (
+  SELECT o.domain AS src_domain,
+         CASE WHEN h.href LIKE '/%' THEN o.domain ELSE a.domain END
+           AS dst_domain
+  FROM hr h
+  JOIN own o USING (doc_id)
+  LEFT JOIN abs_ a ON a.doc_id = h.doc_id AND a.href = h.href)
+SELECT dst_domain, count(*)::BIGINT AS n_in,
+       count(DISTINCT src_domain)::BIGINT AS n_referrers,
+       sum(CASE WHEN src_domain <> dst_domain THEN 1 ELSE 0 END)::BIGINT
+         AS n_external
+FROM edges GROUP BY dst_domain
+"""
+
+
+
 # key -> (spark callable, oracle SQL)
 #
 # ORDER MATTERS: the driver's correctness harness records only the
@@ -11142,6 +11643,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
     "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
+    "q208_domain_quota": (q208_domain_quota, SQL_Q208),
+    "q209_crawl_trap_audit": (q209_crawl_trap_audit, SQL_Q209),
+    "q210_markdown_extract": (q210_markdown_extract, SQL_Q210),
+    "q211_domain_split_leakage": (q211_domain_split_leakage, SQL_Q211),
+    "q212_outlink_graph": (q212_outlink_graph, SQL_Q212),
     "q62_decontaminate": (q62_decontaminate, SQL_Q62),
     "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
@@ -11178,13 +11684,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_alias_join": (q16_alias_join, SQL_Q16),
     "q17_join_rollup": (q17_join_rollup, SQL_Q17),
     "q18_topk": (q18_topk, SQL_Q18),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q19_correlation": (q19_correlation, SQL_Q19),
     "q20_outliers": (q20_outliers, SQL_Q20),
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
     "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
     "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q24_running_sum": (q24_running_sum, SQL_Q24),
     "q25_asof_join": (q25_asof_join, SQL_Q25),
     "q26_sessionize": (q26_sessionize, SQL_Q26),

@@ -1,0 +1,125 @@
+"""Round-12 wave-2: per-domain quotas (q208), crawl-trap audit
+(q209), markdown extraction (q210), split-leakage audit (q211), the
+outlink graph (q212)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _no_python_udf(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    return plan
+
+
+def test_q208_quota_caps_every_domain(spark):
+    from sarfile_analyzer_ng_spark.queries import (
+        DOMAIN_QUOTA, q208_domain_quota)
+
+    out = q208_domain_quota(spark, SF_DIR)
+    _no_python_udf(out)
+    rows = out.collect()
+    for r in rows:
+        assert r.n_kept <= DOMAIN_QUOTA
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert 0.0 < r.kept_token_frac <= 1.0
+        # the cap keeps the HIGH-score docs: kept token share must be
+        # at least the kept doc share would give under uniform tokens
+        # only when something was dropped is the comparison meaningful
+        if r.n_dropped > 0:
+            assert r.n_kept < r.n_docs
+    assert any(r.n_dropped > 0 for r in rows), "quota must bite at sf0.001"
+
+
+def test_q209_trap_plants_fire(spark):
+    from sarfile_analyzer_ng_spark.queries import q209_crawl_trap_audit
+
+    out = q209_crawl_trap_audit(spark, SF_DIR)
+    _no_python_udf(out)
+    agg = out.agg(
+        F.sum("n_pagination").alias("p"), F.sum("n_calendar").alias("c"),
+        F.sum("n_session").alias("s"), F.sum("n_trap").alias("t"),
+        F.sum("n_urls").alias("u")).collect()[0]
+    # every planted family fires, base URLs stay clean
+    assert agg.p > 0 and agg.c > 0 and agg.s > 0
+    assert agg.t <= agg.p + agg.c + agg.s  # a URL can carry ≤1 kind here
+    # plants: 1/3 + 1/5 + 1/4 of docs over (docs + plants) candidates
+    n_docs = agg.u - (agg.p + agg.c + agg.s)
+    assert abs(agg.p - n_docs / 3) <= n_docs * 0.01 + 2
+    assert abs(agg.c - n_docs / 5) <= n_docs * 0.01 + 2
+    assert abs(agg.s - n_docs / 4) <= n_docs * 0.01 + 2
+
+
+def test_markdown_extract_hand_cases(spark):
+    from sarfile_analyzer_ng_spark.functions import markdown as MD
+
+    cases = [
+        ("# Title\n\nbody text", "Title body text", 0, 0, 0),
+        ("pre ```\nsecret()\n``` post", "pre post", 1, 0, 0),
+        ("see [docs](http://x/y) now", "see docs now", 0, 0, 1),
+        ("logo ![alt words](/i.png) end", "logo alt words end", 0, 1, 0),
+        ("- a\n- b\n\ntail", "a b tail", 0, 0, 0),
+        ("**bold** and _em_ and ***both***", "bold and em and both",
+         0, 0, 0),
+        ("![img](u) then [link](v)", "img then link", 0, 1, 1),
+        ("```\n[not a link](x)\n```", "", 1, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, md) for i, (md, *_) in enumerate(cases)],
+        "i long, md string")
+    got = {r.i: r for r in MD.md_extract(df, "md", "i").collect()}
+    for i, (md, text, n_code, n_img, n_link) in enumerate(cases):
+        r = got[i]
+        assert r.text == text, (md, r.text)
+        assert (r.n_code, r.n_images, r.n_links) == (n_code, n_img, n_link), md
+
+
+def test_q211_domain_split_has_no_straddle(spark):
+    from sarfile_analyzer_ng_spark.queries import q211_domain_split_leakage
+
+    out = q211_domain_split_leakage(spark, SF_DIR)
+    # (no BNLJ assert here: the report row is a crossJoin of three
+    # ONE-ROW aggregate frames — the documented model-sized-grid
+    # exception)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = {r.scheme: r for r in out.collect()}
+    by_doc, by_dom = rows["by_doc"], rows["by_domain"]
+    assert by_doc.n_train + by_doc.n_val + by_doc.n_test == \
+        by_dom.n_train + by_dom.n_val + by_dom.n_test
+    # the audit's two headline facts
+    assert by_dom.straddling_domains == 0   # domain split: leak-free
+    assert by_doc.straddling_domains > 0    # doc split: sites straddle
+    # mirrors leak across splits under BOTH schemes
+    assert by_doc.leaking_text_groups > 0
+    assert by_dom.leaking_text_groups > 0
+
+
+def test_q212_outlink_graph_edges(spark):
+    from sarfile_analyzer_ng_spark.queries import q212_outlink_graph, _t
+
+    out = q212_outlink_graph(spark, SF_DIR)
+    plan = _no_python_udf(out)
+    assert "BroadcastHashJoin" in plan  # the PSL dims
+    rows = {r.dst_domain: r for r in out.collect()}
+    n_docs = _t(spark, SF_DIR, "documents").count()
+    # relative chrome links (nav 3 + footer 2 + promo on 1/3 of
+    # pages) resolve to the page's OWN domain
+    own_in = sum(r.n_in - r.n_external for r in rows.values())
+    promo = sum(1 for i in range(n_docs) if i % 3 == 0)
+    # + the planted "ref" anchor when it lands on the page's own
+    # domain: (3d)%20 == d%20 AND the page's TLD branch is .com,
+    # i.e. every d%20 == 0
+    self_refs = sum(1 for i in range(n_docs) if i % 20 == 0)
+    assert own_in == n_docs * 5 + promo * 2 + self_refs
+    # the planted absolute anchors produce cross-domain edges onto
+    # the srcK.co.uk PSL family and srcK.com
+    assert any(d.endswith(".co.uk") and rows[d].n_external > 0
+               for d in rows)
+    assert sum(r.n_external for r in rows.values()) >= 2 * n_docs - n_docs / 10
+    # every referrer count is bounded by the 20-source universe + 1
+    assert all(r.n_referrers <= 21 for r in rows.values())
