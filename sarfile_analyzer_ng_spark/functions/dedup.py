@@ -1962,3 +1962,54 @@ def passage_containment_pairs(df: DataFrame, text_col: str, id_col: str,
                 cont.alias("containment"))
         .where(F.col("containment") >= float(threshold))
     )
+
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """LINE-level exact dedup, keep-first (CCNet §3.1 and Dolma both
+    deduplicate exact paragraphs/lines corpus-wide before any doc-
+    level op — the granularity between :func:`passage_dedup`'s fixed
+    word windows and whole-document dedup, and the one that actually
+    matches how web boilerplate is laid out: one template line per
+    line of markup). Documents split at newlines; lines trim; empty
+    lines drop; every occurrence of a line except the first (by
+    ``min(struct(doc, pos))`` — the map-side-combinable first-key agg
+    of passage_dedup) is cut; survivors stitch back in order with
+    newlines.
+
+    Shape at scale: one line explode (map), one md5-keyed combinable
+    agg, one hash join back, one per-doc rebuild agg. All linear; the
+    only state is the first-key cell per distinct line."""
+    lines = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .select("doc", "pos", F.trim(F.col("line")).alias("line"))
+        .where(F.col("line") != "")
+        .withColumn("h", F.md5("line"))
+    )
+    first = lines.groupBy("h").agg(
+        F.min(F.struct("doc", "pos")).alias("f"))
+    kept = lines.join(first, "h").withColumn(
+        "_keep",
+        (F.col("doc") == F.col("f.doc")) & (F.col("pos") == F.col("f.pos")),
+    )
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).cast("long")
+            .alias("n_cut"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct("pos", "line")))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

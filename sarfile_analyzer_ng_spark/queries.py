@@ -11514,16 +11514,28 @@ OUTLINK_OFFSET = 10_000_000
 
 
 def _outlink_frag():
-    """Two planted ABSOLUTE cross-domain anchors per page (the synth
-    chrome's own anchors are all relative = same-domain)."""
-    return F.concat(
-        F.lit('<p>see <a href="https://src'),
+    """Planted ABSOLUTE cross-domain anchors (the synth chrome's own
+    anchors are all relative = same-domain): a "ref" link on every
+    page targeting the BASE srcK.net domains (so the link graph's
+    authority mass lands on domains q209's trap audit also covers —
+    q217 composes the two), and a sparser "partner" link (every 4th
+    page) onto the srcK.co.uk family the corpus itself never hosts —
+    frontier DISCOVERY targets."""
+    ref = F.concat(
+        F.lit('<p>see <a href="https://cdn.src'),
         ((F.col("doc_id") * 3) % 20).cast("string"),
-        F.lit(".com/r/"), F.col("doc_id").cast("string"),
-        F.lit('">ref</a> and <a href="HTTP://www.src'),
-        ((F.col("doc_id") * 7 + 1) % 20).cast("string"),
-        F.lit('.co.uk/p">partner</a></p>'),
+        F.lit(".net/r/"), F.col("doc_id").cast("string"),
+        F.lit('">ref</a>'),
     )
+    partner = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(
+            F.lit(' and <a href="HTTP://www.src'),
+            ((F.col("doc_id") * 7 + 1) % 20).cast("string"),
+            F.lit('.co.uk/p">partner</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(ref, partner, F.lit("</p>"))
 
 
 def q212_outlink_graph(spark, sf_dir):
@@ -11580,12 +11592,16 @@ WITH pages0 AS ({_SQL_SYNTH_HTML}),
 own0 AS ({_SQL_SYNTH_URL}),
 pages AS (
   SELECT p.doc_id,
-         p.html || '<p>see <a href="https://src'
+         p.html || '<p>see <a href="https://cdn.src'
          || CAST((p.doc_id * 3) % 20 AS VARCHAR)
-         || '.com/r/' || CAST(p.doc_id AS VARCHAR)
-         || '">ref</a> and <a href="HTTP://www.src'
-         || CAST((p.doc_id * 7 + 1) % 20 AS VARCHAR)
-         || '.co.uk/p">partner</a></p>' AS html
+         || '.net/r/' || CAST(p.doc_id AS VARCHAR)
+         || '">ref</a>'
+         || CASE WHEN p.doc_id % 4 = 1
+                 THEN ' and <a href="HTTP://www.src'
+                      || CAST((p.doc_id * 7 + 1) % 20 AS VARCHAR)
+                      || '.co.uk/p">partner</a>'
+                 ELSE '' END
+         || '</p>' AS html
   FROM pages0 p),
 hr AS (
   SELECT doc_id, unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
@@ -11612,6 +11628,382 @@ SELECT dst_domain, count(*)::BIGINT AS n_in,
          AS n_external
 FROM edges GROUP BY dst_domain
 """
+
+
+
+# --------------------------------------------------------------------
+# r12 wave 3: robots semantics, CCNet line dedup, WARC headers,
+# mojibake audit, frontier prioritization
+# --------------------------------------------------------------------
+
+# synthetic per-domain robots rules (REAL longest-match semantics —
+# the q205 policy table's hash slice models the VERDICT, this models
+# the RULES): every domain disallows /p; domains whose md5 leads
+# 0-7 also disallow /docs; every domain carries an allow override
+# for /docs/1 (longest matching prefix wins; allow wins ties; no
+# match = allow — the Google robots.txt algorithm)
+ROBOTS_DIS_ALL = "/p"
+ROBOTS_DIS_HALF = "/docs"
+ROBOTS_ALLOW = "/docs/1"
+ROBOTS_HALF_HEX = tuple("01234567")
+
+
+def q213_robots_rules(spark, sf_dir):
+    """Robots.txt rule evaluation with longest-match semantics (the
+    crawl gate q205's policy table abstracts away: real robots files
+    are PREFIX RULES, and allow-overrides beat shorter disallows):
+    a broadcast rules table (domain-cardinality × ≤3 rules) joins
+    the canonical URL frame; per URL the prevailing rule is the
+    longest matching prefix with allow winning ties, encoded as one
+    integer priority (2·prefix_len + is_allow) so the max is a plain
+    combinable agg in BOTH engines. Per domain: URLs, blocked,
+    allow-overridden (a disallow matched but a longer allow
+    prevailed), block rate. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    urls0 = docs.withColumn("url", _synth_url_expr())
+    host = W.url_host(F.col("url"))
+    urls = W.attach_registrable_domain(
+        urls0.select(
+            "doc_id",
+            F.regexp_replace(host, r":[0-9]+$", "").alias("_bare"),
+            W.url_path(F.col("url")).alias("path"),
+        ),
+        F.col("_bare"),
+    ).drop("_bare")
+    half = F.substring(F.md5("domain"), 1, 1).isin(*ROBOTS_HALF_HEX)
+    rules = (
+        urls.select("domain").distinct()
+        .select(
+            "domain",
+            F.explode(F.array(
+                F.struct(F.lit("disallow").alias("t"),
+                         F.lit(ROBOTS_DIS_ALL).alias("p")),
+                F.struct(F.lit("disallow").alias("t"),
+                         F.when(half, F.lit(ROBOTS_DIS_HALF)).alias("p")),
+                F.struct(F.lit("allow").alias("t"),
+                         F.lit(ROBOTS_ALLOW).alias("p")),
+            )).alias("r"),
+        )
+        .select("domain", F.col("r.t").alias("t"), F.col("r.p").alias("p"))
+        .where(F.col("p").isNotNull())
+    )
+    j = urls.join(F.broadcast(rules), "domain", "left")
+    m = F.col("p").isNotNull() & F.col("path").startswith(F.col("p"))
+    prio = F.when(
+        m, F.length("p") * 2 + (F.col("t") == "allow").cast("int")
+    ).otherwise(F.lit(-1))
+    per = j.groupBy("doc_id", "domain").agg(
+        F.max(prio).alias("mx"),
+        F.max((m & (F.col("t") == "disallow")).cast("int")).alias("dm"),
+    )
+    blocked = (F.col("mx") >= 0) & (F.col("mx") % 2 == 0)
+    override = (F.col("dm") == 1) & ~blocked
+    return per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(blocked.cast("long")).cast("long").alias("n_blocked"),
+        F.sum(override.cast("long")).cast("long").alias("n_override"),
+        rnd(F.sum(blocked.cast("long"))
+            / F.count(F.lit(1)).cast("double"), 4).alias("block_rate"),
+    )
+
+
+_SQL_Q213_RATE = sql_rnd(
+    "sum(CASE WHEN blocked THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)
+
+SQL_Q213 = f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+{_SQL_CANON_CTES},
+rdoms AS (SELECT DISTINCT domain FROM dom),
+rules AS (
+  SELECT domain, 'disallow' AS t, '{ROBOTS_DIS_ALL}' AS p FROM rdoms
+  UNION ALL
+  SELECT domain, 'disallow', '{ROBOTS_DIS_HALF}' FROM rdoms
+  WHERE substr(md5(domain), 1, 1) IN ({", ".join(f"'{h}'" for h in ROBOTS_HALF_HEX)})
+  UNION ALL
+  SELECT domain, 'allow', '{ROBOTS_ALLOW}' FROM rdoms),
+j AS (
+  SELECT u.doc_id, u.domain,
+         CASE WHEN r.p IS NOT NULL AND u.path LIKE r.p || '%'
+              THEN length(r.p) * 2
+                   + CASE WHEN r.t = 'allow' THEN 1 ELSE 0 END
+              ELSE -1 END AS prio,
+         CASE WHEN r.p IS NOT NULL AND u.path LIKE r.p || '%'
+                   AND r.t = 'disallow' THEN 1 ELSE 0 END AS dmm
+  FROM (SELECT doc_id, domain, path FROM dom) u
+  LEFT JOIN rules r USING (domain)),
+per AS (
+  SELECT doc_id, domain, max(prio) AS mx, max(dmm) AS dm
+  FROM j GROUP BY doc_id, domain),
+v AS (
+  SELECT domain, (mx >= 0 AND mx % 2 = 0) AS blocked,
+         (dm = 1 AND NOT (mx >= 0 AND mx % 2 = 0)) AS override
+  FROM per)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+       sum(CASE WHEN override THEN 1 ELSE 0 END)::BIGINT AS n_override,
+       {_SQL_Q213_RATE} AS block_rate
+FROM v GROUP BY domain
+"""
+
+
+# planted template lines for the line-dedup gate (every 2nd / every
+# 3rd doc — classic footer/subscribe chrome), plus each doc's own
+# unique line
+LINE_FOOTER = "all rights reserved - do not reproduce"
+LINE_PROMO = "subscribe to our newsletter today"
+
+
+def _synth_lines_expr():
+    footer = F.when(F.col("doc_id") % 2 == 0,
+                    F.lit("\n" + LINE_FOOTER)).otherwise(F.lit(""))
+    promo = F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n" + LINE_PROMO)).otherwise(F.lit(""))
+    return F.concat(
+        F.col("text"),
+        F.lit("\nref code "), F.col("doc_id").cast("string"),
+        footer, promo,
+    )
+
+
+def q214_line_dedup(spark, sf_dir):
+    """LINE-level exact dedup, keep-first (functions/dedup.py:
+    line_dedup — CCNet §3.1 / Dolma's paragraph dedup: the cut that
+    removes per-LINE template chrome corpus-wide while each page's
+    unique remainder survives; q94 cuts fixed word windows, q207
+    cuts markup blocks, THIS cuts the newline-delimited unit web
+    text actually repeats in). The gate corpus appends a footer line
+    to every 2nd doc, a promo line to every 3rd, and a unique ref
+    line to each. Per doc: lines, cut lines, surviving chars, md5 of
+    the reassembled text. One explode + one md5-keyed combinable
+    first-key agg + one join + one per-doc rebuild. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lined = docs.select(
+        "doc_id", _synth_lines_expr().alias("text"))
+    out = D.line_dedup(lined, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_lines", "n_cut",
+        F.length("clean_text").cast("long").alias("kept_chars"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SQL_Q214 = f"""
+WITH lined AS (
+  SELECT doc_id,
+         text || chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || '{LINE_FOOTER}' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '{LINE_PROMO}' ELSE '' END AS text
+  FROM documents),
+lines0 AS (
+  SELECT doc, unnest(list_transform(range(1, len(l) + 1),
+           i -> struct_pack(pos := i - 1, line := trim(l[i])))) AS s
+  FROM (SELECT doc_id AS doc, string_split(text, chr(10)) AS l
+        FROM lined)),
+lines AS (
+  SELECT doc, s.pos AS pos, s.line AS line, md5(s.line) AS h
+  FROM lines0 WHERE s.line <> ''),
+first_ AS (
+  SELECT h, min(struct_pack(doc := doc, pos := pos)) AS f
+  FROM lines GROUP BY h),
+kept AS (
+  SELECT l.doc, l.pos, l.line,
+         (l.doc = f.f.doc AND l.pos = f.f.pos) AS keep_
+  FROM lines l JOIN first_ f USING (h))
+SELECT doc AS doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep_ THEN 0 ELSE 1 END)::BIGINT AS n_cut,
+       length(coalesce(string_agg(CASE WHEN keep_ THEN line END, chr(10)
+                                  ORDER BY pos), ''))::BIGINT AS kept_chars,
+       md5(coalesce(string_agg(CASE WHEN keep_ THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM kept GROUP BY doc
+"""
+
+
+def q215_warc_headers(spark, sf_dir):
+    """WARC record-header parsing (stage MINUS-one: before any text
+    op, a pipeline reads the crawl archive itself — WARC/1.0 header
+    blocks with typed fields): one regexp pass per field over the
+    synthesized record head, then the archive datasheet — records,
+    byte mass, distinct capture days per (record type, content
+    type). Pure per-row map + one combinable agg. Fully value-hash
+    oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wtype = F.when(F.col("doc_id") % 10 == 0, F.lit("request")) \
+        .otherwise(F.lit("response"))
+    ct = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("text/html"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("text/plain"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("application/pdf"))
+        .otherwise(F.lit("image/jpeg"))
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: "), wtype,
+        F.lit("\nWARC-Target-URI: https://"), F.col("source"),
+        F.lit(".com/d/"), F.col("doc_id").cast("string"),
+        F.lit("\nContent-Type: "), ct,
+        F.lit("\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\nWARC-Date: 2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"), F.lit("-15"),
+    )
+    hdr = docs.select(F.col("doc_id"), rec.alias("rec"))
+    fld = lambda name: F.regexp_extract(  # noqa: E731
+        F.col("rec"), r"(?m)^" + name + r": (.*)$", 1)
+    parsed = hdr.select(
+        fld("WARC-Type").alias("warc_type"),
+        fld("Content-Type").alias("content_type"),
+        fld("Content-Length").cast("long").alias("n_bytes"),
+        fld("WARC-Date").alias("day"),
+    )
+    return parsed.groupBy("warc_type", "content_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+
+
+SQL_Q215 = """
+WITH hdr AS (
+  SELECT doc_id,
+         'WARC/1.0' || chr(10) || 'WARC-Type: '
+         || (CASE WHEN doc_id % 10 = 0 THEN 'request' ELSE 'response' END)
+         || chr(10) || 'WARC-Target-URI: https://' || source || '.com/d/'
+         || CAST(doc_id AS VARCHAR)
+         || chr(10) || 'Content-Type: '
+         || (CASE doc_id % 4 WHEN 0 THEN 'text/html'
+                             WHEN 1 THEN 'text/plain'
+                             WHEN 2 THEN 'application/pdf'
+                             ELSE 'image/jpeg' END)
+         || chr(10) || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+         || chr(10) || 'WARC-Date: 2026-0'
+         || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15' AS rec
+  FROM documents),
+parsed AS (
+  SELECT regexp_extract(rec, '(?m)^WARC-Type: (.*)$', 1) AS warc_type,
+         regexp_extract(rec, '(?m)^Content-Type: (.*)$', 1) AS content_type,
+         CAST(regexp_extract(rec, '(?m)^Content-Length: (.*)$', 1) AS BIGINT)
+           AS n_bytes,
+         regexp_extract(rec, '(?m)^WARC-Date: (.*)$', 1) AS day
+  FROM hdr)
+SELECT warc_type, content_type, count(*)::BIGINT AS n_records,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       count(DISTINCT day)::BIGINT AS n_days
+FROM parsed GROUP BY warc_type, content_type
+"""
+
+
+# the classic UTF-8-read-as-latin1 artifacts (curation pipelines
+# screen for them; CCNet's lang-id scores crater on mojibake)
+MOJIBAKE_MARKER_RE = "Ã|â€|Â"
+MOJIBAKE_PLANT = " cafÃ© donâ€™t Â rate"
+
+
+def q216_mojibake_audit(spark, sf_dir):
+    """Encoding-damage (mojibake) audit: count the classic
+    double-encoding artifact sequences (Ã-, â€-, Â-led bytes — what
+    UTF-8 read as Latin-1 produces) per document, roll up per
+    source: affected docs, marker mass, affect rate. The gate plants
+    the artifacts on every 13th doc. One regexp map + one combinable
+    agg; the screen a pipeline runs BEFORE trusting lang-id or
+    quality scores. Fully value-hash oracled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t2 = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.col("text"), F.lit(MOJIBAKE_PLANT)),
+    ).otherwise(F.col("text"))
+    n_mark = F.size(
+        F.regexp_extract_all(t2, F.lit(MOJIBAKE_MARKER_RE), 0))
+    per = docs.select(
+        "source", n_mark.cast("long").alias("nm"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nm") > 0).cast("long")).cast("long")
+        .alias("n_affected"),
+        F.sum("nm").cast("long").alias("n_markers"),
+        rnd(F.sum((F.col("nm") > 0).cast("long"))
+            / F.count(F.lit(1)).cast("double"), 4).alias("affect_rate"),
+    )
+
+
+_SQL_Q216_RATE = sql_rnd(
+    "sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)
+
+SQL_Q216 = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(
+           CASE WHEN doc_id % 13 = 0 THEN text || '{MOJIBAKE_PLANT}'
+                ELSE text END,
+           '{MOJIBAKE_MARKER_RE}'))::BIGINT AS nm
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+       sum(nm)::BIGINT AS n_markers,
+       {_SQL_Q216_RATE} AS affect_rate
+FROM t GROUP BY source
+"""
+
+
+FRONTIER_TOP = 15
+
+
+def q217_frontier_priority(spark, sf_dir):
+    """Crawl-frontier prioritization — the COMPOSED table the wave's
+    pieces exist for (what OPIC/backlink frontier scheduling does
+    with exactly these inputs): q212's link graph supplies authority
+    (external in-links), q209's trap audit supplies the waste
+    discount, q205's policy rule gates robots/blocklist; score =
+    ln(1 + external in-links) × (1 − trap rate) over allowed
+    domains, ranked, top ``FRONTIER_TOP``. Three domain-cardinality
+    frames joined (all broadcast-sized), one rank window over the
+    domain universe. Fully value-hash oracled."""
+    g = q212_outlink_graph(spark, sf_dir)
+    t = q209_crawl_trap_audit(spark, sf_dir).select(
+        F.col("domain").alias("dst_domain"), "trap_rate")
+    j = g.join(F.broadcast(t), "dst_domain", "left")
+    status, _lic = _policy_cols(F.col("dst_domain"))
+    scored = j.select(
+        F.col("dst_domain").alias("domain"),
+        "n_in", "n_external",
+        F.coalesce("trap_rate", F.lit(0.0)).alias("trap_rate"),
+        status.alias("status"),
+    ).where(F.col("status") == "allow").select(
+        "domain", "n_in", "n_external", "trap_rate",
+        rnd(F.log(F.lit(1.0) + F.col("n_external"))
+            * (F.lit(1.0) - F.col("trap_rate")), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("domain").asc())
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= FRONTIER_TOP)
+
+
+def _sql_q217() -> str:
+    status, _lic = _sql_policy_case()
+    score = sql_rnd("ln(1.0 + n_external) * (1.0 - trap_rate)", 6)
+    return f"""
+WITH g AS ({SQL_Q212}),
+t AS ({SQL_Q209}),
+j AS (
+  SELECT g.dst_domain AS domain, g.n_in, g.n_external,
+         coalesce(t.trap_rate, 0.0) AS trap_rate
+  FROM g LEFT JOIN t ON t.domain = g.dst_domain),
+allowed AS (
+  SELECT *, {score} AS score FROM j
+  WHERE ({status}) = 'allow'),
+ranked AS (
+  SELECT domain, n_in, n_external, trap_rate, score,
+         row_number() OVER (ORDER BY score DESC, domain ASC)::BIGINT
+           AS rank
+  FROM allowed)
+SELECT * FROM ranked WHERE rank <= {FRONTIER_TOP}
+"""
+
+
+SQL_Q217 = _sql_q217()
 
 
 
@@ -11643,6 +12035,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
     "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
+    "q213_robots_rules": (q213_robots_rules, SQL_Q213),
+    "q214_line_dedup": (q214_line_dedup, SQL_Q214),
+    "q215_warc_headers": (q215_warc_headers, SQL_Q215),
+    "q216_mojibake_audit": (q216_mojibake_audit, SQL_Q216),
+    "q217_frontier_priority": (q217_frontier_priority, SQL_Q217),
     "q208_domain_quota": (q208_domain_quota, SQL_Q208),
     "q209_crawl_trap_audit": (q209_crawl_trap_audit, SQL_Q209),
     "q210_markdown_extract": (q210_markdown_extract, SQL_Q210),
@@ -11679,13 +12076,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
     "q12_restart_insert": (q12_restart_insert, SQL_Q12),
     "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
     "q15_global_range": (q15_global_range, SQL_Q15),
     "q16_alias_join": (q16_alias_join, SQL_Q16),
     "q17_join_rollup": (q17_join_rollup, SQL_Q17),
     "q18_topk": (q18_topk, SQL_Q18),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q19_correlation": (q19_correlation, SQL_Q19),
     "q20_outliers": (q20_outliers, SQL_Q20),
     "q21_gap_detect": (q21_gap_detect, SQL_Q21),
