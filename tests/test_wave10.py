@@ -141,7 +141,11 @@ def test_q190_plan_is_pure_codegen(spark):
     plan = q190_url_canonicalize(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "Exchange" not in plan  # canonicalization is map-only
+    # canonicalization is map-only on the fact side: the only
+    # exchanges are the KB-sized PSL dim broadcasts (r12), never a
+    # shuffle of the URL rows
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_q191_blocklist_flags(spark):
