@@ -57,17 +57,34 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _index_frames(corpus: DataFrame, text_col: str,
-                  id_col: str) -> tuple[DataFrame, DataFrame, DataFrame,
-                                        DataFrame]:
-    """(postings, doclen, df_tbl, n_avg) from a corpus frame — the
-    four tables a BM25 index consists of."""
+def corpus_postings(corpus: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+    """The inverted index' base table: (w, doc, tf). Exposed so a
+    session can build it ONCE and hand it to every ranker
+    (bm25_topk / bm25_topk_champions / ql_topk / rm3_expansion take
+    it via ``postings=``) — the r12 optimization: three retrieval
+    memos plus q134/q154/q188 each re-tokenized the same corpus
+    (two explode scans per build) before sharing landed."""
     toks = _tokens(corpus, text_col, id_col)
-    postings = toks.groupBy("w", "doc").agg(
+    return toks.groupBy("w", "doc").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    doclen = toks.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
+
+
+def _index_frames(corpus: DataFrame, text_col: str, id_col: str,
+                  postings: DataFrame | None = None,
+                  ) -> tuple[DataFrame, DataFrame, DataFrame,
+                             DataFrame]:
+    """(postings, doclen, df_tbl, n_avg) from a corpus frame — the
+    four tables a BM25 index consists of. ``doclen`` derives from
+    the postings (dl = Σ tf per doc — exact integer counts in
+    doubles, value-identical to counting tokens) so the corpus is
+    tokenized ONCE per build instead of twice; pass ``postings`` to
+    skip even that (the shared session index)."""
+    if postings is None:
+        postings = corpus_postings(corpus, text_col, id_col)
+    doclen = postings.groupBy("doc").agg(
+        F.sum("tf").alias("dl")
     )
     n_avg = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -164,7 +181,8 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
               id_col: str, query_id_col: str = "query_id",
               query_col: str = "query", k: int = 5,
               k1: float = BM25_K1, b: float = BM25_B,
-              round_to: int = 4) -> DataFrame:
+              round_to: int = 4,
+              postings: DataFrame | None = None) -> DataFrame:
     """Top-``k`` corpus documents per query under BM25.
 
     ``corpus``: (id_col, text_col, …) — the big side.
@@ -175,7 +193,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
     doc ASC), cut at k.
     """
     postings, doclen, df_tbl, n_avg = _index_frames(corpus, text_col,
-                                                    id_col)
+                                                    id_col, postings)
     return _score_and_rank(postings, doclen, df_tbl, n_avg,
                            _qterms(queries, query_id_col, query_col),
                            k, None, k1, b, round_to)
@@ -343,7 +361,8 @@ def bm25_topk_champions(corpus: DataFrame, queries: DataFrame,
                         query_col: str = "query", k: int = 5,
                         champions: int = 64,
                         k1: float = BM25_K1, b: float = BM25_B,
-                        round_to: int = 4) -> DataFrame:
+                        round_to: int = 4,
+                        postings: DataFrame | None = None) -> DataFrame:
     """Champion-list BM25 (Manning/Raghavan/Schütze IIR §7.1.3) — the
     scale path beside :func:`bm25_topk`'s exact scoring. Exact BM25
     touches EVERY posting of every query term; a corpus-hot term
@@ -368,7 +387,7 @@ def bm25_topk_champions(corpus: DataFrame, queries: DataFrame,
     how hot the term — linear in queries, independent of corpus df.
     """
     postings, doclen, df_tbl, n_avg = _index_frames(corpus, text_col,
-                                                    id_col)
+                                                    id_col, postings)
     return _score_and_rank(postings, doclen, df_tbl, n_avg,
                            _qterms(queries, query_id_col, query_col),
                            k, champions, k1, b, round_to)
@@ -629,7 +648,8 @@ def ndcg_audit(approx: DataFrame, exact: DataFrame,
 
 def rm3_expansion(corpus: DataFrame, queries: DataFrame, text_col: str,
                   id_col: str, k: int = 5, m: int = 5,
-                  round_to: int = 6) -> DataFrame:
+                  round_to: int = 6,
+                  postings: DataFrame | None = None) -> DataFrame:
     """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
     Croft 2001 relevance models; Abdul-Jaleel et al. 2004 RM3): the
     top-``k`` BM25 documents per query act as implicit relevance
@@ -653,8 +673,9 @@ def rm3_expansion(corpus: DataFrame, queries: DataFrame, text_col: str,
     as plain BM25.
     """
     topk = bm25_topk(corpus, queries, text_col, id_col, k=k,
-                     round_to=4)
-    postings, doclen, _, _ = _index_frames(corpus, text_col, id_col)
+                     round_to=4, postings=postings)
+    postings, doclen, _, _ = _index_frames(corpus, text_col, id_col,
+                                           postings)
     wsum = Window.partitionBy("query_id")
     fb = topk.select(
         "query_id",
@@ -697,7 +718,8 @@ def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
             id_col: str, query_id_col: str = "query_id",
             query_col: str = "query", mu: float = QL_MU,
             k: int = 10, champions: int | None = None,
-            round_to: int = 4) -> DataFrame:
+            round_to: int = 4,
+            postings: DataFrame | None = None) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
     1998's LM approach with Zhai & Lafferty 2001's Dirichlet prior) —
     the second classical lexical ranking model beside BM25 (q124):
@@ -723,7 +745,7 @@ def ql_topk(corpus: DataFrame, queries: DataFrame, text_col: str,
     SAME postings frame the index already has.
     """
     postings, doclen, _df_tbl, _ = _index_frames(corpus, text_col,
-                                                 id_col)
+                                                 id_col, postings)
     cf = postings.groupBy("w").agg(F.sum("tf").alias("cf"))
     ctot = doclen.agg(F.sum("dl").alias("ct"))
     qtf = (

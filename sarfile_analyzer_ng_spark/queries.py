@@ -1006,6 +1006,7 @@ def memo_builders():
         "_memo_jaccard_pairs": _jaccard_pairs_shared,
         "_memo_minhash_pairs_portable": _minhash_pairs_shared,
         "_memo_simhash_sigs": _planted_simhash_sigs,
+        "_memo_postings": _postings_shared,
         "_memo_bm25_exact": lambda spark, sf: _retrieval_shared(
             spark, sf, "bm25"),
         "_memo_bm25_champs": lambda spark, sf: _retrieval_shared(
@@ -5515,6 +5516,32 @@ KN_DISCOUNT = 0.75
 # and q180 re-reads q124+q177, so without the memo each audit re-pays
 # its parents' full index build. Bounded: |queries|*k rows per entry.
 _RETRIEVAL_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_POSTINGS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _postings_shared(spark, sf_dir: str) -> DataFrame:
+    """The session-lived inverted-index base table (w, doc, tf) over
+    the eval-split corpus side — built+cached ONCE and handed to every
+    ranker via ``postings=`` (r12: the three retrieval memos plus
+    q134/q154/q188 each re-ran the tokenize-explode-agg chain, ~6
+    corpus scans per bench rep for one identical frame)."""
+    from .functions import retrieval as RV
+
+    key = (id(spark), sf_dir)
+    df = _POSTINGS_MEMO.get(key)
+    if df is not None:
+        return _ensure_cached(df)
+    corpus, _ = _eval_split_queries(spark, sf_dir)
+    # repartition by the scoring chain's dominant key before caching:
+    # AQE coalesces the build's (w, doc) agg to ~1 partition at bench
+    # sf, and a 1-partition cache serializes every consumer's first
+    # stage; "w" partitioning also lines the cache up with the
+    # per-term joins/aggs downstream (partition count follows
+    # spark.sql.shuffle.partitions — scale-adaptive, not a constant)
+    df = (RV.corpus_postings(corpus, "text", "doc_id")
+          .repartition("w").cache())
+    _POSTINGS_MEMO[key] = df
+    return df
 
 
 def _eval_split_queries(spark, sf_dir):
@@ -5540,14 +5567,18 @@ def _retrieval_shared(spark, sf_dir: str, which: str) -> DataFrame:
     if df is not None:
         return _ensure_cached(df)
     corpus, qs = _eval_split_queries(spark, sf_dir)
+    pt = _postings_shared(spark, sf_dir)
     if which == "bm25":
-        df = RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+        df = RV.bm25_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK,
+                          postings=pt)
     elif which == "champs":
         df = RV.bm25_topk_champions(corpus, qs, "text", "doc_id",
                                     k=BM25_TOPK,
-                                    champions=BM25_CHAMPIONS)
+                                    champions=BM25_CHAMPIONS,
+                                    postings=pt)
     else:
-        df = RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK)
+        df = RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK,
+                        postings=pt)
     df = df.cache()
     _RETRIEVAL_MEMO[key] = df
     return df
@@ -5734,7 +5765,8 @@ def q154_rm3_expansion(spark, sf_dir):
     )
     corpus = docs.where(F.col("doc_id") % 50 != 0)
     return RV.rm3_expansion(corpus, qs, "text", "doc_id",
-                            k=BM25_TOPK, m=RM3_TERMS)
+                            k=BM25_TOPK, m=RM3_TERMS,
+                            postings=_postings_shared(spark, sf_dir))
 
 
 SQL_Q154 = f"""
@@ -7174,6 +7206,7 @@ def q134_hybrid_rrf(spark, sf_dir):
     lex = RV.bm25_topk_champions(
         docs.where(F.col("doc_id") % 50 != 0), qs, "text", "doc_id",
         k=RRF_POOL, champions=BM25_CHAMPIONS,
+        postings=_postings_shared(spark, sf_dir),
     ).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
     sem = S.ann_topk_bruteforce(
@@ -8872,7 +8905,8 @@ def q188_ql_champions(spark, sf_dir):
 
     corpus, qs = _eval_split_queries(spark, sf_dir)
     return RV.ql_topk(corpus, qs, "text", "doc_id", k=BM25_TOPK,
-                      champions=BM25_CHAMPIONS)
+                      champions=BM25_CHAMPIONS,
+                      postings=_postings_shared(spark, sf_dir))
 
 
 SQL_Q188 = _sql_ql(champions=BM25_CHAMPIONS)
@@ -12035,6 +12069,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
     "q206_extraction_audit": (q206_extraction_audit, SQL_Q206),
     "q207_boilerplate_blocks": (q207_boilerplate_blocks, SQL_Q207),
+    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
+    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
+    "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
+    "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
+    "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
+    "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
+    "q177_ql_topk": (q177_ql_topk, SQL_Q177),
+    "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
+    "q188_ql_champions": (q188_ql_champions, SQL_Q188),
     "q213_robots_rules": (q213_robots_rules, SQL_Q213),
     "q214_line_dedup": (q214_line_dedup, SQL_Q214),
     "q215_warc_headers": (q215_warc_headers, SQL_Q215),
@@ -12067,6 +12110,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
@@ -12076,8 +12121,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
     "q12_restart_insert": (q12_restart_insert, SQL_Q12),
     "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
     "q15_global_range": (q15_global_range, SQL_Q15),
     "q16_alias_join": (q16_alias_join, SQL_Q16),
@@ -12111,7 +12154,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
     "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
-    "q134_hybrid_rrf": (q134_hybrid_rrf, SQL_Q134),
     "q136_count_min": (q136_count_min, SQL_Q136),
     "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
     "q138_trend_fit": (q138_trend_fit, SQL_Q138),
@@ -12121,11 +12163,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
     "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
     "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
-    "q150_bm25_ndcg_audit": (q150_bm25_ndcg_audit, SQL_Q150),
     "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
     "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
     "q153_word_entropy": (q153_word_entropy, SQL_Q153),
-    "q154_rm3_expansion": (q154_rm3_expansion, SQL_Q154),
     "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
     "q156_media_inventory": (q156_media_inventory, SQL_Q156),
     "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
@@ -12147,16 +12187,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
     "q175_split_leakage": (q175_split_leakage, SQL_Q175),
     "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
-    "q177_ql_topk": (q177_ql_topk, SQL_Q177),
     "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
     "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
-    "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
     "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
     "q184_hapax_density": (q184_hapax_density, SQL_Q184),
     "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
     "q186_length_emd": (q186_length_emd, SQL_Q186),
     "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
-    "q188_ql_champions": (q188_ql_champions, SQL_Q188),
     "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
     "q199_pii_redact": (q199_pii_redact, SQL_Q199),
     "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
@@ -12169,14 +12206,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
-    "q124_bm25_topk": (q124_bm25_topk, SQL_Q124),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
     "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
     "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
     "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
     "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
     "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
-    "q131_bm25_champions": (q131_bm25_champions, SQL_Q131),
     "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
     "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
     "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
@@ -12204,7 +12239,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q200_doc_containment": (q200_doc_containment, SQL_Q200),
     "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
-    "q143_mmr_rerank": (q143_mmr_rerank, SQL_Q143),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
