@@ -785,16 +785,35 @@ def pca_power_top1(
     )
 
 
-def pca_power_topd(
+def _pca_lit_arr(xs):
+    # ONE ndarray literal, not dim F.lit py4j round-trips (r11:
+    # ~1100 driver-side lit() calls were ~0.7 s of q118's wall;
+    # a python LIST still expands element-wise — only the ndarray
+    # path makes a single Literal(ArrayType)); identical values
+    import numpy as np
+
+    return F.lit(np.asarray(xs, dtype=np.float64))
+
+
+def _pca_dot_c(vec_col_, arr):
+    return F.aggregate(
+        F.zip_with(vec_col_, _pca_lit_arr(arr), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pca_power_topd_train(
     emb: DataFrame, id_col: str, vec_col: str, dim: int,
     n_components: int = 2, iters: int = 3, round_to: int = 6,
-) -> tuple[DataFrame, list[list[float]], list[float]]:
-    """Top-D principal components by power iteration WITH DEFLATION —
-    the full All-but-the-Top prescription (Mu & Viswanath 2018 remove
-    the top D ≈ dim/100 directions, not just one; r7 shipped only
-    top-1). Component k runs :func:`pca_power_top1`'s exact iterate
-    over vectors DEFLATED by components 1..k−1: the deflated vector
-    is c − Σ_j p_j·v_j applied sequentially (p_j = the rnd8 dot with
+) -> tuple[list[list[float]], list[float], DataFrame]:
+    """Training half of :func:`pca_power_topd` — top-D principal
+    components by power iteration WITH DEFLATION, the full
+    All-but-the-Top prescription (Mu & Viswanath 2018 remove the top
+    D ≈ dim/100 directions, not just one; r7 shipped only top-1).
+    Component k runs :func:`pca_power_top1`'s exact iterate over
+    vectors DEFLATED by components 1..k−1: the deflated vector is
+    c − Σ_j p_j·v_j applied sequentially (p_j = the rnd8 dot with
     component j — the score-ladder rounding), so every deflation
     step, like every iterate, replays in SQL. Per component:
     ``iters`` corpus scans + dim-keyed combinable aggs, dim floats of
@@ -806,12 +825,18 @@ def pca_power_topd(
     top-1 kernel, convergence of component k is independent of k+1,
     and the oracle chain stays a mechanical unroll.
 
-    Returns ``(proj_frame(id, pc1_proj..pcD_proj), [v_1..v_D], mu)``.
+    Split out of :func:`pca_power_topd` (r12) so q109/q112/q118 can
+    share ONE training per session instead of three: returns
+    ``([v_1..v_D], mu, centered)`` where ``centered`` is the
+    locally-checkpointed (vid, c = x − μ) frame the projection ladder
+    reads (materialized — consumers neither re-scan parquet nor
+    re-run the dim-literal centering).
     """
     import numpy as np
 
     from ..util import rnd_np
 
+    lit_arr, dot_c = _pca_lit_arr, _pca_dot_c
     v0 = float(rnd_np(np.float64(1.0 / np.sqrt(dim)), 8))
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     src = emb.select(F.col(id_col).alias("vid"), e.alias("e"))
@@ -825,20 +850,6 @@ def pca_power_topd(
     mu = [0.0] * dim
     for r in mu_rows:
         mu[r["d"]] = r["mu"]
-
-    def lit_arr(xs):
-        # ONE ndarray literal, not dim F.lit py4j round-trips (r11:
-        # ~1100 driver-side lit() calls were ~0.7 s of q118's wall;
-        # a python LIST still expands element-wise — only the ndarray
-        # path makes a single Literal(ArrayType)); identical values
-        return F.lit(np.asarray(xs, dtype=np.float64))
-
-    def dot_c(vec_col_, arr):
-        return F.aggregate(
-            F.zip_with(vec_col_, lit_arr(arr), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     # deflated working frame: (vid, c) where c starts as x − μ and
     # loses one component per outer round. Checkpointed EAGERLY (r11,
@@ -917,21 +928,44 @@ def pca_power_topd(
                 spark.conf.set("spark.sql.codegen.wholeStage", _wsc)
         finally:
             _CODEGEN_TOGGLE_LOCK.release()
-    # final projections read the CHECKPOINTED centered frame (its c
-    # IS x − μ, materialized), so the output job neither re-reads
-    # parquet nor re-runs the 64-literal centering (r11 plan cut —
-    # values bit-identical, the checkpoint stores the same doubles)
+    return components, mu, w0
+
+
+def pca_topd_project(centered: DataFrame, id_col: str,
+                     components: list[list[float]],
+                     round_to: int = 6) -> DataFrame:
+    """Projection half of :func:`pca_power_topd`: the pc1..pcD ladder
+    over a centered (vid, c) frame from :func:`pca_power_topd_train`.
+    Reading the CHECKPOINTED centered frame (its c IS x − μ,
+    materialized) means the output job neither re-reads parquet nor
+    re-runs the dim-literal centering (r11 plan cut — values
+    bit-identical, the checkpoint stores the same doubles). With
+    ``components[:1]`` this is exactly :func:`pca_power_top1`'s
+    projection arithmetic (the q109 output)."""
     cexpr = F.col("c")
     proj_cols = []
     for k, v in enumerate(components):
-        proj_cols.append(rnd(dot_c(cexpr, v), round_to).alias(f"pc{k + 1}_proj"))
-        pk = rnd(dot_c(cexpr, v), 8)
-        cexpr = F.zip_with(cexpr, lit_arr(v), lambda x, y: x - pk * y)
-    return (
-        w0.select(F.col("vid").alias(id_col), *proj_cols),
-        components,
-        mu,
+        proj_cols.append(
+            rnd(_pca_dot_c(cexpr, v), round_to).alias(f"pc{k + 1}_proj"))
+        pk = rnd(_pca_dot_c(cexpr, v), 8)
+        cexpr = F.zip_with(cexpr, _pca_lit_arr(v), lambda x, y: x - pk * y)
+    return centered.select(F.col("vid").alias(id_col), *proj_cols)
+
+
+def pca_power_topd(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_components: int = 2, iters: int = 3, round_to: int = 6,
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Train + project — see :func:`pca_power_topd_train` (the
+    deflated power-iteration trainer) and :func:`pca_topd_project`
+    (the output ladder). Returns
+    ``(proj_frame(id, pc1_proj..pcD_proj), [v_1..v_D], mu)``."""
+    components, mu, w0 = pca_power_topd_train(
+        emb, id_col, vec_col, dim, n_components=n_components,
+        iters=iters, round_to=round_to,
     )
+    return (pca_topd_project(w0, id_col, components, round_to),
+            components, mu)
 
 
 def remove_topd(emb: DataFrame, id_col: str, vec_col: str, dim: int,

@@ -1007,6 +1007,7 @@ def memo_builders():
         "_memo_minhash_pairs_portable": _minhash_pairs_shared,
         "_memo_simhash_sigs": _planted_simhash_sigs,
         "_memo_postings": _postings_shared,
+        "_memo_pca_model": _pca_model_frame,
         "_memo_bm25_exact": lambda spark, sf: _retrieval_shared(
             spark, sf, "bm25"),
         "_memo_bm25_champs": lambda spark, sf: _retrieval_shared(
@@ -4527,18 +4528,55 @@ FROM mx
 PCA_ITERS, PCA_DIM = 3, 64
 
 
+# q109 (top-1 projection), q112 (All-but-the-Top residual) and q118
+# (top-D projection) each trained the SAME power-iteration model on
+# the SAME embeddings corpus — 3 independent trainings of ~D·iters
+# collect-jobs each (q109/q112's top-1 is arithmetically component 1
+# of q118's deflated top-D chain, see pca_power_topd_train). One
+# session-lived training (the _QC_SCORED_MEMO contract: model-sized
+# driver state, D·dim+dim floats, plus the checkpointed centered
+# frame) now feeds all three.
+_PCA_MEMO: dict[tuple[int, str],
+                tuple[list[list[float]], list[float], DataFrame]] = {}
+
+
+def _pca_shared(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    got = _PCA_MEMO.get(key)
+    if got is None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        got = S.pca_power_topd_train(
+            emb, "vec_id", "embedding", dim=PCA_DIM,
+            n_components=PCA_TOPD, iters=PCA_ITERS,
+        )
+        _PCA_MEMO[key] = got
+    return got
+
+
+def _pca_model_frame(spark, sf_dir):
+    """Bench-timed builder for the shared PCA training: runs (or
+    reuses) the session training and returns the model as a small
+    frame (d, mu, v1..vD) so the bench attributes the training cost
+    to its own ``_memo_pca_model`` line."""
+    comps, mu, _w0 = _pca_shared(spark, sf_dir)
+    rows = [(d, mu[d], *[float(c[d]) for c in comps])
+            for d in range(PCA_DIM)]
+    return spark.createDataFrame(
+        rows, ["d", "mu"] + [f"v{k + 1}" for k in range(len(comps))])
+
+
 def q109_pca_projection(spark, sf_dir):
     """Top-principal-component projection by distributed power
     iteration (functions/similarity.py:pca_power_top1) — an ORACLED
     iterative algorithm like q104's logreg: the DuckDB twin unrolls
     the μ → (score, update, normalize, sign-fix) chain per iteration
     with the same rounding ladder and reproduces every projection
-    bit-for-bit."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    proj, _v, _mu = S.pca_power_top1(
-        emb, "vec_id", "embedding", dim=PCA_DIM, iters=PCA_ITERS
-    )
-    return proj
+    bit-for-bit. Since r12 the model comes from the shared session
+    training (``_pca_shared`` — component 1 of the deflated top-D
+    chain IS the top-1 iterate, same rounding ladder, same values);
+    the projection reads the checkpointed centered frame."""
+    comps, _mu, w0 = _pca_shared(spark, sf_dir)
+    return S.pca_topd_project(w0, "vec_id", comps[:1])
 
 
 def _sql_pca(iters: int = PCA_ITERS, dim: int = PCA_DIM) -> str:
@@ -4592,10 +4630,14 @@ def q112_remove_top_direction(spark, sf_dir):
     chain is value-hash oracled ON THE RESIDUAL ARRAYS, serialized as
     micro-unit integers (rnd6 × 10⁶ → BIGINT, the q75 comma-string
     convention — double→string formatting differs across engines,
-    int→string does not)."""
+    int→string does not). Since r12 the (v, mu) model comes from the
+    shared session training (``_pca_shared``); the Arrow apply kernel
+    is unchanged (apply_top1_removal — remove_top1 minus the
+    retraining)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    r = S.remove_top1(emb, "vec_id", "embedding",
-                      dim=PCA_DIM, iters=PCA_ITERS)
+    comps, mu, _w0 = _pca_shared(spark, sf_dir)
+    r = S.apply_top1_removal(emb, "vec_id", "embedding",
+                             comps[0], mu)
     return r.select(
         "vec_id",
         F.concat_ws(
@@ -4644,13 +4686,11 @@ def q118_pca_topd(spark, sf_dir):
     deflation step using the rnd8 score ladder so the WHOLE
     multi-component chain — 2 components × 3 iterations here — is
     value-hash oracled, the deepest iterative oracle in the registry
-    after q104."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    proj, _comps, _mu = S.pca_power_topd(
-        emb, "vec_id", "embedding", dim=PCA_DIM,
-        n_components=PCA_TOPD, iters=PCA_ITERS,
-    )
-    return proj
+    after q104. Since r12 the training comes from the shared session
+    model (``_pca_shared``) — q109/q112 run the same chain's
+    component 1, so the corpus trains once, not three times."""
+    comps, _mu, w0 = _pca_shared(spark, sf_dir)
+    return S.pca_topd_project(w0, "vec_id", comps)
 
 
 def _sql_pca_topd(n_components: int = PCA_TOPD, iters: int = PCA_ITERS,
@@ -12078,6 +12118,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q177_ql_topk": (q177_ql_topk, SQL_Q177),
     "q180_ranker_agreement": (q180_ranker_agreement, SQL_Q180),
     "q188_ql_champions": (q188_ql_champions, SQL_Q188),
+    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
+    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
+    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q213_robots_rules": (q213_robots_rules, SQL_Q213),
     "q214_line_dedup": (q214_line_dedup, SQL_Q214),
     "q215_warc_headers": (q215_warc_headers, SQL_Q215),
@@ -12107,11 +12150,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_describe_stats": (q02_describe_stats, SQL_Q02),
     "q03_percentiles": (q03_percentiles, SQL_Q03),
@@ -12238,7 +12281,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
     "q200_doc_containment": (q200_doc_containment, SQL_Q200),
     "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    "q118_pca_topd": (q118_pca_topd, SQL_Q118),
     "q39_token_count": (q39_token_count, SQL_Q39),
     "q40_fingerprint": (q40_fingerprint, SQL_Q40),
     "q42_text_clean": (q42_text_clean, SQL_Q42),
@@ -12263,9 +12305,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
     "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
     "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
-    "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
-    "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
     "q114_source_divergence": (q114_source_divergence, SQL_Q114),
     "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
