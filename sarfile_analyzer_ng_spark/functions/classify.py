@@ -91,12 +91,21 @@ def logreg_train(df: DataFrame, feature_cols: list[str], label_col: str,
     y = F.col(label_col).cast("double")
     w = [0.0] * len(xs)
     for _ in range(iters):
+        # project the sigmoid residual ONCE per row (the softmax_train
+        # fix applied to the binary chain): inlining it into every
+        # gradient column re-evaluated the exp per column. Same
+        # doubles, same summation order — value-identical.
         resid = logreg_sigmoid(logreg_margin(xs, w, sig_round), sig_round) - y
-        grads = df.agg(
+        proj = df.select(
+            resid.alias("_r"),
+            *[x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)],
+        )
+        grads = proj.agg(
             *[
-                rnd(F.sum(resid * x_j) / F.lit(float(n)), round_to)
+                rnd(F.sum(F.col("_r") * F.col(f"_x{j}")) / F.lit(float(n)),
+                    round_to)
                 .alias(f"g{j}")
-                for j, x_j in enumerate(xs)
+                for j in range(len(xs))
             ]
         ).first()
         # rnd_np expects an array (its half-boundary repair indexes)
@@ -216,27 +225,21 @@ def _hashed_gram_agg(docs: DataFrame, text_col: str, id_col: str,
     c0..c{B-1}) — one explode, one doc-keyed agg, fully codegen."""
     from ..util import fan_out
 
-    words = fan_out(docs).select(
+    # map-side gram build (r12, guide §2.4): unigrams are the token
+    # array itself, bigrams come from zip_with against the shifted
+    # tail — no posexplode → window-lead chain, which shuffled and
+    # sorted EVERY token by doc id just to pair neighbors. Same gram
+    # multiset (pytest-pinned), one less Exchange+Sort per pipeline.
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(arr, tail, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    grams = fan_out(docs).select(
         F.col(id_col).alias("doc"),
         F.col(carry_col).alias("_carry"),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "w"),
-    )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc").orderBy("pos")
-    # materialize the lead first: a window expression can't live
-    # inside a generator's argument in one projection
-    paired = words.withColumn("nxt", F.lead("w").over(win))
-    grams = paired.select(
-        "doc", "_carry",
-        F.explode(
-            F.when(
-                F.col("nxt").isNotNull(),
-                F.array(F.col("w"), F.concat_ws(" ", "w", "nxt")),
-            ).otherwise(F.array(F.col("w")))
-        ).alias("g"),
+        F.explode(F.concat(arr, bigrams)).alias("g"),
     )
     fp = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
     bucketed = grams.select(
@@ -478,15 +481,27 @@ def softmax_train(df: DataFrame, feature_cols: list[str], label_col: str,
     W = [[0.0] * len(xs) for _ in range(n_classes)]
     for _ in range(iters):
         ps = softmax_probs(xs, W, sig_round)
+        # project each class's probability ONCE per row, then
+        # aggregate plain products: inlining ps[k] into every one of
+        # the K·(F+1) gradient columns made the agg re-evaluate the
+        # full K-exp softmax per column (measured ~1.8 s/iteration of
+        # pure expression eval + codegen at 5k rows). Same doubles,
+        # same summation order — value-identical by construction.
+        proj = df.select(
+            y.alias("_y"),
+            *[x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)],
+            *[p_k.alias(f"_p{k}") for k, p_k in enumerate(ps)],
+        )
         aggs = []
         for k in range(n_classes):
-            resid = ps[k] - F.when(y == k, F.lit(1.0)).otherwise(F.lit(0.0))
+            resid = F.col(f"_p{k}") - F.when(
+                F.col("_y") == k, F.lit(1.0)).otherwise(F.lit(0.0))
             aggs.extend(
-                rnd(F.sum(resid * x_j) / F.lit(float(n)), round_to)
-                .alias(f"g{k}_{j}")
-                for j, x_j in enumerate(xs)
+                rnd(F.sum(resid * F.col(f"_x{j}")) / F.lit(float(n)),
+                    round_to).alias(f"g{k}_{j}")
+                for j in range(len(xs))
             )
-        g = df.agg(*aggs).first()
+        g = proj.agg(*aggs).first()
         W = [
             [
                 float(rnd_np([W[k][j] - lr * float(g[f"g{k}_{j}"])],
@@ -507,15 +522,26 @@ def softmax_score(df: DataFrame, feature_cols: list[str],
     rounded probabilities both engines share, so ties break
     identically). One codegen map stage, model as literals."""
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    ps = softmax_probs(xs, W, sig_round)
+    # stage the exp terms and their sum as projected columns (the
+    # softmax_train fix): building every p_k and the argmax array from
+    # inlined softmax_probs re-evaluated the K-exp chain K² times per
+    # row. Same doubles, same rounding — value-identical.
+    es = [F.exp(logreg_margin(xs, w_k, sig_round)) for w_k in W]
+    staged = df.withColumns({f"_e{k}": e for k, e in enumerate(es)})
+    denom: Column = F.col("_e0")
+    for k in range(1, len(W)):
+        denom = denom + F.col(f"_e{k}")
+    staged = staged.withColumn("_ed", denom)
+    ps = [rnd(F.col(f"_e{k}") / F.col("_ed"), sig_round)
+          for k in range(len(W))]
     arr = F.array(*ps)
     pred = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
-    return df.withColumns(
+    return staged.withColumns(
         {
             **{f"p{k}": rnd(p, round_to) for k, p in enumerate(ps)},
             "pred": pred,
         }
-    )
+    ).drop(*[f"_e{k}" for k in range(len(W))], "_ed")
 
 
 def standardize_features(df: DataFrame, feature_cols: list[str],

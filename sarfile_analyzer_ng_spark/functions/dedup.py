@@ -70,9 +70,14 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                  short_fallback: bool = True) -> DataFrame:
     """Word n-gram shingles as a long (doc, shingle) frame.
 
-    posexplode + ``lead`` window instead of array higher-order
-    functions: the window runs in whole-stage codegen and measures ~4×
-    faster than the interpreted transform/element_at chain at 10k docs.
+    Map-side n-gram build (r12): the token array zips against its own
+    shifted tails (``zip_with``), so n-grams form in the projection —
+    no posexplode → ``lead`` window, which shuffled and sorted EVERY
+    token by doc id just to pair neighbors (one Exchange+Sort per
+    pipeline, the single most repeated shuffle in the engine; the
+    interpreted-HOF cost that once argued for the window came from
+    per-element ``element_at`` indexing, which zip_with avoids —
+    re-measured FASTER at 10k docs with an identical gram multiset).
     Documents shorter than ``n`` words fall back to one whole-text
     shingle (matching :func:`word_shingles`) so they still participate
     in dedup; pass ``short_fallback=False`` for consumers that must
@@ -80,18 +85,17 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     ``distinct=False`` skips the set-semantics shuffle — safe for
     MinHash, where duplicate shingles cannot change a minimum.
     """
-    words = _fan_out(df).select(
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    g = arr
+    for j in range(1, n):
+        tail = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+        g = F.zip_with(g, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    grams = words.select(
-        "doc",
-        F.concat_ws(
-            " ", "w", *[F.lead("w", j).over(win).alias(f"w{j}") for j in range(1, n)]
+        F.explode(
+            F.filter(g, lambda x: x.isNotNull())
         ).alias("shingle"),
-        F.lead("w", n - 1).over(win).alias("_tail"),
-    ).where(F.col("_tail").isNotNull()).select("doc", "shingle")
+    )
     if short_fallback:
         short = df.select(
             F.col(id_col).alias("doc"),
@@ -1680,23 +1684,24 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3,
     generation upstream (never all-pairs); the node-count scalar
     rides a broadcast one-row frame, not a driver collect.
     """
-    from pyspark import StorageLevel
-
-    # the symmetric edge set feeds every unrolled round: persist it
-    # (and each round's rank frame) so round i+1's plan references an
-    # InMemoryRelation leaf instead of re-nesting the whole upstream
-    # lineage — without this the 3-round plan tree grows to ~290
-    # nodes and Catalyst compile time dominates wall time (the q143
-    # persisted-sims lesson applied to a graph walk). All persisted
-    # frames ride ``_cached_inputs`` for release().
+    # The symmetric edge set and each round's rank frame feed every
+    # subsequent round: localCheckpoint (r12) instead of persist —
+    # persist left the full LOGICAL lineage in place, so every round's
+    # join/agg re-ANALYZED the whole upstream tree and the final plan
+    # dumped at ~4800 lines with Catalyst compile dominating wall time
+    # (measured 6.0 s at sf0.1 on a ~5k-node graph). Checkpointing
+    # truncates each round to a leaf: one short job per round — the
+    # exact materialization a Pregel superstep barrier performs — and
+    # constant-size plans no matter how many rounds run. deg/nodes
+    # derive from the checkpointed edges per reference (one cheap
+    # shuffle each; they stay lazy so no extra storage is pinned).
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    cached = [edges]
+    ).distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
@@ -1728,11 +1733,8 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3,
                     8,
                 ).alias("pr"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(pr)
-    out = pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))
-    out._cached_inputs = cached  # see functions.dedup.release
-    return out
+        ).localCheckpoint()
+    return pr.select("doc_id", rnd(F.col("pr"), round_to).alias("pagerank"))
 
 
 def split_leakage(df: DataFrame, text_col: str, id_col: str,

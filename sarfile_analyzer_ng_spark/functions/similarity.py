@@ -595,7 +595,8 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
 
 def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
                        k: int = 8, iters: int = 2,
-                       round_to: int = 4, cent_round: int = 6) -> DataFrame:
+                       round_to: int = 4, cent_round: int = 6,
+                       centroids: DataFrame | None = None) -> DataFrame:
     """Engine-reproducible Lloyd k-means — the oracled correctness
     twin of :func:`ivf_train` (same deterministic smallest-id init,
     same cosine-argmax assignment), built entirely from DataFrame ops
@@ -616,7 +617,10 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
 
     Returns the final assignment ``(id, cluster, cos)`` — ranked
     against the :func:`kmeans_centroids` frame after ``iters``
-    updates, so model and assignment stay one code path.
+    updates, so model and assignment stay one code path. Pass a
+    prebuilt (cached) ``centroids`` frame to share one Lloyd training
+    across the family's consumers — value-identical by construction
+    (the assignment ranks against whatever centroid frame it gets).
     """
     from pyspark.sql import Window
 
@@ -626,7 +630,7 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
-    cent = kmeans_centroids(
+    cent = centroids if centroids is not None else kmeans_centroids(
         emb, id_col, vec_col, k=k, iters=iters,
         round_to=round_to, cent_round=cent_round,
     )
@@ -1911,7 +1915,8 @@ def ann_topk_ivf_portable(emb: DataFrame, id_col: str, vec_col: str,
                           query_max_id: int, k: int = 5,
                           k_lists: int = 8, iters: int = 2,
                           nprobe: int = 2,
-                          round_to: int = 4) -> DataFrame:
+                          round_to: int = 4,
+                          centroids: DataFrame | None = None) -> DataFrame:
     """SUB-exhaustive IVF search on the engine-portable rounding
     ladder — the oracle-replayable twin of :func:`ann_topk_ivf`'s
     Arrow production path at ``nprobe < k_lists``. The exhaustive
@@ -1939,7 +1944,8 @@ def ann_topk_ivf_portable(emb: DataFrame, id_col: str, vec_col: str,
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
-    cent = kmeans_centroids(emb, id_col, vec_col, k=k_lists, iters=iters)
+    cent = centroids if centroids is not None else kmeans_centroids(
+        emb, id_col, vec_col, k=k_lists, iters=iters)
     cosc = rnd(cosine(F.col("e"), F.col("c")), round_to)
     wa = Window.partitionBy(id_col).orderBy(
         F.col("_cos").desc(), F.col("cluster").asc()
@@ -1983,7 +1989,8 @@ def ann_topk_ivf_portable(emb: DataFrame, id_col: str, vec_col: str,
 def cluster_silhouette(emb: DataFrame, id_col: str, vec_col: str,
                        k: int = 8, iters: int = 2,
                        round_to: int = 6,
-                       assign_round: int = 4) -> DataFrame:
+                       assign_round: int = 4,
+                       centroids: DataFrame | None = None) -> DataFrame:
     """Per-cluster simplified silhouette over the oracled Lloyd
     k-means geometry — the cluster-quality report a curator reads
     before trusting q86's cluster routing or q146's prototypicality
@@ -2010,7 +2017,8 @@ def cluster_silhouette(emb: DataFrame, id_col: str, vec_col: str,
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
-    cent = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
+    cent = centroids if centroids is not None else kmeans_centroids(
+        emb, id_col, vec_col, k=k, iters=iters)
     cos = rnd(cosine(F.col("e"), F.col("c")), assign_round)
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos").desc(), F.col("cluster").asc()

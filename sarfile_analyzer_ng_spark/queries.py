@@ -1008,6 +1008,12 @@ def memo_builders():
         "_memo_simhash_sigs": _planted_simhash_sigs,
         "_memo_postings": _postings_shared,
         "_memo_pca_model": _pca_model_frame,
+        "_memo_kmeans_assign": lambda spark, sf: _kmeans_shared(
+            spark, sf)[1],
+        "_memo_unigram_lm": _unigram_lm_shared,
+        "_memo_bigram_lm": _bigram_lm_shared,
+        "_memo_ivf_topk": _ivf_topk_shared,
+        "_memo_ann_brute": _ann_brute_shared,
         "_memo_bm25_exact": lambda spark, sf: _retrieval_shared(
             spark, sf, "bm25"),
         "_memo_bm25_champs": lambda spark, sf: _retrieval_shared(
@@ -1530,17 +1536,51 @@ def q85_curation_funnel(spark, sf_dir):
 UNIGRAM_VOCAB = 20
 
 
+# One corpus unigram-LM scoring (q84's exact chain) serves q84, q87's
+# per-source deciles, q123's DoReMi reference model, and q133's
+# per-source perplexity table; the Stupid-Backoff bigram LM likewise
+# serves q95 and q123's proxy model. Each consumer previously re-ran
+# the identical train+score pipeline (guide §1.2). Bounded: 3 scalars
+# per document. Session-lived like _MINHASH_PAIR_MEMO; bench times the
+# builds as their own ``_memo_unigram_lm`` / ``_memo_bigram_lm`` lines.
+_UNIGRAM_LM_MEMO: dict[tuple[int, str], DataFrame] = {}
+_BIGRAM_LM_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _unigram_lm_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _UNIGRAM_LM_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    docs = _t(spark, sf_dir, "documents")
+    got = TX.unigram_logprob(
+        docs, "text", "doc_id", vocab_size=UNIGRAM_VOCAB
+    ).cache()
+    _UNIGRAM_LM_MEMO[key] = got
+    return got
+
+
+def _bigram_lm_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _BIGRAM_LM_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    docs = _t(spark, sf_dir, "documents")
+    got = TX.bigram_logprob(docs, "text", "doc_id").cache()
+    _BIGRAM_LM_MEMO[key] = got
+    return got
+
+
 def q84_unigram_logprob(spark, sf_dir):
     """Unigram-LM fluency scores (the KenLM-perplexity stand-in of
     CCNet quality filtering): corpus-trained top-20 vocabulary with a
     pooled <unk> mass; every document's mean token log-prob and
     perplexity value-checked against the SQL replay. 11 of the 31
     corpus tokens fall outside the vocabulary, so the <unk> path is
-    live in the gate, not just in unit tests."""
-    docs = _t(spark, sf_dir, "documents")
-    return TX.unigram_logprob(
-        docs, "text", "doc_id", vocab_size=UNIGRAM_VOCAB
-    )
+    live in the gate, not just in unit tests. Since r12 the scored
+    frame is session-memoized (``_unigram_lm_shared``) — q87/q123/
+    q133 previously re-ran the identical LM train + score chain."""
+    return _unigram_lm_shared(spark, sf_dir)
 
 
 SQL_Q84 = f"""
@@ -1574,8 +1614,7 @@ def q87_perplexity_buckets(spark, sf_dir):
     deterministic — and the per-(source, decile) doc counts and ppl
     ranges are value-checked against the SQL replay."""
     docs = _t(spark, sf_dir, "documents")
-    ppl = TX.unigram_logprob(docs, "text", "doc_id",
-                             vocab_size=UNIGRAM_VOCAB)
+    ppl = _unigram_lm_shared(spark, sf_dir)
     j = docs.select("doc_id", "source").join(ppl, "doc_id")
     w = Window.partitionBy("source").orderBy(
         F.col("ppl").asc(), F.col("doc_id").asc()
@@ -1945,9 +1984,7 @@ WHERE round(CAST(CAST((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) AS VARCHAR)
 
 def q35_ann_topk(spark, sf_dir):
     """Brute-force ANN top-k (L6): first N vec_ids are the query set."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
-    return S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding", ANN_K)
+    return _ann_brute_shared(spark, sf_dir)
 
 
 SQL_Q35 = f"""
@@ -1974,14 +2011,48 @@ KMEANS_ITERS = 2
 EMB_DIM = 64
 
 
+# One Lloyd training + ONE corpus assignment serve the whole base-
+# embedding k-means family — q72 (the twin itself), q86 (cluster
+# top-terms), q146 (prototype prune), q151 (silhouette — centroids
+# only, it ranks top-2 itself), and the portable IVF route q142/q194
+# (ann_topk_ivf_portable calls kmeans_centroids with the IDENTICAL
+# (k=8, iters=2, rnd4/rnd6) arguments). Before r12 each consumer
+# re-ran the full iterative Lloyd chain (guide §1.2: don't compute
+# things you throw away). Bounded state: k rows × dim doubles for the
+# centroids, (id, cluster, cos) per vector for the assignment.
+# Session-lived like _MINHASH_PAIR_MEMO; bench times the build as its
+# own ``_memo_kmeans_assign`` line.
+_KMEANS_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _kmeans_shared(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    got = _KMEANS_MEMO.get(key)
+    if got is not None:
+        return (_ensure_cached(got[0]), _ensure_cached(got[1]))
+    emb = _t(spark, sf_dir, "embeddings")
+    # the centroid frame localCheckpoints (k rows; its LINEAGE is the
+    # whole iterative Lloyd tree — consumers would otherwise re-pay
+    # full-plan analysis on every reference, the _pca_shared lesson);
+    # the assignment rides an ordinary cache.
+    cent = S.kmeans_centroids(emb, "vec_id", "embedding",
+                              k=KMEANS_K,
+                              iters=KMEANS_ITERS).localCheckpoint()
+    assign = S.kmeans_lloyd_exact(emb, "vec_id", "embedding",
+                                  k=KMEANS_K, iters=KMEANS_ITERS,
+                                  centroids=cent).cache()
+    _KMEANS_MEMO[key] = (cent, assign)
+    return cent, assign
+
+
 def q72_kmeans_twin(spark, sf_dir):
     """Engine-reproducible Lloyd k-means (k=8, 2 iterations,
     smallest-id init): the oracled geometry gate for ivf_train's
     Arrow partial-sum production path — rounded-cosine assignment and
-    rounded centroid components make every step replayable in SQL."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_lloyd_exact(emb, "vec_id", "embedding",
-                                k=KMEANS_K, iters=KMEANS_ITERS)
+    rounded centroid components make every step replayable in SQL.
+    Since r12 the assignment comes from the shared session training
+    (``_kmeans_shared``) — same code path, same values."""
+    return _kmeans_shared(spark, sf_dir)[1]
 
 
 def _sql_kmeans_assign(cent: str, out: str) -> str:
@@ -2093,7 +2164,8 @@ def q151_cluster_silhouette(spark, sf_dir):
     value-hash oracled via the unrolled k-means CTE chain."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.cluster_silhouette(emb, "vec_id", "embedding",
-                                k=KMEANS_K, iters=KMEANS_ITERS)
+                                k=KMEANS_K, iters=KMEANS_ITERS,
+                                centroids=_kmeans_shared(spark, sf_dir)[0])
 
 
 _SIL_COS = sql_rnd(
@@ -2144,10 +2216,8 @@ def q86_cluster_profile(spark, sf_dir):
     (cluster-level TF-IDF over the oracled Lloyd assignment, joined to
     the documents via the 1:1 vec_id↔doc_id testdata link) — the
     report a curator reads to route or downsample semantic clusters."""
-    emb = _t(spark, sf_dir, "embeddings")
-    labels = S.kmeans_lloyd_exact(
-        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
-    ).select(F.col("vec_id").alias("doc_id"), "cluster")
+    labels = _kmeans_shared(spark, sf_dir)[1].select(
+        F.col("vec_id").alias("doc_id"), "cluster")
     docs = _t(spark, sf_dir, "documents")
     return S.cluster_top_terms(
         labels, docs, "doc_id", "text", top_k=3, num_clusters=KMEANS_K
@@ -3769,9 +3839,10 @@ def q95_bigram_logprob(spark, sf_dir):
     with the Brants count cutoff (singleton bigrams pruned), scoring
     word ORDER where q84's unigram model scores only vocabulary. Both
     the kept-bigram and the pruned→backoff path are live in the gate;
-    the full column set is value-hash oracled."""
-    docs = _t(spark, sf_dir, "documents")
-    return TX.bigram_logprob(docs, "text", "doc_id")
+    the full column set is value-hash oracled. Since r12 the scored
+    frame is session-memoized (``_bigram_lm_shared``, shared with
+    q123's proxy model)."""
+    return _bigram_lm_shared(spark, sf_dir)
 
 
 SQL_Q95 = rf"""
@@ -5002,7 +5073,13 @@ def _qc_scored_shared(spark, sf_dir) -> DataFrame:
     df = _QC_SCORED_MEMO.get(key)
     if df is not None:
         return _ensure_cached(df)
-    feats = _qc_features(spark, sf_dir)
+    # localCheckpoint for the build: logreg_train's count + QC_ITERS
+    # gradient scans and the scoring pass otherwise EACH re-ran the
+    # regex-heavy quality_features pipeline (6 rebuilds — measured
+    # 31.5 s cold at sf0.1, the most expensive repeated frame in the
+    # bench) and re-analyzed its lineage per action. Bounded: 5
+    # doubles + label per document.
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
     w = C.logreg_train(feats, QC_FEATURES, "label",
                        iters=QC_ITERS, lr=QC_LR)
     df = C.logreg_score(feats, QC_FEATURES, w).select(
@@ -5100,14 +5177,15 @@ def q120_classifier_calibration(spark, sf_dir):
     prediction vs observed label rate — the calibration check a
     curator runs before trusting the keep-threshold. Composes the
     fully-oracled training chain with one map-combinable aggregation;
-    no ntile, no global sort."""
+    no ntile, no global sort. Since r12 the scored frame comes from
+    the shared session training (``_qc_scored_shared`` — the same
+    feats/iters/lr/rounding as the inline chain this previously
+    re-ran from scratch, value-identical by determinism of the
+    full-batch GD)."""
     from .functions import classify as C
 
-    feats = _qc_features(spark, sf_dir)
-    w = C.logreg_train(feats, QC_FEATURES, "label",
-                       iters=QC_ITERS, lr=QC_LR)
-    scored = C.logreg_score(feats, QC_FEATURES, w)
-    return C.calibration_report(scored, bins=CAL_BINS)
+    return C.calibration_report(_qc_scored_shared(spark, sf_dir),
+                                bins=CAL_BINS)
 
 
 def _sql_calibration(bins: int = CAL_BINS) -> str:
@@ -5490,9 +5568,8 @@ def q123_doremi_weights(spark, sf_dir):
     funnel's optional source_weights stage. Fully value-hash oracled
     by unrolling the update chain into CTEs (the q104 pattern)."""
     docs = _t(spark, sf_dir, "documents")
-    ref = TX.unigram_logprob(docs, "text", "doc_id",
-                             vocab_size=UNIGRAM_VOCAB)
-    prox = TX.bigram_logprob(docs, "text", "doc_id")
+    ref = _unigram_lm_shared(spark, sf_dir)
+    prox = _bigram_lm_shared(spark, sf_dir)
     return TX.doremi_weights(docs, "doc_id", "source", ref, prox,
                              iters=DOREMI_ITERS, eta=DOREMI_ETA,
                              smooth=DOREMI_SMOOTH)
@@ -6074,8 +6151,7 @@ def q133_source_perplexity(spark, sf_dir):
     q87's per-doc buckets and q114's distribution divergence. Pure
     composition of the oracled q84 chain + one source rollup."""
     docs = _t(spark, sf_dir, "documents")
-    per = TX.unigram_logprob(docs, "text", "doc_id",
-                             vocab_size=UNIGRAM_VOCAB)
+    per = _unigram_lm_shared(spark, sf_dir)
     joined = per.join(docs.select("doc_id", "source"), "doc_id")
     agg = joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -6335,16 +6411,24 @@ def q130_hashed_gram_classifier(spark, sf_dir):
     from .functions import classify as C
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint: logreg_train's count + HG_ITERS gradient scans
+    # and the final scoring pass otherwise EACH re-ran the gram
+    # explode / hash / doc-agg feature build (6 rebuilds — guide §1.2)
+    # AND re-analyzed its full lineage per driver action (the dominant
+    # cost at bench scale; the _pca_shared lesson). Bounded: B+3
+    # scalars per document, freed by ContextCleaner with the frame.
     feats = C.hashed_gram_features(docs, "text", "doc_id", "source",
-                                   QC_POS_SOURCES, buckets=HG_BUCKETS)
+                                   QC_POS_SOURCES,
+                                   buckets=HG_BUCKETS).localCheckpoint()
     cols = [f"x{j}" for j in range(HG_BUCKETS)]
     w = C.logreg_train(feats, cols, "label", iters=HG_ITERS, lr=HG_LR)
-    return C.logreg_score(feats, cols, w).select(
+    out = C.logreg_score(feats, cols, w).select(
         "doc_id",
         F.col("label").cast("long").alias("label"),
         "p_good",
         "pred",
     )
+    return out
 
 
 def _sql_hashed_logreg(buckets: int = HG_BUCKETS, iters: int = HG_ITERS,
@@ -6495,9 +6579,7 @@ def q146_proto_prune(spark, sf_dir):
     Composes the cluster geometry gate into an actual curation
     verdict; one extra cluster-keyed window over the assignment.
     Fully value-hash oracled."""
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned = S.kmeans_lloyd_exact(emb, "vec_id", "embedding",
-                                    k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = _kmeans_shared(spark, sf_dir)[1]
     w = Window.partitionBy("cluster").orderBy(F.col("cos").asc())
     thr = repr(round(1.0 - PROTO_DROP_FRAC, 8))
     return (
@@ -6709,6 +6791,45 @@ UNION ALL SELECT query_id, 3::BIGINT AS step, doc_id, mmr FROM s3
 IVF_NPROBE = 2
 
 
+# The sub-exhaustive IVF result (q142 + q194 run the IDENTICAL
+# ann_topk_ivf_portable call) and the brute-force truth ranking
+# (q35 + q142 + q194) are each computed once per session — the two
+# recall/nDCG audits otherwise re-ran both ranking pipelines in
+# full (guide §1.2). Bounded: |queries| × k rows each. Session-lived
+# like _KMEANS_MEMO; bench times the builds as their own
+# ``_memo_ivf_topk`` / ``_memo_ann_brute`` lines.
+_IVF_TOPK_MEMO: dict[tuple[int, str], DataFrame] = {}
+_ANN_BRUTE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ivf_topk_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _IVF_TOPK_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    emb = _t(spark, sf_dir, "embeddings")
+    got = S.ann_topk_ivf_portable(
+        emb, "vec_id", "embedding", ANN_NUM_QUERIES, k=ANN_K,
+        k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE,
+        centroids=_kmeans_shared(spark, sf_dir)[0],
+    ).cache()
+    _IVF_TOPK_MEMO[key] = got
+    return got
+
+
+def _ann_brute_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _ANN_BRUTE_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
+    got = S.ann_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", ANN_K).cache()
+    _ANN_BRUTE_MEMO[key] = got
+    return got
+
+
 def q142_ivf_recall(spark, sf_dir):
     """Sub-exhaustive IVF recall audit (functions/similarity.py:
     ann_topk_ivf_portable, r9): the production ANN regime — partial
@@ -6720,14 +6841,8 @@ def q142_ivf_recall(spark, sf_dir):
     and the per-query recall@k against the q35 brute-force truth is
     deterministic cross-engine — recall < 1 here is the designed
     trade being MEASURED, not a failure."""
-    emb = _t(spark, sf_dir, "embeddings")
-    ivf = S.ann_topk_ivf_portable(
-        emb, "vec_id", "embedding", ANN_NUM_QUERIES, k=ANN_K,
-        k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE,
-    )
-    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
-    brute = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding",
-                                  ANN_K)
+    ivf = _ivf_topk_shared(spark, sf_dir)
+    brute = _ann_brute_shared(spark, sf_dir)
     hits = ivf.select("query_id", "neighbor_id").withColumn(
         "hit", F.lit(1)
     )
@@ -9509,14 +9624,8 @@ def q194_ann_ndcg_audit(spark, sf_dir):
     chain."""
     from .functions import retrieval as RV
 
-    emb = _t(spark, sf_dir, "embeddings")
-    ivf = S.ann_topk_ivf_portable(
-        emb, "vec_id", "embedding", ANN_NUM_QUERIES, k=ANN_K,
-        k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE,
-    )
-    queries = emb.where(F.col("vec_id") <= ANN_NUM_QUERIES)
-    brute = S.ann_topk_bruteforce(emb, queries, "vec_id", "embedding",
-                                  ANN_K)
+    ivf = _ivf_topk_shared(spark, sf_dir)
+    brute = _ann_brute_shared(spark, sf_dir)
     approx = ivf.select(
         "query_id", "rank", F.col("neighbor_id").alias("doc_id"))
     exact = brute.select(
@@ -11042,11 +11151,18 @@ def q204_softmax_classifier(spark, sf_dir):
 
     corpus = _smx_corpus(spark, sf_dir)
     cols = [f"x{j}" for j in range(SMX_BUCKETS)]
-    feats = C.standardize_features(
-        C.hashed_gram_features_labeled(
-            corpus, "text", "doc_id", "label", buckets=SMX_BUCKETS),
-        cols,
+    # raw persisted so standardize's stats agg and the z-scored main
+    # pass share ONE gram-pipeline build (guide §1.2); the z-scored
+    # frame then localCheckpoints so softmax_train's count + SMX_ITERS
+    # gradient scans and the scoring pass analyze a LEAF instead of
+    # re-analyzing the full feature lineage per driver action (the
+    # dominant cost at bench scale; the _pca_shared lesson). raw is
+    # released immediately after the checkpoint materializes.
+    raw = C.hashed_gram_features_labeled(
+        corpus, "text", "doc_id", "label", buckets=SMX_BUCKETS
     ).persist()
+    feats = C.standardize_features(raw, cols).localCheckpoint()
+    raw.unpersist()
     W = C.softmax_train(feats, cols, "label", n_classes=len(SMX_LANGS),
                         iters=SMX_ITERS, lr=SMX_LR)
     scored = C.softmax_score(feats, cols, W)
@@ -11056,7 +11172,6 @@ def q204_softmax_classifier(spark, sf_dir):
         *[f"p{k}" for k in range(len(SMX_LANGS))],
         F.col("pred").cast("long").alias("pred"),
     )
-    out._cached_inputs = [feats]  # see release()
     return out
 
 
