@@ -844,19 +844,20 @@ def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
     word ``k``-gram — the shared front half of winnowing and the
     repeated-span detector (identical expressions, identical analyzed
     plan, identical DuckDB twin)."""
-    words = _fan_out(df).select(
+    # map-side positional grams (r12, guide §2.4): zip the token
+    # array against its shifted tails, posexplode the gram array (the
+    # generator index IS the gram position), drop the null tail
+    # slots — no posexplode → lead-window chain, which shuffled and
+    # sorted every token by doc id. Same (doc, pos, h) rows.
+    arr = tokens_expr(F.col(text_col))
+    g = arr
+    for j in range(1, k):
+        tail = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+        g = F.zip_with(g, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    grams = words.select(
-        "doc",
-        "pos",
-        F.concat_ws(
-            " ", "w", *[F.lead("w", j).over(win) for j in range(1, k)]
-        ).alias("gram"),
-        F.lead("w", k - 1).over(win).alias("_tail"),
-    ).where(F.col("_tail").isNotNull())
+        F.posexplode(g).alias("pos", "gram"),
+    ).where(F.col("gram").isNotNull())
     return grams.select("doc", "pos", gram_hash_expr(F.col("gram")).alias("h"))
 
 

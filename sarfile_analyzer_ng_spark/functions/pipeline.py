@@ -143,9 +143,15 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
     re-joined only where a stage genuinely tokenizes (chunking).
     No driver state, no Python, fully value-hash oracle-able.
     """
+    # The six per-stage rollups below are UNION branches of one plan;
+    # without caching, each branch re-computed its whole upstream
+    # chain — the quality regex pipeline alone ran 6+ times per
+    # execution (r12, guide §1.2). The branch-point frames are
+    # persisted NARROW (text dropped — the spine design): kilobytes
+    # per million docs, released via _cached_inputs.
     qs = quality_score(
         docs.select(id_col, source_col, text_col), text_col
-    )
+    ).drop(text_col).persist()
     corpus = qs.select(id_col, source_col,
                        F.col("n_words").cast("long").alias("_nt"))
     # Optional mixture-weighting stage (r9): a model-sized
@@ -169,7 +175,8 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
             ).alias("_k"),
         )
     sampled = weighted_sample(qs, id_col, source_col, "quality",
-                              k=k_per_source, k_overrides=k_overrides)
+                              k=k_per_source,
+                              k_overrides=k_overrides).persist()
     samp_docs = docs.select(id_col, source_col, text_col).join(
         sampled.select(id_col), id_col
     )
@@ -177,12 +184,14 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
                          budget_tokens)
     kept = trim.where(F.col("kept") == 1).select(
         id_col, source_col, F.col("n_tokens").cast("long").alias("_nt")
-    )
+    ).persist()
     kept_docs = docs.select(id_col, text_col).join(
         kept.select(id_col), id_col
     )
     chunks = chunk_documents(kept_docs, text_col, id_col,
-                             chunk_tokens=chunk_tokens, overlap=overlap)
+                             chunk_tokens=chunk_tokens, overlap=overlap
+                             ).select(id_col, "chunk_id",
+                                      "n_chunk_tokens").persist()
     packed = pack_sequences(chunks, [id_col, "chunk_id"],
                             "n_chunk_tokens", capacity=capacity,
                             num_shards=num_shards)
@@ -214,8 +223,10 @@ def assemble_training_data(docs: DataFrame, text_col: str, id_col: str,
         F.sum("n_tokens").alias("n_tokens")))
     s5 = report(5, "shuffled", addr.join(src_of, id_col).groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_units"), F.sum("_nt").alias("n_tokens")))
-    return s0.unionByName(s1).unionByName(s2).unionByName(s3) \
+    out = s0.unionByName(s1).unionByName(s2).unionByName(s3) \
              .unionByName(s4).unionByName(s5)
+    out._cached_inputs = [qs, sampled, kept, chunks]  # see dedup.release
+    return out
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,

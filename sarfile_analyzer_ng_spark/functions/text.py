@@ -263,7 +263,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
         (F.regexp_count(t, F.lit(p)) for p, _ in PII_PATTERNS.values()),
         F.lit(0),
     )
-    base = base.withColumn("n_pii", n_pii.cast("long"))
+    # project text OUT before the repetition join (guide §2.3): every
+    # signal is computed by here, and the join exchange would
+    # otherwise carry the full document bytes just to drop them in
+    # the final select.
+    base = base.withColumn("n_pii", n_pii.cast("long")).drop(text_col)
     rep = repetition_signals(
         df.select(id_col, text_col), text_col, id_col, round_to
     ).select(id_col, "dup_word_frac", "top_bigram_frac")
