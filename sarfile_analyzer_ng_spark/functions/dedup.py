@@ -396,10 +396,19 @@ def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
     corpus and its re-crawls hits both sides at once); dropped keys
     come off both sides, so the verdict stays symmetric.
     """
+    # localCheckpoint (r12): with max_df set, each side's band frame
+    # feeds BOTH the hot-band count and the candidate join — without
+    # materialization the full shingle→fp→32-min signature pipeline
+    # ran twice per side (4 corpus-scale builds per run). One short
+    # job per side; the band explode re-derives from the checkpointed
+    # (doc, sig) leaf. Production persists signatures next to the
+    # corpus anyway (see Shape at scale below).
     sig_b = minhash_signatures_portable(batch, text_col, id_col,
-                                        shingle_n, num_hashes)
+                                        shingle_n,
+                                        num_hashes).localCheckpoint()
     sig_r = minhash_signatures_portable(ref, text_col, id_col,
-                                        shingle_n, num_hashes)
+                                        shingle_n,
+                                        num_hashes).localCheckpoint()
     keys = portable_band_keys("sig", num_hashes, bands)
     bb = sig_b.select(F.col("doc").alias("bid"), F.col("sig").alias("bsig"),
                       F.explode(keys).alias("band"))

@@ -945,7 +945,14 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     )
-    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # the token-count frame is VOCABULARY-sized but referenced by
+    # three model sub-frames (tot/vocab/unk) — without materialization
+    # each reference re-ran the corpus token explode+agg (r12, guide
+    # §1.2). localCheckpoint: one corpus scan, model frames derive
+    # from the leaf.
+    cnts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).localCheckpoint()
     tot = cnts.agg(F.sum("c").alias("n"))
     vocab = cnts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_size)
     unk = (
@@ -1007,17 +1014,30 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    toks = fan_out(df).select(
+    # map-side (w, prev) pairs (r12, guide §2.4): the previous token
+    # is the array shifted right one slot — no posexplode + lag
+    # window, which shuffled and sorted every token (and `stream`
+    # feeds two branches, so the window ran twice per execution).
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    prev_arr = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        arr, prev_arr,
+        lambda a, b: F.struct(a.alias("w"), b.alias("prev")),
+    )
+    stream = fan_out(df).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    stream = toks.select(
-        "doc", "pos", "w", F.lag("w").over(win).alias("prev")
-    )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+        F.posexplode(pairs).alias("pos", "_p"),
+    ).select("doc", "pos", F.col("_p.w").alias("w"),
+             F.col("_p.prev").alias("prev"))
+    toks = stream.select("doc", "pos", "w")
+    # vocabulary-sized, referenced 3x (tot/prev_cnt/score join) —
+    # one corpus scan via localCheckpoint
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cw")
+    ).localCheckpoint()
     tot = uni.agg(F.sum("cw").alias("n"))
     bi = (
         stream.where(F.col("prev").isNotNull())
@@ -1964,7 +1984,11 @@ def chunk_ppl_cut(df: DataFrame, text_col: str, id_col: str,
     toks = fan_out(df).select(
         F.explode(lowered).alias("w")
     )
-    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # vocabulary-sized, referenced by tot/vocab/unk — one corpus scan
+    # via localCheckpoint (the unigram_logprob fix)
+    cnts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).localCheckpoint()
     tot = cnts.agg(F.sum("c").alias("n"))
     vocab = cnts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_size)
     unk = (

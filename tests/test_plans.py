@@ -312,16 +312,15 @@ def test_passage_dedup_has_no_window_or_per_hash_sort(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_bigram_logprob_lag_window_is_doc_partitioned(spark):
-    """q95's lag window must partition by doc — and the whole scoring
-    path stays JVM-side."""
-    import re
-
+def test_bigram_logprob_stream_is_map_side(spark):
+    """q95's (w, prev) pair stream builds MAP-SIDE (r12): the token
+    array zips against its own shifted copy, so the plan carries no
+    lag window (the old shape shuffled+sorted every token) — and the
+    whole scoring path stays JVM-side."""
     from sarfile_analyzer_ng_spark.queries import q95_bigram_logprob
 
     p = plan(q95_bigram_logprob(spark, SF_DIR))
-    lags = re.findall(r"Window \[lag.*", p)
-    assert lags and all("doc" in l for l in lags)
+    assert "Window [lag" not in p and "zip_with" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
