@@ -815,7 +815,8 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
 
 
 def hashed_ngram_buckets(df: DataFrame, text_col: str, id_col: str,
-                         n_buckets: int = 1024) -> DataFrame:
+                         n_buckets: int = 1024,
+                         flag: Column | None = None) -> DataFrame:
     """Hashed bag-of-n-grams features (word unigrams + bigrams →
     ``n_buckets`` hash buckets): one ``(doc, bucket)`` row per gram
     occurrence — the shared feature extractor for DSIR importance
@@ -826,26 +827,34 @@ def hashed_ngram_buckets(df: DataFrame, text_col: str, id_col: str,
     ``('0x' || substr(md5(g),1,8))::BIGINT % B``. Tokenization is the
     corpus-wide ``\\s+`` split on lowercased text.
 
-    Shape at scale: posexplode + one per-doc window (``lead``) for the
-    bigram — shuffle keyed by doc id, uniform; then a pure codegen
-    hash map stage. No Python, no driver state.
-    """
-    from pyspark.sql import Window
+    Shape at scale: the bigram forms MAP-SIDE (the token array zipped
+    against its own shifted tail — the r12 ``shingle_rows`` rewrite;
+    the old posexplode + ``lead`` window shuffled and sorted every
+    token by doc id just to pair neighbors), then one explode of the
+    combined gram array into the codegen hash map stage. No shuffle,
+    no Python, no driver state.
 
-    words = fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "w"),
+    ``flag`` (optional) is evaluated against the input row and carried
+    through as a boolean ``_t`` column — the hook that lets a caller
+    scoring TWO overlapping corpora (DSIR's raw vs target-subset) pay
+    for ONE gram pass.
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # bigrams: zip the array against its tail; null-pad at the end
+    # drops out via the filter (concat propagates null, unlike
+    # concat_ws which would silently emit a bare unigram)
+    bi = F.zip_with(
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    win = Window.partitionBy("doc").orderBy("pos")
-    pair = words.select("doc", "w", F.lead("w").over(win).alias("w2"))
-    uni = pair.select("doc", F.col("w").alias("gram"))
-    bi = pair.where(F.col("w2").isNotNull()).select(
-        "doc", F.concat_ws(" ", "w", "w2").alias("gram")
-    )
-    return uni.unionByName(bi).select(
-        "doc",
+    grams = F.concat(arr, F.filter(bi, lambda x: x.isNotNull()))
+    cols = [F.col(id_col).alias("doc")]
+    if flag is not None:
+        cols.append(flag.alias("_t"))
+    out = fan_out(df).select(*cols, F.explode(grams).alias("gram"))
+    return out.select(
+        *(["doc"] + (["_t"] if flag is not None else [])),
         F.pmod(
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
             F.lit(n_buckets),
@@ -853,9 +862,10 @@ def hashed_ngram_buckets(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
+def dsir_weights(raw: DataFrame, target: DataFrame | None, text_col: str,
                  id_col: str, n_buckets: int = 1024,
-                 round_to: int = 4) -> DataFrame:
+                 round_to: int = 4,
+                 target_pred: Column | None = None) -> DataFrame:
     """DSIR-style importance weights (Data Selection via Importance
     Resampling; Xie et al. 2023, arXiv:2302.03169): score every raw
     document by how much more likely its hashed n-gram features are
@@ -872,15 +882,40 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
     the bucket hash is the md5-based portable scheme of
     :func:`hashed_ngram_buckets`.
 
-    Shape at scale: two gram passes (raw + target) aggregated by
-    bucket; the weight table is ≤ ``n_buckets`` rows → broadcast into
-    the per-doc bucket counts; one (doc, bucket) agg keyed by doc.
+    Shape at scale: ONE gram pass over ``raw`` aggregated to a cached
+    narrow (doc, bucket, count) frame that serves the raw model, the
+    per-doc counts, AND — when the target is a predicate-defined
+    subset of ``raw`` (``target_pred``; the DSIR paper's usual setup)
+    — the target model too, so the corpus is tokenized exactly once
+    (r12; previously three gram passes: raw twice + target once).
+    The weight table is ≤ ``n_buckets`` rows → broadcast into the
+    per-doc bucket counts; one (doc, bucket) agg keyed by doc.
     Nothing quadratic, nothing on the driver, no Python.
+
+    Pass EITHER ``target`` (a separate frame — two gram passes) OR
+    ``target_pred`` (a boolean Column over ``raw``'s rows — one pass);
+    the two forms are value-identical when ``target`` equals
+    ``raw.where(target_pred)``, since the target's bucket counts are
+    exact integer sums either way.
     """
-    g_r = hashed_ngram_buckets(raw, text_col, id_col, n_buckets)
-    g_t = hashed_ngram_buckets(target, text_col, id_col, n_buckets)
-    rc = g_r.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tc = g_t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    if target_pred is not None:
+        if target is not None:
+            raise ValueError("pass either target or target_pred, not both")
+        g = hashed_ngram_buckets(raw, text_col, id_col, n_buckets,
+                                 flag=target_pred)
+        # _t is constant per doc, so (doc, b, _t) groups ≡ (doc, b)
+        db = g.groupBy("doc", "b", "_t").agg(
+            F.count(F.lit(1)).alias("c")).cache()
+        rc = db.groupBy("b").agg(F.sum("c").alias("cr"))
+        tc = db.where(F.col("_t")).groupBy("b").agg(
+            F.sum("c").alias("ct"))
+    else:
+        g_r = hashed_ngram_buckets(raw, text_col, id_col, n_buckets)
+        g_t = hashed_ngram_buckets(target, text_col, id_col, n_buckets)
+        db = g_r.groupBy("doc", "b").agg(
+            F.count(F.lit(1)).alias("c")).cache()
+        rc = db.groupBy("b").agg(F.sum("c").alias("cr"))
+        tc = g_t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     tot_r = rc.agg(F.sum("cr").cast("double").alias("tr"))
     tot_t = tc.agg(F.sum("ct").cast("double").alias("tt"))
     wt = (
@@ -902,13 +937,12 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
             ).alias("w"),
         )
     )
-    doc_b = g_r.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("c"))
     logw = (
-        doc_b.join(F.broadcast(wt), "b")
+        db.join(F.broadcast(wt), "b")
         .groupBy("doc")
         .agg(rnd(F.sum(F.col("c") * F.col("w")), round_to).alias("logw"))
     )
-    return (
+    out = (
         raw.select(F.col(id_col).alias("doc"))
         .join(logw, "doc", "left")
         .select(
@@ -916,6 +950,8 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
             F.coalesce("logw", F.lit(0.0)).alias("logw"),
         )
     )
+    out._cached_inputs = [db]  # see functions.dedup.release
+    return out
 
 
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str,

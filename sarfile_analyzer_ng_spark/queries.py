@@ -1855,9 +1855,9 @@ def q83_dsir_weights(spark, sf_dir):
     value-checked against the SQL replay of the smoothed log-ratio
     model — hash, smoothing, and summation all cross-engine."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
     return TX.dsir_weights(
-        docs, target, "text", "doc_id", n_buckets=DSIR_BUCKETS
+        docs, None, "text", "doc_id", n_buckets=DSIR_BUCKETS,
+        target_pred=F.col("source") == "src0",
     )
 
 
