@@ -76,6 +76,73 @@ def cosine_arrow(a, b) -> Column:
     return F.pandas_udf(_cosine_batches, T.DoubleType())(a, b)
 
 
+def cosine_to_queries_arrow(corpus: DataFrame, queries: DataFrame,
+                            pairs: list[tuple[str, str, str]],
+                            corpus_id: str = "neighbor_id",
+                            query_id: str = "query_id") -> DataFrame:
+    """Score every corpus row against EVERY query vector — one
+    map-side Arrow pass over the CORPUS, queries held as a local
+    matrix (model-sized: the collect is the query set, never the
+    corpus). RAW cosines out; callers apply the ``rnd`` ladder
+    JVM-side, exactly like the per-pair :func:`cosine_arrow` path.
+
+    Why not BNLJ + per-pair kernel (the q76 shape this replaces,
+    guide §4.1 "pass only the columns the function needs"): the pair
+    fan-out ships every query vector once PER CORPUS ROW across the
+    Python boundary — |corpus|·|Q| rows × 2·dim doubles per scored
+    column pair (measured ~400 MB at bench scale for q76's two
+    pairs). Here each corpus vector crosses ONCE and the |batch|×|Q|
+    cosine matrix is one BLAS matmul per scored pair — same
+    multiply-add set, summation order collapsed by the callers' rnd
+    (the :func:`cosine_arrow` contract).
+
+    ``pairs`` = [(corpus_vec_col, query_vec_col, out_col), ...] —
+    several vector columns (e.g. exact + dequantized) score in the
+    same pass. Self-pairs (corpus id == query id) are dropped,
+    matching the per-pair kernels' join condition.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(
+        query_id, *sorted({p[1] for p in pairs})
+    ).collect()
+    qids = np.array([r[query_id] for r in qrows], dtype=np.int64)
+    qmats = {
+        qc: np.stack([np.asarray(r[qc], dtype=np.float64) for r in qrows])
+        for qc in {p[1] for p in pairs}
+    }
+    qnorms = {qc: np.linalg.norm(m, axis=1) for qc, m in qmats.items()}
+    out_schema = T.StructType(
+        [T.StructField(query_id, T.LongType()),
+         T.StructField(corpus_id, T.LongType())]
+        + [T.StructField(out, T.DoubleType()) for _, _, out in pairs]
+    )
+    nq = len(qids)
+    src = corpus.select(corpus_id, *sorted({p[0] for p in pairs}))
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            nid = pdf[corpus_id].to_numpy().astype(np.int64)
+            cols = {
+                query_id: np.tile(qids, n),
+                corpus_id: np.repeat(nid, nq),
+            }
+            for cvec, qvec, out in pairs:
+                m = np.stack(pdf[cvec].to_numpy()).astype(np.float64)
+                num = m @ qmats[qvec].T
+                den = np.linalg.norm(m, axis=1)[:, None] * qnorms[qvec][None, :]
+                cols[out] = (num / den).reshape(-1)
+            out_pdf = pd.DataFrame(cols)
+            yield out_pdf[out_pdf[corpus_id] != out_pdf[query_id]]
+
+    return src.mapInPandas(score, out_schema)
+
+
 def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                      threshold: float, round_to: int = 4,
                      rows_per_block: int = 4096) -> DataFrame:

@@ -2071,6 +2071,11 @@ def chunk_ppl_cut(df: DataFrame, text_col: str, id_col: str,
             "doc", "idx",
             rnd(F.exp(-F.col("avg_logp")), round_to).alias("ppl"),
         )
+        # narrow (doc, idx, ppl) cache (r12, guide §1.2): the frame
+        # feeds BOTH the corpus-percentile branch and the verdict
+        # join — uncached, the chunk-token explode + vocab join + agg
+        # ran twice per execution
+        .cache()
     )
     thr = percentiles(cppl, "ppl", [], probs=(ppl_quantile,))
     thr_col = thr.columns[-1]
@@ -2106,7 +2111,7 @@ def chunk_ppl_cut(df: DataFrame, text_col: str, id_col: str,
             F.col("doc").alias(id_col), "n_chunks", "n_cut", "clean_text"
         )
     )
-    out._cached_inputs = getattr(thr, "_cached_inputs", [])
+    out._cached_inputs = getattr(thr, "_cached_inputs", []) + [cppl]
     return out
 
 

@@ -2409,13 +2409,18 @@ def q76_quantized_recall(spark, sf_dir):
         F.col("embedding").alias("ce"),
         F.col("deq").alias("cd"),
     )
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    # one corpus-side Arrow pass against the broadcast-collected query
+    # matrix (r12, guide §4.1): the BNLJ + per-pair kernel shipped
+    # every query vector once PER CORPUS ROW across the Python
+    # boundary (~400 MB at bench scale); raw cosines come back and
+    # ride the same JVM rnd ladder as before
+    scored = S.cosine_to_queries_arrow(
+        c, q, [("ce", "qe", "_cos_e"), ("cd", "qd", "_cos_q")]
     ).select(
         "query_id",
         "neighbor_id",
-        rnd(S.cosine_arrow("qe", "ce"), 4).alias("cos_e"),
-        rnd(S.cosine_arrow("qd", "cd"), 4).alias("cos_q"),
+        rnd(F.col("_cos_e"), 4).alias("cos_e"),
+        rnd(F.col("_cos_q"), 4).alias("cos_q"),
     )
     we = Window.partitionBy("query_id").orderBy(
         F.col("cos_e").desc(), F.col("neighbor_id").asc()
@@ -10645,9 +10650,14 @@ def q205_license_rollup(spark, sf_dir):
         ),
         F.col("_bare"),
     ).drop("_bare")
+    # narrow (doc_id, domain, n_tok) cache (r12, guide §1.2): the
+    # policy table derives from enr's DISTINCT domains, so without it
+    # the URL-synth + canonicalization + PSL-join + tokenize chain ran
+    # twice — once under the broadcast build, once on the fact side
+    enr = enr.cache()
     policy = domain_policy(enr)
     joined = enr.join(F.broadcast(policy), "domain")
-    return (
+    out = (
         joined.groupBy("license", "status")
         .agg(
             F.countDistinct("domain").cast("long").alias("n_domains"),
@@ -10655,6 +10665,8 @@ def q205_license_rollup(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+    out._cached_inputs = [enr]  # see functions.dedup.release
+    return out
 
 
 def _sql_policy_case() -> tuple[str, str]:
@@ -11037,17 +11049,24 @@ def q202_url_frontier(spark, sf_dir):
         ),
         F.col("_bare"),
     ).drop("_bare")
-    novel = cand.join(seen, "canon", "left_anti") \
-        .groupBy("domain") \
-        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
-    per = cand.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_batch"))
+    # One pass (r12, guide §1.2): the anti-join + per-domain count
+    # used to be TWO aggregations over `cand`, each re-running the
+    # full URL-synth + canonicalization + PSL-join chain. `seen` is
+    # DISTINCT canon keys, so a left join cannot fan out batch rows —
+    # novelty is just "no match", and both counts fall out of one
+    # domain-keyed combinable agg.
+    hit = seen.withColumn("_seen", F.lit(True))
     return (
-        per.join(novel, "domain", "left")
+        cand.join(hit, "canon", "left")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
         .select(
-            "domain", "n_batch",
-            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
-            rnd(F.coalesce("n_novel", F.lit(0)) / F.col("n_batch"), 4)
+            "domain", "n_batch", "n_novel",
+            rnd(F.col("n_novel") / F.col("n_batch"), 4)
             .alias("novelty_rate"),
         )
     )
