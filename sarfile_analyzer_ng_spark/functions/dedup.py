@@ -334,7 +334,8 @@ def sig_agreement(sig_a, sig_b, num_hashes: int) -> Column:
 def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
                                shingle_n: int = 3, num_hashes: int = 32,
                                bands: int = 16,
-                               max_df: int | None = None) -> DataFrame:
+                               max_df: int | None = None,
+                               sigs: DataFrame | None = None) -> DataFrame:
     """Portable-family twin of :func:`minhash_lsh_pairs` — same
     banding plan shape (explode band keys → uniform shuffle →
     per-bucket self-join), same output schema, but every value is
@@ -343,9 +344,12 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str, id_col: str,
     the exact matching fraction of the portable signatures.
     ``max_df`` is the same hot-band cap as the production family
     (:func:`_drop_hot_bands`); the oracle SQL mirrors it with a
-    ``hot`` CTE so value parity holds even when the cap bites."""
-    sig = minhash_signatures_portable(df, text_col, id_col, shingle_n,
-                                      num_hashes)
+    ``hot`` CTE so value parity holds even when the cap bites.
+    Pass ``sigs`` (a prebuilt/cached (doc, sig) frame from
+    :func:`minhash_signatures_portable`) to share one signature build
+    across consumers — value-identical by construction."""
+    sig = sigs if sigs is not None else minhash_signatures_portable(
+        df, text_col, id_col, shingle_n, num_hashes)
     banded = sig.select(
         "doc", "sig",
         F.explode(portable_band_keys("sig", num_hashes, bands)).alias("band"),
@@ -373,7 +377,9 @@ def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
                           id_col: str, shingle_n: int = 3,
                           num_hashes: int = 32, bands: int = 16,
                           threshold: float = 0.5,
-                          max_df: int | None = None) -> DataFrame:
+                          max_df: int | None = None,
+                          sig_batch: DataFrame | None = None,
+                          sig_ref: DataFrame | None = None) -> DataFrame:
     """Near-duplicate screening of a NEW batch against an EXISTING
     corpus — the near-dup sibling of the exact anti-join (q49): a
     fresh crawl must be deduplicated against everything already
@@ -399,16 +405,27 @@ def incremental_near_dups(batch: DataFrame, ref: DataFrame, text_col: str,
     # localCheckpoint (r12): with max_df set, each side's band frame
     # feeds BOTH the hot-band count and the candidate join — without
     # materialization the full shingle→fp→32-min signature pipeline
-    # ran twice per side (4 corpus-scale builds per run). One short
-    # job per side; the band explode re-derives from the checkpointed
-    # (doc, sig) leaf. Production persists signatures next to the
-    # corpus anyway (see Shape at scale below).
-    sig_b = minhash_signatures_portable(batch, text_col, id_col,
-                                        shingle_n,
-                                        num_hashes).localCheckpoint()
-    sig_r = minhash_signatures_portable(ref, text_col, id_col,
-                                        shingle_n,
-                                        num_hashes).localCheckpoint()
+    # ran twice per side (4 corpus-scale builds per run). Both sides
+    # materialize in ONE job (side-tagged union — two eager
+    # checkpoints ran serially, leaving the cluster idle through each
+    # build's stage tail; guide §2.6); the band explode re-derives
+    # from the checkpointed (doc, sig) leaf. Production persists
+    # signatures next to the corpus anyway (see Shape at scale below).
+    sb = sig_batch if sig_batch is not None else \
+        minhash_signatures_portable(batch, text_col, id_col, shingle_n,
+                                    num_hashes)
+    sr = sig_ref if sig_ref is not None else \
+        minhash_signatures_portable(ref, text_col, id_col, shingle_n,
+                                    num_hashes)
+    sig_all = (
+        sb.select("doc", "sig").withColumn("_b", F.lit(True))
+        .unionByName(
+            sr.select("doc", "sig").withColumn("_b", F.lit(False))
+        )
+        .localCheckpoint()
+    )
+    sig_b = sig_all.where(F.col("_b")).select("doc", "sig")
+    sig_r = sig_all.where(~F.col("_b")).select("doc", "sig")
     keys = portable_band_keys("sig", num_hashes, bands)
     bb = sig_b.select(F.col("doc").alias("bid"), F.col("sig").alias("bsig"),
                       F.explode(keys).alias("band"))
