@@ -1039,6 +1039,7 @@ def memo_builders():
         "_memo_bigram_lm": _bigram_lm_shared,
         "_memo_ivf_topk": _ivf_topk_shared,
         "_memo_ann_brute": _ann_brute_shared,
+        "_memo_hybrid_rrf": _rrf_pool_shared,
         "_memo_bm25_exact": lambda spark, sf: _retrieval_shared(
             spark, sf, "bm25"),
         "_memo_bm25_champs": lambda spark, sf: _retrieval_shared(
@@ -6754,23 +6755,21 @@ def q143_mmr_rerank(spark, sf_dir):
     precomputes once and the 3 steps unroll as rank windows — no
     driver loop over data; the oracle unrolls the same 3 steps as
     CTEs (the q104/q123 chain pattern). Fully value-hash oracled."""
-    from pyspark import StorageLevel
-
     from .functions import retrieval as RV
 
     # the pool is eval-suite-sized (≤ 10·|queries| rows) but its plan
-    # is the whole hybrid chain; the unrolled MMR steps consume it ~5
-    # times — persist the tiny frame, not re-run the chain per step
-    pool = q134_hybrid_rrf(spark, sf_dir).select(
+    # is the whole hybrid chain — since r12 it reads the session-
+    # memoized q134 pool (_rrf_pool_shared) instead of re-running the
+    # champion-BM25 + brute-cosine + fusion chain per bench rep
+    pool = _rrf_pool_shared(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rrf").alias("rel")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     out = RV.mmr_rerank(pool, emb, k=MMR_K, lam=MMR_LAM)
-    # pool + the operator's own persisted sims matrix, both released
-    # together (see functions.dedup.release)
-    out._cached_inputs = [pool] + getattr(out, "_cached_inputs", [])
+    # the operator's own persisted sims matrix is released after the
+    # consuming action; the pool memo is deliberately session-lived
     return out
 
 
@@ -7378,6 +7377,24 @@ RRF_POOL, RRF_TOPK, RRF_RK = 20, 10, 60
 RRF_QMAX = 5_000
 
 
+# One hybrid-RRF pool serves q134 AND q143's MMR re-rank (which
+# previously re-ran the whole champion-BM25 + brute-cosine + fusion
+# chain to build its candidate pool). Bounded: ≤ RRF_TOPK rows per
+# eval query. Session-lived like the other family memos; bench times
+# the build as its own ``_memo_hybrid_rrf`` line.
+_RRF_POOL_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _rrf_pool_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _RRF_POOL_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    got = _hybrid_rrf_build(spark, sf_dir).cache()
+    _RRF_POOL_MEMO[key] = got
+    return got
+
+
 def q134_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval with reciprocal-rank fusion (functions/
     retrieval.py:rrf_fuse, r9; Cormack & Clarke & Buettcher 2009):
@@ -7391,7 +7408,14 @@ def q134_hybrid_rrf(spark, sf_dir):
     eval-suite-sized frames only; fully value-hash oracled (the
     oracle nests the champion BM25 CTE chain and the SQL_Q35 cosine
     expression). For corpora where even the linear exact-cosine pool
-    is too hot, swap in ann_topk_ivf_portable (oracled by q142)."""
+    is too hot, swap in ann_topk_ivf_portable (oracled by q142).
+    Since r12 the fused pool is session-memoized
+    (``_rrf_pool_shared``) — q143's MMR previously re-ran the whole
+    chain to build its candidate pool."""
+    return _rrf_pool_shared(spark, sf_dir)
+
+
+def _hybrid_rrf_build(spark, sf_dir):
     from .functions import retrieval as RV
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
