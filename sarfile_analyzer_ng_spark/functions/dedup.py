@@ -887,8 +887,27 @@ def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
     return grams.select("doc", "pos", gram_hash_expr(F.col("gram")).alias("h"))
 
 
+def span_dup_frame(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 8) -> DataFrame:
+    """``(doc, pos, h, n_occ)`` — every positional ``k``-gram whose
+    hash occurs more than once corpus-wide: the shared front half of
+    :func:`repeated_spans` (q106) and :func:`repeated_spans_cut`
+    (q107), exposed so the two span detectors can build it ONCE (the
+    retrieval ``postings=`` pattern). The positional-gram frame is
+    lazily checkpointed: it feeds both the occurrence agg and the
+    join back, which otherwise re-ran the tokenize + gram chain
+    twice; the checkpoint materializes token-cardinality rows once
+    and the output frame itself is only duplicated-gram-sized."""
+    hashed = _pos_gram_hashes(df, text_col, id_col, k).localCheckpoint(
+        eager=False)
+    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return hashed.join(occ.where(F.col("n_occ") > 1), "h").select(
+        "doc", "pos", "h", "n_occ")
+
+
 def repeated_spans(df: DataFrame, text_col: str, id_col: str,
-                   k: int = 8, min_tokens: int = 16) -> DataFrame:
+                   k: int = 8, min_tokens: int = 16,
+                   dup: DataFrame | None = None) -> DataFrame:
     """Maximal repeated-substring spans — the ExactSubstr dedup
     semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
     Language Models Better", arXiv:2107.06499) as a Spark plan: that
@@ -912,11 +931,12 @@ def repeated_spans(df: DataFrame, text_col: str, id_col: str,
 
     Returns ``(id, span_start, span_tokens, max_occ)`` — start token
     position, span length in tokens, and the hottest gram's occurrence
-    count (how widely the boilerplate spreads).
+    count (how widely the boilerplate spreads). Pass ``dup`` (a
+    cached :func:`span_dup_frame`) to share the gram front half with
+    :func:`repeated_spans_cut` — value-identical by construction.
     """
-    hashed = _pos_gram_hashes(df, text_col, id_col, k)
-    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-    dup = hashed.join(occ.where(F.col("n_occ") > 1), "h")
+    if dup is None:
+        dup = span_dup_frame(df, text_col, id_col, k)
     w = Window.partitionBy("doc").orderBy("pos")
     runs = dup.select(
         "doc", "pos", "n_occ",
@@ -948,7 +968,8 @@ def repeated_spans(df: DataFrame, text_col: str, id_col: str,
 
 
 def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
-                       k: int = 8, min_tokens: int = 16) -> DataFrame:
+                       k: int = 8, min_tokens: int = 16,
+                       dup: DataFrame | None = None) -> DataFrame:
     """The APPLY step of ExactSubstr dedup (Lee et al. 2022 cut the
     duplicated bytes, not the documents): every repeated span found by
     :func:`repeated_spans` survives only at its FIRST occurrence —
@@ -974,11 +995,12 @@ def repeated_spans_cut(df: DataFrame, text_col: str, id_col: str,
 
     Shape at scale: the detector's linear plan, plus one doc-keyed
     anti-join of tokens against the (few) cut ranges and one doc-keyed
-    rebuild agg. Nothing quadratic, nothing driver-side.
+    rebuild agg. Nothing quadratic, nothing driver-side. Pass ``dup``
+    (a cached :func:`span_dup_frame`) to share the gram front half
+    with :func:`repeated_spans` — value-identical by construction.
     """
-    hashed = _pos_gram_hashes(df, text_col, id_col, k)
-    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-    dup = hashed.join(occ.where(F.col("n_occ") > 1), "h")
+    if dup is None:
+        dup = span_dup_frame(df, text_col, id_col, k)
     w = Window.partitionBy("doc").orderBy("pos")
     runs = dup.select(
         "doc", "pos", "h",

@@ -1047,6 +1047,7 @@ def memo_builders():
         "_memo_ql_topk": lambda spark, sf: _retrieval_shared(
             spark, sf, "ql"),
         "_memo_qc_scored": _qc_scored_shared,
+        "_memo_span_dup": _span_dup_shared,
         "_memo_trap_audit": lambda spark, sf: _crawl_domain_shared(
             spark, sf, "trap"),
         "_memo_outlink_graph": lambda spark, sf: _crawl_domain_shared(
@@ -4380,6 +4381,23 @@ FROM q
 
 RS_K, RS_MIN_TOKENS = 8, 16
 
+# One duplicated-positional-gram frame serves BOTH span detectors
+# (q106 report, q107 apply) — identical corpus, identical k, identical
+# hashed→occ→dup prefix. Bounded: one row per DUPLICATED gram
+# position, not per corpus token. Session-lived like the family memos.
+_SPAN_DUP_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _span_dup_shared(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    got = _SPAN_DUP_MEMO.get(key)
+    if got is not None:
+        return _ensure_cached(got)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    got = D.span_dup_frame(docs, "text", "doc_id", k=RS_K).cache()
+    _SPAN_DUP_MEMO[key] = got
+    return got
+
 
 def q106_repeated_spans(spark, sf_dir):
     """Maximal repeated-substring spans (functions/dedup.py:
@@ -4389,7 +4407,8 @@ def q106_repeated_spans(spark, sf_dir):
     corpus, per document, with its start position and spread."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.repeated_spans(docs, "text", "doc_id",
-                            k=RS_K, min_tokens=RS_MIN_TOKENS)
+                            k=RS_K, min_tokens=RS_MIN_TOKENS,
+                            dup=_span_dup_shared(spark, sf_dir))
 
 
 SQL_Q106 = rf"""
@@ -4433,7 +4452,8 @@ def q107_span_dedup_apply(spark, sf_dir):
     "cut the duplicated bytes"), value-hash oracled on the text."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.repeated_spans_cut(docs, "text", "doc_id",
-                                k=RS_K, min_tokens=RS_MIN_TOKENS)
+                                k=RS_K, min_tokens=RS_MIN_TOKENS,
+                                dup=_span_dup_shared(spark, sf_dir))
 
 
 SQL_Q107 = rf"""
