@@ -12381,16 +12381,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q109_pca_projection": (q109_pca_projection, SQL_Q109),
     "q112_remove_top_direction": (q112_remove_top_direction, SQL_Q112),
     "q118_pca_topd": (q118_pca_topd, SQL_Q118),
+    "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
+    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
+    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
+    "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
+    "q209_crawl_trap_audit": (q209_crawl_trap_audit, SQL_Q209),
+    "q211_domain_split_leakage": (q211_domain_split_leakage, SQL_Q211),
+    "q212_outlink_graph": (q212_outlink_graph, SQL_Q212),
+    "q217_frontier_priority": (q217_frontier_priority, SQL_Q217),
+    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
     "q213_robots_rules": (q213_robots_rules, SQL_Q213),
     "q214_line_dedup": (q214_line_dedup, SQL_Q214),
     "q215_warc_headers": (q215_warc_headers, SQL_Q215),
     "q216_mojibake_audit": (q216_mojibake_audit, SQL_Q216),
-    "q217_frontier_priority": (q217_frontier_priority, SQL_Q217),
     "q208_domain_quota": (q208_domain_quota, SQL_Q208),
-    "q209_crawl_trap_audit": (q209_crawl_trap_audit, SQL_Q209),
     "q210_markdown_extract": (q210_markdown_extract, SQL_Q210),
-    "q211_domain_split_leakage": (q211_domain_split_leakage, SQL_Q211),
-    "q212_outlink_graph": (q212_outlink_graph, SQL_Q212),
     "q62_decontaminate": (q62_decontaminate, SQL_Q62),
     "q63_tfidf_topterms": (q63_tfidf_topterms, SQL_Q63),
     "q64_mix_weights": (q64_mix_weights, SQL_Q64),
@@ -12404,14 +12410,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
@@ -12444,7 +12450,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
     "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
     "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
-    "q83_dsir_weights": (q83_dsir_weights, SQL_Q83),
     "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
     "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
     "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
@@ -12456,11 +12461,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
     "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
     "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q121_incremental_near_dups": (q121_incremental_near_dups, SQL_Q121),
     "q136_count_min": (q136_count_min, SQL_Q136),
     "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
     "q138_trend_fit": (q138_trend_fit, SQL_Q138),
-    "q139_chunk_ppl_cut": (q139_chunk_ppl_cut, SQL_Q139),
     "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
     "q141_moments_merge": (q141_moments_merge, SQL_Q141),
     "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
@@ -12523,7 +12526,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
     "q146_proto_prune": (q146_proto_prune, SQL_Q146),
     "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q76_quantized_recall": (q76_quantized_recall, SQL_Q76),
     "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
     "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
     "q92_eval_containment": (q92_eval_containment, SQL_Q92),
@@ -12562,8 +12564,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
     "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
     "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
     "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
     "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
     "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
