@@ -12391,6 +12391,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q217_frontier_priority": (q217_frontier_priority, SQL_Q217),
     "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
     "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q213_robots_rules": (q213_robots_rules, SQL_Q213),
     "q214_line_dedup": (q214_line_dedup, SQL_Q214),
     "q215_warc_headers": (q215_warc_headers, SQL_Q215),
@@ -12409,9 +12410,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
     # ordered oldest-driver-recording-first.
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
     "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
     "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
@@ -12510,7 +12511,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
     "q182_benford_audit": (q182_benford_audit, SQL_Q182),
     "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
-    "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
     "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
     "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
