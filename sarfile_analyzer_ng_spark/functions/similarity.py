@@ -105,20 +105,26 @@ def cosine_to_queries_arrow(corpus: DataFrame, queries: DataFrame,
     import pandas as pd
     from pyspark.sql import types as T
 
+    # id dtypes follow the INPUT schemas (r12 ADVICE): hardcoding
+    # LongType silently overflowed int32/string callers
+    out_schema = T.StructType(
+        [T.StructField(query_id, queries.schema[query_id].dataType),
+         T.StructField(corpus_id, corpus.schema[corpus_id].dataType)]
+        + [T.StructField(out, T.DoubleType()) for _, _, out in pairs]
+    )
     qrows = queries.select(
         query_id, *sorted({p[1] for p in pairs})
     ).collect()
-    qids = np.array([r[query_id] for r in qrows], dtype=np.int64)
+    if not qrows:
+        # np.stack over an empty list raises; an empty query set
+        # scores nothing (r12 ADVICE guard)
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = np.array([r[query_id] for r in qrows])
     qmats = {
         qc: np.stack([np.asarray(r[qc], dtype=np.float64) for r in qrows])
         for qc in {p[1] for p in pairs}
     }
     qnorms = {qc: np.linalg.norm(m, axis=1) for qc, m in qmats.items()}
-    out_schema = T.StructType(
-        [T.StructField(query_id, T.LongType()),
-         T.StructField(corpus_id, T.LongType())]
-        + [T.StructField(out, T.DoubleType()) for _, _, out in pairs]
-    )
     nq = len(qids)
     src = corpus.select(corpus_id, *sorted({p[0] for p in pairs}))
 
@@ -127,7 +133,7 @@ def cosine_to_queries_arrow(corpus: DataFrame, queries: DataFrame,
             n = len(pdf)
             if n == 0 or nq == 0:
                 continue
-            nid = pdf[corpus_id].to_numpy().astype(np.int64)
+            nid = pdf[corpus_id].to_numpy()
             cols = {
                 query_id: np.tile(qids, n),
                 corpus_id: np.repeat(nid, nq),

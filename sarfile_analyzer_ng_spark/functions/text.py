@@ -898,6 +898,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame | None, text_col: str,
     ``raw.where(target_pred)``, since the target's bucket counts are
     exact integer sums either way.
     """
+    if target is None and target_pred is None:
+        # without this, the call falls through to
+        # hashed_ngram_buckets(None, ...) and dies with an opaque
+        # AttributeError (r12 ADVICE)
+        raise ValueError("dsir_weights: pass target or target_pred")
     if target_pred is not None:
         if target is not None:
             raise ValueError("pass either target or target_pred, not both")

@@ -203,7 +203,13 @@ _PSL_DIMS_CACHE: dict[int, tuple] = {}
 
 
 def _psl_dims(spark) -> tuple:
-    hit = _PSL_DIMS_CACHE.get(id(spark))
+    # keyed by a unique token held on the session, not id(spark):
+    # ids can be reused after a session is GC'd (r12 ADVICE)
+    tok = getattr(spark, "_graft_memo_token", None)
+    if tok is None:
+        tok = object()
+        spark._graft_memo_token = tok
+    hit = _PSL_DIMS_CACHE.get(tok)
     if hit is not None:
         return hit
     psl = _psl()
@@ -219,7 +225,7 @@ def _psl_dims(spark) -> tuple:
         [(s, s in psl["exact3"], s in psl["exc3"]) for s in keys3],
         "_sfx3 string, _ex3 boolean, _xc3 boolean")
     out = (d1, d2, d3)
-    _PSL_DIMS_CACHE[id(spark)] = out
+    _PSL_DIMS_CACHE[tok] = out
     return out
 
 

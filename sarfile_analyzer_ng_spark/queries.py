@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -654,6 +654,18 @@ WHERE rank_in_group <= 3
 PLANT_OFFSET = 1_000_000
 
 
+def _twin_text_expr(text: Column, doc_id: Column) -> Column:
+    """The planted-twin transform ``text || ' zz' || doc_id%97`` —
+    ONE definition shared by :func:`_planted_corpus` and q121's
+    re-offer batch: q121 reuses the planted twins' signatures under a
+    pure key shift (+2·PLANT_OFFSET), so the two expressions MUST
+    stay textually identical (r12 ADVICE — a drift between them
+    desyncs the reuse and only the next oracle run would catch it).
+    tests/test_wave21.py asserts every raw doc_id < PLANT_OFFSET,
+    the other assumption the reuse rests on."""
+    return F.concat(text, F.lit(" zz"), (doc_id % 97).cast("string"))
+
+
 def _planted_corpus(spark, sf_dir):
     """documents ∪ shifted near-duplicates — gives dedup operators real
     duplicates to find while staying fully SQL-reproducible.
@@ -666,9 +678,7 @@ def _planted_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.concat(
-            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 97).cast("string")
-        ).alias("text"),
+        _twin_text_expr(F.col("text"), F.col("doc_id")).alias("text"),
     )
     return docs.unionByName(dups)
 
@@ -733,6 +743,21 @@ MINHASH_MAX_DF = 500
 _MINHASH_PAIR_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
+def _memo_key(spark, sf_dir: str, *extra) -> tuple:
+    """Session-memo key. ``id(spark)`` alone can be REUSED after a
+    SparkSession is garbage-collected (r12 ADVICE): a long process
+    cycling sessions could then be served a frame bound to a dead
+    session. A unique token object stored ON the session cannot
+    collide — a new session always gets a fresh token, and the old
+    token stays alive (as a dict key) without ever comparing equal
+    to it."""
+    tok = getattr(spark, "_graft_memo_token", None)
+    if tok is None:
+        tok = object()
+        spark._graft_memo_token = tok
+    return (tok, sf_dir, *extra)
+
+
 def _ensure_cached(df: DataFrame) -> DataFrame:
     """Re-arm a session-memoized frame whose cache was dropped by an
     external ``spark.catalog.clearCache()`` (the bench harness clears
@@ -755,7 +780,7 @@ _MINHASH_SIG_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _minhash_sigs_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     sigs = _MINHASH_SIG_MEMO.get(key)
     if sigs is not None:
         return _ensure_cached(sigs)
@@ -768,7 +793,7 @@ def _minhash_sigs_shared(spark, sf_dir) -> DataFrame:
 
 
 def _minhash_pairs_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     pairs = _MINHASH_PAIR_MEMO.get(key)
     if pairs is not None:
         return _ensure_cached(pairs)
@@ -861,7 +886,7 @@ _SIMHASH_SIG_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _planted_simhash_sigs(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     sigs = _SIMHASH_SIG_MEMO.get(key)
     if sigs is not None:
         return _ensure_cached(sigs)
@@ -991,7 +1016,7 @@ def _shingles_shared(spark, sf_dir) -> DataFrame:
     """One cached (doc, shingle-hash) frame for the whole exact-jaccard
     family (q33 via the pair memo, the max_df variant q67) — the
     shingle explode is the family's dominant shared cost."""
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     sh = _SHINGLE_MEMO.get(key)
     if sh is not None:
         return _ensure_cached(sh)
@@ -1003,7 +1028,7 @@ def _shingles_shared(spark, sf_dir) -> DataFrame:
 
 
 def _jaccard_pairs_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     pairs = _JACCARD_PAIR_MEMO.get(key)
     if pairs is not None:
         return _ensure_cached(pairs)
@@ -1095,7 +1120,7 @@ _CLUSTER_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _dup_clusters_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     cl = _CLUSTER_MEMO.get(key)
     if cl is not None:
         return _ensure_cached(cl)
@@ -1579,7 +1604,7 @@ _BIGRAM_LM_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _unigram_lm_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _UNIGRAM_LM_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -1592,7 +1617,7 @@ def _unigram_lm_shared(spark, sf_dir) -> DataFrame:
 
 
 def _bigram_lm_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _BIGRAM_LM_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -2057,7 +2082,7 @@ _KMEANS_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _kmeans_shared(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _KMEANS_MEMO.get(key)
     if got is not None:
         return (_ensure_cached(got[0]), _ensure_cached(got[1]))
@@ -3978,7 +4003,7 @@ _PQ_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _pq_shared(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     hit = _PQ_MEMO.get(key)
     if hit is not None:
         return _ensure_cached(hit[0]), _ensure_cached(hit[1])
@@ -4389,7 +4414,7 @@ _SPAN_DUP_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _span_dup_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _SPAN_DUP_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -4667,7 +4692,7 @@ _PCA_MEMO: dict[tuple[int, str],
 
 
 def _pca_shared(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _PCA_MEMO.get(key)
     if got is None:
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -5124,7 +5149,7 @@ _QC_SCORED_MEMO: dict[tuple[int, str], DataFrame] = {}
 def _qc_scored_shared(spark, sf_dir) -> DataFrame:
     from .functions import classify as C
 
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     df = _QC_SCORED_MEMO.get(key)
     if df is not None:
         return _ensure_cached(df)
@@ -5294,8 +5319,7 @@ def q121_incremental_near_dups(spark, sf_dir):
     ).unionByName(
         docs.select(
             (F.col("doc_id") + 3 * PLANT_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz"),
-                     (F.col("doc_id") % 97).cast("string")).alias("text"),
+            _twin_text_expr(F.col("text"), F.col("doc_id")).alias("text"),
         )
     )
     # Signature reuse (r12, guide §1.2): signatures are pure functions
@@ -5718,7 +5742,7 @@ def _postings_shared(spark, sf_dir: str) -> DataFrame:
     corpus scans per bench rep for one identical frame)."""
     from .functions import retrieval as RV
 
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     df = _POSTINGS_MEMO.get(key)
     if df is not None:
         return _ensure_cached(df)
@@ -5753,7 +5777,7 @@ def _eval_split_queries(spark, sf_dir):
 def _retrieval_shared(spark, sf_dir: str, which: str) -> DataFrame:
     from .functions import retrieval as RV
 
-    key = (id(spark), sf_dir, which)
+    key = _memo_key(spark, sf_dir, which)
     df = _RETRIEVAL_MEMO.get(key)
     if df is not None:
         return _ensure_cached(df)
@@ -6875,7 +6899,7 @@ _ANN_BRUTE_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _ivf_topk_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _IVF_TOPK_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -6890,7 +6914,7 @@ def _ivf_topk_shared(spark, sf_dir) -> DataFrame:
 
 
 def _ann_brute_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _ANN_BRUTE_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -7410,7 +7434,7 @@ _RRF_POOL_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _rrf_pool_shared(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     got = _RRF_POOL_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -10371,7 +10395,7 @@ def _html_blocks_shared(spark, sf_dir, variant="plain"):
     1/17 planted pages re-run the extraction regexps), ``crawl``
     (q201 — the funnel corpus with urls and re-fetch/mirror plants).
     """
-    key = (id(spark), sf_dir, variant)
+    key = _memo_key(spark, sf_dir, variant)
     df = _HTML_BLOCKS_MEMO.get(key)
     if df is not None:
         return df
@@ -11513,7 +11537,7 @@ _CRAWL_DOMAIN_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _crawl_domain_shared(spark, sf_dir, which: str) -> DataFrame:
-    key = (id(spark), sf_dir, which)
+    key = _memo_key(spark, sf_dir, which)
     got = _CRAWL_DOMAIN_MEMO.get(key)
     if got is not None:
         return _ensure_cached(got)
@@ -12356,14 +12380,182 @@ SQL_Q217 = _sql_q217()
 # if one drifts without being rotated back into the window.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # ---- driver window (first 50 entries) ----
-    # r12 re-pin (tools/repin_window.py): new/changed keys from
+    # r13 re-pin (tools/repin_window.py): new/changed keys from
     # rotation_changed.json lead, then oldest-driver-recording-first
     # (enforced by tools/snapshot_tail.py:check_rotation +
     # tests/test_rotation.py).
+    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
+    "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
+    "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
+    "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
+    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
+    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
+    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
+    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
+    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
+    "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
+    "q146_proto_prune": (q146_proto_prune, SQL_Q146),
+    "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
+    "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
+    "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
+    "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
+    "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
+    "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
+    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
+    "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
+    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
+    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
+    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
+    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
+    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
+    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
+    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
+    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
+    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
+    "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
+    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
+    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
+    "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
+    "q89_source_diversity": (q89_source_diversity, SQL_Q89),
+    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
+    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
+    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
+    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
+    "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
+    "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
+    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
+    "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
+    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
+    "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
+    "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
+    "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    "q03_percentiles": (q03_percentiles, SQL_Q03),
+    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
+    # ordered oldest-driver-recording-first.
+    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
+    "q09_device_filter": (q09_device_filter, SQL_Q09),
+    "q10_resample": (q10_resample, SQL_Q10),
+    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
+    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
+    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
+    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
+    "q15_global_range": (q15_global_range, SQL_Q15),
+    "q16_alias_join": (q16_alias_join, SQL_Q16),
+    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
+    "q18_topk": (q18_topk, SQL_Q18),
+    "q19_correlation": (q19_correlation, SQL_Q19),
+    "q20_outliers": (q20_outliers, SQL_Q20),
+    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
+    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
+    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
+    "q24_running_sum": (q24_running_sum, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_sessionize": (q26_sessionize, SQL_Q26),
+    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
+    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
+    "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
+    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
+    "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
+    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
+    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
+    "q136_count_min": (q136_count_min, SQL_Q136),
+    "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
+    "q138_trend_fit": (q138_trend_fit, SQL_Q138),
+    "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
+    "q141_moments_merge": (q141_moments_merge, SQL_Q141),
+    "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
+    "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
+    "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
+    "q153_word_entropy": (q153_word_entropy, SQL_Q153),
+    "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
+    "q156_media_inventory": (q156_media_inventory, SQL_Q156),
+    "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
+    "q159_packing_report": (q159_packing_report, SQL_Q159),
+    "q160_ks_drift": (q160_ks_drift, SQL_Q160),
+    "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
+    "q163_heaps_law": (q163_heaps_law, SQL_Q163),
+    "q164_embedding_card": (q164_embedding_card, SQL_Q164),
+    "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
+    "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
+    "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
+    "q169_length_histogram": (q169_length_histogram, SQL_Q169),
+    "q170_moore_lewis": (q170_moore_lewis, SQL_Q170),
+    "q171_bootstrap_ci": (q171_bootstrap_ci, SQL_Q171),
+    "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
+    "q175_split_leakage": (q175_split_leakage, SQL_Q175),
+    "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
+    "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
+    "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
+    "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
+    "q184_hapax_density": (q184_hapax_density, SQL_Q184),
+    "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
+    "q186_length_emd": (q186_length_emd, SQL_Q186),
+    "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
+    "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
+    "q199_pii_redact": (q199_pii_redact, SQL_Q199),
+    "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
+    "q196_readability": (q196_readability, SQL_Q196),
+    "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
+    "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
+    "q182_benford_audit": (q182_benford_audit, SQL_Q182),
+    "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
+    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
+    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
+    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
+    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
+    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
+    "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
+    "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
+    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
+    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
+    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
+    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
+    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
+    "q04_time_filter": (q04_time_filter, SQL_Q04),
+    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
+    "q07_melt_long": (q07_melt_long, SQL_Q07),
+    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
+    "q37_lang_id": (q37_lang_id, SQL_Q37),
+    "q38_quality_score": (q38_quality_score, SQL_Q38),
+    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
+    "q39_token_count": (q39_token_count, SQL_Q39),
+    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
+    "q42_text_clean": (q42_text_clean, SQL_Q42),
+    "q43_hash_split": (q43_hash_split, SQL_Q43),
+    "q44_json_extract": (q44_json_extract, SQL_Q44),
+    "q45_rollup": (q45_rollup, SQL_Q45),
+    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
+    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
+    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
+    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
+    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
+    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
+    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
+    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
+    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
+    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
+    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
+    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
+    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
+    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
+    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
+    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
+    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
+    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
+    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
+    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
+    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
+    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
+    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
+    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
     "q190_url_canonicalize": (q190_url_canonicalize, SQL_Q190),
     "q191_domain_rollup": (q191_domain_rollup, SQL_Q191),
     "q197_url_dup_rate": (q197_url_dup_rate, SQL_Q197),
-    "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
     "q202_url_frontier": (q202_url_frontier, SQL_Q202),
     "q203_html_extract": (q203_html_extract, SQL_Q203),
     "q205_license_rollup": (q205_license_rollup, SQL_Q205),
@@ -12390,7 +12582,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q212_outlink_graph": (q212_outlink_graph, SQL_Q212),
     "q217_frontier_priority": (q217_frontier_priority, SQL_Q217),
     "q106_repeated_spans": (q106_repeated_spans, SQL_Q106),
-    "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
     "q119_training_assembly": (q119_training_assembly, SQL_Q119),
     "q213_robots_rules": (q213_robots_rules, SQL_Q213),
     "q214_line_dedup": (q214_line_dedup, SQL_Q214),
@@ -12410,173 +12601,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
     "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
-    # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
-    # ordered oldest-driver-recording-first.
-    "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
-    "q85_curation_funnel": (q85_curation_funnel, SQL_Q85),
-    "q86_cluster_profile": (q86_cluster_profile, SQL_Q86),
-    "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
-    "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
-    "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
-    "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
-    "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
-    "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
-    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
-    "q03_percentiles": (q03_percentiles, SQL_Q03),
-    "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
-    "q09_device_filter": (q09_device_filter, SQL_Q09),
-    "q10_resample": (q10_resample, SQL_Q10),
-    "q11_minmax_argmax": (q11_minmax_argmax, SQL_Q11),
-    "q12_restart_insert": (q12_restart_insert, SQL_Q12),
-    "q13_intersect_headers": (q13_intersect_headers, SQL_Q13),
-    "q14_multifile_describe": (q14_multifile_describe, SQL_Q14),
-    "q15_global_range": (q15_global_range, SQL_Q15),
-    "q16_alias_join": (q16_alias_join, SQL_Q16),
-    "q17_join_rollup": (q17_join_rollup, SQL_Q17),
-    "q18_topk": (q18_topk, SQL_Q18),
-    "q19_correlation": (q19_correlation, SQL_Q19),
-    "q20_outliers": (q20_outliers, SQL_Q20),
-    "q21_gap_detect": (q21_gap_detect, SQL_Q21),
-    "q22_hourly_profile": (q22_hourly_profile, SQL_Q22),
-    "q23_rolling_avg": (q23_rolling_avg, SQL_Q23),
-    "q24_running_sum": (q24_running_sum, SQL_Q24),
-    "q25_asof_join": (q25_asof_join, SQL_Q25),
-    "q26_sessionize": (q26_sessionize, SQL_Q26),
-    "q27_salted_agg": (q27_salted_agg, SQL_Q27),
-    "q30_dedup_exact": (q30_dedup_exact, SQL_Q30),
-    "q74_shard_manifest": (q74_shard_manifest, SQL_Q74),
-    "q77_ann_lsh_parity": (q77_ann_lsh_parity, SQL_Q35),
-    "q78_dup_rate_by_source": (q78_dup_rate_by_source, SQL_Q78),
-    "q79_winnow_fingerprints": (q79_winnow_fingerprints, SQL_Q79),
-    "q81_decontaminate_winnow": (q81_decontaminate_winnow, SQL_Q81),
-    "q84_unigram_logprob": (q84_unigram_logprob, SQL_Q84),
-    "q87_perplexity_buckets": (q87_perplexity_buckets, SQL_Q87),
-    "q88_bloom_membership": (q88_bloom_membership, SQL_Q88),
-    "q89_source_diversity": (q89_source_diversity, SQL_Q89),
-    "q93_temperature_mix": (q93_temperature_mix, SQL_Q93),
-    "q94_passage_dedup": (q94_passage_dedup, SQL_Q94),
-    "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
-    "q31_dedup_minhash": (q31_dedup_minhash, SQL_Q31),
-    "q32_dedup_simhash": (q32_dedup_simhash, SQL_Q32),
-    "q51_minhash_twin_recall": (q51_minhash_twin_recall, SQL_Q51),
-    "q56_lsh_jaccard": (q56_lsh_jaccard, SQL_Q33),
-    "q136_count_min": (q136_count_min, SQL_Q136),
-    "q137_boilerplate_cut": (q137_boilerplate_cut, SQL_Q137),
-    "q138_trend_fit": (q138_trend_fit, SQL_Q138),
-    "q140_mad_outliers": (q140_mad_outliers, SQL_Q140),
-    "q141_moments_merge": (q141_moments_merge, SQL_Q141),
-    "q147_capacity_forecast": (q147_capacity_forecast, SQL_Q147),
-    "q148_lag_correlation": (q148_lag_correlation, SQL_Q148),
-    "q149_soft_dedup": (q149_soft_dedup, SQL_Q149),
-    "q151_cluster_silhouette": (q151_cluster_silhouette, SQL_Q151),
-    "q152_budget_allocation": (q152_budget_allocation, SQL_Q152),
-    "q153_word_entropy": (q153_word_entropy, SQL_Q153),
-    "q155_jl_distortion": (q155_jl_distortion, SQL_Q155),
-    "q156_media_inventory": (q156_media_inventory, SQL_Q156),
-    "q157_anomaly_ensemble": (q157_anomaly_ensemble, SQL_Q157),
-    "q158_dup_pagerank": (q158_dup_pagerank, SQL_Q158),
-    "q159_packing_report": (q159_packing_report, SQL_Q159),
-    "q160_ks_drift": (q160_ks_drift, SQL_Q160),
-    "q161_classifier_auc": (q161_classifier_auc, SQL_Q161),
-    "q162_hourly_bands": (q162_hourly_bands, SQL_Q162),
-    "q163_heaps_law": (q163_heaps_law, SQL_Q163),
-    "q164_embedding_card": (q164_embedding_card, SQL_Q164),
-    "q165_bigram_entropy": (q165_bigram_entropy, SQL_Q165),
-    "q166_coverage_curve": (q166_coverage_curve, SQL_Q166),
-    "q167_curriculum_order": (q167_curriculum_order, SQL_Q167),
-    "q168_filter_agreement": (q168_filter_agreement, SQL_Q168),
-    "q169_length_histogram": (q169_length_histogram, SQL_Q169),
-    "q170_moore_lewis": (q170_moore_lewis, SQL_Q170),
-    "q171_bootstrap_ci": (q171_bootstrap_ci, SQL_Q171),
-    "q173_embedding_outliers": (q173_embedding_outliers, SQL_Q173),
-    "q174_threshold_sweep": (q174_threshold_sweep, SQL_Q174),
-    "q175_split_leakage": (q175_split_leakage, SQL_Q175),
-    "q176_unimax_allocation": (q176_unimax_allocation, SQL_Q176),
-    "q178_fisher_separation": (q178_fisher_separation, SQL_Q178),
-    "q179_winsorized_stats": (q179_winsorized_stats, SQL_Q179),
-    "q181_k_anonymity": (q181_k_anonymity, SQL_Q181),
-    "q184_hapax_density": (q184_hapax_density, SQL_Q184),
-    "q185_vocab_overlap": (q185_vocab_overlap, SQL_Q185),
-    "q186_length_emd": (q186_length_emd, SQL_Q186),
-    "q187_norm_dedup_lift": (q187_norm_dedup_lift, SQL_Q187),
-    "q189_cluster_size_histogram": (q189_cluster_size_histogram, SQL_Q189),
-    "q199_pii_redact": (q199_pii_redact, SQL_Q199),
-    "q195_allpairs_cosine": (q195_allpairs_cosine, SQL_Q195),
-    "q196_readability": (q196_readability, SQL_Q196),
-    "q198_quantile_summary": (q198_quantile_summary, SQL_Q198),
-    "q192_passage_near_dups": (q192_passage_near_dups, SQL_Q192),
-    "q193_heavy_hitters": (q193_heavy_hitters, SQL_Q193),
-    "q194_ann_ndcg_audit": (q194_ann_ndcg_audit, SQL_Q194),
-    "q182_benford_audit": (q182_benford_audit, SQL_Q182),
-    "q183_incident_overlap": (q183_incident_overlap, SQL_Q183),
-    "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
-    "q125_zipf_stats": (q125_zipf_stats, SQL_Q125),
-    "q126_kn_bigram_logprob": (q126_kn_bigram_logprob, SQL_Q126),
-    "q127_ewma_forecast": (q127_ewma_forecast, SQL_Q127),
-    "q128_ngram_novelty": (q128_ngram_novelty, SQL_Q128),
-    "q129_quality_quantile_norm": (q129_quality_quantile_norm, SQL_Q129),
-    "q130_hashed_gram_classifier": (q130_hashed_gram_classifier, SQL_Q130),
-    "q132_source_risk_report": (q132_source_risk_report, SQL_Q132),
-    "q133_source_perplexity": (q133_source_perplexity, SQL_Q133),
-    "q135_snapshot_diff": (q135_snapshot_diff, SQL_Q135),
-    "q142_ivf_recall": (q142_ivf_recall, SQL_Q142),
-    "q144_threshold_runs": (q144_threshold_runs, SQL_Q144),
-    "q145_cusum_alarms": (q145_cusum_alarms, SQL_Q145),
-    "q146_proto_prune": (q146_proto_prune, SQL_Q146),
-    "q52_simhash_twin_recall": (q52_simhash_twin_recall, SQL_Q52),
-    "q80_winnow_twin_overlap": (q80_winnow_twin_overlap, SQL_Q80),
-    "q91_bpe_first_merge": (q91_bpe_first_merge, SQL_Q91),
-    "q92_eval_containment": (q92_eval_containment, SQL_Q92),
-    "q95_bigram_logprob": (q95_bigram_logprob, SQL_Q95),
-    "q96_dedup_keep_best": (q96_dedup_keep_best, SQL_Q96),
-    "q97_pq_codes": (q97_pq_codes, SQL_Q97),
-    "q98_pq_adc_topk": (q98_pq_adc_topk, SQL_Q98),
-    "q99_pq_rerank": (q99_pq_rerank, SQL_Q99),
-    "q04_time_filter": (q04_time_filter, SQL_Q04),
-    "q05_dedup_first": (q05_dedup_first, SQL_Q05),
-    "q07_melt_long": (q07_melt_long, SQL_Q07),
-    "q08_header_inventory": (q08_header_inventory, SQL_Q08),
-    "q37_lang_id": (q37_lang_id, SQL_Q37),
-    "q38_quality_score": (q38_quality_score, SQL_Q38),
-    "q204_softmax_classifier": (q204_softmax_classifier, SQL_Q204),
-    "q200_doc_containment": (q200_doc_containment, SQL_Q200),
-    "q172_kcenter_coreset": (q172_kcenter_coreset, SQL_Q172),
-    "q39_token_count": (q39_token_count, SQL_Q39),
-    "q40_fingerprint": (q40_fingerprint, SQL_Q40),
-    "q42_text_clean": (q42_text_clean, SQL_Q42),
-    "q43_hash_split": (q43_hash_split, SQL_Q43),
-    "q44_json_extract": (q44_json_extract, SQL_Q44),
-    "q45_rollup": (q45_rollup, SQL_Q45),
-    "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    "q33_ngram_jaccard": (q33_ngram_jaccard, SQL_Q33),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
-    "q35_ann_topk": (q35_ann_topk, SQL_Q35),
-    "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
-    "q47_resample_filled": (q47_resample_filled, SQL_Q47),
-    "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
-    "q49_anti_join_dedup": (q49_anti_join_dedup, SQL_Q49),
-    "q53_lsh_exact_parity": (q53_lsh_exact_parity, SQL_Q35),
-    "q100_ann_ivfpq": (q100_ann_ivfpq, SQL_Q98),
-    "q101_corpus_card": (q101_corpus_card, SQL_Q101),
-    "q102_repeat_schedule": (q102_repeat_schedule, SQL_Q102),
-    "q103_tokenizer_fertility": (q103_tokenizer_fertility, SQL_Q103),
-    "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
-    "q105_budget_trim": (q105_budget_trim, SQL_Q105),
-    "q108_decon_semantic": (q108_decon_semantic, SQL_Q108),
-    "q110_vocab_coverage": (q110_vocab_coverage, SQL_Q110),
-    "q113_epoch_shuffle": (q113_epoch_shuffle, SQL_Q113),
-    "q114_source_divergence": (q114_source_divergence, SQL_Q114),
-    "q115_seasonal_outliers": (q115_seasonal_outliers, SQL_Q115),
-    "q116_weighted_sample": (q116_weighted_sample, SQL_Q116),
-    "q54_sketch_bounds": (q54_sketch_bounds, SQL_Q54),
-    "q55_header_alias_roundtrip": (q55_header_alias_roundtrip, SQL_Q55),
-    "q57_stratified_sample": (q57_stratified_sample, SQL_Q57),
-    "q58_knn_classify": (q58_knn_classify, SQL_Q58),
-    "q59_overlay_align": (q59_overlay_align, SQL_Q59),
-    "q60_pii_scan": (q60_pii_scan, SQL_Q60),
-    "q61_repetition_signals": (q61_repetition_signals, SQL_Q61),
 }
 
 

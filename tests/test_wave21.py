@@ -122,3 +122,16 @@ def test_q217_frontier_ranking(spark):
     # trap discount is live: at least one ranked domain carries a
     # nonzero trap_rate strictly below 1
     assert any(0 < r.trap_rate < 1 for r in rows)
+
+
+def test_raw_doc_ids_below_plant_offset(spark):
+    """q121's signature reuse shifts planted-twin keys by
+    +2*PLANT_OFFSET and splits sides with doc < PLANT_OFFSET — both
+    silently assume every raw doc_id sits below the offset (r12
+    ADVICE: assert it, at every SF the suite sees)."""
+    from sarfile_analyzer_ng_spark.queries import PLANT_OFFSET, _t
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = _t(spark, f"/root/testdata/{sf}", "documents")
+        top = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+        assert top < PLANT_OFFSET, f"{sf}: max doc_id {top}"

@@ -77,17 +77,39 @@ def main() -> None:
     recorded = sys.argv[sys.argv.index("--round") + 1] if "--round" in sys.argv else "r3"
     spark = get_spark("snapshot-tail", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        with open(SNAPSHOT_PATH) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
     digests = tail_digests(spark)
-    for v in digests.values():
-        v["last_recorded"] = recorded
+    lg = last_green_rounds()
+    for k, v in digests.items():
+        # provenance (r12 VERDICT #8): an entry whose digests did not
+        # move keeps its prior last_recorded — stamping every entry
+        # with the current round erased per-key history and made a
+        # no-op rerun look like a full re-snapshot. Entries new to
+        # the tail (or with moved digests) get their NEWEST driver
+        # CORRECTNESS green round; the --round arg is only the
+        # fallback for keys no artifact has recorded yet.
+        old = prev.get(k)
+        if k in lg:
+            # the ground truth: the newest driver CORRECTNESS green —
+            # repairs r12's blanket stamp too
+            v["last_recorded"] = f"r{lg[k]}"
+        elif (
+            old
+            and old.get("sql_sha") == v["sql_sha"]
+            and old.get("plan_sha") == v["plan_sha"]
+            and old.get("last_recorded")
+        ):
+            v["last_recorded"] = old["last_recorded"]
+        else:
+            v["last_recorded"] = recorded
     with open(SNAPSHOT_PATH, "w") as f:
         json.dump(digests, f, indent=2, sort_keys=True)
         f.write("\n")
     print(f"wrote {len(digests)} tail snapshots to {SNAPSHOT_PATH}")
-
-
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------
@@ -181,3 +203,7 @@ def check_rotation() -> list[str]:
                 )
             prev = max(prev, lg[k])
     return errs
+
+
+if __name__ == "__main__":
+    main()
