@@ -148,6 +148,16 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    # exec-only view (r12 VERDICT #2): the legacy per-query number is
+    # build (Python DataFrame construction + any eager model jobs) +
+    # the noop write. At small SFs the build part is a driver-side
+    # CONSTANT, so the low-core/high-core wall ratio reads ≈1 for
+    # every query and the scaling probe carries no signal. exec_* is
+    # the SAME timed region split at the write boundary — the write
+    # call's own wall (write-side planning + codegen + job run), no
+    # extra work added, so the legacy numbers stay methodology-
+    # identical. Recorded addition-only next to them.
+    exec_timings: dict[str, float] = {}
     for rep in range(reps):
         # Force the session-lived cross-query memos FIRST, each timed
         # as its own _memo_* line: previously the first registry
@@ -157,22 +167,29 @@ def main() -> None:
         # measures each query's OWN plan cost against warm memos.
         for mkey, builder in memo_builders().items():
             start = time.perf_counter()
-            builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            elapsed = round(time.perf_counter() - start, 3)
+            mdf = builder(spark, sf_dir)
+            t_write = time.perf_counter()
+            mdf.write.format("noop").mode("overwrite").save()
+            end = time.perf_counter()
+            elapsed = round(end - start, 3)
+            ex = round(end - t_write, 3)
             print(f"[bench] rep{rep} {mkey} {elapsed}s", file=sys.stderr)
             timings[mkey] = min(timings.get(mkey, elapsed), elapsed)
+            exec_timings[mkey] = min(exec_timings.get(mkey, ex), ex)
         for key, (fn, _) in REGISTRY.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
+            t_write = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
+            end = time.perf_counter()
+            elapsed = round(end - start, 3)
+            ex = round(end - t_write, 3)
             print(f"[bench] rep{rep} {key} {elapsed}s", file=sys.stderr)
             # min over reps: single-shot numbers on a 32-thread local
             # JVM swing ±50% from JIT/python-worker warm-up and GC; the
             # min is the reproducible cost of the plan itself
             timings[key] = min(timings.get(key, elapsed), elapsed)
+            exec_timings[key] = min(exec_timings.get(key, ex), ex)
             # operators that cache reused sub-frames (minhash/simhash/
             # jaccard/percentiles/ivf) declare them as _cached_inputs;
             # release keeps per-query memory independent while leaving
@@ -264,7 +281,15 @@ def main() -> None:
         "r1_subset_reps": reps + r1_extra,
         "memo_seconds": memo_seconds,
         "top_deltas_vs_prev": deltas,
+        # total of the exec-only mins (write-call wall; see the
+        # exec_timings note above) — the scaling-sensitive share of
+        # the headline. Per-query map: full copy in the docs file,
+        # slowest 12 on stdout (the stdout line must stay inside the
+        # driver's ~2000-char tail window).
+        "exec_seconds": round(sum(exec_timings.values()), 3),
     }
+    exec_slowest = dict(sorted(
+        exec_timings.items(), key=lambda kv: -kv[1])[:12])
     # The driver's artifact keeps only the LAST ~2000 characters of
     # the run's output (BENCH_r05..r09 all arrived clipped mid-map,
     # parsed: null). So: the FULL per-query map goes to a committed
@@ -276,7 +301,8 @@ def main() -> None:
         f"bench_full_sf{sf}.json",
     )
     with open(full_path, "w") as fh:
-        json.dump({**headline, "queries": timings}, fh, indent=1,
+        json.dump({**headline, "queries": timings,
+                   "exec_queries": exec_timings}, fh, indent=1,
                   sort_keys=True)
         fh.write("\n")
     slowest = dict(sorted(
@@ -288,6 +314,7 @@ def main() -> None:
         "full_map": os.path.relpath(full_path,
                                     os.path.dirname(full_path) + "/.."),
         "queries": slowest,
+        "exec_queries": exec_slowest,
     }))
 
 
