@@ -1559,15 +1559,36 @@ def edit_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     cands = pairs.select("doc_a", "doc_b")
     ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    la, lb = F.length("_ta"), F.length("_tb")
+    maxlen = F.greatest(la, lb).cast("double")
     sim = rnd(
-        F.lit(1.0)
-        - F.levenshtein("_ta", "_tb")
-        / F.greatest(F.length("_ta"), F.length("_tb")).cast("double"),
+        F.lit(1.0) - F.levenshtein("_ta", "_tb") / maxlen,
         round_to,
     )
+    # |len_a − len_b| lower-bounds the edit distance, so
+    # 1 − |Δlen|/maxlen upper-bounds edit_sim: any pair failing it by
+    # more than the rounding step cannot survive the tau filter —
+    # prune it BEFORE paying the O(len²) Levenshtein DP (r13,
+    # guide §2.3: shed rows before the expensive operator). The 1e-3
+    # slack is > 20× the largest value movement rnd(·, round_to≥4)
+    # can apply, so the prune is strictly conservative.
+    len_ok = (
+        F.lit(1.0) - F.abs(la - lb).cast("double") / maxlen
+        >= F.lit(tau - 1e-3)
+    )
+    # The verify stage's INPUT is a few bytes per pair while its CPU
+    # is the quadratic DP — exactly the shape AQE's byte-based
+    # coalescing mis-sizes (measured 16 s ↔ 134 s bimodal at 10×
+    # scale when the lev stage coalesced to ~1 task). A user-numbered
+    # round-robin repartition pins the verify parallelism to the
+    # session's core count (AQE preserves user-specified counts;
+    # guide §2.6).
+    par = df.sparkSession.sparkContext.defaultParallelism
     out = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(len_ok)
+        .repartition(par)
         .select("doc_a", "doc_b", sim.alias("edit_sim"))
         .where(F.col("edit_sim") >= tau)
     )

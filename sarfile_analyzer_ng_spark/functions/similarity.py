@@ -17,7 +17,7 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import rnd, rnd_np
+from ..util import rnd, rnd_np, rnd_threshold
 
 # serializes pca_power_topd's session-wide codegen-conf toggle: two
 # concurrent trainers interleaving get/set could "restore" each
@@ -171,6 +171,7 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     n = emb.count()  # scalar aggregate, not a collect
     num_blocks = max(1, -(-n // rows_per_block))
+    thr_raw = rnd_threshold(threshold, round_to)
 
     src = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
@@ -212,11 +213,15 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
         ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
         mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
         sims = ml @ mr.T
-        # round exactly like util.rnd — including HALF_UP at decimal
-        # half boundaries, where np.round's half-to-even would flip
-        # threshold membership vs the JVM/oracle path (util.rnd_np)
-        sims = rnd_np(sims, round_to)
-        kr, kc = np.where(sims >= threshold)
+        # membership first, rounding after: rnd is monotone, so the
+        # RAW matmul compared against the exact double boundary
+        # (rnd_threshold) selects exactly the pairs whose ROUNDED
+        # cosine reaches the threshold — then only the few survivors
+        # pay the HALF_UP rnd_np ladder for the emitted value (the
+        # full-matrix rounded copy was ~10 matrix-sized temporaries
+        # per block pair and dominated the task; r13, guide §4.2)
+        kr, kc = np.where(sims >= thr_raw)
+        emit_cos = rnd_np(sims[kr, kc], round_to)
         a, b = ids_l[kr], ids_r[kc]
         # orient a<b; the diagonal pair (i,i) sees each unordered pair
         # twice (x,y)/(y,x) and self-pairs once — a<b keeps one copy
@@ -225,7 +230,7 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         keep = lo < hi
         out = pd.DataFrame(
-            {"id_a": lo[keep], "id_b": hi[keep], "cosine": sims[kr, kc][keep]}
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": emit_cos[keep]}
         )
         if key[0] == key[1]:
             out = out.drop_duplicates(["id_a", "id_b"])
@@ -631,15 +636,24 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
     )
     for _ in range(iters):
         cos = rnd(cosine(F.col("e"), F.col("c")), round_to)
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cos").desc(), F.col("cluster").asc()
-        )
+        # argmax as a combinable max_by instead of a row_number window
+        # (r13, guide §2.3/§2.4): the crossJoin emits every id's k
+        # candidate rows in ONE partition, so partial aggregation
+        # collapses them map-side — the shuffle carries |ids| rows, not
+        # |ids|·k, and the per-id Sort disappears. The ordering key
+        # (cos, −cluster) is UNIQUE per id (cluster ids are distinct),
+        # so max_by is deterministic and picks exactly row_number's
+        # (cos DESC, cluster ASC) winner.
         assigned = (
             v.crossJoin(F.broadcast(cent))
             .withColumn("cos", cos)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(id_col, "cluster", "cos", "e")
+            .groupBy(id_col)
+            .agg(F.max_by(
+                F.struct("cluster", "e"),
+                F.struct(F.col("cos"), (-F.col("cluster")).alias("nc")),
+            ).alias("_a"))
+            .select(id_col, F.col("_a.cluster").alias("cluster"),
+                    F.col("_a.e").alias("e"))
         )
         means = (
             assigned.select(
@@ -695,8 +709,6 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
     across the family's consumers — value-identical by construction
     (the assignment ranks against whatever centroid frame it gets).
     """
-    from pyspark.sql import Window
-
     from ..util import rnd
 
     v = emb.select(
@@ -708,18 +720,22 @@ def kmeans_lloyd_exact(emb: DataFrame, id_col: str, vec_col: str,
         round_to=round_to, cent_round=cent_round,
     )
     cos = rnd(cosine(F.col("e"), F.col("c")), round_to)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cos").desc(), F.col("cluster").asc()
-    )
+    # same combinable-argmax shape as the update loop (see
+    # kmeans_centroids): map-side collapse of the k candidate rows,
+    # no per-id Sort; (cos, −cluster) is unique per id so the winner
+    # is exactly row_number's (cos DESC, cluster ASC) row.
     return (
         v.crossJoin(F.broadcast(cent))
         .withColumn("cos", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        .groupBy(id_col)
+        .agg(F.max_by(
+            F.struct("cluster", "cos"),
+            F.struct(F.col("cos"), (-F.col("cluster")).alias("nc")),
+        ).alias("_a"))
         .select(
             F.col(id_col),
-            F.col("cluster").cast("long").alias("cluster"),
-            "cos",
+            F.col("_a.cluster").cast("long").alias("cluster"),
+            F.col("_a.cos").alias("cos"),
         )
     )
 
@@ -1248,6 +1264,8 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         ]
     )
 
+    tau_raw = rnd_threshold(tau, round_to)
+
     def prune(key, pdf):
         pdf = pdf.sort_values("_id")
         m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
@@ -1259,12 +1277,18 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         for j0 in range(0, n, rows_per_chunk):
             j1 = min(j0 + rows_per_chunk, n)
             # rows 0..j1 against columns j0..j1 — only the strict
-            # upper triangle (smaller id vs larger id) is consulted
+            # upper triangle (smaller id vs larger id) is consulted.
+            # Only the BOOLEAN rnd(cos) >= tau verdict is needed, so
+            # compare the RAW matmul against the exact double boundary
+            # (rnd_threshold; rnd is monotone) instead of materializing
+            # a rounded copy — the rnd_np pass was ~10 matrix-sized
+            # temporaries and dominated the task (r13, guide §4.2).
             sims = m[:j1] @ m[j0:j1].T
-            sims = rnd_np(sims, round_to)  # JVM-parity HALF_UP rounding
-            for c, j in enumerate(range(j0, j1)):
-                if j:
-                    dropped[j] = bool((sims[:j, c] >= tau).any())
+            # strict-upper-triangle any() per column, vectorized (the
+            # per-column python loop was ~|cluster| numpy calls per
+            # chunk); row i counts against column j iff i < j
+            tri = np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            dropped[j0:j1] = ((sims >= tau_raw) & tri).any(axis=0)
         return pd.DataFrame(
             {
                 "_id": pdf["_id"].to_numpy(),

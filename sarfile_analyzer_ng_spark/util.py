@@ -95,11 +95,36 @@ def rnd_np(a, digits: int = 4):
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)
+    if a.ndim == 0:
+        # ufuncs return SCALARS for 0-d inputs, which breaks the
+        # out=-reusing buffer chain below — round via a length-1 view
+        return rnd_np(a.reshape(1), digits)[0]
     r8 = np.round(a, 8)
     out = np.round(r8, digits)
-    frac1 = np.abs(np.modf(np.abs(a) * 1e8)[0] - 0.5)
-    frac2 = np.abs(np.modf(np.abs(r8) * (10.0 ** digits))[0] - 0.5)
-    suspects = np.nonzero((frac1 < 1e-6) | (frac2 < 1e-6))
+    # boundary-suspect masks with TWO reused scratch buffers instead
+    # of a fresh temporary per step (r13): on matrix-sized inputs the
+    # dominant cost was not arithmetic but FIRST-TOUCH page faults on
+    # ~10 freshly allocated array temporaries (measured ~1 s per
+    # 160 MB temp on this host vs ~0.1 s warm). frac(x) via
+    # x - floor(x) is bit-identical to np.modf(x)[0] for the
+    # non-negative inputs here (and both paths leave ±inf/NaN inputs
+    # out of the suspect set).
+    with np.errstate(invalid="ignore"):  # inf - inf → NaN → non-suspect
+        s = np.abs(a)
+        s *= 1e8
+        f = np.floor(s)
+        np.subtract(s, f, out=s)
+        np.subtract(s, 0.5, out=s)
+        np.abs(s, out=s)
+        mask = s < 1e-6
+        np.abs(r8, out=f)
+        f *= 10.0 ** digits
+        np.floor(f, out=s)
+        np.subtract(f, s, out=f)
+        np.subtract(f, 0.5, out=f)
+        np.abs(f, out=f)
+        mask |= f < 1e-6
+    suspects = np.nonzero(mask)
     if len(suspects[0]):
         q8 = Decimal(1).scaleb(-8)
         qd = Decimal(1).scaleb(-digits)
@@ -110,3 +135,37 @@ def rnd_np(a, digits: int = 4):
             )
             out[idx] = float(v.quantize(qd, rounding=ROUND_HALF_UP))
     return out
+
+
+def rnd_threshold(tau: float, digits: int = 4) -> float:
+    """The smallest float64 ``x`` with ``rnd_np(x, digits) >= tau``.
+
+    :func:`rnd_np` composes two HALF_UP decimal roundings, each
+    monotone non-decreasing in the real value (shortest-repr decimal
+    order agrees with double order), so for any ``tau`` there is an
+    exact double boundary and ``x >= rnd_threshold(tau, digits)``
+    decides ``rnd_np(x, digits) >= tau`` — which lets Arrow kernels
+    that only need the BOOLEAN verdict (SemDeDup's prune, the
+    block-matrix pair filter) threshold the RAW similarity matrix
+    with one vectorized compare instead of materializing a rounded
+    copy (~10 matrix-sized temporaries per block)."""
+    def ge(x: float) -> bool:
+        return float(rnd_np([x], digits)[0]) >= tau
+
+    step = 10.0 ** (-digits)
+    lo, hi = tau - 2.0 * step, tau + step
+    while ge(lo):
+        lo -= step
+    while not ge(hi):
+        hi += step
+    # float bisection converges to two adjacent doubles; hi is the
+    # smallest double on the >= side
+    while True:
+        mid = (lo + hi) / 2.0
+        if mid <= lo or mid >= hi:
+            break
+        if ge(mid):
+            hi = mid
+        else:
+            lo = mid
+    return float(hi)
