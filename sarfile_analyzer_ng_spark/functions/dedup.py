@@ -1069,9 +1069,16 @@ def _cut_ranges_and_rebuild(df: DataFrame, text_col: str, id_col: str,
         ).alias("text_clean"),
         F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
     )
-    totals = toks.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
+    # per-doc token totals MAP-SIDE from the split array length — the
+    # explode above emits exactly size(split(...)) rows per non-null
+    # text and zero rows for null text, so size() + an isNotNull guard
+    # reproduces the old explode→count agg while removing the second
+    # full tokenize+explode pass over the corpus (r13, guide §2.4)
+    totals = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+        .alias("n_total"),
+    ).where(F.col("n_total") >= 0)
     n_cut_spans = cut.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans_cut")
     )
