@@ -90,24 +90,26 @@ def logreg_train(df: DataFrame, feature_cols: list[str], label_col: str,
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
     w = [0.0] * len(xs)
+    # loop-INVARIANT Column trees built once (r13): the x aliases and
+    # the gradient agg columns reference the projected names, not the
+    # weights — rebuilding them every iteration was pure py4j round-trip
+    # latency (the dominant per-iteration cost at bench scale). Only
+    # the residual (weight literals) rebuilds.
+    x_aliases = [x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)]
+    grad_cols = [
+        rnd(F.sum(F.col("_r") * F.col(f"_x{j}")) / F.lit(float(n)),
+            round_to)
+        .alias(f"g{j}")
+        for j in range(len(xs))
+    ]
     for _ in range(iters):
         # project the sigmoid residual ONCE per row (the softmax_train
         # fix applied to the binary chain): inlining it into every
         # gradient column re-evaluated the exp per column. Same
         # doubles, same summation order — value-identical.
         resid = logreg_sigmoid(logreg_margin(xs, w, sig_round), sig_round) - y
-        proj = df.select(
-            resid.alias("_r"),
-            *[x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)],
-        )
-        grads = proj.agg(
-            *[
-                rnd(F.sum(F.col("_r") * F.col(f"_x{j}")) / F.lit(float(n)),
-                    round_to)
-                .alias(f"g{j}")
-                for j in range(len(xs))
-            ]
-        ).first()
+        proj = df.select(resid.alias("_r"), *x_aliases)
+        grads = proj.agg(*grad_cols).first()
         # rnd_np expects an array (its half-boundary repair indexes)
         w = [
             float(rnd_np([w_j - lr * float(grads[f"g{j}"])], round_to)[0])
@@ -479,6 +481,23 @@ def softmax_train(df: DataFrame, feature_cols: list[str], label_col: str,
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("int")
     W = [[0.0] * len(xs) for _ in range(n_classes)]
+    # loop-INVARIANT Column trees built once (r13): the y/x aliases
+    # and the K·(F+1) gradient agg columns reference projected NAMES,
+    # not the weights — rebuilding them every iteration was ~0.6 s of
+    # py4j round-trip latency per iteration at bench scale (measured
+    # vs ~0.2 s for the agg job itself). Only the K probability
+    # projections (weight literals) rebuild per iteration.
+    y_alias = y.alias("_y")
+    x_aliases = [x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)]
+    aggs = []
+    for k in range(n_classes):
+        resid = F.col(f"_p{k}") - F.when(
+            F.col("_y") == k, F.lit(1.0)).otherwise(F.lit(0.0))
+        aggs.extend(
+            rnd(F.sum(resid * F.col(f"_x{j}")) / F.lit(float(n)),
+                round_to).alias(f"g{k}_{j}")
+            for j in range(len(xs))
+        )
     for _ in range(iters):
         ps = softmax_probs(xs, W, sig_round)
         # project each class's probability ONCE per row, then
@@ -488,19 +507,10 @@ def softmax_train(df: DataFrame, feature_cols: list[str], label_col: str,
         # pure expression eval + codegen at 5k rows). Same doubles,
         # same summation order — value-identical by construction.
         proj = df.select(
-            y.alias("_y"),
-            *[x_j.alias(f"_x{j}") for j, x_j in enumerate(xs)],
+            y_alias,
+            *x_aliases,
             *[p_k.alias(f"_p{k}") for k, p_k in enumerate(ps)],
         )
-        aggs = []
-        for k in range(n_classes):
-            resid = F.col(f"_p{k}") - F.when(
-                F.col("_y") == k, F.lit(1.0)).otherwise(F.lit(0.0))
-            aggs.extend(
-                rnd(F.sum(resid * F.col(f"_x{j}")) / F.lit(float(n)),
-                    round_to).alias(f"g{k}_{j}")
-                for j in range(len(xs))
-            )
         g = proj.agg(*aggs).first()
         W = [
             [

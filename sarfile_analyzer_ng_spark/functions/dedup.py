@@ -21,7 +21,7 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out, rnd
+from ..util import fan_out, memo_cols, rnd
 
 
 def release(df: DataFrame) -> None:
@@ -875,11 +875,18 @@ def _pos_gram_hashes(df: DataFrame, text_col: str, id_col: str,
     # generator index IS the gram position), drop the null tail
     # slots — no posexplode → lead-window chain, which shuffled and
     # sorted every token by doc id. Same (doc, pos, h) rows.
-    arr = tokens_expr(F.col(text_col))
-    g = arr
-    for j in range(1, k):
-        tail = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
-        g = F.zip_with(g, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    def build():
+        arr = tokens_expr(F.col(text_col))
+        g = arr
+        for j in range(1, k):
+            tail = F.slice(
+                arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+            g = F.zip_with(g, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+        return (g,)
+
+    # static per (text_col, k): the zip_with chain is ~6·k py4j calls
+    # rebuilt identically by every winnow/span consumer (util.memo_cols)
+    (g,) = memo_cols(("pos_gram", text_col, k), build)
     grams = _fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(g).alias("pos", "gram"),
@@ -1185,17 +1192,21 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     every doc can left-join).
     """
     hashed = _pos_gram_hashes(df, text_col, id_col, k)
-    owin = Window.partitionBy("doc").orderBy("pos")
-    fwin = (
-        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
-    )
-    return (
-        hashed.select(
-            "doc",
+
+    def build():
+        owin = Window.partitionBy("doc").orderBy("pos")
+        fwin = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+            0, window - 1)
+        return (
             F.min("h").over(fwin).alias("fp"),
             F.row_number().over(owin).alias("_rk"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("_n"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("doc")).alias("_n"),
         )
+
+    fp_c, rk_c, n_c = memo_cols(("winnow_fp", window), build)
+    return (
+        hashed.select("doc", fp_c, rk_c, n_c)
         # only COMPLETE windows fingerprint (the guarantee is stated
         # over full windows; incomplete tails would over-select)
         .where(F.col("_rk") <= F.col("_n") - (window - 1))

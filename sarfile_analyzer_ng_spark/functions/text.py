@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import fan_out, rnd, shard_hash
+from ..util import fan_out, memo_cols, rnd, shard_hash
 
 # Stopword alternations per language; the heuristic scores a document
 # by word-boundary stopword hits and takes the argmax with a fixed
@@ -42,14 +42,18 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
     """Predict language by stopword-hit argmax, deterministic tie order."""
     df = fan_out(df)  # regexp-bound map stage: parallelism = scan splits
-    s = lang_scores(F.col(text_col))
-    pred = (
-        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
-        .when(s["fr"] >= s["zh"], "fr")
-        .otherwise("zh")
-    )
+
+    def build():
+        s = lang_scores(F.col(text_col))
+        return (
+            F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+            .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+            .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+            .when(s["fr"] >= s["zh"], "fr")
+            .otherwise("zh")
+        )
+
+    pred = memo_cols(("lang_id", text_col), build)
     return df.withColumn(out_col, pred)
 
 
@@ -72,31 +76,50 @@ def quality_score(df: DataFrame, text_col: str, round_to: int = 4) -> DataFrame:
     fixed; the operator's value is the feature plumbing at scale.
     """
     df = fan_out(df)  # regexp-bound map stage
-    t = F.col(text_col)
-    n_chars = F.length(t).cast("double")
-    n_words = F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("double")
-    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double")
-    n_stop = F.regexp_count(F.lower(t), F.lit(LANG_PATTERNS["en"])).cast("double")
-    # true mean word length: word characters / words — NOT derived
-    # from n_chars with a single-space assumption, which runs of
-    # whitespace would inflate. Counted as n_chars − whitespace chars:
-    # value-identical to length(regexp_replace(t, '\s+', '')) but a
-    # pure counting scan, no rewritten-string allocation per row.
-    word_chars = n_chars - F.regexp_count(t, F.lit(r"\s")).cast("double")
-    mean_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
-    )
+
+    def build():
+        t = F.col(text_col)
+        n_chars = F.length(t).cast("double")
+        n_words = F.regexp_count(t, F.lit(WS_TOKEN_PATTERN)).cast("double")
+        n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double")
+        n_stop = F.regexp_count(
+            F.lower(t), F.lit(LANG_PATTERNS["en"])).cast("double")
+        # true mean word length: word characters / words — NOT derived
+        # from n_chars with a single-space assumption, which runs of
+        # whitespace would inflate. Counted as n_chars − whitespace
+        # chars: value-identical to length(regexp_replace(t, '\s+',
+        # '')) but a pure counting scan, no rewritten-string
+        # allocation per row.
+        word_chars = n_chars - F.regexp_count(t, F.lit(r"\s")).cast("double")
+        mean_word_len = F.when(
+            n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+        punct_ratio = F.when(
+            n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+        stop_ratio = F.when(
+            n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+        score = (
+            F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+            + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+        )
+        return (
+            n_words.cast("long"),
+            F.round(mean_word_len, round_to),
+            F.round(punct_ratio, round_to),
+            F.round(stop_ratio, round_to),
+            F.round(score, round_to),
+        )
+
+    # static per (text_col, round_to): see util.memo_cols — rebuilding
+    # this tree per call was pure py4j latency
+    n_words_c, mwl_c, pr_c, sr_c, q_c = memo_cols(
+        ("quality_score", text_col, round_to), build)
     return (
-        df.withColumn("n_words", n_words.cast("long"))
-        .withColumn("mean_word_len", F.round(mean_word_len, round_to))
-        .withColumn("punct_ratio", F.round(punct_ratio, round_to))
-        .withColumn("stopword_ratio", F.round(stop_ratio, round_to))
-        .withColumn("quality", F.round(score, round_to))
+        df.withColumn("n_words", n_words_c)
+        .withColumn("mean_word_len", mwl_c)
+        .withColumn("punct_ratio", pr_c)
+        .withColumn("stopword_ratio", sr_c)
+        .withColumn("quality", q_c)
     )
 
 
@@ -176,49 +199,61 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
+    # static Column/agg trees per (text_col, id_col, round_to) — see
+    # util.memo_cols (the whole function is name-based once built)
+    def build():
+        win = Window.partitionBy(id_col).orderBy("pos")
+        nw = F.col("n_words").cast("double")
+        return {
+            "explode": F.posexplode(
+                F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
+            "nxt": F.lead("word").over(win),
+            "bigram": F.concat_ws(" ", "word", "nxt").alias("bigram"),
+            "cnt": F.count(F.lit(1)).alias("cnt"),
+            "per_doc": (
+                F.sum("cnt").alias("n_words"),
+                F.count(F.lit(1)).alias("n_uniq"),
+                F.max("cnt").alias("top_cnt"),
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                .alias("dup_cnt"),
+            ),
+            "per_big": (
+                F.sum("cnt").alias("n_bigrams"),
+                F.max("cnt").alias("top_big_cnt"),
+            ),
+            "out": (
+                F.col(id_col),
+                F.col("n_words").cast("long").alias("n_words"),
+                rnd(F.col("n_uniq") / nw, round_to).alias("uniq_word_ratio"),
+                rnd(F.col("top_cnt") / nw, round_to).alias("top_word_frac"),
+                rnd(F.col("dup_cnt") / nw, round_to).alias("dup_word_frac"),
+                rnd(
+                    F.coalesce(
+                        F.col("top_big_cnt")
+                        / F.col("n_bigrams").cast("double"),
+                        F.lit(0.0),
+                    ),
+                    round_to,
+                ).alias("top_bigram_frac"),
+            ),
+        }
+
+    c = memo_cols(("repetition_signals", text_col, id_col, round_to), build)
     words = (
         fan_out(df)
-        .select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
-        )
+        .select(F.col(id_col), c["explode"])
         .where(F.col("word") != "")
     )
-    win = Window.partitionBy(id_col).orderBy("pos")
     bigrams = (
-        words.withColumn("nxt", F.lead("word").over(win))
+        words.withColumn("nxt", c["nxt"])
         .where(F.col("nxt").isNotNull())
-        .select(id_col, F.concat_ws(" ", "word", "nxt").alias("bigram"))
+        .select(id_col, c["bigram"])
     )
-    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
-    per_doc = wc.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_words"),
-        F.count(F.lit(1)).alias("n_uniq"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
-    )
-    bc = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    per_big = bc.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_big_cnt")
-    )
-    nw = F.col("n_words").cast("double")
-    return (
-        per_doc.join(per_big, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_words").cast("long").alias("n_words"),
-            rnd(F.col("n_uniq") / nw, round_to).alias("uniq_word_ratio"),
-            rnd(F.col("top_cnt") / nw, round_to).alias("top_word_frac"),
-            rnd(F.col("dup_cnt") / nw, round_to).alias("dup_word_frac"),
-            rnd(
-                F.coalesce(
-                    F.col("top_big_cnt") / F.col("n_bigrams").cast("double"),
-                    F.lit(0.0),
-                ),
-                round_to,
-            ).alias("top_bigram_frac"),
-        )
-    )
+    wc = words.groupBy(id_col, "word").agg(c["cnt"])
+    per_doc = wc.groupBy(id_col).agg(*c["per_doc"])
+    bc = bigrams.groupBy(id_col, "bigram").agg(c["cnt"])
+    per_big = bc.groupBy(id_col).agg(*c["per_big"])
+    return per_doc.join(per_big, id_col, "left").select(*c["out"])
 
 
 def quality_filter(df: DataFrame, text_col: str, id_col: str,
@@ -258,10 +293,13 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     )
     base = quality_score(df.select(id_col, text_col), text_col, round_to)
     base = lang_id(base, text_col)
-    t = F.col(text_col)
-    n_pii = sum(
-        (F.regexp_count(t, F.lit(p)) for p, _ in PII_PATTERNS.values()),
-        F.lit(0),
+    n_pii = memo_cols(
+        ("qf_n_pii", text_col),
+        lambda: sum(
+            (F.regexp_count(F.col(text_col), F.lit(p))
+             for p, _ in PII_PATTERNS.values()),
+            F.lit(0),
+        ),
     )
     # project text OUT before the repetition join (guide §2.3): every
     # signal is computed by here, and the join exchange would
@@ -281,19 +319,33 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
             "top_bigram_frac": F.coalesce("top_bigram_frac", F.lit(0.0)),
         }
     )
-    ok_words = F.col("n_words").between(min_words, max_words)
-    ok_wlen = F.col("mean_word_len").between(
-        min_mean_word_len, max_mean_word_len
+    def build_rules():
+        ok_words = F.col("n_words").between(min_words, max_words)
+        ok_wlen = F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        ok_punct = F.col("punct_ratio") <= max_punct_ratio
+        ok_stop = (F.col("pred_lang") != "en") | (
+            F.col("stopword_ratio") >= min_stop_ratio
+        )
+        ok_rep = (F.col("dup_word_frac") <= max_dup_word_frac) & (
+            F.col("top_bigram_frac") <= max_top_bigram_frac
+        )
+        ok_lang = F.col("pred_lang").isin(list(langs))
+        keep = ok_words & ok_wlen & ok_punct & ok_stop & ok_rep & ok_lang
+        return (
+            ok_words.cast("long").alias("ok_words"),
+            ok_lang.cast("long").alias("ok_lang"),
+            ok_rep.cast("long").alias("ok_repetition"),
+            keep.cast("long").alias("keep"),
+        )
+
+    rule_cols = memo_cols(
+        ("qf_rules", min_words, max_words, min_mean_word_len,
+         max_mean_word_len, min_stop_ratio, max_punct_ratio,
+         max_dup_word_frac, max_top_bigram_frac, langs),
+        build_rules,
     )
-    ok_punct = F.col("punct_ratio") <= max_punct_ratio
-    ok_stop = (F.col("pred_lang") != "en") | (
-        F.col("stopword_ratio") >= min_stop_ratio
-    )
-    ok_rep = (F.col("dup_word_frac") <= max_dup_word_frac) & (
-        F.col("top_bigram_frac") <= max_top_bigram_frac
-    )
-    ok_lang = F.col("pred_lang").isin(list(langs))
-    keep = ok_words & ok_wlen & ok_punct & ok_stop & ok_rep & ok_lang
     return j.select(
         id_col,
         "n_words",
@@ -304,10 +356,7 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
         "top_bigram_frac",
         "pred_lang",
         "n_pii",
-        ok_words.cast("long").alias("ok_words"),
-        ok_lang.cast("long").alias("ok_lang"),
-        ok_rep.cast("long").alias("ok_repetition"),
-        keep.cast("long").alias("keep"),
+        *rule_cols,
     )
 
 

@@ -12386,6 +12386,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # tests/test_rotation.py).
     "q104_quality_classifier": (q104_quality_classifier, SQL_Q104),
     "q111_edit_dup_pairs": (q111_edit_dup_pairs, SQL_Q111),
+    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
+    "q82_semdedup": (q82_semdedup, SQL_Q82),
+    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q120_classifier_calibration": (q120_classifier_calibration, SQL_Q120),
     "q122_decontaminate_spans": (q122_decontaminate_spans, SQL_Q122),
     "q123_doremi_weights": (q123_doremi_weights, SQL_Q123),
@@ -12426,16 +12429,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q107_span_dedup_apply": (q107_span_dedup_apply, SQL_Q107),
     "q201_curation_funnel_v2": (q201_curation_funnel_v2, SQL_Q201),
     "q75_quantize_embeddings": (q75_quantize_embeddings, SQL_Q75),
-    "q82_semdedup": (q82_semdedup, SQL_Q82),
     "q117_image_dup_pairs": (q117_image_dup_pairs, SQL_Q117),
     "q36_ann_lsh": (q36_ann_lsh, SQL_Q36),
     "q50_sketch_stats": (q50_sketch_stats, SQL_Q50),
     "q90_bpe_merges": (q90_bpe_merges, SQL_Q90),
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
-    "q03_percentiles": (q03_percentiles, SQL_Q03),
     # ---- tail (staleness-guarded; see tests/test_tail_staleness.py)
     # ordered oldest-driver-recording-first.
+    "q02_describe_stats": (q02_describe_stats, SQL_Q02),
+    "q03_percentiles": (q03_percentiles, SQL_Q03),
     "q06_pivot_wide": (q06_pivot_wide, SQL_Q06),
     "q09_device_filter": (q09_device_filter, SQL_Q09),
     "q10_resample": (q10_resample, SQL_Q10),
@@ -12529,7 +12531,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q44_json_extract": (q44_json_extract, SQL_Q44),
     "q45_rollup": (q45_rollup, SQL_Q45),
     "q46_delta_rate": (q46_delta_rate, SQL_Q46),
-    "q34_cosine_dup": (q34_cosine_dup, SQL_Q34),
     "q41_ann_ivf": (q41_ann_ivf, SQL_Q35),
     "q47_resample_filled": (q47_resample_filled, SQL_Q47),
     "q48_topn_per_group": (q48_topn_per_group, SQL_Q48),
@@ -12599,7 +12600,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q69_dedup_apply": (q69_dedup_apply, SQL_Q69),
     "q70_quality_filter": (q70_quality_filter, SQL_Q70),
     "q71_chunk_documents": (q71_chunk_documents, SQL_Q71),
-    "q72_kmeans_twin": (q72_kmeans_twin, SQL_Q72),
     "q73_pack_sequences": (q73_pack_sequences, SQL_Q73),
 }
 
