@@ -3,6 +3,7 @@ surface (api/services.py analogs)."""
 
 from __future__ import annotations
 
+
 import lzma
 
 import pytest
@@ -10,6 +11,8 @@ from pyspark.sql import functions as F
 
 from sarfile_analyzer_ng_spark import api as A
 from sarfile_analyzer_ng_spark.sources.sar_text import read_sar
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 from .test_sar_source import SAR_24H, SAR_AMPM
 

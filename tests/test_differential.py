@@ -5,11 +5,14 @@ author) could both miss."""
 
 from __future__ import annotations
 
+
 import numpy as np
 import pandas as pd
 import pytest
 
 from sarfile_analyzer_ng_spark.operators import timeseries as TS
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 N_ROWS = 3000
 N_USERS = 40

@@ -3,7 +3,11 @@ callable, oracle keys are a subset, and results carry stable schemas."""
 
 from __future__ import annotations
 
+
 import __spark_entry__ as entry_mod
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 
 def test_entry_returns_rows(spark):

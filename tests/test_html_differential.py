@@ -34,12 +34,16 @@ EXACTLY, and the clean-pool test pins that at 100%.
 
 from __future__ import annotations
 
+
 import random
 from html.parser import HTMLParser
 
 from pyspark.sql import functions as F
+import pytest
 
 from sarfile_analyzer_ng_spark.functions import html as H
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 BLOCK_TAGS = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",

@@ -2,12 +2,16 @@
 
 from __future__ import annotations
 
+
 from pyspark.sql import functions as F
 
 from sarfile_analyzer_ng_spark.catalog import load_table
 from sarfile_analyzer_ng_spark.operators import io as IO
 
 from .conftest import SF_DIR
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 
 def test_csv_roundtrip_matches_parquet(spark, tmp_path):

@@ -3,10 +3,13 @@ sf0.001 (same comparison the driver applies at sf0.01)."""
 
 from __future__ import annotations
 
+
 import pytest
 
 from sarfile_analyzer_ng_spark.queries import REGISTRY
 from tools.check_oracle import compare, duck_conn
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 from .conftest import SF_DIR
 

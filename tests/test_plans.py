@@ -5,6 +5,7 @@ top-k."""
 
 from __future__ import annotations
 
+
 from sarfile_analyzer_ng_spark.queries import (
     q01_pricing_summary,
     q04_time_filter,
@@ -14,6 +15,9 @@ from sarfile_analyzer_ng_spark.queries import (
 )
 
 from .conftest import SF_DIR
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 
 def plan(df) -> str:

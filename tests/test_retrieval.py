@@ -5,12 +5,16 @@ python references plus the determinism contracts (tie order, k cut).
 
 from __future__ import annotations
 
+
 import math
 
 from pyspark.sql import functions as F
 
 from sarfile_analyzer_ng_spark.functions import retrieval as RV
 from sarfile_analyzer_ng_spark.functions import text as TX
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 
 def _bm25_reference(corpus: dict[int, str], queries: dict[int, str],

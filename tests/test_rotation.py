@@ -6,6 +6,10 @@ edit the rule."""
 
 import importlib.util
 import sys
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
+
 
 sys.path.insert(0, "/root/repo")
 

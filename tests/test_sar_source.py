@@ -5,7 +5,11 @@ AM/PM clocks, comma decimals, device sections, device-LAST sections
 
 from __future__ import annotations
 
+
 from sarfile_analyzer_ng_spark.sources.sar_text import parse_sar_text
+import pytest
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 SAR_24H = """\
 Linux 5.14.21-default (host1) \t2024-01-15 \t_x86_64_\t(4 CPU)

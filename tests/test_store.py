@@ -3,6 +3,7 @@ delete → cleanup lifecycle (reference api/services.py:94/:159/:379/:524)."""
 
 from __future__ import annotations
 
+
 import lzma
 import os
 import time
@@ -11,6 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sarfile_analyzer_ng_spark.store import SarStore, StoreError
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 from .test_sar_source import SAR_24H, SAR_AMPM
 

@@ -15,6 +15,7 @@ freshly-recorded green entry to the tail), then re-snapshot.
 
 from __future__ import annotations
 
+
 import json
 import os
 
@@ -22,6 +23,8 @@ import pytest
 
 from sarfile_analyzer_ng_spark.queries import REGISTRY
 from tools.snapshot_tail import SNAPSHOT_PATH, WINDOW, tail_digests
+
+pytestmark = pytest.mark.driver  # driver-facing gate (see conftest)
 
 TAIL = list(REGISTRY)[WINDOW:]
 
